@@ -1,0 +1,288 @@
+package graft
+
+import graft.functions.TextFunctions
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[SparkEntry]].
+  *
+  * Each statement mirrors the Spark query's expression tree exactly —
+  * including IEEE evaluation order for doubles and DECIMAL casts for sums —
+  * so value hashes match bit-for-bit. `CAST(ts AS TIMESTAMP)` truncates the
+  * nanosecond event timestamps to micros exactly as Tables.events does.
+  * Queries with no entry here (simhash) get the driver's rows-only check.
+  */
+object OracleSql {
+
+  private val dec4sum = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Word-shingle + per-band minhash CTE prefix shared by the dedup oracles
+    * (mirrors Dedup.shingles / Dedup.minhashSignatures). */
+  private val minhashCtes =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([list_aggregate(w[i:i+2], 'string_agg', ' ') for i in generate_series(1, len(w)-2)]) AS shingle
+      |  FROM tok WHERE len(w) >= 3),
+      |mh AS (
+      |  SELECT doc_id, b, MIN(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS sig
+      |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS b) bands
+      |  GROUP BY doc_id, b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM mh a JOIN mh b2 ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
+      |""".stripMargin
+
+  /** Per-language stopword-hit expression (mirrors TextFunctions.stopwordHits). */
+  private def hitsExpr(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+
+  /** Language-ID CASE (mirrors TextFunctions.langId: first language in
+    * inventory order whose hit count is positive and maximal). */
+  private val langIdSql: String = {
+    val langs = TextFunctions.stopwords
+    val hitCols = langs.map { case (l, ws) => s"${hitsExpr(ws)} AS h_$l" }.mkString(",\n    ")
+    val best = s"greatest(${langs.map(l => s"h_${l._1}").mkString(", ")})"
+    val cases = langs.map { case (l, _) =>
+      s"WHEN h_$l > 0 AND h_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id,
+       |    $hitCols
+       |  FROM documents),
+       |b AS (SELECT doc_id, h_${langs.map(_._1).mkString(", h_")}, $best AS best FROM h)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM b""".stripMargin
+  }
+
+  /** One hyperplane-LSH sign bit (mirrors VectorFunctions.lshSignature /
+    * planeWeight: first md5 nibble of "plane_dim" → weight in [-15/16, 15/16]). */
+  private def lshBitSql(p: Int): String = {
+    def nib(expr: String) = s"ascii(substr(md5('${p}_' || CAST($expr AS VARCHAR)), 1, 1))"
+    val d = "s[2]"
+    val nibVal = s"CASE WHEN ${nib(d)} >= 97 THEN ${nib(d)} - 87 ELSE ${nib(d)} - 48 END"
+    s"CASE WHEN list_sum(list_transform(list_zip(embedding, generate_series(0, len(embedding)-1)), " +
+      s"s -> CAST(s[1] AS DOUBLE) * ((CAST($nibVal AS DOUBLE) - 7.5) / 8.0))) >= 0 THEN '1' ELSE '0' END"
+  }
+
+  private val lshBucketSql: String = {
+    val bits = (0 until 8).map(lshBitSql).mkString(",\n    ")
+    s"""SELECT bucket, COUNT(*) AS n FROM (
+       |  SELECT concat(
+       |    $bits) AS bucket
+       |  FROM embeddings) GROUP BY bucket""".stripMargin
+  }
+
+  /** Portable double-precision cosine between two FLOAT lists (left fold,
+    * mirrors VectorFunctions.cosine). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+  }
+
+  private val qualityCtes: String = {
+    val len = "CAST(length(text) AS DOUBLE)"
+    def cnt(re: String) = s"CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE)"
+    val alpha = s"${cnt("[A-Za-z]")} / greatest($len, 1.0)"
+    val digit = s"${cnt("[0-9]")} / greatest($len, 1.0)"
+    val punct = s"${cnt("[^A-Za-z0-9\\s]")} / greatest($len, 1.0)"
+    val nTokD = s"CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
+    val stopRatio = s"CAST(${hitsExpr(TextFunctions.stopwords.head._2)} AS DOUBLE) / greatest($nTokD, 1.0)"
+    val lenScore = s"least($len / 500.0, 1.0)"
+    val stop = s"least($stopRatio * 4.0, 1.0)"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+       |  $alpha AS alpha_ratio,
+       |  $digit AS digit_ratio,
+       |  $punct AS punct_ratio,
+       |  greatest(least($lenScore * 0.3 + ($alpha) * 0.4 + $stop * 0.3 - (($digit) + ($punct)) * 0.5, 1.0), 0.0) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  val all: Map[String, String] = Map(
+    "q_map" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem",
+
+    "q_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+
+    "q_filter_map" ->
+      """SELECT event_id, user_id, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_flatten" ->
+      "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part",
+
+    "q_inspect" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+
+    "q_cloned" ->
+      s"SELECT event_type, COUNT(*) AS n, $dec4sum AS sum_value FROM events GROUP BY event_type",
+
+    "q_split" ->
+      """SELECT o_orderkey, CASE WHEN o_orderstatus = 'F' THEN 'finished' ELSE 'open' END AS branch
+        |FROM orders""".stripMargin,
+
+    "q_union" ->
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, 'supplier' AS kind FROM supplier""".stripMargin,
+
+    "q_key_local" ->
+      "SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value FROM events GROUP BY user_id",
+
+    "q_key_distribute" ->
+      s"SELECT user_id, COUNT(*) AS n_events, $dec4sum AS total FROM events GROUP BY user_id",
+
+    "q_stateful_map" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM events""".stripMargin,
+
+    "q_stateful_op" ->
+      """SELECT user_id, event_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS running_n
+        |FROM events""".stripMargin,
+
+    "q_stateless_op" ->
+      """SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |FROM documents""".stripMargin,
+
+    "q_ttl_map" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |m AS (SELECT user_id, event_id, uts,
+        |  CASE WHEN lag(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id) IS NULL
+        |         OR uts > lag(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id) + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s2 AS (SELECT user_id, uts,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id FROM m)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  epoch_us(MIN(uts)) AS session_start_us, epoch_us(MAX(uts)) AS session_end_us
+        |FROM s2 GROUP BY user_id, session_id""".stripMargin,
+
+    "q_assign_timestamps" ->
+      """SELECT event_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS event_hour,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS event_us
+        |FROM events""".stripMargin,
+
+    "q_epochs_window" ->
+      s"""SELECT event_type,
+         |  strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  COUNT(*) AS n, $dec4sum AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_frontier" ->
+      "SELECT user_id, epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS frontier_us FROM events GROUP BY user_id",
+
+    "q_late_data" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |f AS (SELECT event_id, user_id, uts, MAX(uts) OVER (PARTITION BY user_id) AS fr FROM e)
+        |SELECT event_id, user_id, epoch_us(uts) AS ts_us FROM f WHERE uts < fr - INTERVAL 6 HOUR""".stripMargin,
+
+    "q_join" ->
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_source_parquet" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_source_iterator" ->
+      """SELECT CAST(r AS BIGINT) AS i, CAST(r * r AS BIGINT) AS sq, CAST(r % 7 AS BIGINT) AS bucket
+        |FROM range(0, 1000) t(r)""".stripMargin,
+
+    "q_source_stateless" ->
+      "SELECT doc_id, source, n_chars FROM documents",
+
+    "q_source_stateful" ->
+      "SELECT doc_id, lang FROM documents WHERE doc_id > 300",
+
+    "q_sink_stdout" ->
+      """SELECT r_name, COUNT(*) AS n_nations FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_sink_vec" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q_sink_stateful" ->
+      "SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source",
+
+    "q_kafka_source" ->
+      """WITH k AS (SELECT CAST(user_id % 4 AS INTEGER) AS part_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) AS BIGINT) - 1 AS off
+        |  FROM events)
+        |SELECT part_id, COUNT(*) AS n, MIN(off) AS min_off, MAX(off) AS max_off
+        |FROM k WHERE off >= CASE WHEN part_id IN (0, 1) THEN 10 ELSE 0 END GROUP BY part_id""".stripMargin,
+
+    "q_kafka_sink" ->
+      """SELECT CAST(length(event_type) % 3 AS INTEGER) AS part_id,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS end_offset, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_rescale" ->
+      s"SELECT user_id, COUNT(*) AS n_events, $dec4sum AS total FROM events GROUP BY user_id",
+
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
+
+    "q_ngram_jaccard" ->
+      (minhashCtes +
+        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          |  FROM pairs p
+          |  JOIN sh s1 ON s1.doc_id = p.doc_a
+          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+          |  GROUP BY 1, 2)
+          |SELECT i2.doc_a, i2.doc_b,
+          |  CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) AS jaccard
+          |FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
+          |WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.2""".stripMargin),
+
+    "q_ann_brute" -> {
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |p AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosine
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    "q_ann_lsh" -> lshBucketSql,
+
+    "q_lang_id" -> langIdSql,
+
+    "q_quality" -> qualityCtes,
+
+    "q_tokens" ->
+      """SELECT source,
+        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(length(text) % 640 AS INTEGER) AS width,
+        |  CAST(length(text) % 480 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS DOUBLE)
+        |    + CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 256.0
+        |    + CAST(ascii(substr(text, length(text), 1)) AS DOUBLE) / 65536.0 AS feature
+        |FROM documents""".stripMargin)
+}

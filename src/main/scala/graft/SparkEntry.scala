@@ -1,13 +1,413 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.api.GraftStream
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.multimodal.Multimodal
+import graft.operators.{StatefulExec, StatefulLogic}
+import graft.sinks.{StatefulParquetSink, StdoutSink, VecSink}
+import graft.sources.{KafkaShim, ParquetSource, RangeSource, StatefulSource, StatelessFileSource}
+import graft.time.EventTime
+
+/** Driver contract — one `queries` entry per SURVEY.md §2 component, with a
+  * DuckDB-runnable oracle in [[oracleSql]] where SQL-expressible.
+  *
+  * Numeric conventions shared with the oracles (so value hashes match):
+  *  - money/metric sums go through DECIMAL (exact, order-independent) and
+  *    are cast back to DOUBLE: both engines produce identical bits;
+  *  - per-row double arithmetic mirrors the oracle's expression tree
+  *    (IEEE ops are deterministic given identical operand order);
+  *  - event timestamps are micro-precision (Tables.events truncates nanos,
+  *    matching DuckDB's `CAST(ts AS TIMESTAMP)`);
+  *  - derived ints are cast to BIGINT/INT explicitly on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the broadcast-dim star join (q_join). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qJoin(spark, "/root/testdata/sf0.001")
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Exact decimal sum rendered as double — bit-identical in any engine. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    F.sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private val tsUs = "CAST(ts AS TIMESTAMP)" // oracle-side micro truncation
+
+  // ------------------------------------------------------ core: stateless
+
+  private def qMap(s: SparkSession, dir: String): DataFrame =
+    GraftStream(T(s, dir, "lineitem"))
+      .map(
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).as("revenue"))
+      .toDF
+
+  private def qFilter(s: SparkSession, dir: String): DataFrame =
+    GraftStream(T(s, dir, "lineitem"))
+      .filter(F.col("l_quantity") > 45)
+      .map(F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity"))
+      .toDF
+
+  private def qFilterMap(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .filterMap(
+        F.col("event_type") === "purchase",
+        F.col("event_id"), F.col("user_id"),
+        F.floor(F.col("value") * 100).cast("long").as("value_cents"))
+      .toDF
+
+  private def qFlatten(s: SparkSession, dir: String): DataFrame =
+    GraftStream(T(s, dir, "part"))
+      .flatten(F.split(F.col("p_name"), " "), "word", F.col("p_partkey"))
+      .toDF
+
+  private def qInspect(s: SparkSession, dir: String): DataFrame =
+    GraftStream(T(s, dir, "orders"))
+      .inspect("q_inspect_metrics",
+        F.count(F.lit(1)).as("rows"), F.sum(F.col("o_totalprice")).as("sum_price"))
+      .map(F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice"))
+      .toDF
+
+  private def qCloned(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = GraftStream(Tables.events(s, dir)).cloned
+    val counts = a.keyLocal(F.col("event_type")).agg(F.count(F.lit(1)).as("n")).toDF
+    val sums = b.keyLocal(F.col("event_type")).agg(dsum(F.col("value"), 4).as("sum_value")).toDF
+    counts.join(sums, Seq("event_type"))
+  }
+
+  private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val (fin, open) = GraftStream(T(s, dir, "orders")).split(F.col("o_orderstatus") === "F")
+    fin.map(F.col("o_orderkey"), F.lit("finished").as("branch"))
+      .union(open.map(F.col("o_orderkey"), F.lit("open").as("branch")))
+      .toDF
+  }
+
+  private def qUnion(s: SparkSession, dir: String): DataFrame =
+    GraftStream(T(s, dir, "customer").select(F.col("c_name").as("name"), F.lit("customer").as("kind")))
+      .union(GraftStream(T(s, dir, "supplier").select(F.col("s_name").as("name"), F.lit("supplier").as("kind"))))
+      .toDF
+
+  // ---------------------------------------------------------- core: keyed
+
+  private def qKeyLocal(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .keyLocal(F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.max(F.col("value")).as("max_value"))
+      .toDF
+
+  private def qKeyDistribute(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .keyDistribute(F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), dsum(F.col("value"), 4).as("total"))
+      .toDF
+
+  private def qStatefulMap(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .keyDistribute(F.col("user_id"))
+      .statefulProject(
+        Seq(F.col("ts"), F.col("event_id")),
+        "running_total" -> (fr => F.sum(F.col("value").cast("decimal(18,4)")).over(fr).cast("double")))
+      .map(F.col("event_id"), F.col("user_id"), F.col("running_total"))
+      .toDF
+
+  /** Row shapes for the typed stateful path (object-level so Spark can
+    * derive product encoders). */
+  final case class Ev(event_id: Long, user_id: Long, ts_us: Long)
+  final case class RunningN(user_id: Long, event_id: Long, running_n: Long)
+
+  /** Custom stateful logic through the typed StatefulLogic/StatefulExec
+    * path (operators/stateful_op.rs): per-key running event count. */
+  private def qStatefulOp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val logic = new StatefulLogic[Long, Ev, Long, RunningN] {
+      def zero: Long = 0L
+      def update(k: Long, v: Ev, n: Long): (Long, IterableOnce[RunningN]) =
+        (n + 1, Iterator.single(RunningN(k, v.event_id, n + 1)))
+    }
+    val ds = Tables.events(s, dir)
+      .select(F.col("event_id"), F.col("user_id"), F.unix_micros(F.col("ts")).as("ts_us"))
+      .as[Ev]
+    StatefulExec.batch[Long, Ev, Long, RunningN](
+      ds, _.user_id, Ordering.by(e => (e.ts_us, e.event_id)), logic).toDF()
+  }
+
+  private def qStatelessOp(s: SparkSession, dir: String): DataFrame =
+    GraftStream(T(s, dir, "documents"))
+      .map(
+        F.col("doc_id"),
+        TF.normalizeWs(F.lower(F.col("text"))).as("norm_text"),
+        TF.tokenCount(F.col("text")).as("n_tok"))
+      .toDF
+
+  private def qTtlMap(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .keyDistribute(F.col("user_id"))
+      .sessionize(F.col("ts"), Seq(F.col("ts"), F.col("event_id")), "30 MINUTE")
+      .keyLocal(F.col("user_id"), F.col("session_id"))
+      .agg(
+        F.count(F.lit(1)).as("n_events"),
+        F.unix_micros(F.min(F.col("ts"))).as("session_start_us"),
+        F.unix_micros(F.max(F.col("ts"))).as("session_end_us"))
+      .toDF
+
+  // ------------------------------------------------------ core: event time
+
+  private def qAssignTimestamps(s: SparkSession, dir: String): DataFrame =
+    GraftStream(EventTime.assignTimestamps(Tables.events(s, dir), F.col("ts")))
+      .map(
+        F.col("event_id"),
+        F.col("event_time").cast("date").as("event_date"),
+        F.hour(F.col("event_time")).cast("int").as("event_hour"),
+        F.unix_micros(F.col("event_time")).as("event_us"))
+      .toDF
+
+  private def qEpochsWindow(s: SparkSession, dir: String): DataFrame = {
+    val withEpochs = EventTime.generateEpochs(Tables.events(s, dir), "ts", "10 minutes")
+    EventTime.tumblingAgg(
+      withEpochs, F.col("ts"), "1 hour", Seq(F.col("event_type")),
+      Seq(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value")))
+      .select(
+        F.col("event_type"),
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        F.col("n"), F.col("sum_value"))
+  }
+
+  private def qFrontier(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .keyLocal(F.col("user_id"))
+      .frontier(F.col("ts"))
+      .map(F.col("user_id"), F.unix_micros(F.col("frontier")).as("frontier_us"))
+      .toDF
+
+  private def qLateData(s: SparkSession, dir: String): DataFrame =
+    GraftStream(EventTime.lateData(
+      Tables.events(s, dir), F.col("ts"), Seq(F.col("user_id")), "6 HOUR"))
+      .map(F.col("event_id"), F.col("user_id"), F.unix_micros(F.col("ts")).as("ts_us"))
+      .toDF
+
+  // ----------------------------------------------------------- core: join
+
+  private def qJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = GraftStream(T(s, dir, "orders")).keyDistribute(F.col("o_orderkey"))
+    val lineitem = GraftStream(T(s, dir, "lineitem")).keyLocal(F.col("l_orderkey"))
+    val joined = lineitem.join(orders, "inner")
+    GraftStream(joined.toDF)
+      .keyLocal(F.col("o_custkey"))
+      .join(
+        GraftStream(T(s, dir, "customer")).keyLocal(F.col("c_custkey")),
+        how = "inner", broadcastRight = true)
+      .keyLocal(F.col("c_mktsegment"), F.col("o_orderpriority"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4).as("revenue"))
+      .toDF
+  }
+
+  // ------------------------------------------------------- sources / sinks
+
+  private def qSourceParquet(s: SparkSession, dir: String): DataFrame =
+    GraftStream(ParquetSource(s"$dir/lineitem.parquet").load(s))
+      .keyLocal(F.col("l_returnflag"))
+      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("l_quantity")).as("sum_qty"))
+      .toDF
+
+  private def qSourceIterator(s: SparkSession, dir: String): DataFrame =
+    GraftStream(RangeSource(1000).load(s))
+      .map(F.col("i"), (F.col("i") * F.col("i")).as("sq"), (F.col("i") % 7).as("bucket"))
+      .toDF
+
+  private def qSourceStateless(s: SparkSession, dir: String): DataFrame =
+    GraftStream(StatelessFileSource(s"$dir/documents.parquet").load(s))
+      .map(F.col("doc_id"), F.col("source"), F.col("n_chars"))
+      .toDF
+
+  private def qSourceStateful(s: SparkSession, dir: String): DataFrame =
+    GraftStream(StatefulSource(s"$dir/documents.parquet", "doc_id", 300L).load(s))
+      .map(F.col("doc_id"), F.col("lang"))
+      .toDF
+
+  private def qSinkStdout(s: SparkSession, dir: String): DataFrame = {
+    val df = GraftStream(T(s, dir, "nation"))
+      .keyLocal(F.col("n_regionkey"))
+      .join(GraftStream(T(s, dir, "region")).keyLocal(F.col("r_regionkey")),
+        how = "inner", broadcastRight = true)
+      .keyLocal(F.col("r_name"))
+      .agg(F.count(F.lit(1)).as("n_nations"))
+      .toDF
+    StdoutSink(limit = 10).write(df)
+    df
+  }
+
+  private def qSinkVec(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders")
+      .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+      .limit(10)
+      .select(F.col("o_orderkey"), F.col("o_totalprice"))
+    val sink = new VecSink
+    sink.write(df)
+    require(sink.rows.size == 10, "VecSink collected an unexpected row count")
+    df
+  }
+
+  private def qSinkStateful(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_stateful_sink_${new java.io.File(dir).getName}"
+    val df = T(s, dir, "documents")
+      .groupBy(F.col("source")).agg(F.count(F.lit(1)).as("n_docs"))
+    val sink = StatefulParquetSink(out)
+    sink.write(df, epoch = 1L)
+    sink.write(df, epoch = 1L) // replay of the same epoch → idempotent no-op
+    s.read.parquet(out)
+  }
+
+  // ------------------------------------------------------------ kafka shim
+
+  private def kafkaRoot(dir: String) =
+    s"${sys.props("java.io.tmpdir")}/graft_kafka_${new java.io.File(dir).getName}"
+
+  private def qKafkaSource(s: SparkSession, dir: String): DataFrame = {
+    val root = kafkaRoot(dir)
+    KafkaShim.write(
+      Tables.events(s, dir).select(
+        (F.col("user_id") % 4).cast("int").as("partition"),
+        F.col("user_id").cast("string").as("key"),
+        F.col("event_type").as("value"),
+        F.col("ts"),
+        F.col("event_id")),
+      root, "events_in", orderCols = Seq("event_id"))
+    KafkaShim.read(s, root, "events_in", startingOffsets = Map(0 -> 10L, 1 -> 10L))
+      .groupBy(F.col("partition").as("part_id"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.min("offset").as("min_off"),
+        F.max("offset").as("max_off"))
+      .select(F.col("part_id").cast("int").as("part_id"), F.col("n"), F.col("min_off"), F.col("max_off"))
+  }
+
+  private def qKafkaSink(s: SparkSession, dir: String): DataFrame = {
+    val root = kafkaRoot(dir)
+    KafkaShim.write(
+      Tables.events(s, dir).select(
+        (F.length(F.col("event_type")) % 3).cast("int").as("partition"),
+        F.col("event_type").as("key"),
+        F.col("props").as("value"),
+        F.col("ts"),
+        F.col("event_id")),
+      root, "events_out", orderCols = Seq("event_id"))
+    KafkaShim.endOffsets(s, root, "events_out")
+      .select(F.col("partition").cast("int").as("part_id"), F.col("end_offset"), F.col("n"))
+  }
+
+  // -------------------------------------------------------------- rescale
+
+  /** Same keyed aggregation at a deliberately different parallelism —
+    * result must be partition-count invariant (runtime/threaded/multi.rs). */
+  private def qRescale(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .keyDistribute(13, F.col("user_id"))
+      .agg(F.count(F.lit(1)).as("n_events"), dsum(F.col("value"), 4).as("total"))
+      .toDF
+
+  // ---------------------------------------------------------- LLM pipeline
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"))
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(T(s, dir, "documents"))
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(T(s, dir, "documents"), maxHamming = 16)
+
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(T(s, dir, "documents"), minJaccard = 0.2)
+
+  private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5)
+  }
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Ann.lshBuckets(T(s, dir, "embeddings"), planes = 8)
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(F.col("doc_id"), TF.langId(F.col("text")).as("pred_lang"))
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      F.col("doc_id"),
+      TF.tokenCount(F.col("text")).as("n_tok"),
+      TF.alphaRatio(F.col("text")).as("alpha_ratio"),
+      TF.digitRatio(F.col("text")).as("digit_ratio"),
+      TF.punctRatio(F.col("text")).as("punct_ratio"),
+      TF.qualityScore(F.col("text")).as("quality"))
+
+  private def qTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy(F.col("source"))
+      .agg(
+        F.sum(TF.tokenCount(F.col("text"))).as("ws_tokens"),
+        F.sum(TF.bpeishTokenCount(F.col("text"))).as("bpeish_tokens"))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      F.col("doc_id"), TF.fingerprint(F.col("text")).as("fingerprint"))
+
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.attachMedia(T(s, dir, "documents")))
+      .toDF()
+      .select(F.col("doc_id"), F.col("n_bytes"), F.col("width"), F.col("height"), F.col("feature"))
+
+  // ---------------------------------------------------------------- lookup
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map" -> (qMap _),
+    "q_filter" -> (qFilter _),
+    "q_filter_map" -> (qFilterMap _),
+    "q_flatten" -> (qFlatten _),
+    "q_inspect" -> (qInspect _),
+    "q_cloned" -> (qCloned _),
+    "q_split" -> (qSplit _),
+    "q_union" -> (qUnion _),
+    "q_key_local" -> (qKeyLocal _),
+    "q_key_distribute" -> (qKeyDistribute _),
+    "q_stateful_map" -> (qStatefulMap _),
+    "q_stateful_op" -> (qStatefulOp _),
+    "q_stateless_op" -> (qStatelessOp _),
+    "q_ttl_map" -> (qTtlMap _),
+    "q_assign_timestamps" -> (qAssignTimestamps _),
+    "q_epochs_window" -> (qEpochsWindow _),
+    "q_frontier" -> (qFrontier _),
+    "q_late_data" -> (qLateData _),
+    "q_join" -> (qJoin _),
+    "q_source_parquet" -> (qSourceParquet _),
+    "q_source_iterator" -> (qSourceIterator _),
+    "q_source_stateless" -> (qSourceStateless _),
+    "q_source_stateful" -> (qSourceStateful _),
+    "q_sink_stdout" -> (qSinkStdout _),
+    "q_sink_vec" -> (qSinkVec _),
+    "q_sink_stateful" -> (qSinkStateful _),
+    "q_kafka_source" -> (qKafkaSource _),
+    "q_kafka_sink" -> (qKafkaSink _),
+    "q_rescale" -> (qRescale _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ann_brute" -> (qAnnBrute _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_tokens" -> (qTokens _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal" -> (qMultimodal _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

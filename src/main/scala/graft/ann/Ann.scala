@@ -1,0 +1,126 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers, per the build brief:
+  *  - [[bruteTopK]]: exact baseline. Small query set is broadcast, the big
+  *    corpus is scanned ONCE (BroadcastNestedLoopJoin — no corpus shuffle);
+  *    ranking is deterministic: (cosine rounded to 1e-6 desc, vec_id asc).
+  *  - [[bruteTopKPartial]]: same result, but the top-k is computed with a
+  *    typed [[TopKAgg]] aggregator → map-side partial top-k, so only
+  *    k rows per (partition × query) ever shuffle. The 100 TB brute path.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing (replicable signatures,
+  *    see VectorFunctions.lshSignature) → candidates share a bucket →
+  *    rerank within bucket. Probes only matching buckets; recall is
+  *    measured against [[bruteTopK]] in AnnSpec.
+  */
+object Ann {
+
+  /** Deterministic ranking score: cosine rounded to 6 dp (absorbs ulp-level
+    * accumulation noise), ties broken by neighbor id. */
+  private def score(qEmb: Column, cEmb: Column, native: Boolean): Column = {
+    val c = if (native) VectorFunctions.cosineF(qEmb, cEmb) else VectorFunctions.cosine(qEmb, cEmb)
+    F.round(c, 6)
+  }
+
+  private def pairs(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+                    native: Boolean): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"))
+    corpus
+      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"))
+      .join(F.broadcast(q), F.col("neighbor_id") =!= F.col("query_id"))
+      .select(
+        F.col("query_id"), F.col("neighbor_id"),
+        score(F.col("q_emb"), F.col("c_emb"), native).as("cosine"))
+  }
+
+  /** Exact top-k via a rank window (the simple, oracle-matching form). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+                embCol: String = "embedding", k: Int = 5, native: Boolean = false): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    pairs(corpus, queries, idCol, embCol, native)
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
+        F.col("neighbor_id"), F.col("cosine"))
+  }
+
+  /** Exact top-k via map-side partial aggregation — only k candidates per
+    * partition per query reach the shuffle. Identical output to
+    * [[bruteTopK]] (same deterministic sort key). */
+  def bruteTopKPartial(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+                       embCol: String = "embedding", k: Int = 5, native: Boolean = true): DataFrame = {
+    val agg = new TopKAgg(k).toColumn.name("topk")
+    val p = pairs(corpus, queries, idCol, embCol, native)
+      .select(
+        F.col("query_id").cast("long").as("_1"),
+        F.struct(
+          F.col("cosine").as("_1"),
+          F.col("neighbor_id").cast("long").as("_2")).as("_2"))
+    import p.sparkSession.implicits._
+    p.as[(Long, (Double, Long))]
+      .groupByKey(_._1)
+      .agg(agg)
+      .toDF("query_id", "topk")
+      .select(F.col("query_id"), F.posexplode(F.col("topk")))
+      .select(
+        F.col("query_id"), (F.col("pos") + 1L).as("rnk"),
+        F.col("col._2").as("neighbor_id"), F.col("col._1").as("cosine"))
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus rows whose `planes`-bit
+    * hyperplane signature equals the query's → equi-join on the bucket key
+    * (hash shuffle on signature, never all-pairs), rerank within bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+              embCol: String = "embedding", k: Int = 5, planes: Int = 8,
+              native: Boolean = true): DataFrame = {
+    val sig = (e: Column) => VectorFunctions.lshSignature(e, planes)
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+      sig(F.col(embCol)).as("bucket"))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+      sig(F.col(embCol)).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    c.join(F.broadcast(q), Seq("bucket"))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        score(F.col("q_emb"), F.col("c_emb"), native).as("cosine"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
+        F.col("neighbor_id"), F.col("cosine"))
+  }
+
+  /** Per-bucket histogram of the LSH partitioning (diagnostics + oracle). */
+  def lshBuckets(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
+                 planes: Int = 8): DataFrame =
+    corpus
+      .select(VectorFunctions.lshSignature(F.col(embCol), planes).as("bucket"))
+      .groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("n"))
+}
+
+/** Typed top-k aggregator: keeps the k best (score desc, id asc) pairs.
+  * Spark runs it with partial aggregation → map-side combine, which is what
+  * makes the brute scan viable at corpus scale. */
+class TopKAgg(k: Int) extends Aggregator[(Long, (Double, Long)), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private val ord: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+  override def reduce(buf: Seq[(Double, Long)], in: (Long, (Double, Long))): Seq[(Double, Long)] =
+    trim(buf :+ in._2)
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(a ++ b)
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] = s.sorted(ord).take(k)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+}

@@ -1,0 +1,126 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the LLM-data-pipeline pack.
+  *
+  * Scale contract (100 TB): every near-dup path is LSH-bucketed — the only
+  * shuffles are `groupBy(hash)` / `groupBy(band, signature)`, and pair
+  * comparison happens strictly WITHIN buckets. There is no `crossJoin`
+  * anywhere in this package. Shingling fans out rows (docs × shingles) but
+  * map-side partial aggregation collapses the minhash per (doc, band)
+  * before the shuffle.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct text, keeping the
+    * smallest doc id (the canonical survivor) + the duplicate count.
+    * sha256 group keys are uniform → no skew; fully map-side combinable. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(F.sha2(F.col(textCol), 256).as("content_hash"))
+      .agg(
+        F.min(idCol).as("keep_id"),
+        F.count(F.lit(1)).as("n_copies"))
+
+  /** Exact dedup on a normalized fingerprint (whitespace/case-insensitive). */
+  def exactByFingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextFunctions.fingerprint(F.col(textCol)).as("fingerprint"))
+      .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(
+        F.col(idCol),
+        F.explode(TextFunctions.wordShingles(TextFunctions.tokens(F.col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** Per-band minhash signatures: for band b, sig_b = min over shingles of
+    * md5(b || '|' || shingle). Fixed-width lowercase hex ⇒ the string MIN is
+    * the numeric min, so the signature is replicable in any engine with md5.
+    * Returns (id, band, sig); the min collapses map-side before shuffling. */
+  def minhashSignatures(sh: DataFrame, idCol: String, bands: Int): DataFrame =
+    sh
+      .select(F.col(idCol), F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).as("band"), F.col("shingle"))
+      .groupBy(F.col(idCol), F.col("band"))
+      .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))).as("sig"))
+
+  /** MinHash-LSH candidate duplicate pairs: docs sharing any band signature.
+    * The join key is (band, sig) — a bucket join, never all-pairs. Bucket
+    * sizes are bounded by construction (a band signature is a 128-bit hash;
+    * only near-identical docs collide), so the within-bucket pair blow-up is
+    * quadratic only in true-duplicate cluster size. */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        shingleN: Int = 3, bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(shingles(docs, idCol, textCol, shingleN), idCol, bands)
+    val a = sigs.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_a"))
+    val b = sigs.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity, computed only for LSH candidate
+    * pairs: |A∩B| via a shingle-equality join (bucketed by shingle),
+    * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double. */
+  def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleN)
+    val counts = sh.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("n"))
+    val pairs = minhashCandidates(docs, idCol, textCol, shingleN, bands)
+    val inter = pairs
+      .join(sh.select(F.col(idCol).as("doc_a"), F.col("shingle").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(F.col(idCol).as("doc_b"), F.col("shingle").as("sh_b")), Seq("doc_b"))
+      .filter(F.col("sh_a") === F.col("sh_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(F.count(F.lit(1)).as("inter"))
+    inter
+      .join(counts.select(F.col(idCol).as("doc_a"), F.col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(F.col(idCol).as("doc_b"), F.col("n").as("n_b")), Seq("doc_b"))
+      .select(
+        F.col("doc_a"), F.col("doc_b"),
+        (F.col("inter").cast("double") /
+          (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")).as("jaccard"))
+      .filter(F.col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash over whitespace tokens, built from per-token xxhash64:
+    * bit j of the simhash = (Σ_tokens (2·bit_j(xxh64(token)) − 1)) ≥ 0.
+    * Composed entirely from codegen'd built-ins (explode + 64 conditional
+    * sums collapsed map-side); no UDF. Returns (id, simhash). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(
+      F.col(idCol),
+      F.explode(TextFunctions.tokens(F.col(textCol))).as("tok"))
+      .withColumn("h", F.xxhash64(F.col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      F.sum(F.shiftright(F.col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j")
+    }
+    val summed = tok.groupBy(F.col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val packed = (0 until 64).map { j =>
+      F.when(F.col(s"b$j") >= 0, F.lit(1L << j)).otherwise(F.lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    summed.select(F.col(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: bucket by the top 16 bits (prefix), then
+    * compare hamming distance within buckets only. */
+  def simhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+      .withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
+    val a = sh.select(F.col("bucket"), F.col(idCol).as("doc_a"), F.col("simhash").as("sh_a"))
+    val b = sh.select(F.col("bucket"), F.col(idCol).as("doc_b"), F.col("simhash").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+      .filter(F.col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis Column functions for the LLM-data-pipeline pack.
+  *
+  * Everything here is a composition of built-in Catalyst expressions —
+  * no UDFs — so whole-stage codegen and pushdown survive, and each function
+  * has an exact ANSI-SQL oracle (see SparkEntry.oracleSql).
+  */
+object TextFunctions {
+
+  /** Whitespace-delimited token count (`\S+` runs). */
+  def tokenCount(text: Column): Column =
+    F.regexp_count(text, F.lit("\\S+")).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, and single punctuation
+    * marks each count as one token — a cheap deterministic proxy for a BPE
+    * tokenizer's piece count. */
+  def bpeishTokenCount(text: Column): Column =
+    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Whitespace-split tokens (lowercased), as an array column. */
+  def tokens(text: Column): Column =
+    F.filter(F.split(F.lower(text), "\\s+"), t => F.length(t) > 0)
+
+  /** Word n-gram shingles over the token array; empty when fewer than `n`
+    * tokens (strict semantics so any engine replicates it exactly). */
+  def wordShingles(toks: Column, n: Int): Column =
+    F.when(F.size(toks) >= n,
+      F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        i => F.concat_ws(" ", F.slice(toks, i, F.lit(n)))))
+      .otherwise(F.array().cast("array<string>"))
+
+  private def countMatches(text: Column, re: String): Column =
+    F.regexp_count(text, F.lit(re)).cast("double")
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    countMatches(text, "[^A-Za-z0-9\\s]") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+
+  /** Ratio of digit characters to total characters. */
+  def digitRatio(text: Column): Column =
+    countMatches(text, "[0-9]") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+
+  /** Ratio of alphabetic characters to total characters. */
+  def alphaRatio(text: Column): Column =
+    countMatches(text, "[A-Za-z]") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+
+  /** Small per-language stopword inventories for the heuristic language ID.
+    * Public-knowledge word lists; intentionally tiny and deterministic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Count of hits of `words` as standalone tokens in lowercased `text`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    F.regexp_count(F.lower(text), F.lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties
+    * broken by language-code order; "und" (undetermined) when no hits. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.map { case (lang, words) => (lang, stopwordHits(text, words)) }
+    val best = scored.map(_._2).reduce((a, b) => F.greatest(a, b))
+    scored.foldRight(F.lit("und"): Column) { case ((lang, hits), els) =>
+      F.when(hits > 0 && hits === best, F.lit(lang)).otherwise(els)
+    }
+  }
+
+  /** English stopword ratio over whitespace tokens. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, stopwords.head._2).cast("double") /
+      F.greatest(tokenCount(text).cast("double"), F.lit(1.0))
+
+  /** Composite quality score in [0,1]: favors mid-length documents with
+    * high alphabetic content, some stopwords, low digit/punct noise.
+    * Deterministic per-row double arithmetic (same result in any engine). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = F.least(stopwordRatio(text) * 4.0, F.lit(1.0))
+    val noise = digitRatio(text) + punctRatio(text)
+    F.greatest(F.least(
+      lenScore * 0.3 + alpha * 0.4 + stop * 0.3 - noise * 0.5,
+      F.lit(1.0)), F.lit(0.0))
+  }
+
+  /** Whitespace-normalized text: trim + collapse runs of whitespace. */
+  def normalizeWs(text: Column): Column =
+    F.trim(F.regexp_replace(text, "\\s+", " "))
+
+  /** Content fingerprint: md5 of lowercased whitespace-normalized text —
+    * the exact-dup key that survives formatting differences. */
+  def fingerprint(text: Column): Column = F.md5(F.lower(normalizeWs(text)))
+}

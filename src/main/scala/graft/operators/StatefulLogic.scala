@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** User-defined per-key stateful logic — the Spark-native re-expression of
+  * malstrom's `StatefulLogic` (reference: malstrom-core/src/operators/
+  * stateful_op.rs; examples/custom_stateful_operator.rs).
+  *
+  * One trait serves both execution modes:
+  *  - batch: [[StatefulExec.batch]] folds each key's rows in a caller-given
+  *    order inside `flatMapGroups` (state lives in executors, never the
+  *    driver; one shuffle on the key).
+  *  - streaming: [[StatefulExec.stream]] runs it under
+  *    `flatMapGroupsWithState`, with state checkpointed by Structured
+  *    Streaming (the snapshot/ backend analogue, snapshot/slatedb.rs).
+  */
+trait StatefulLogic[K, V, S, O] extends Serializable {
+  /** Initial state for a fresh key. */
+  def zero: S
+  /** Fold one value; return (new state, outputs to emit). */
+  def update(key: K, value: V, state: S): (S, IterableOnce[O])
+  /** Emitted when a key's state expires (TTL) — streaming only. */
+  def onExpiry(key: K, state: S): IterableOnce[O] = Iterator.empty
+}
+
+object StatefulExec {
+
+  /** Batch execution: groupByKey + ordered fold per key.
+    * `orderBy` gives the deterministic intra-key order (malstrom processes
+    * messages in arrival order; batch needs an explicit one). */
+  def batch[K: Encoder, V, S, O: Encoder](
+      ds: Dataset[V],
+      key: V => K,
+      orderBy: Ordering[V],
+      logic: StatefulLogic[K, V, S, O]): Dataset[O] =
+    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[V]) =>
+      val sorted = it.toVector.sorted(orderBy)
+      var state = logic.zero
+      sorted.iterator.flatMap { v =>
+        val (s2, out) = logic.update(k, v, state)
+        state = s2
+        out.iterator
+      }
+    }
+
+  /** Streaming execution under flatMapGroupsWithState with optional
+    * processing-time TTL (operators/ttl_map.rs:16 analogue — state that is
+    * not touched for `ttlMs` expires and `onExpiry` fires). */
+  def stream[K: Encoder, V, S: Encoder, O: Encoder](
+      ds: Dataset[V],
+      key: V => K,
+      logic: StatefulLogic[K, V, S, O],
+      ttlMs: Option[Long] = None): Dataset[O] = {
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(key).flatMapGroupsWithState[S, O](OutputMode.Append, timeout) {
+      (k: K, values: Iterator[V], gs: GroupState[S]) =>
+        if (gs.hasTimedOut) {
+          val out = logic.onExpiry(k, gs.get)
+          gs.remove()
+          out.iterator
+        } else {
+          var state = gs.getOption.getOrElse(logic.zero)
+          val out = values.flatMap { v =>
+            val (s2, o) = logic.update(k, v, state)
+            state = s2
+            o.iterator
+          }.toVector
+          gs.update(state)
+          ttlMs.foreach(gs.setTimeoutDuration)
+          out.iterator
+        }
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Source adapters — Spark-native re-expression of malstrom's source API
+  * (reference: malstrom-core/src/operators/source.rs, sources/).
+  *
+  * A [[GraftSource]] yields a batch DataFrame and, where meaningful, a
+  * streaming one. Resumability (sources/stateful.rs) maps to Structured
+  * Streaming's checkpointed file-source offsets; the batch equivalent is an
+  * explicit offset predicate that the parquet scan pushes down.
+  */
+trait GraftSource extends Serializable {
+  def load(spark: SparkSession): DataFrame
+  /** Streaming variant; sources that cannot stream raise. */
+  def loadStream(spark: SparkSession): DataFrame =
+    throw new UnsupportedOperationException(s"$this is batch-only")
+}
+
+/** Parquet directory/file source (the workhorse). */
+final case class ParquetSource(path: String, schemaDDL: Option[String] = None) extends GraftSource {
+  override def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  override def loadStream(spark: SparkSession): DataFrame = {
+    val r = spark.readStream
+    schemaDDL.fold(r)(s => r.schema(s)).parquet(path)
+  }
+}
+
+/** In-memory iterator source (sources/single_iterator.rs): a driver-side
+  * finite sequence distributed via `spark.range` + pure projection — the
+  * generator runs on executors, not the driver. */
+final case class RangeSource(n: Long, numPartitions: Int = 4) extends GraftSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.range(0, n, 1, numPartitions).toDF("i")
+}
+
+/** Stateless file source (sources/stateless.rs): re-reads everything,
+  * keeps no offsets. */
+final case class StatelessFileSource(path: String) extends GraftSource {
+  override def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** Resumable source (sources/stateful.rs): rows strictly after `offset` in
+  * `offsetCol` order. Batch resume = a pushed-down range predicate; stream
+  * resume = checkpointed offsets (see graft.streaming). */
+final case class StatefulSource(path: String, offsetCol: String, startAfter: Long) extends GraftSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.read.parquet(path).filter(F.col(offsetCol) > startAfter)
+}

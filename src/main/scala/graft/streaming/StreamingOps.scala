@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming-side execution: watermarked windows, checkpointed
+  * state (malstrom's snapshot backend ≡ `checkpointLocation`), and the
+  * exactly-once sink contract (sinks/stateful.rs ≡ foreachBatch + batchId
+  * idempotence). Stateful per-key logic runs through
+  * [[graft.operators.StatefulExec.stream]] (flatMapGroupsWithState).
+  *
+  * Reference: malstrom-core/src/snapshot/ (persistence), runtime/
+  * (coordinator barriers). Spark gives both: the state store checkpoints
+  * per micro-batch (aligned snapshot) and recovers on restart; rescaling is
+  * a shuffle-partition change at restart, state re-keyed by the store.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregation — the epoch-aggregation shape
+    * of examples/event_time.rs, streaming form. */
+  def windowedCounts(events: DataFrame, tsCol: String, width: String, delay: String,
+                     keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(keys.map(F.col) :+ F.window(F.col(tsCol), width): _*)
+      .agg(F.count(F.lit(1)).as("n"))
+
+  /** Start a query with a durable checkpoint (snapshot backend analogue).
+    * Killing the query and calling this again resumes from state. */
+  def startWithCheckpoint(writer: DataStreamWriter[Row], checkpointDir: String): StreamingQuery =
+    writer
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Exactly-once file sink: foreachBatch + idempotent per-batch commit —
+    * replayed batch ids are skipped, matching sinks/stateful.rs semantics. */
+  def exactlyOnceParquetSink(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = s"$outDir/batch=$batchId"
+        val done = new java.io.File(s"$target/_SUCCESS")
+        if (!done.exists()) { // replay of a committed batch → no-op
+          batch.write.mode(SaveMode.Overwrite).parquet(target)
+        }
+      }
+      .start()
+}
