@@ -75,20 +75,29 @@ object Ann {
         F.col("col._2").as("neighbor_id"), F.col("col._1").as("cosine"))
   }
 
-  /** LSH-bucketed ANN: candidates = corpus rows whose `planes`-bit
-    * hyperplane signature equals the query's → equi-join on the bucket key
-    * (hash shuffle on signature, never all-pairs), rerank within bucket. */
+  /** Multi-table LSH ANN: `tables` independent `bits`-bit hyperplane
+    * signatures per vector; a corpus row is a candidate for a query iff
+    * their signatures match in ANY table. The bucket join carries ids only
+    * (embeddings are re-joined for the rerank), so the LSH fan-out shuffles
+    * `tables × |corpus|` slim rows — never all-pairs, never wide rows. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
-              embCol: String = "embedding", k: Int = 5, planes: Int = 8,
-              native: Boolean = true): DataFrame = {
-    val sig = (e: Column) => VectorFunctions.lshSignature(e, planes)
-    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
-      sig(F.col(embCol)).as("bucket"))
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
-      sig(F.col(embCol)).as("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
-    c.join(F.broadcast(q), Seq("bucket"))
+              embCol: String = "embedding", k: Int = 5, bits: Int = 8,
+              tables: Int = 4, native: Boolean = true): DataFrame = {
+    val sigs = (e: Column) => VectorFunctions.lshTableSignatures(e, bits, tables)
+    val cs = corpus.select(
+      F.col(idCol).as("neighbor_id"),
+      F.posexplode(sigs(F.col(embCol)))).toDF("neighbor_id", "tbl", "sig")
+    val qsig = queries.select(
+      F.col(idCol).as("query_id"),
+      F.posexplode(sigs(F.col(embCol)))).toDF("query_id", "tbl", "sig")
+    val cand = cs.join(F.broadcast(qsig), Seq("tbl", "sig"))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    cand
+      .join(corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb")), Seq("neighbor_id"))
+      .join(F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"))), Seq("query_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         score(F.col("q_emb"), F.col("c_emb"), native).as("cosine"))
       .withColumn("rank", F.row_number().over(w))

@@ -60,19 +60,26 @@ object VectorFunctions {
   }
 
   /** Random-hyperplane LSH signature with `planes` bits over an
-    * array<float> embedding: bit p = (Σ_d emb[d] * w(p,d)) >= 0.
-    * Pure Catalyst expressions; exact oracle replication possible. */
-  def lshSignature(emb: Column, planes: Int): Column = {
+    * array<float> embedding: bit p = (Σ_d emb[d] * w(p+offset,d)) >= 0.
+    * Pure Catalyst expressions; exact oracle replication possible.
+    * `offset` selects an independent plane family (per LSH table). */
+  def lshSignature(emb: Column, planes: Int, offset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val contrib = F.aggregate(
         F.zip_with(
           emb,
           F.sequence(F.lit(0), F.size(emb) - 1),
-          (x, d) => x.cast("double") * planeWeight(p, d)),
+          (x, d) => x.cast("double") * planeWeight(p + offset, d)),
         F.lit(0.0),
         (acc, v) => acc + v)
       F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0"))
     }
     F.concat(bits: _*)
   }
+
+  /** `tables` independent LSH signatures of `bits` bits each (disjoint
+    * plane families) — the multi-table LSH index: a candidate matches if
+    * its signature equals the query's in ANY table. */
+  def lshTableSignatures(emb: Column, bits: Int, tables: Int): Column =
+    F.array((0 until tables).map(t => lshSignature(emb, bits, t * bits)): _*)
 }

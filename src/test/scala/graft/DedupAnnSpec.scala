@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+
+/** LLM-pipeline pack: dedup correctness on planted duplicates, ANN
+  * equivalence (partial-agg == window) and LSH recall vs brute force. */
+class DedupAnnSpec extends AnyFunSuite with SparkFixture {
+
+  private def planted = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    Seq(
+      (1L, base),
+      (2L, base),                                   // exact dup of 1
+      (3L, base.replace("lazy", "sleepy")),          // near dup of 1
+      (4L, "completely different words about spark catalyst optimizer plans"),
+      (5L, "another unrelated sentence mentioning parquet files and shuffles"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(planted).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(2)).max == 2) // the planted pair collapses
+  }
+
+  test("minhash-LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missed exact dup: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"missed near dup: $pairs")
+    assert(!pairs.contains((4L, 5L)), s"false positive on unrelated docs: $pairs")
+  }
+
+  test("ngram jaccard is 1.0 for identical docs and high for near dups") {
+    val j = Dedup.ngramJaccard(planted)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j.getOrElse((1L, 3L), j.getOrElse((2L, 3L), 0.0)) > 0.5)
+  }
+
+  test("simhash: identical docs collide, hamming bounded for near dups") {
+    val sh = Dedup.simhash(planted).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 16)
+    val cands = Dedup.simhashCandidates(planted, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("bruteTopKPartial (map-side top-k aggregator) equals window bruteTopK") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 10)
+    VectorFunctions.registerAll(spark)
+    val a = Ann.bruteTopK(emb, q, k = 5, native = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val b = Ann.bruteTopKPartial(emb, q, k = 5, native = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(a == b, "partial-agg top-k diverges from window top-k")
+  }
+
+  test("native codegen dot product is bit-identical to the portable fold") {
+    VectorFunctions.registerAll(spark)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(50)
+      .select(F.col("embedding").as("a"), F.col("embedding").as("b"))
+    val diff = emb.select(
+      (VectorFunctions.dot(F.col("a"), F.col("b")) -
+        VectorFunctions.dotF(F.col("a"), F.col("b"))).as("d"))
+      .agg(F.max(F.abs(F.col("d")))).head().getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("LSH ANN recall vs brute force is usable and bucket-bounded") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    VectorFunctions.registerAll(spark)
+    val brute = Ann.bruteTopK(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.lshTopK(emb, q, k = 5, bits = 6, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 over 20 queries: $recall%.2f")
+    assert(recall > 0.2, f"LSH recall too low: $recall%.2f")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.{StatefulParquetSink, VecSink}
+import graft.sources.{KafkaShim, RangeSource, StatefulSource}
+
+/** Sources and sinks, incl. the Kafka-shaped shim's offset semantics
+  * (reference: the sources/ and sinks/ modules, malstrom-kafka/src/). */
+class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
+
+  test("RangeSource distributes the iterator across partitions") {
+    val df = RangeSource(100, numPartitions = 4).load(spark)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+  }
+
+  test("StatefulSource resumes strictly after the stored offset") {
+    val src = StatefulSource(s"$sf001/documents.parquet", "doc_id", 490L)
+    val ids = src.load(spark).select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ > 490L))
+  }
+
+  test("VecSink collects and clears") {
+    val sink = new VecSink
+    sink.write(spark.range(5).toDF("i"))
+    assert(sink.rows.size == 5)
+    sink.clear()
+    assert(sink.rows.isEmpty)
+  }
+
+  test("StatefulParquetSink is idempotent per epoch, advances on new epoch") {
+    val dir = Files.createTempDirectory("graft_sink_").toString + "/t"
+    val sink = StatefulParquetSink(dir)
+    sink.write(spark.range(3).toDF("i"), epoch = 1L)
+    assert(sink.committedEpoch.contains(1L))
+    sink.write(spark.range(99).toDF("i"), epoch = 1L) // replay → ignored
+    assert(spark.read.parquet(dir).count() == 3)
+    sink.write(spark.range(7).toDF("i"), epoch = 2L) // new epoch → applied
+    assert(spark.read.parquet(dir).count() == 7)
+  }
+
+  test("KafkaShim assigns dense per-partition offsets and honors start offsets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_kafka_").toString
+    val df = (0L until 20L).map(i => (i % 3, s"k$i", s"v$i", i))
+      .toDF("partition", "key", "value", "seq")
+      .withColumn("ts", F.timestamp_seconds(F.col("seq")))
+    KafkaShim.write(df, root, "t1", orderCols = Seq("seq"))
+
+    val all = KafkaShim.read(spark, root, "t1")
+    assert(all.count() == 20)
+    // offsets dense from 0 per partition
+    val perPart = all.groupBy("partition")
+      .agg(F.min("offset").as("lo"), F.max("offset").as("hi"), F.count(F.lit(1)).as("n"))
+      .collect()
+    perPart.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1)
+    }
+    // resume from offsets
+    val resumed = KafkaShim.read(spark, root, "t1", Map(0 -> 3L, 1 -> 100L))
+    val p0 = resumed.filter(F.col("partition") === 0).select(F.min("offset")).head().getLong(0)
+    assert(p0 == 3L)
+    assert(resumed.filter(F.col("partition") === 1).count() == 0)
+    // end offsets
+    val ends = KafkaShim.endOffsets(spark, root, "t1").collect()
+    assert(ends.length == 3)
+  }
+
+  test("multimodal plumbing: binary payload survives, features deterministic") {
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(20)
+    val media = Multimodal.attachMedia(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 20)
+    assert(feats.forall(f => f.n_bytes > 0 && f.feature > f.n_bytes))
+  }
+}
