@@ -32,7 +32,13 @@ object Bench {
     // Warm the JVM/session (codegen, parquet footers) outside the timings.
     Tables(spark, sfDir, "lineitem").count()
 
-    val results = headline.map { name =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid).
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(headline.contains))
+      .getOrElse(headline)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+
+    val results = selected.flatMap(n => Seq.fill(repeat)(n)).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -331,7 +331,7 @@ object SparkEntry {
 
   private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5)
+    Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
   }
 
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =

@@ -23,22 +23,26 @@ import graft.functions.VectorFunctions
   */
 object Ann {
 
-  /** Deterministic ranking score: cosine rounded to 6 dp (absorbs ulp-level
-    * accumulation noise), ties broken by neighbor id. */
-  private def score(qEmb: Column, cEmb: Column, native: Boolean): Column = {
-    val c = if (native) VectorFunctions.cosineF(qEmb, cEmb) else VectorFunctions.cosine(qEmb, cEmb)
-    F.round(c, 6)
-  }
+  private def dotX(a: Column, b: Column, native: Boolean): Column =
+    if (native) VectorFunctions.dotF(a, b) else VectorFunctions.dot(a, b)
 
+  /** Deterministic ranking score: cosine rounded to 6 dp (absorbs ulp-level
+    * accumulation noise), ties broken by neighbor id. Norms are computed
+    * ONCE per side (not per pair) — bit-identical to the per-pair
+    * formulation (`sqrt(q·q) * sqrt(c·c)` in the same operand order). */
   private def pairs(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
                     native: Boolean): DataFrame = {
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"))
+    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+      nrm(F.col(embCol)).as("q_norm"))
     corpus
-      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"))
+      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+        nrm(F.col(embCol)).as("c_norm"))
       .join(F.broadcast(q), F.col("neighbor_id") =!= F.col("query_id"))
       .select(
         F.col("query_id"), F.col("neighbor_id"),
-        score(F.col("q_emb"), F.col("c_emb"), native).as("cosine"))
+        F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
+          (F.col("q_norm") * F.col("c_norm")), 6).as("cosine"))
   }
 
   /** Exact top-k via a rank window (the simple, oracle-matching form). */
@@ -82,8 +86,8 @@ object Ann {
     * `tables × |corpus|` slim rows — never all-pairs, never wide rows. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
               embCol: String = "embedding", k: Int = 5, bits: Int = 8,
-              tables: Int = 4, native: Boolean = true): DataFrame = {
-    val sigs = (e: Column) => VectorFunctions.lshTableSignatures(e, bits, tables)
+              tables: Int = 4, dim: Int = 64, native: Boolean = true): DataFrame = {
+    val sigs = (e: Column) => VectorFunctions.lshTableSignatures(e, bits, tables, dim)
     val cs = corpus.select(
       F.col(idCol).as("neighbor_id"),
       F.posexplode(sigs(F.col(embCol)))).toDF("neighbor_id", "tbl", "sig")
@@ -94,12 +98,16 @@ object Ann {
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
       .select("query_id", "neighbor_id")
       .distinct()
+    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
     val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
     cand
-      .join(corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb")), Seq("neighbor_id"))
-      .join(F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"))), Seq("query_id"))
+      .join(corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+        nrm(F.col(embCol)).as("c_norm")), Seq("neighbor_id"))
+      .join(F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+        nrm(F.col(embCol)).as("q_norm"))), Seq("query_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        score(F.col("q_emb"), F.col("c_emb"), native).as("cosine"))
+        F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
+          (F.col("q_norm") * F.col("c_norm")), 6).as("cosine"))
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
@@ -108,9 +116,9 @@ object Ann {
 
   /** Per-bucket histogram of the LSH partitioning (diagnostics + oracle). */
   def lshBuckets(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
-                 planes: Int = 8): DataFrame =
+                 planes: Int = 8, dim: Int = 64): DataFrame =
     corpus
-      .select(VectorFunctions.lshSignature(F.col(embCol), planes).as("bucket"))
+      .select(VectorFunctions.lshSignature(F.col(embCol), planes, dim).as("bucket"))
       .groupBy("bucket")
       .agg(F.count(F.lit(1)).as("n"))
 }

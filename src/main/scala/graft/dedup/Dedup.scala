@@ -2,8 +2,10 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.TextFunctions
+import graft.functions.expressions.ShingleExpr
 
 /** Deduplication operators for the LLM-data-pipeline pack.
   *
@@ -32,23 +34,42 @@ object Dedup {
       .groupBy(TextFunctions.fingerprint(F.col(textCol)).as("fingerprint"))
       .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
 
+  /** Word n-gram shingles per document, with duplicates: (id, shingle).
+    * Rebalances the input first: shingling fans each row out ~tokens-fold,
+    * so a document table read from few files (few scan tasks) must spread
+    * across the cluster BEFORE the explode, not after. */
+  def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), n))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(F.col(idCol), F.explode(shingleArr).as("shingle"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(
-        F.col(idCol),
-        F.explode(TextFunctions.wordShingles(TextFunctions.tokens(F.col(textCol)), n)).as("shingle"))
-      .distinct()
+    shinglesRaw(docs, idCol, textCol, n).distinct()
 
   /** Per-band minhash signatures: for band b, sig_b = min over shingles of
     * md5(b || '|' || shingle). Fixed-width lowercase hex ⇒ the string MIN is
     * the numeric min, so the signature is replicable in any engine with md5.
-    * Returns (id, band, sig); the min collapses map-side before shuffling. */
-  def minhashSignatures(sh: DataFrame, idCol: String, bands: Int): DataFrame =
-    sh
-      .select(F.col(idCol), F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).as("band"), F.col("shingle"))
-      .groupBy(F.col(idCol), F.col("band"))
-      .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))).as("sig"))
+    *
+    * All `bands` minima are computed in ONE pass over the shingle table
+    * (wide aggregation, map-side combinable) and then unpivoted to
+    * (id, band, sig) — the shuffle carries docs × bands rows, not
+    * shingles × bands. */
+  def minhashSignatures(sh: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val aggs = (0 until bands).map { b =>
+      F.min(F.md5(F.concat(F.lit(s"$b|"), F.col("shingle")))).as(s"sig_$b")
+    }
+    val unpivot = F.explode(F.array(
+      (0 until bands).map(b =>
+        F.struct(F.lit(b).as("band"), F.col(s"sig_$b").as("sig"))): _*)).as("bs")
+    sh.groupBy(F.col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(F.col(idCol), unpivot)
+      .select(F.col(idCol), F.col("bs.band").as("band"), F.col("bs.sig").as("sig"))
+  }
 
   /** MinHash-LSH candidate duplicate pairs: docs sharing any band signature.
     * The join key is (band, sig) — a bucket join, never all-pairs. Bucket
@@ -56,8 +77,28 @@ object Dedup {
     * only near-identical docs collide), so the within-bucket pair blow-up is
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        shingleN: Int = 3, bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(shingles(docs, idCol, textCol, shingleN), idCol, bands)
+                        shingleN: Int = 3, bands: Int = 8): DataFrame =
+    // Built on the SAME logical plan as ngramJaccard's signature table, so
+    // Spark's cache manager shares the persisted signatures between the
+    // two operators when both run in one session.
+    candidatesFromSigs(
+      materialize(minhashSignatures(shingles(docs, idCol, textCol, shingleN), idCol, bands)),
+      idCol)
+
+  /** Persist + eagerly materialize an index table. Without the eager
+    * action, the branches of a self-join race to compute the same plan
+    * concurrently and none of them sees the others' cached blocks. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count()
+    p
+  }
+
+  /** Self-join of a (persisted) signature table on (band, sig). The
+    * signature table is docs × bands rows — tiny relative to the corpus —
+    * and persisting it is the "build the index once" step: without it the
+    * self-join recomputes the whole shingle→minhash pipeline per side. */
+  private def candidatesFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
     val a = sigs.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_a"))
     val b = sigs.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -71,9 +112,12 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double. */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleN)
+    // The shingle table feeds three consumers (counts, both sides of the
+    // intersection join) — persist + materialize once, like the signature
+    // table above.
+    val sh = materialize(shingles(docs, idCol, textCol, shingleN))
     val counts = sh.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("n"))
-    val pairs = minhashCandidates(docs, idCol, textCol, shingleN, bands)
+    val pairs = candidatesFromSigs(materialize(minhashSignatures(sh, idCol, bands)), idCol)
     val inter = pairs
       .join(sh.select(F.col(idCol).as("doc_a"), F.col("shingle").as("sh_a")), Seq("doc_a"))
       .join(sh.select(F.col(idCol).as("doc_b"), F.col("shingle").as("sh_b")), Seq("doc_b"))

@@ -26,12 +26,14 @@ object TextFunctions {
     F.filter(F.split(F.lower(text), "\\s+"), t => F.length(t) > 0)
 
   /** Word n-gram shingles over the token array; empty when fewer than `n`
-    * tokens (strict semantics so any engine replicates it exactly). */
+    * tokens (strict semantics so any engine replicates it exactly).
+    * Uses O(1) element_at lookups per gram (a slice per position would be
+    * O(tokens²) per document). */
   def wordShingles(toks: Column, n: Int): Column =
     F.when(F.size(toks) >= n,
       F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        i => F.concat_ws(" ", F.slice(toks, i, F.lit(n)))))
+        i => F.concat_ws(" ", (0 until n).map(j => F.element_at(toks, i + j)): _*)))
       .otherwise(F.array().cast("array<string>"))
 
   private def countMatches(text: Column, re: String): Column =

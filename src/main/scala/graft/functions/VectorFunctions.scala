@@ -1,7 +1,11 @@
 package graft.functions
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.expressions.DotProductF
 
@@ -10,21 +14,24 @@ import graft.functions.expressions.DotProductF
   * Two tiers:
   *  - portable formulations built from higher-order functions
   *    (`zip_with` + `aggregate`) — exact left-fold in double precision,
-  *    reproducible by any engine (the oracle path);
-  *  - [[dotF]], a native codegen Catalyst expression ([[DotProductF]])
-  *    registered via [[registerAll]] — the hot path for ANN at scale.
-  * Both produce bit-identical doubles (same accumulation order).
+  *    reproducible by any engine (the oracle's formulation);
+  *  - [[dotF]], a native codegen Catalyst expression ([[DotProductF]]),
+  *    the hot path for ANN/LSH at scale.
+  * Both produce bit-identical doubles (same accumulation order), so they
+  * are interchangeable without breaking oracle hash equality.
   */
 object VectorFunctions {
 
-  /** Register native expressions on the session's FunctionRegistry.
-    * Idempotent; called by GraftExtensions and by SparkEntry. */
+  /** Register the native dot as a SQL function (`graft_dot_f`) for
+    * spark.sql users. Column-API callers go through [[dotF]] directly. */
   def registerAll(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_f", exprs => DotProductF(exprs.head, exprs(1)), "built-in")
 
-  /** Native codegen dot product over array<float> (requires registerAll). */
-  def dotF(a: Column, b: Column): Column = F.call_function("graft_dot_f", a, b)
+  /** Native codegen dot product over array<float|double> columns. */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Portable dot product: left fold in double precision. */
   def dot(a: Column, b: Column): Column =
@@ -36,7 +43,7 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision (portable formulation). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine via the native dot (bit-identical to [[cosine]], faster). */
@@ -51,27 +58,31 @@ object VectorFunctions {
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * first md5 nibble of "plane_dim", centered → [-0.9375, 0.9375].
-    * Replicable in any engine with md5 + ascii — used by LSH bucketing so
-    * an oracle can recompute bucket signatures exactly. */
+    * Replicable in any engine with md5 + ascii, and computed plan-side by
+    * [[planeWeightValue]] (identical by md5 determinism). */
   def planeWeight(plane: Int, dim: Column): Column = {
     val hexCh = F.substring(
       F.md5(F.concat(F.lit(s"${plane}_"), dim.cast("string"))), 1, 1)
     (hexNibble(hexCh).cast("double") - 7.5) / 8.0
   }
 
+  /** Plan-time value of [[planeWeight]] — same md5, same arithmetic. */
+  def planeWeightValue(plane: Int, dim: Int): Double = {
+    val d = MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes(StandardCharsets.UTF_8))
+    val nibble = (d(0) >> 4) & 0xf // first hex char of the digest
+    (nibble.toDouble - 7.5) / 8.0
+  }
+
   /** Random-hyperplane LSH signature with `planes` bits over an
-    * array<float> embedding: bit p = (Σ_d emb[d] * w(p+offset,d)) >= 0.
-    * Pure Catalyst expressions; exact oracle replication possible.
-    * `offset` selects an independent plane family (per LSH table). */
-  def lshSignature(emb: Column, planes: Int, offset: Int = 0): Column = {
+    * array<float> embedding of dimension `dim`:
+    * bit p = (emb · w(p+offset)) >= 0. The weight vectors are plan-time
+    * constant arrays, so each bit is one codegen'd [[DotProductF]] — no
+    * per-row hashing. `offset` selects an independent plane family. */
+  def lshSignature(emb: Column, planes: Int, dim: Int, offset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
-      val contrib = F.aggregate(
-        F.zip_with(
-          emb,
-          F.sequence(F.lit(0), F.size(emb) - 1),
-          (x, d) => x.cast("double") * planeWeight(p + offset, d)),
-        F.lit(0.0),
-        (acc, v) => acc + v)
+      val w = (0 until dim).map(d => planeWeightValue(p + offset, d))
+      val contrib = dotF(emb, F.typedlit(w))
       F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0"))
     }
     F.concat(bits: _*)
@@ -80,6 +91,6 @@ object VectorFunctions {
   /** `tables` independent LSH signatures of `bits` bits each (disjoint
     * plane families) — the multi-table LSH index: a candidate matches if
     * its signature equals the query's in ANY table. */
-  def lshTableSignatures(emb: Column, bits: Int, tables: Int): Column =
-    F.array((0 until tables).map(t => lshSignature(emb, bits, t * bits)): _*)
+  def lshTableSignatures(emb: Column, bits: Int, tables: Int, dim: Int): Column =
+    F.array((0 until tables).map(t => lshSignature(emb, bits, dim, t * bits)): _*)
 }

@@ -6,39 +6,60 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native codegen dot product over two `array<float>` columns.
+/** Native codegen dot product over two numeric array columns
+  * (`array<float>` or `array<double>` on either side).
   *
   * This is the (b)-tier extension point from the build brief: a custom
   * Catalyst `Expression` with `doGenCode`, which beats both a Scala UDF
   * (no ser/de, stays inside whole-stage codegen) and the higher-order
-  * `aggregate(zip_with(...))` formulation (no per-element lambda closures).
-  * Accumulates left-to-right in double precision — bit-identical to the
-  * sequential fold an oracle computes.
+  * `aggregate(zip_with(...))` formulation (no per-element lambda
+  * interpretation). Accumulates left-to-right in double precision —
+  * bit-identical to the sequential fold an oracle computes.
   *
-  * Used by the ANN operators (graft.ann) for the 100 TB hot path.
+  * Used by the ANN operators (graft.ann) for the 100 TB hot path; the
+  * array<double> side also carries plan-time constant weight vectors
+  * (LSH hyperplanes), so signature computation is pure codegen arithmetic.
   */
 case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"dot_f requires (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_f requires array<float|double> inputs, got (${left.dataType}, ${right.dataType})")
+    }
+
+  @inline private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _         => a.getDouble(i)
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      acc += get(a, i, ta) * get(b, i, tb)
       i += 1
     }
     acc
+  }
+
+  private def accessor(v: String, i: String, t: DataType): String = t match {
+    case FloatType => s"((double) $v.getFloat($i))"
+    case _         => s"$v.getDouble($i)"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,11 +67,12 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val (ta, tb) = (elemType(left).get, elemType(right).get)
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ${accessor(a, i, ta)} * ${accessor(b, i, tb)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
