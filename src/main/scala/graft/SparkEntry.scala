@@ -196,7 +196,10 @@ object SparkEntry {
   // ----------------------------------------------------------- core: join
 
   private def qJoin(s: SparkSession, dir: String): DataFrame = {
-    val orders = GraftStream(T(s, dir, "orders")).keyDistribute(F.col("o_orderkey"))
+    // keyLocal (not keyDistribute) on both fact sides: the join itself is
+    // the shuffle boundary, and AQE is free to replan small sides as
+    // broadcast — an explicit repartition here would be a wasted Exchange.
+    val orders = GraftStream(T(s, dir, "orders")).keyLocal(F.col("o_orderkey"))
     val lineitem = GraftStream(T(s, dir, "lineitem")).keyLocal(F.col("l_orderkey"))
     val joined = lineitem.join(orders, "inner")
     GraftStream(joined.toDF)
