@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
@@ -53,6 +53,14 @@ final class GraftStream private (val toDF: DataFrame) {
     * read back from the driver's QueryExecutionListener / observedMetrics. */
   def inspect(name: String, metrics: Column*): GraftStream =
     GraftStream(toDF.observe(name, metrics.head, metrics.tail: _*))
+
+  /** Like [[inspect]], but returns the [[Observation]] handle: after the
+    * first action on the stream, `observation.get` yields the metric map
+    * (blocking) without a second pass over the data. */
+  def inspectWith(name: String, metrics: Column*): (GraftStream, Observation) = {
+    val obs = Observation(name)
+    (GraftStream(toDF.observe(obs, metrics.head, metrics.tail: _*)), obs)
+  }
 
   /** Fan-out: two logical consumers of one upstream (operators/cloned.rs).
     * Spark reuses the scan via plan-level CSE; call [[materialize]] first
