@@ -229,6 +229,10 @@ object OracleSql {
     "q_rescale" ->
       s"SELECT user_id, COUNT(*) AS n_events, $dec4sum AS total FROM events GROUP BY user_id",
 
+    "q_agg_salted" ->
+      s"""SELECT event_type, COUNT(*) AS n, $dec4sum AS total, MAX(value) AS max_value
+         |FROM events GROUP BY event_type""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
-import graft.api.GraftStream
+import graft.api.{GraftStream, SaltedAgg}
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -318,6 +318,20 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("n_events"), dsum(F.col("value"), 4).as("total"))
       .toDF
 
+  /** Skew-resistant two-stage (salted) aggregation over the hottest key
+    * space (only 5 distinct event types) — identical result to a direct
+    * groupBy by associativity. */
+  private def qAggSalted(s: SparkSession, dir: String): DataFrame =
+    GraftStream(Tables.events(s, dir))
+      .keyLocal(F.col("event_type"))
+      .aggSalted(16,
+        SaltedAgg.count("n"),
+        SaltedAgg.sum("total", F.col("value").cast("decimal(18,4)")),
+        SaltedAgg.max("max_value", F.col("value")))
+      .map(F.col("event_type"), F.col("n"), F.col("total").cast("double").as("total"),
+        F.col("max_value"))
+      .toDF
+
   // ---------------------------------------------------------- LLM pipeline
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -400,6 +414,7 @@ object SparkEntry {
     "q_kafka_source" -> (qKafkaSource _),
     "q_kafka_sink" -> (qKafkaSink _),
     "q_rescale" -> (qRescale _),
+    "q_agg_salted" -> (qAggSalted _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),

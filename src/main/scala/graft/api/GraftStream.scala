@@ -132,6 +132,25 @@ final class KeyedGraftStream private[api] (
   def agg(first: Column, rest: Column*): GraftStream =
     GraftStream(toDF.groupBy(keys: _*).agg(first, rest: _*))
 
+  /** Skew-resistant two-stage aggregation: rows are spread over
+    * `buckets` salt values first, partially aggregated per (key, salt),
+    * then combined per key — a single hot key fans out across `buckets`
+    * reducers instead of melting one. Only valid for associative
+    * aggregates (each [[SaltedAgg]] carries its combine step); results are
+    * identical to [[agg]] by associativity. */
+  def aggSalted(buckets: Int, aggs: SaltedAgg*): GraftStream = {
+    val salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets.toLong)).as("__salt")
+    val partial = toDF
+      .groupBy(keys :+ (salt: Column): _*)
+      .agg(aggs.head.partial.as(aggs.head.name), aggs.tail.map(a => a.partial.as(a.name)): _*)
+    val combined = partial
+      .groupBy(keys: _*)
+      .agg(
+        aggs.head.combine(F.col(aggs.head.name)).as(aggs.head.name),
+        aggs.tail.map(a => a.combine(F.col(a.name)).as(a.name)): _*)
+    GraftStream(combined)
+  }
+
   /** Running (prefix) stateful transform — batch analogue of
     * operators/stateful_map.rs:12: for each key, fold rows in `order` and
     * emit one output per input. Each entry receives the per-key running
@@ -177,4 +196,19 @@ final class KeyedGraftStream private[api] (
   }
 
   def toStream: GraftStream = GraftStream(toDF)
+}
+
+/** One aggregate of a salted two-stage aggregation: `partial` runs per
+  * (key, salt); `combine` merges the partials per key. */
+final case class SaltedAgg(name: String, partial: Column, combine: Column => Column)
+
+object SaltedAgg {
+  def count(name: String): SaltedAgg =
+    SaltedAgg(name, F.count(F.lit(1)), F.sum(_))
+  def sum(name: String, c: Column): SaltedAgg =
+    SaltedAgg(name, F.sum(c), F.sum(_))
+  def min(name: String, c: Column): SaltedAgg =
+    SaltedAgg(name, F.min(c), F.min(_))
+  def max(name: String, c: Column): SaltedAgg =
+    SaltedAgg(name, F.max(c), F.max(_))
 }

@@ -93,6 +93,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows == Set(("a", 0L, 2L), ("a", 3600L, 1L)), s"got $rows")
   }
 
+  test("KafkaShim streams a topic through readStream") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_kstream_").toString
+    val df = (0L until 30L).map(i => (i % 3, s"k$i", s"v$i", i))
+      .toDF("partition", "key", "value", "seq")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds($"seq"))
+    graft.sources.KafkaShim.write(df, root, "st", orderCols = Seq("seq"))
+    val q = graft.sources.KafkaShim.readStream(spark, root, "st")
+      .groupBy("partition").count()
+      .writeStream.format("memory").queryName("kstream_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val counts = spark.table("kstream_counts").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 10L, 1 -> 10L, 2 -> 10L))
+  }
+
+  test("TTL state expires idle keys and fires onExpiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ttlLogic = new StatefulLogic[Long, SEvent, Long, STotal] {
+      def zero = 0L
+      def update(k: Long, v: SEvent, s: Long): (Long, IterableOnce[STotal]) =
+        (s + v.v, Iterator.empty) // emit nothing on update...
+      override def onExpiry(k: Long, s: Long): IterableOnce[STotal] =
+        Iterator.single(STotal(k, s)) // ...only the final state on expiry
+    }
+    val input = MemoryStream[SEvent]
+    val out = StatefulExec.stream[Long, SEvent, Long, STotal](
+      input.toDS(), _.k, ttlLogic, ttlMs = Some(10L))
+    // With processing-time timeouts the engine keeps scheduling batches to
+    // evaluate expiry, so processAllAvailable never "drains" — poll the
+    // sink with a deadline instead.
+    val q = out.writeStream.format("memory").queryName("ttl_1")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    input.addData(SEvent(1, 4), SEvent(1, 2))
+    val deadline = System.currentTimeMillis + 30000
+    var rows = Seq.empty[STotal]
+    while (!rows.contains(STotal(1, 6)) && System.currentTimeMillis < deadline) {
+      Thread.sleep(200)
+      input.addData(SEvent(2, 1)) // keep batches flowing so timeouts fire
+      rows = spark.table("ttl_1").as[STotal].collect().toSeq
+    }
+    q.stop()
+    assert(rows.contains(STotal(1, 6)), s"expiry did not deliver final state: $rows")
+  }
+
   test("exactly-once sink skips replayed batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_e1_").toString
