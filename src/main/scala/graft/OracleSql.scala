@@ -175,6 +175,12 @@ object OracleSql {
          |  COUNT(*) AS n, $dec4sum AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q_stream_epochs" ->
+      s"""SELECT event_type,
+         |  strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  COUNT(*) AS n, $dec4sum AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q_frontier" ->
       "SELECT user_id, epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS frontier_us FROM events GROUP BY user_id",
 
@@ -265,6 +271,42 @@ object OracleSql {
     },
 
     "q_ann_lsh" -> lshBucketSql,
+
+    // IVF ANN: centroids = first 16 corpus vectors (deterministic seed);
+    // cell assignment ties → lowest centroid id (mirrors array_position on
+    // the first max); probe-list ties → HIGHEST centroid id (mirrors the
+    // reverse of an ascending (score, idx) struct sort).
+    "q_ann_ivf" -> {
+      val dotVC = "list_sum(list_transform(list_zip(e.embedding, c.ce), s -> CAST(s[1] AS DOUBLE) * s[2]))"
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM embeddings WHERE vec_id < 16),
+         |centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent),
+         |scores AS (
+         |  SELECT e.vec_id, c.cid, $dotVC * 2 - c.c2 AS sc
+         |  FROM embeddings e, centn c),
+         |cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM scores) WHERE rn = 1),
+         |qprobes AS (
+         |  SELECT vec_id AS query_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) AS rn
+         |    FROM scores WHERE vec_id < 20) WHERE rn <= 6),
+         |cand AS (
+         |  SELECT q.query_id, cl.vec_id AS neighbor_id
+         |  FROM qprobes q JOIN cells cl ON cl.cell = q.cell
+         |  WHERE cl.vec_id <> q.query_id),
+         |p AS (
+         |  SELECT cand.query_id, cand.neighbor_id, ${cosSql("qv.embedding", "cv.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings qv ON qv.vec_id = cand.query_id
+         |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+    },
 
     "q_lang_id" -> langIdSql,
 

@@ -180,6 +180,39 @@ object SparkEntry {
         F.col("n"), F.col("sum_value"))
   }
 
+  /** The SAME epoch-window aggregation, executed as a real Structured
+    * Streaming job (file stream → watermark → windowed agg → memory sink,
+    * AvailableNow trigger) — proving the streaming path produces the
+    * batch-identical answer the oracle checks. */
+  private def qStreamEpochs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FileStreamSource wants a directory; stage the table file into one.
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir.toString)
+      .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    val agg = EventTime.generateEpochs(stream, "ts", "10 minutes")
+      .groupBy(F.col("event_type"), F.window(F.col("ts"), "1 hour"))
+      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value"))
+    val qname = "graft_stream_epochs"
+    val q = agg.writeStream
+      .format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).select(
+      F.col("event_type"),
+      F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      F.col("n"), F.col("sum_value"))
+  }
+
   private def qFrontier(s: SparkSession, dir: String): DataFrame =
     GraftStream(Tables.events(s, dir))
       .keyLocal(F.col("user_id"))
@@ -351,6 +384,11 @@ object SparkEntry {
     Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
   }
 
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, cells = 16, probes = 6)
+  }
+
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshBuckets(T(s, dir, "embeddings"), planes = 8)
 
@@ -401,6 +439,7 @@ object SparkEntry {
     "q_ttl_map" -> (qTtlMap _),
     "q_assign_timestamps" -> (qAssignTimestamps _),
     "q_epochs_window" -> (qEpochsWindow _),
+    "q_stream_epochs" -> (qStreamEpochs _),
     "q_frontier" -> (qFrontier _),
     "q_late_data" -> (qLateData _),
     "q_join" -> (qJoin _),
@@ -420,6 +459,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute" -> (qAnnBrute _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),

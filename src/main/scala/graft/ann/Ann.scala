@@ -114,6 +114,64 @@ object Ann {
         F.col("neighbor_id"), F.col("cosine"))
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into `cells` Voronoi cells
+    * and probe only each query's `probes` nearest cells.
+    *
+    * Centroids are seeded deterministically from the first `cells` corpus
+    * vectors (a production build would k-means-refine them; the probe/
+    * assignment machinery is identical). Centroids are a bounded, tiny
+    * collect (`cells` rows — an index-build step, not a data-sized driver
+    * loop); they ship to executors as plan-time constant arrays, so cell
+    * assignment is `cells` codegen dot products per row, one corpus scan.
+    * Candidate generation is an equi-join on the cell id — bucket-bounded,
+    * never all-pairs. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+              embCol: String = "embedding", k: Int = 5, cells: Int = 16,
+              probes: Int = 4, native: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.Row
+    val centroids: Array[(Int, Seq[Double])] = corpus
+      .orderBy(F.col(idCol))
+      .limit(cells)
+      .select(F.col(embCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r: Row, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
+    // score against cell c: 2·(v·c) − |c|² (argmax ⇔ nearest centroid)
+    def cellScores(e: Column): Column = F.array(centroids.map { case (_, c) =>
+      val c2 = c.map(x => x * x).sum
+      dotX(e, F.typedlit(c), native) * 2.0 - F.lit(c2)
+    }: _*)
+    def bestCell(e: Column): Column = {
+      val sc = cellScores(e)
+      (F.array_position(sc, F.array_max(sc)) - 1L).cast("int")
+    }
+    // top-`probes` cell ids per query: sort (score, idx) pairs descending
+    def probeCells(e: Column): Column = {
+      val sc = cellScores(e)
+      val zipped = F.zip_with(
+        sc, F.sequence(F.lit(0), F.lit(cells - 1)),
+        (s, i) => F.struct(s.as("s"), i.as("i")))
+      F.transform(
+        F.slice(F.reverse(F.array_sort(zipped)), 1, probes),
+        p => p.getField("i"))
+    }
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+      bestCell(F.col(embCol)).as("cell"))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+      F.explode(probeCells(F.col(embCol))).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
+    c.join(F.broadcast(q), Seq("cell"))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
+          (nrm(F.col("q_emb")) * nrm(F.col("c_emb"))), 6).as("cosine"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
+        F.col("neighbor_id"), F.col("cosine"))
+  }
+
   /** Per-bucket histogram of the LSH partitioning (diagnostics + oracle). */
   def lshBuckets(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
                  planes: Int = 8, dim: Int = 64): DataFrame =

@@ -75,6 +75,19 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(diff == 0.0)
   }
 
+  test("IVF ANN probes only a cell subset yet finds most true neighbors") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    val brute = Ann.bruteTopK(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(emb, q, k = 5, cells = 16, probes = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 (6/16 cells probed): $recall%.2f")
+    assert(recall > 0.3, f"IVF recall too low: $recall%.2f")
+    assert(ivf.size <= 100) // k per query, bounded
+  }
+
   test("LSH ANN recall vs brute force is usable and bucket-bounded") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter(F.col("vec_id") < 20)
