@@ -415,6 +415,10 @@ object SparkEntry {
     T(s, dir, "documents").select(
       F.col("doc_id"), TF.fingerprint(F.col("text")).as("fingerprint"))
 
+  private def qFingerprintWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowCandidates(
+      T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.attachMedia(T(s, dir, "documents")))
       .toDF()
@@ -465,6 +469,7 @@ object SparkEntry {
     "q_quality" -> (qQuality _),
     "q_tokens" -> (qTokens _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_multimodal" -> (qMultimodal _))
 
   def oracleSql: Map[String, String] = OracleSql.all

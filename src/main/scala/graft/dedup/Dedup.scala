@@ -153,6 +153,25 @@ object Dedup {
     summed.select(F.col(idCol), packed.as("simhash"))
   }
 
+  /** Winnowing near-dup candidates: docs sharing at least `minShared`
+    * rolling-hash winnow fingerprints (TextFunctions.winnowFingerprints).
+    * Bucket join on the fingerprint value — the same shuffle-on-bucket
+    * shape as MinHash-LSH, guaranteed to catch any shared substring of
+    * length ≥ w+k−1. */
+  def winnowCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       k: Int = 16, w: Int = 32, minShared: Int = 2): DataFrame = {
+    val fp = docs.select(
+      F.col(idCol),
+      F.explode(TextFunctions.winnowFingerprints(F.col(textCol), k, w)).as("fp"))
+    val a = fp.select(F.col("fp"), F.col(idCol).as("doc_a"))
+    val b = fp.select(F.col("fp"), F.col(idCol).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup candidates: bucket by the top 16 bits (prefix), then
     * compare hamming distance within buckets only. */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",

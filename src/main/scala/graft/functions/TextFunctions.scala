@@ -99,4 +99,11 @@ object TextFunctions {
   /** Content fingerprint: md5 of lowercased whitespace-normalized text —
     * the exact-dup key that survives formatting differences. */
   def fingerprint(text: Column): Column = F.md5(F.lower(normalizeWs(text)))
+
+  /** Winnowing fingerprints: rolling-hash k-gram minima per w-window
+    * (see [[graft.functions.expressions.WinnowExpr]]). array<bigint>. */
+  def winnowFingerprints(text: Column, k: Int = 16, w: Int = 32): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.WinnowExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, w))
 }

@@ -1,0 +1,76 @@
+package graft.functions.expressions
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+  * a 64-bit polynomial ROLLING hash over character `k`-grams of the
+  * lowercased text (each step is one multiply-add-subtract — O(n) total,
+  * not O(n·k)), then the minimum hash of every `w`-sized window, deduped.
+  * Guarantees any shared substring of length ≥ w+k−1 yields a shared
+  * fingerprint — the plagiarism/near-dup detection primitive.
+  *
+  * Returns array<bigint>, sorted ascending for deterministic output.
+  * One native eval per row; all hot work in a tight JVM loop.
+  */
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val B = 1000000007L // polynomial base
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // rolling k-gram hashes
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    var pow = 1L // B^(k-1)
+    var i = 0
+    while (i < k) {
+      h = h * B + s.charAt(i)
+      if (i < k - 1) pow *= B
+      i += 1
+    }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    // winnow: min of each w-window (rightmost min on ties, per the paper)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var best = 0
+      var j = 1
+      while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      sel.add(hs(best))
+    } else {
+      var start = 0
+      while (start + w <= m) {
+        var best = start
+        var j = start + 1
+        while (j < start + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        sel.add(hs(best))
+        start += 1
+      }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}

@@ -53,6 +53,18 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("winnowing fingerprints detect shared substrings, skip unrelated docs") {
+    val fps = planted.select(F.col("doc_id"),
+      graft.functions.TextFunctions.winnowFingerprints(F.col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L), "identical docs must share all fingerprints")
+    assert((fps(1L) & fps(3L)).nonEmpty, "near dup must share some fingerprints")
+    val cands = Dedup.winnowCandidates(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((4L, 5L)), s"unrelated docs flagged: $cands")
+  }
+
   test("bruteTopKPartial (map-side top-k aggregator) equals window bruteTopK") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter(F.col("vec_id") < 10)
