@@ -20,6 +20,7 @@ import graft.functions.expressions.{DotProductF, ShingleExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectFunction((
       FunctionIdentifier("graft_dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot_f"),
