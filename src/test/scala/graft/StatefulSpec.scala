@@ -71,6 +71,29 @@ class StatefulSpec extends AnyFunSuite with SparkFixture {
     assert(out.map(_.getLong(3)).toSeq == Seq(0L, 0L, 1L))
   }
 
+  test("StatelessExec runs custom 0..n record logic") {
+    import spark.implicits._
+    import graft.operators.{StatelessExec, StatelessLogic}
+    val logic = new StatelessLogic[Long, Long] {
+      def onData(v: Long): IterableOnce[Long] =
+        if (v % 2 == 0) Iterator(v, v * 10) else Iterator.empty
+    }
+    val out = StatelessExec.run(spark.range(0, 10).as[Long], logic).collect().sorted
+    assert(out.toSeq == Seq(0L, 0L, 2L, 4L, 6L, 8L, 20L, 40L, 60L, 80L))
+  }
+
+  test("rendezvous hashing moves only a fraction of keys on membership change") {
+    import graft.keyed.Partitioners
+    val keys = (0 until 1000).map(i => s"key$i")
+    val before = keys.map(k => k -> Partitioners.rendezvousSelect(k, Seq("a", "b", "c", "d")))
+    val after = keys.map(k => k -> Partitioners.rendezvousSelect(k, Seq("a", "b", "c", "d", "e")))
+    val moved = before.zip(after).count { case ((_, x), (_, y)) => x != y }
+    // adding 1 of 5 workers should move ~1/5 of keys; assert well under half
+    assert(moved > 0 && moved < 400, s"moved $moved of 1000")
+    // and every moved key must have moved TO the new worker
+    assert(before.zip(after).forall { case ((_, x), (_, y)) => x == y || y == "e" })
+  }
+
   test("rescale invariance: results identical across partition counts") {
     val df = kvDs.toDF()
     def agg(parts: Int) = GraftStream(df)
