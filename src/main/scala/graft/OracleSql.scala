@@ -181,6 +181,31 @@ object OracleSql {
          |  COUNT(*) AS n, $dec4sum AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // sliding 1h/30m: every event belongs to exactly 2 epoch-aligned windows
+    "q_sliding_window" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |w AS (SELECT event_type, value,
+         |  unnest([us - us % 1800000000, us - us % 1800000000 - 1800000000]) AS ws FROM e)
+         |SELECT event_type,
+         |  strftime(TIMESTAMP '1970-01-01 00:00:00' + to_microseconds(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |  COUNT(*) AS n, $dec4sum AS sum_value
+         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // session_window gap semantics: a new session starts when
+    // ts >= previous ts + gap (window end is exclusive)
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts FROM events),
+        |m AS (SELECT user_id, event_id, uts,
+        |  CASE WHEN lag(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id) IS NULL
+        |         OR uts >= lag(uts) OVER (PARTITION BY user_id ORDER BY uts, event_id) + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s2 AS (SELECT user_id, uts,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM m)
+        |SELECT user_id, epoch_us(MIN(uts)) AS session_start_us,
+        |  COUNT(*) AS n_events, epoch_us(MIN(uts)) AS first_us
+        |FROM s2 GROUP BY user_id, sid""".stripMargin,
+
     "q_frontier" ->
       "SELECT user_id, epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS frontier_us FROM events GROUP BY user_id",
 

@@ -213,6 +213,29 @@ object SparkEntry {
       F.col("n"), F.col("sum_value"))
   }
 
+  /** Sliding event-time windows (1h width, 30m slide) — each event lands
+    * in width/slide windows; Spark's `window()` handles the fan-out. */
+  private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(F.col("event_type"), F.window(F.col("ts"), "1 hour", "30 minutes"))
+      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value"))
+      .select(
+        F.col("event_type"),
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        F.col("n"), F.col("sum_value"))
+
+  /** Native session windows (30m gap) per user — Spark's `session_window`
+    * merges gap-connected events; the TTL/sessionize analogue expressed
+    * with the built-in operator. */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.unix_micros(F.min(F.col("ts"))).as("first_us"))
+      .select(
+        F.col("user_id"),
+        F.unix_micros(F.col("session_window.start")).as("session_start_us"),
+        F.col("n_events"), F.col("first_us"))
+
   private def qFrontier(s: SparkSession, dir: String): DataFrame =
     GraftStream(Tables.events(s, dir))
       .keyLocal(F.col("user_id"))
@@ -444,6 +467,8 @@ object SparkEntry {
     "q_assign_timestamps" -> (qAssignTimestamps _),
     "q_epochs_window" -> (qEpochsWindow _),
     "q_stream_epochs" -> (qStreamEpochs _),
+    "q_sliding_window" -> (qSlidingWindow _),
+    "q_session_window" -> (qSessionWindow _),
     "q_frontier" -> (qFrontier _),
     "q_late_data" -> (qLateData _),
     "q_join" -> (qJoin _),
