@@ -264,6 +264,24 @@ object OracleSql {
       s"""SELECT event_type, COUNT(*) AS n, $dec4sum AS total, MAX(value) AS max_value
          |FROM events GROUP BY event_type""".stripMargin,
 
+    "q_topk" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_dedup_keep" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -388,6 +388,43 @@ object SparkEntry {
         F.col("max_value"))
       .toDF
 
+  /** Top-N per group (Spark plans the rank filter as WindowGroupLimit —
+    * partial top-N on the map side; see PLANS.md). */
+  private def qTopK(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc, F.col("o_orderkey").asc)
+    T(s, dir, "orders")
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= 3)
+      .select(F.col("o_custkey"), F.col("rn").cast("long").as("rnk"),
+        F.col("o_orderkey"), F.col("o_totalprice"))
+  }
+
+  /** The dedup SURVIVOR corpus: keep one document per distinct content
+    * hash (lowest doc id) — the actual "cleaned dataset" output. */
+  private def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val keep = Dedup.exact(docs).select(F.col("keep_id").as("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi").select("doc_id", "source", "lang")
+  }
+
+  /** Exact distinct counting per group (shuffle-heavy path). */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(F.col("event_type"))
+      .agg(
+        F.countDistinct(F.col("user_id")).as("n_users"),
+        F.count(F.lit(1)).as("n_events"))
+
+  /** Exact percentiles per group (continuous interpolation — identical
+    * arithmetic to quantile_cont). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(F.col("event_type"))
+      .agg(
+        F.percentile(F.col("value"), F.lit(0.5)).as("p50"),
+        F.percentile(F.col("value"), F.lit(0.9)).as("p90"))
+
   // ---------------------------------------------------------- LLM pipeline
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -483,6 +520,10 @@ object SparkEntry {
     "q_kafka_sink" -> (qKafkaSink _),
     "q_rescale" -> (qRescale _),
     "q_agg_salted" -> (qAggSalted _),
+    "q_topk" -> (qTopK _),
+    "q_dedup_keep" -> (qDedupKeep _),
+    "q_distinct" -> (qDistinct _),
+    "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
