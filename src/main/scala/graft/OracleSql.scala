@@ -63,6 +63,10 @@ object OracleSql {
       s"s -> CAST(s[1] AS DOUBLE) * ((CAST($nibVal AS DOUBLE) - 7.5) / 8.0))) >= 0 THEN '1' ELSE '0' END"
   }
 
+  /** One multi-table LSH signature (bits with plane offset). */
+  private def lshSigSql(bits: Int, offset: Int): String =
+    "concat(" + (0 until bits).map(b => lshBitSql(offset + b)).mkString(",\n      ") + ")"
+
   private val lshBucketSql: String = {
     val bits = (0 until 8).map(lshBitSql).mkString(",\n    ")
     s"""SELECT bucket, COUNT(*) AS n FROM (
@@ -314,6 +318,25 @@ object OracleSql {
     },
 
     "q_ann_lsh" -> lshBucketSql,
+
+    // embedding-cosine near-dup: multi-table LSH candidacy (4 tables x 6
+    // bits, disjoint plane families), exact rounded cosine within buckets
+    "q_dedup_embedding" -> {
+      val sigsPerTable = (0 until 4).map { t =>
+        s"SELECT vec_id, $t AS tbl, ${lshSigSql(6, t * 6)} AS sig FROM embeddings"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sigs AS (
+         |$sigsPerTable),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |p AS (
+         |  SELECT cand.vec_a, cand.vec_b, ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+         |  JOIN embeddings eb ON eb.vec_id = cand.vec_b)
+         |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
+    },
 
     // IVF ANN: centroids = first 16 corpus vectors (deterministic seed);
     // cell assignment ties → lowest centroid id (mirrors array_position on

@@ -436,6 +436,9 @@ object SparkEntry {
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(T(s, dir, "documents"), maxHamming = 16)
 
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCandidates(T(s, dir, "embeddings"))
+
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(T(s, dir, "documents"), minJaccard = 0.2)
 
@@ -527,6 +530,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_ivf" -> (qAnnIvf _),

@@ -134,6 +134,35 @@ object Dedup {
       .filter(F.col("jaccard") >= minJaccard)
   }
 
+  /** Embedding-cosine near-duplicate candidates: vector pairs whose
+    * multi-table hyperplane-LSH signatures collide in ANY table and whose
+    * exact cosine (computed only within buckets — never all-pairs) clears
+    * `minCosine`. The semantic-dedup primitive for embedding-indexed
+    * corpora; same bucket-join scale shape as the MinHash path. */
+  def embeddingCandidates(vectors: DataFrame, idCol: String = "vec_id",
+                          embCol: String = "embedding", minCosine: Double = 0.4,
+                          bits: Int = 6, tables: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions
+    val sigs = vectors.select(
+      F.col(idCol),
+      F.posexplode(VectorFunctions.lshTableSignatures(F.col(embCol), bits, tables, dim)))
+      .toDF(idCol, "tbl", "sig")
+    val a = sigs.select(F.col("tbl"), F.col("sig"), F.col(idCol).as("vec_a"))
+    val b = sigs.select(F.col("tbl"), F.col("sig"), F.col(idCol).as("vec_b"))
+    val cand = a.join(b, Seq("tbl", "sig"))
+      .filter(F.col("vec_a") < F.col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    def nrm(e: Column) = F.sqrt(VectorFunctions.dotF(e, e))
+    cand
+      .join(vectors.select(F.col(idCol).as("vec_a"), F.col(embCol).as("e_a")), Seq("vec_a"))
+      .join(vectors.select(F.col(idCol).as("vec_b"), F.col(embCol).as("e_b")), Seq("vec_b"))
+      .select(F.col("vec_a"), F.col("vec_b"),
+        F.round(VectorFunctions.dotF(F.col("e_a"), F.col("e_b")) /
+          (nrm(F.col("e_a")) * nrm(F.col("e_b"))), 6).as("cosine"))
+      .filter(F.col("cosine") >= minCosine)
+  }
+
   /** 64-bit SimHash over whitespace tokens, built from per-token xxhash64:
     * bit j of the simhash = (Σ_tokens (2·bit_j(xxh64(token)) − 1)) ≥ 0.
     * Composed entirely from codegen'd built-ins (explode + 64 conditional
