@@ -144,6 +144,58 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows.contains(STotal(1, 6)), s"expiry did not deliver final state: $rows")
   }
 
+  test("stream-stream equi-join with watermarks joins within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(min * 60L))
+    val left = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val right = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val l = left.toDS().toDF("k", "lts", "lv").withWatermark("lts", "10 minutes")
+    val r = right.toDS().toDF("k2", "rts", "rv").withWatermark("rts", "10 minutes")
+    val joined = l.join(r,
+      F.expr("k = k2 AND rts BETWEEN lts - INTERVAL 5 MINUTES AND lts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_1")
+      .outputMode("append").start()
+    left.addData((1L, t(10), "a"), (2L, t(10), "b"))
+    right.addData((1L, t(12), "x"), (2L, t(40), "y")) // key 2 outside ±5min
+    q.processAllAvailable()
+    val rows = spark.table("ssj_1").select("k", "lv", "rv").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, "a", "x")), s"got $rows")
+  }
+
+  test("checkpoint resume survives a requested parallelism change") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rescale_").toString
+    val src = s"$dir/in"
+    val ckpt = s"$dir/ckpt"
+    val outDir = s"$dir/out"
+    Seq(SEvent(1, 10), SEvent(2, 5)).toDS().write.mode(SaveMode.Append).parquet(src)
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): Unit = {
+      val stream = spark.readStream.schema("k LONG, v LONG").parquet(src).as[SEvent]
+      val q = StatefulExec.stream[Long, SEvent, Long, STotal](stream, _.k, runningSum)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    try {
+      run()
+      Seq(SEvent(1, 7)).toDS().write.mode(SaveMode.Append).parquet(src)
+      // "rescale": ask for a different shuffle parallelism on restart — the
+      // state store layout pins its partitioning from the checkpoint, so
+      // keyed state must survive regardless of the new session setting.
+      spark.conf.set("spark.sql.shuffle.partitions", "9")
+      run()
+      val rows = spark.read.parquet(outDir).as[STotal].collect().toSeq
+      assert(rows.contains(STotal(1, 17)), s"state lost across rescale-restart: $rows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
   test("exactly-once sink skips replayed batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_e1_").toString
