@@ -137,7 +137,7 @@ object Ann {
       .zipWithIndex
       .map { case (r: Row, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
     // score against cell c: 2·(v·c) − |c|² (argmax ⇔ nearest centroid)
-    def cellScores(e: Column): Column = F.array(centroids.map { case (_, c) =>
+    def cellScores(e: Column): Column = F.array(centroids.toIndexedSeq.map { case (_, c) =>
       val c2 = c.map(x => x * x).sum
       dotX(e, F.typedlit(c), native) * 2.0 - F.lit(c2)
     }: _*)
