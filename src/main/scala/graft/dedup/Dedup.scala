@@ -118,12 +118,17 @@ object Dedup {
     val sh = materialize(shingles(docs, idCol, textCol, shingleN))
     val counts = sh.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("n"))
     val pairs = candidatesFromSigs(materialize(minhashSignatures(sh, idCol, bands)), idCol)
-    val inter = pairs
-      .join(sh.select(F.col(idCol).as("doc_a"), F.col("shingle").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(F.col(idCol).as("doc_b"), F.col("shingle").as("sh_b")), Seq("doc_b"))
-      .filter(F.col("sh_a") === F.col("sh_b"))
+    // Intersection sizes via a shingle-bucketed self-join: each shingle's
+    // doc list pairs within its bucket (bucket size = shingle document
+    // frequency, naturally bounded for discriminative shingles), counted
+    // per pair, then restricted to the LSH candidates. Equivalent to the
+    // pair×shingle double join but with a smaller intermediate.
+    val inter = sh.select(F.col(idCol).as("doc_a"), F.col("shingle"))
+      .join(sh.select(F.col(idCol).as("doc_b"), F.col("shingle")), Seq("shingle"))
+      .filter(F.col("doc_a") < F.col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(F.count(F.lit(1)).as("inter"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
     inter
       .join(counts.select(F.col(idCol).as("doc_a"), F.col("n").as("n_a")), Seq("doc_a"))
       .join(counts.select(F.col(idCol).as("doc_b"), F.col("n").as("n_b")), Seq("doc_b"))
