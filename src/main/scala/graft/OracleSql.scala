@@ -388,6 +388,14 @@ object OracleSql {
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events""",
+
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 128 AS BIGINT) AS byte_offset
+        |FROM (SELECT doc_id, unnest(generate_series(0, CAST(FLOOR((len - 1) / 128.0) AS INT), 2)) AS i FROM m)""".stripMargin,
+
     "q_multimodal" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -482,6 +482,17 @@ object SparkEntry {
     Dedup.winnowCandidates(
       T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))
 
+  /** Semi-structured field extraction from the JSON props column. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      F.col("event_id"),
+      F.get_json_object(F.col("props"), "$.k").cast("long").as("k_val"))
+
+  /** Frame-sampling plumbing over the binary media column. */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSampleStub(
+      Multimodal.attachMedia(T(s, dir, "documents")), frameBytes = 128, everyN = 2)
+
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.attachMedia(T(s, dir, "documents")))
       .toDF()
@@ -540,7 +551,9 @@ object SparkEntry {
     "q_tokens" -> (qTokens _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
-    "q_multimodal" -> (qMultimodal _))
+    "q_multimodal" -> (qMultimodal _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_json_extract" -> (qJsonExtract _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

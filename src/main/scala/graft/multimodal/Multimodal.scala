@@ -36,22 +36,57 @@ object Multimodal {
       (F.length(F.col(textCol)) % 480).cast("int").as("height"))
 
   /** The decode/feature-extract stage: batched per-partition processing,
-    * the exact execution shape (and batch size economics) of a Pandas-UDF /
-    * JNI decoder. Swap [[StubDecoder.decode]] for a real codec. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    * the exact execution shape (and batch-size economics) of a Pandas-UDF /
+    * `mapInPandas` decoder: the codec initializes ONCE per partition, and
+    * records flow through it in `batchSize` groups (an Arrow batch stand-in
+    * — a real codec amortizes per-batch setup the same way). Swap
+    * [[StubDecoder.decode]] for a real codec. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.as[MediaRecord].mapPartitions { batch =>
-      // A real implementation would initialize the codec ONCE per partition
-      // here (model load / JNI handle), then stream records through it.
-      val decoder = StubDecoder
-      batch.map(decoder.decode)
+    media.as[MediaRecord].mapPartitions { records =>
+      val decoder = StubDecoder // per-partition init (model load / JNI handle)
+      records.grouped(batchSize).flatMap { batch =>
+        decoder.decodeBatch(batch)
+      }
     }
+  }
+
+  /** Resize stub: deterministic payload transform + metadata update — the
+    * plumbing of an image resize without the codec (truncate/pad bytes to
+    * the target pixel budget). */
+  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val budget = w * h / 100 + 1
+    media
+      .withColumn("media",
+        F.substring(F.col("media"), 1, budget))
+      .withColumn("width", F.lit(w))
+      .withColumn("height", F.lit(h))
+  }
+
+  /** Frame-sampling stub for "video" payloads: treats each `frameBytes` of
+    * the binary as one frame and emits every `everyN`-th frame index with
+    * its byte offset — the explode shape of real frame extraction, with
+    * the decode left to [[StubDecoder]]. */
+  def frameSampleStub(media: DataFrame, frameBytes: Int = 1024, everyN: Int = 2): DataFrame = {
+    val maxIdx = F.floor((F.length(F.col("media")) - 1) / F.lit(frameBytes)).cast("int")
+    media.select(
+      F.col("doc_id"),
+      F.explode(F.sequence(F.lit(0), maxIdx, F.lit(everyN))).as("frame_idx"))
+      .select(
+        F.col("doc_id"),
+        F.col("frame_idx").cast("long").as("frame_idx"),
+        (F.col("frame_idx") * frameBytes.toLong).as("byte_offset"))
   }
 }
 
 /** Deterministic stand-in for a media codec: "features" derived from bytes
   * only (length + first/last byte), so any engine can replicate them. */
 object StubDecoder extends Serializable {
+  /** Batch entry point (the Arrow-batch analogue): a real codec would
+    * submit the whole batch to the device/library at once. */
+  def decodeBatch(batch: Seq[Multimodal.MediaRecord]): Seq[Multimodal.MediaFeatures] =
+    batch.map(decode)
+
   def decode(r: Multimodal.MediaRecord): Multimodal.MediaFeatures = {
     val n = r.media.length.toLong
     val first = if (n > 0) (r.media(0) & 0xff).toDouble else 0.0

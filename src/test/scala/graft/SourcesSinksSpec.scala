@@ -78,5 +78,24 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 20)
     assert(feats.forall(f => f.n_bytes > 0 && f.feature > f.n_bytes))
+    // batch shape: a batchSize of 7 over 20 single-partition records must
+    // produce identical output to the default (batching is transparent)
+    val single = Multimodal.extractFeatures(media.coalesce(1), batchSize = 7)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(single == feats.sortBy(_.doc_id).toSeq)
+  }
+
+  test("multimodal resize and frame-sample stubs transform metadata and explode frames") {
+    import graft.multimodal.Multimodal
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(10)
+    val media = Multimodal.attachMedia(docs)
+    val resized = Multimodal.resizeStub(media, 64, 48)
+    val r = resized.select("width", "height").distinct().collect()
+    assert(r.length == 1 && r(0).getInt(0) == 64 && r(0).getInt(1) == 48)
+    val frames = Multimodal.frameSampleStub(media, frameBytes = 100, everyN = 1)
+    val counts = frames.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ >= 1))
+    // a ~500-byte doc at 100 bytes/frame yields multiple frames
+    assert(counts.max > 1)
   }
 }
