@@ -105,6 +105,9 @@ final class GraftStream private (val toDF: DataFrame) {
     if (toDF.isStreaming) GraftStream(toDF.withWatermark(tsCol, delay)) else this
 
   def where(pred: Column): GraftStream = filter(pred)
+
+  /** Terminate the stream into a sink (operators/sink.rs). */
+  def sinkTo(sink: graft.sinks.GraftSink): Unit = sink.write(toDF)
 }
 
 object GraftStream {

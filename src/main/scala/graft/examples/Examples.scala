@@ -1,0 +1,117 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+
+import graft.api.GraftStream
+import graft.operators.{StatefulExec, StatefulLogic}
+import graft.sinks.StdoutSink
+import graft.sources.RangeSource
+import graft.time.EventTime
+
+/** Runnable ports of the reference examples (malstrom-core/examples/) —
+  * the "switching user" orientation guide. Each main mirrors one example's
+  * program shape on the graft API. Run e.g.:
+  *   sbt "runMain graft.examples.BasicOperators"
+  */
+private object ExampleSession {
+  def apply(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** examples/basic_operators.rs: map → filter → flatten → inspect → stdout. */
+object BasicOperators {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    GraftStream(RangeSource(100).load(spark))
+      .map(F.col("i"), (F.col("i") * F.col("i")).as("sq"))
+      .filter(F.col("sq") % 2 === 0)
+      .mapColumn("digits", F.split(F.col("sq").cast("string"), ""))
+      .flatten(F.col("digits"), "digit", F.col("i"), F.col("sq"))
+      .inspect("metrics", F.count(F.lit(1)).as("rows"))
+      .sinkTo(StdoutSink(limit = 5))
+    spark.stop()
+  }
+}
+
+/** examples/keyed_streams.rs + stateful_program_multiple_keys.rs:
+  * key-distribute then per-key running state. */
+object KeyedStatefulProgram {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    GraftStream(RangeSource(1000).load(spark))
+      .mapColumn("k", F.col("i") % 7)
+      .keyDistribute(F.col("k"))
+      .statefulProject(Seq(F.col("i")),
+        "running_sum" -> (fr => F.sum("i").over(fr)))
+      .toDF.orderBy("k", "i").show(10)
+    spark.stop()
+  }
+}
+
+/** examples/custom_stateful_operator.rs: the typed StatefulLogic path. */
+object CustomStatefulOperator {
+  final case class In(k: Long, v: Long)
+  final case class Out(k: Long, high_water: Long)
+
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    import spark.implicits._
+    val logic = new StatefulLogic[Long, In, Long, Out] {
+      def zero: Long = Long.MinValue
+      def update(k: Long, in: In, hw: Long): (Long, IterableOnce[Out]) = {
+        val next = math.max(hw, in.v)
+        (next, if (next > hw) Iterator.single(Out(k, next)) else Iterator.empty)
+      }
+    }
+    val ds = (0L until 100L).map(i => In(i % 3, (i * 37) % 100)).toDS()
+    StatefulExec.batch[Long, In, Long, Out](ds, _.k, Ordering.by(_.v), logic)
+      .show(9)
+    spark.stop()
+  }
+}
+
+/** examples/event_time.rs + event_time_out_of_order.rs: timestamps, a
+  * bounded-out-of-orderness watermark, tumbling windows, late data. */
+object EventTimeWindows {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    val events = GraftStream(RangeSource(10000).load(spark))
+      .mapColumn("ts", F.timestamp_seconds(F.col("i") * 13 % 86400))
+      .mapColumn("kind", (F.col("i") % 3).cast("string"))
+      .assignTimestamps(F.col("ts"))
+      .limitOutOfOrderness("event_time", "10 minutes")
+      .toDF
+    EventTime.tumblingAgg(events, F.col("event_time"), "1 hour",
+      Seq(F.col("kind")), Seq(F.count(F.lit(1)).as("n")))
+      .orderBy("kind", "window").show(5, false)
+    EventTime.lateData(events, F.col("event_time"), Seq(F.col("kind")), "6 hours")
+      .groupBy("kind").count().show()
+    spark.stop()
+  }
+}
+
+/** examples/joining_streams.rs + split_streams.rs + cloned_streams.rs. */
+object JoiningAndSplitting {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    val base = GraftStream(RangeSource(1000).load(spark)).mapColumn("k", F.col("i") % 10)
+    val (evens, odds) = base.split(F.col("i") % 2 === 0)
+    // self-join of two branches of one scan: disambiguate the right side
+    val rhs = odds.map(F.col("i").as("j"), F.col("k").as("k2"))
+    val joined = evens.keyLocal(F.col("k"))
+      .join(rhs.keyLocal(F.col("k2")), how = "inner", broadcastRight = true)
+    println(s"joined rows: ${joined.toDF.count()}")
+    val (x, y) = base.cloned
+    println(s"cloned counts match: ${x.toDF.count() == y.toDF.count()}")
+    spark.stop()
+  }
+}
