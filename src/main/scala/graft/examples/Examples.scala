@@ -103,7 +103,8 @@ object EventTimeWindows {
 object JoiningAndSplitting {
   def main(args: Array[String]): Unit = {
     val spark = ExampleSession()
-    val base = GraftStream(RangeSource(1000).load(spark)).mapColumn("k", F.col("i") % 10)
+    val base = GraftStream(RangeSource(1000).load(spark))
+      .mapColumn("k", (F.col("i") / 2).cast("long") % 10)
     val (evens, odds) = base.split(F.col("i") % 2 === 0)
     // self-join of two branches of one scan: disambiguate the right side
     val rhs = odds.map(F.col("i").as("j"), F.col("k").as("k2"))
