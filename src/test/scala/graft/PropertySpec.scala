@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{GraftStream, SaltedAgg}
+import graft.functions.TextFunctions
+import graft.functions.expressions.WinnowExpr
+
+/** Property-based checks for the native expressions and algebraic
+  * operator identities. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  /** Minimal forAll: evaluate the property on `n` fresh samples. */
+  private def forSamples[A](gen: Gen[A], n: Int = 50)(body: A => Unit): Unit =
+    (0 until n).foreach(_ => body(gen.sample.get))
+
+  private val word = Gen.stringOfN(4, Gen.alphaLowerChar)
+  private val text = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def winnow(s: String, k: Int, w: Int): Set[Long] =
+    WinnowExpr(org.apache.spark.sql.catalyst.expressions.Literal(s), k, w)
+      .nullSafeEval(UTF8String.fromString(s))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .array.map(_.asInstanceOf[Long]).toSet
+
+  test("winnow guarantee: a shared substring of length >= w+k-1 yields a shared fingerprint") {
+    val k = 8; val w = 12
+    forSamples(Gen.zip(text, text, Gen.stringOfN(k + w - 1, Gen.alphaLowerChar))) {
+      case (a, b, shared) =>
+        val fa = winnow(a + " " + shared, k, w)
+        val fb = winnow(shared + " " + b, k, w)
+        assert((fa & fb).nonEmpty, "no shared fingerprint for planted substring")
+    }
+  }
+
+  test("winnow is invariant to case (lowercasing is internal)") {
+    forSamples(text) { t =>
+      assert(winnow(t.toUpperCase, 8, 12) == winnow(t, 8, 12))
+    }
+  }
+
+  test("ShingleExpr equals the Column-composed wordShingles on random texts") {
+    import spark.implicits._
+    val samples = Gen.listOfN(60, text).sample.get
+    val df = samples.toDF("text")
+    val viaExpr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.ShingleExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(F.col("text")), 3))
+    val viaCols = TextFunctions.wordShingles(TextFunctions.tokens(F.col("text")), 3)
+    val diff = df.select(viaExpr.as("a"), viaCols.as("b"))
+      .filter(F.col("a") =!= F.col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("aggSalted equals plain agg for any bucket count (associativity)") {
+    import spark.implicits._
+    val data = Gen.listOfN(500, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000L, 1000L)))
+      .sample.get.toDF("k", "v")
+    val plain = GraftStream(data).keyLocal(F.col("k"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum("v").as("s"), F.max("v").as("m"))
+      .toDF.orderBy("k").collect().toSeq
+    for (buckets <- Seq(1, 3, 16)) {
+      val salted = GraftStream(data).keyLocal(F.col("k"))
+        .aggSalted(buckets,
+          SaltedAgg.count("n"), SaltedAgg.sum("s", F.col("v")), SaltedAgg.max("m", F.col("v")))
+        .toDF.orderBy("k").collect().toSeq
+      assert(salted == plain, s"buckets=$buckets diverged")
+    }
+  }
+}
