@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate-aggregation (sketch) accuracy: Spark's built-in HLL++ and
+  * approx_percentile are graft's sketch tier for 100 TB cardinalities —
+  * these specs pin their error against the exact formulations the oracles
+  * check. (No oracle rows: sketches are engine-specific by nature.) */
+class SketchSpec extends AnyFunSuite with SparkFixture {
+
+  test("approx_count_distinct (HLL++) is within tolerance of exact") {
+    val ev = Tables.events(spark, sf001)
+    val exact = ev.select(F.countDistinct("user_id")).head().getLong(0)
+    val approx = ev.select(F.approx_count_distinct("user_id", rsd = 0.05)).head().getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    info(f"exact=$exact approx=$approx relErr=$relErr%.3f")
+    assert(relErr < 0.15)
+  }
+
+  test("approx_percentile brackets the exact percentile") {
+    val ev = Tables.events(spark, sf001)
+    val exact = ev.select(F.percentile(F.col("value"), F.lit(0.5))).head().getDouble(0)
+    val approx = ev.select(
+      F.percentile_approx(F.col("value"), F.lit(0.5), F.lit(1000))).head().getDouble(0)
+    // with accuracy=1000 on 1k rows the approx answer is an actual data
+    // value adjacent to the true median
+    assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("stream-static broadcast enrichment joins a stream against a dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "name")
+    val input = MemoryStream[(Long, Long)]
+    val enriched = input.toDS().toDF("k", "v")
+      .join(F.broadcast(dim), Seq("k"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_1")
+      .outputMode("append").start()
+    input.addData((1L, 10L), (3L, 30L))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_1").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    q.stop()
+    assert(rows == Set((1L, Some("alpha")), (3L, None)))
+  }
+}
