@@ -1,0 +1,21 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed-table helpers: persist a table hash-bucketed (and
+  * bucket-sorted) on its join key so repeated fact-fact joins are
+  * CO-LOCATED — Spark reads matching buckets pairwise and merge-joins with
+  * NO exchange on either side. This is the storage-layout half of the
+  * malstrom `key_distribute` contract: pay the partitioning once at write
+  * time, reuse it for every downstream join/aggregation
+  * (keyed/key_distribute.rs:15; BucketedJoinSpec proves the plan shape).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, bucket-sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keyCol: String,
+                    sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, keyCol)
+    (if (sorted) w.sortBy(keyCol) else w).saveAsTable(table)
+  }
+}
