@@ -25,23 +25,39 @@ object KafkaShim {
 
   private def topicPath(root: String, topic: String) = s"$root/topic=$topic"
 
-  /** Append-style write: assigns dense offsets after any existing max
-    * offset per partition, like a broker. `df` needs (partition, key,
-    * value, ts) plus an explicit deterministic `orderBy` for offset order. */
+  /** Write a batch into the topic. `df` needs (partition, key, value, ts)
+    * plus an explicit deterministic `orderBy` for offset order.
+    *
+    *  - `SaveMode.Overwrite` (default): replace the topic, offsets dense
+    *    from 0 per partition — the deterministic re-materialization used
+    *    by the correctness queries.
+    *  - `SaveMode.Append`: broker semantics — new records get offsets
+    *    AFTER each partition's existing high-water mark. */
   def write(
       df: DataFrame,
       root: String,
       topic: String,
       orderCols: Seq[String],
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
     val w = Window.partitionBy("partition").orderBy(orderCols.map(F.col): _*)
-    df.select(
-        F.col("partition").cast("int").as("partition"),
-        (F.row_number().over(w).cast("long") - 1L).as("offset"),
-        F.col("key").cast("string").as("key"),
-        F.col("value").cast("string").as("value"),
-        F.col("ts").cast("timestamp").as("ts"))
-      .write.mode(mode)
+    val fresh = df.select(
+      F.col("partition").cast("int").as("partition"),
+      (F.row_number().over(w).cast("long") - 1L).as("offset"),
+      F.col("key").cast("string").as("key"),
+      F.col("value").cast("string").as("value"),
+      F.col("ts").cast("timestamp").as("ts"))
+    val exists = new java.io.File(topicPath(root, topic)).exists()
+    val shifted =
+      if (mode == SaveMode.Append && exists) {
+        val base = endOffsets(spark, root, topic)
+          .select(F.col("partition"), (F.col("end_offset") + 1L).as("base"))
+        fresh
+          .join(F.broadcast(base), Seq("partition"), "left")
+          .withColumn("offset", F.col("offset") + F.coalesce(F.col("base"), F.lit(0L)))
+          .drop("base")
+      } else fresh
+    shifted.write.mode(mode)
       .partitionBy("partition")
       .parquet(topicPath(root, topic))
   }

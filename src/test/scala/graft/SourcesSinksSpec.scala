@@ -70,6 +70,27 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(ends.length == 3)
   }
 
+  test("KafkaShim append continues offsets after each partition's high-water mark") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("graft_kappend_").toString
+    def batch(lo: Long, hi: Long) = (lo until hi).map(i => (i % 2, s"k$i", s"v$i", i))
+      .toDF("partition", "key", "value", "seq")
+      .withColumn("ts", F.timestamp_seconds(F.col("seq")))
+    KafkaShim.write(batch(0, 10), root, "ta", orderCols = Seq("seq"))
+    KafkaShim.write(batch(10, 16), root, "ta", orderCols = Seq("seq"), mode = SaveMode.Append)
+    val all = KafkaShim.read(spark, root, "ta")
+    assert(all.count() == 16)
+    val perPart = all.groupBy("partition")
+      .agg(F.min("offset").as("lo"), F.max("offset").as("hi"),
+        F.countDistinct("offset").as("d"), F.count(F.lit(1)).as("n"))
+      .collect()
+    perPart.foreach { r =>
+      // offsets stay dense and unique across the two writes
+      assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(4) - 1 && r.getLong(3) == r.getLong(4))
+    }
+  }
+
   test("multimodal plumbing: binary payload survives, features deterministic") {
     import graft.multimodal.Multimodal
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(20)
