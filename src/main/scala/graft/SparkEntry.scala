@@ -6,7 +6,7 @@ import org.apache.spark.sql.{functions => F}
 import graft.api.{GraftStream, SaltedAgg}
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF}
 import graft.multimodal.Multimodal
 import graft.operators.{StatefulExec, StatefulLogic}
 import graft.sinks.{StatefulParquetSink, StdoutSink, VecSink}
@@ -38,8 +38,6 @@ object SparkEntry {
   /** Exact decimal sum rendered as double — bit-identical in any engine. */
   private def dsum(c: Column, scale: Int = 2): Column =
     F.sum(c.cast(s"decimal(18,$scale)")).cast("double")
-
-  private val tsUs = "CAST(ts AS TIMESTAMP)" // oracle-side micro truncation
 
   // ------------------------------------------------------ core: stateless
 

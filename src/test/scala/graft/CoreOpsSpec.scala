@@ -55,6 +55,24 @@ class CoreOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == 100)
   }
 
+  test("inspectWith delivers observed metrics after the first action") {
+    val (s, obs) = nums.inspectWith("core_obs", F.count(F.lit(1)).as("n"),
+      F.sum(F.col("i")).as("total"))
+    s.toDF.collect()
+    val m = obs.get
+    assert(m("n") == 100L && m("total") == 4950L)
+  }
+
+  test("materialize caches the plan for reuse; batch limitOutOfOrderness is a no-op") {
+    val m = nums.mapColumn("j", F.col("i") * 3).materialize()
+    assert(m.toDF.count() == 100)
+    assert(m.toDF.storageLevel.useMemory)
+    m.toDF.unpersist()
+    val w = nums.mapColumn("ts", F.timestamp_seconds(F.col("i")))
+      .limitOutOfOrderness("ts", "10 minutes") // batch: marker only
+    assert(w.toDF.count() == 100)
+  }
+
   test("keyLocal aggregation needs no explicit repartition") {
     val out = nums.mapColumn("k", F.col("i") % 3)
       .keyLocal(F.col("k")).agg(F.count(F.lit(1)).as("n")).toDF.collect()
