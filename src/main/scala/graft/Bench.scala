@@ -15,7 +15,7 @@ object Bench {
     "q_join", "q_epochs_window", "q_stream_epochs", "q_stateful_map", "q_ttl_map",
     "q_key_distribute", "q_agg_salted", "q_dedup_exact", "q_dedup_minhash",
     "q_ngram_jaccard", "q_fingerprint_winnow", "q_ann_brute", "q_ann_ivf",
-    "q_ann_lsh", "q_tokens", "q_quality")
+    "q_ann_lsh", "q_tokens", "q_quality", "q_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

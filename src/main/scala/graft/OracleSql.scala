@@ -38,20 +38,25 @@ object OracleSql {
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
 
   /** Language-ID CASE (mirrors TextFunctions.langId: first language in
-    * inventory order whose hit count is positive and maximal). */
-  private val langIdSql: String = {
+    * inventory order whose hit count is positive and maximal), as a CTE
+    * chain over a relation exposing (doc_id, …, text)-derived hit counts. */
+  private def langCtes(src: String, carry: Seq[String]): String = {
     val langs = TextFunctions.stopwords
     val hitCols = langs.map { case (l, ws) => s"${hitsExpr(ws)} AS h_$l" }.mkString(",\n    ")
     val best = s"greatest(${langs.map(l => s"h_${l._1}").mkString(", ")})"
     val cases = langs.map { case (l, _) =>
       s"WHEN h_$l > 0 AND h_$l = best THEN '$l'"
     }.mkString(" ")
-    s"""WITH h AS (SELECT doc_id,
+    val carryCols = if (carry.isEmpty) "" else carry.mkString(", ", ", ", "")
+    s"""h AS (SELECT doc_id$carryCols,
        |    $hitCols
-       |  FROM documents),
-       |b AS (SELECT doc_id, h_${langs.map(_._1).mkString(", h_")}, $best AS best FROM h)
-       |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang FROM b""".stripMargin
+       |  FROM $src),
+       |b AS (SELECT doc_id$carryCols, h_${langs.map(_._1).mkString(", h_")}, $best AS best FROM h),
+       |langed AS (SELECT doc_id$carryCols, CASE $cases ELSE 'und' END AS pred_lang FROM b)""".stripMargin
   }
+
+  private val langIdSql: String =
+    s"WITH ${langCtes("documents", Nil)}\nSELECT doc_id, pred_lang FROM langed"
 
   /** One hyperplane-LSH sign bit (mirrors VectorFunctions.lshSignature /
     * planeWeight: first md5 nibble of "plane_dim" → weight in [-15/16, 15/16]). */
@@ -83,24 +88,29 @@ object OracleSql {
     s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
   }
 
-  private val qualityCtes: String = {
-    val len = "CAST(length(text) AS DOUBLE)"
-    def cnt(re: String) = s"CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE)"
-    val alpha = s"${cnt("[A-Za-z]")} / greatest($len, 1.0)"
-    val digit = s"${cnt("[0-9]")} / greatest($len, 1.0)"
-    val punct = s"${cnt("[^A-Za-z0-9\\s]")} / greatest($len, 1.0)"
+  private def cnt(re: String) = s"CAST(len(regexp_extract_all(text, '$re')) AS DOUBLE)"
+  private val lenD = "CAST(length(text) AS DOUBLE)"
+  private val alphaExpr = s"${cnt("[A-Za-z]")} / greatest($lenD, 1.0)"
+  private val digitExpr = s"${cnt("[0-9]")} / greatest($lenD, 1.0)"
+  private val punctExpr = s"${cnt("[^A-Za-z0-9\\s]")} / greatest($lenD, 1.0)"
+
+  /** Composite quality score (mirrors TextFunctions.qualityScore). */
+  private val qualityExpr: String = {
     val nTokD = s"CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
     val stopRatio = s"CAST(${hitsExpr(TextFunctions.stopwords.head._2)} AS DOUBLE) / greatest($nTokD, 1.0)"
-    val lenScore = s"least($len / 500.0, 1.0)"
+    val lenScore = s"least($lenD / 500.0, 1.0)"
     val stop = s"least($stopRatio * 4.0, 1.0)"
+    s"greatest(least($lenScore * 0.3 + ($alphaExpr) * 0.4 + $stop * 0.3 - (($digitExpr) + ($punctExpr)) * 0.5, 1.0), 0.0)"
+  }
+
+  private val qualityCtes: String =
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
-       |  $alpha AS alpha_ratio,
-       |  $digit AS digit_ratio,
-       |  $punct AS punct_ratio,
-       |  greatest(least($lenScore * 0.3 + ($alpha) * 0.4 + $stop * 0.3 - (($digit) + ($punct)) * 0.5, 1.0), 0.0) AS quality
+       |  $alphaExpr AS alpha_ratio,
+       |  $digitExpr AS digit_ratio,
+       |  $punctExpr AS punct_ratio,
+       |  $qualityExpr AS quality
        |FROM documents""".stripMargin
-  }
 
   val all: Map[String, String] = Map(
     "q_map" ->
@@ -377,6 +387,22 @@ object OracleSql {
     "q_lang_id" -> langIdSql,
 
     "q_quality" -> qualityCtes,
+
+    // end-to-end cleaning pipeline: exact-dedup survivors → quality gate →
+    // language ID → per-language corpus stats
+    "q_pipeline" -> {
+      s"""WITH survivors AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))),
+         |kept AS (
+         |  SELECT doc_id, text, $qualityExpr AS quality FROM survivors
+         |  WHERE $qualityExpr >= 0.3),
+         |${langCtes("kept", Seq("text", "quality"))}
+         |SELECT pred_lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(CAST(quality AS DECIMAL(18,10))) AS DOUBLE) AS sum_quality
+         |FROM langed GROUP BY pred_lang""".stripMargin
+    },
 
     "q_tokens" ->
       """SELECT source,

@@ -496,6 +496,23 @@ object SparkEntry {
       .toDF()
       .select(F.col("doc_id"), F.col("n_bytes"), F.col("width"), F.col("height"), F.col("feature"))
 
+  /** End-to-end LLM-data cleaning pipeline in one dataflow: exact-dedup
+    * survivors → quality gate → language ID → per-language corpus stats.
+    * The composition every operator above exists to serve. */
+  private def qPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val keep = Dedup.exact(docs).select(F.col("keep_id").as("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("quality", TF.qualityScore(F.col("text")))
+      .filter(F.col("quality") >= 0.3)
+      .withColumn("pred_lang", TF.langId(F.col("text")))
+      .groupBy(F.col("pred_lang"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(TF.tokenCount(F.col("text"))).as("ws_tokens"),
+        F.sum(F.col("quality").cast("decimal(18,10)")).cast("double").as("sum_quality"))
+  }
+
   // ---------------------------------------------------------------- lookup
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -551,7 +568,8 @@ object SparkEntry {
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_multimodal" -> (qMultimodal _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
-    "q_json_extract" -> (qJsonExtract _))
+    "q_json_extract" -> (qJsonExtract _),
+    "q_pipeline" -> (qPipeline _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
