@@ -109,25 +109,57 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity, computed only for LSH candidate
     * pairs: |A∩B| via a shingle-equality join (bucketed by shingle),
-    * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double. */
+    * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double.
+    *
+    * Scale discipline (the two guards that keep this bounded at 100 TB):
+    *  1. the intersection self-join runs over CANDIDATE documents only —
+    *     both sides are semi-joined to the LSH candidate id set BEFORE the
+    *     pair aggregation, so the intermediate is pairs-among-candidates,
+    *     not all co-shingle pairs (which is quadratic in shingle document
+    *     frequency);
+    *  2. a document-frequency cap (`dfCap`) drops stopword-like shingles
+    *     ("of the and" at web scale) from the similarity universe entirely
+    *     — standard MinHash practice; bounds the worst bucket of both the
+    *     signature pass and the intersection join. The cap is far above any
+    *     real shingle's df at test scale (max 25 at sf0.1), so small-sf
+    *     results are unchanged. */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0): DataFrame = {
-    // The shingle table feeds three consumers (counts, both sides of the
-    // intersection join) — persist + materialize once, like the signature
-    // table above.
-    val sh = materialize(shingles(docs, idCol, textCol, shingleN))
+                   shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0,
+                   dfCap: Int = 1000): DataFrame = {
+    // The shingle table feeds several consumers (df cap, counts, signatures,
+    // intersection) — persist + materialize once. Kept on the SAME logical
+    // plan as minhashCandidates' table so the session cache is shared.
+    val sh0 = materialize(shingles(docs, idCol, textCol, shingleN))
+    // Stopword-shingle cap: the heavy-hitter list is tiny (shingles with
+    // df > cap), so the anti-join broadcasts; the groupBy is map-side
+    // combinable. Capped universe feeds counts AND intersection, keeping
+    // jaccard internally consistent.
+    val heavy = sh0.groupBy(F.col("shingle"))
+      .agg(F.count(F.lit(1)).as("df"))
+      .filter(F.col("df") > dfCap)
+      .select("shingle")
+    // Not cached separately: the anti-join against the tiny heavy list is a
+    // cheap broadcast pass over the already-cached sh0 — a second cached
+    // copy of the near-identical table would cost more than it saves.
+    val sh = sh0.join(heavy, Seq("shingle"), "left_anti")
     val counts = sh.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("n"))
-    val pairs = candidatesFromSigs(materialize(minhashSignatures(sh, idCol, bands)), idCol)
-    // Intersection sizes via a shingle-bucketed self-join: each shingle's
-    // doc list pairs within its bucket (bucket size = shingle document
-    // frequency, naturally bounded for discriminative shingles), counted
-    // per pair, then restricted to the LSH candidates. Equivalent to the
-    // pair×shingle double join but with a smaller intermediate.
-    val inter = sh.select(F.col(idCol).as("doc_a"), F.col("shingle"))
-      .join(sh.select(F.col(idCol).as("doc_b"), F.col("shingle")), Seq("shingle"))
+    val pairs = materialize(
+      candidatesFromSigs(materialize(minhashSignatures(sh0, idCol, bands)), idCol))
+    // Guard 1: restrict the shingle table to candidate documents BEFORE the
+    // intersection join. Catalyst can't push the final pair semi-join below
+    // the aggregation, so we push its projection (candidate doc ids) down
+    // by hand on both sides.
+    val candIds = pairs.select(F.col("doc_a").as(idCol))
+      .union(pairs.select(F.col("doc_b").as(idCol)))
+      .distinct()
+    val shCand = materialize(sh.join(candIds, Seq(idCol), "left_semi"))
+    val inter = shCand.select(F.col(idCol).as("doc_a"), F.col("shingle"))
+      .join(shCand.select(F.col(idCol).as("doc_b"), F.col("shingle")), Seq("shingle"))
       .filter(F.col("doc_a") < F.col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(F.count(F.lit(1)).as("inter"))
+      // both-ends-candidate ≠ candidate PAIR: the final semi-join still
+      // restricts to pairs that actually shared a band signature
       .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
     inter
       .join(counts.select(F.col(idCol).as("doc_a"), F.col("n").as("n_a")), Seq("doc_a"))

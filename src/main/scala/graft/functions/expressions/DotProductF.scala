@@ -43,11 +43,18 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
     case _         => a.getDouble(i)
   }
 
+  /** Length mismatch yields NULL — matching the portable
+    * `aggregate(zip_with(a,b,·*·), …)` formulation, where zip_with
+    * null-pads the shorter array and the fold propagates the null.
+    * Null ELEMENTS are the caller's responsibility (the optimizer rewrite
+    * only fires on containsNull=false inputs; direct dotF callers pass
+    * non-null embedding arrays). */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val (ta, tb) = (elemType(left).get, elemType(right).get)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -69,12 +76,16 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
       val acc = ctx.freshName("acc")
       val (ta, tb) = (elemType(left).get, elemType(right).get)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${accessor(a, i, ta)} * ${accessor(b, i, tb)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${accessor(a, i, ta)} * ${accessor(b, i, tb)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -24,8 +24,13 @@ import graft.functions.expressions.DotProductF
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
+  /** The rewrite only fires on arrays that PROVABLY contain no null
+    * elements: zip_with yields a null product slot for a null element and
+    * the fold propagates it to a NULL result, while DotProductF reads the
+    * slot as garbage. Length mismatch is handled (DotProductF returns NULL
+    * like the null-padded fold), so only element nullability gates here. */
   private def isNumericArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, false) | ArrayType(DoubleType, false) => true
     case _ => false
   }
 

@@ -15,7 +15,12 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
 
   test("RewriteDotProduct turns the portable HOF pattern into DotProductF") {
     import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    // Typed source: primitive Array[Float] encodes as containsNull=false,
+    // the only element shape the rewrite is allowed to fire on.
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(100)
+      .select(F.col("vec_id"), F.col("embedding"))
+      .as[(Long, Array[Float])].map(identity).toDF("vec_id", "embedding")
     val portable = emb.select(
       F.col("vec_id"),
       VectorFunctions.dot(F.col("embedding"), F.col("embedding")).as("d"))
@@ -34,6 +39,29 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       val b = rewritten.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(a == b)
     } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("RewriteDotProduct leaves nullable-element arrays alone") {
+    import org.apache.spark.sql.{functions => F}
+    // array(col, lit(null)) → containsNull=true: the HOF fold yields NULL
+    // here while DotProductF would read garbage — the rule must not fire.
+    val df = spark.range(3).select(
+      F.array(F.col("id").cast("double"), F.lit(null).cast("double")).as("a"))
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Seq(graft.plans.RewriteDotProduct)
+      val q = df.select(VectorFunctions.dot(F.col("a"), F.col("a")).as("d"))
+      assert(!q.queryExecution.optimizedPlan.toString.toLowerCase.contains("dotproductf"))
+      assert(q.collect().forall(_.isNullAt(0)))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("DotProductF returns NULL on length mismatch (eval and codegen)") {
+    VectorFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_dot_f(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").head()
+    assert(r.isNullAt(0), "length mismatch must yield NULL, not a truncated dot")
   }
 
   test("graft_dot_f is callable from SQL after registration") {
