@@ -78,11 +78,11 @@ object Dedup {
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, bands: Int = 8): DataFrame =
-    // Built on the SAME logical plan as ngramJaccard's signature table, so
-    // Spark's cache manager shares the persisted signatures between the
-    // two operators when both run in one session.
+    // Signatures run over the RAW shingle stream: MIN is idempotent under
+    // duplicates, so skipping the distinct() saves a full shuffle of the
+    // shingle table — the groupBy(id) collapses everything map-side.
     candidatesFromSigs(
-      materialize(minhashSignatures(shingles(docs, idCol, textCol, shingleN), idCol, bands)),
+      materialize(minhashSignatures(shinglesRaw(docs, idCol, textCol, shingleN), idCol, bands)),
       idCol)
 
   /** Persist + eagerly materialize an index table. Without the eager
@@ -97,10 +97,24 @@ object Dedup {
   /** Self-join of a (persisted) signature table on (band, sig). The
     * signature table is docs × bands rows — tiny relative to the corpus —
     * and persisting it is the "build the index once" step: without it the
-    * self-join recomputes the whole shingle→minhash pipeline per side. */
-  private def candidatesFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
-    val a = sigs.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_a"))
-    val b = sigs.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_b"))
+    * self-join recomputes the whole shingle→minhash pipeline per side.
+    *
+    * Degenerate-bucket guard: a (band, sig) bucket of b docs yields b²/2
+    * pairs, so one pathological signature (e.g. the minimum of a stopword
+    * shingle that survives everywhere) could go quadratic. Buckets larger
+    * than `maxBucket` are dropped — a bucket that size is a degenerate
+    * signature collision, not a near-dup cluster (standard LSH practice).
+    * The bound is far above any real cluster at test scale (largest bucket
+    * ≈ dup-cluster size ≈ 5), so small-sf results are unchanged. */
+  private def candidatesFromSigs(sigs: DataFrame, idCol: String,
+                                 maxBucket: Int = 100000): DataFrame = {
+    val big = sigs.groupBy(F.col("band"), F.col("sig"))
+      .agg(F.count(F.lit(1)).as("bn"))
+      .filter(F.col("bn") > maxBucket)
+      .select("band", "sig")
+    val pruned = sigs.join(F.broadcast(big), Seq("band", "sig"), "left_anti")
+    val a = pruned.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_a"))
+    val b = pruned.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_b"))
     a.join(b, Seq("band", "sig"))
       .filter(F.col("doc_a") < F.col("doc_b"))
       .select("doc_a", "doc_b")
@@ -108,59 +122,51 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity, computed only for LSH candidate
-    * pairs: |A∩B| via a shingle-equality join (bucketed by shingle),
+    * pairs: |A∩B| via a pair-driven shingle probe,
     * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double.
     *
     * Scale discipline (the two guards that keep this bounded at 100 TB):
-    *  1. the intersection self-join runs over CANDIDATE documents only —
-    *     both sides are semi-joined to the LSH candidate id set BEFORE the
-    *     pair aggregation, so the intermediate is pairs-among-candidates,
-    *     not all co-shingle pairs (which is quadratic in shingle document
-    *     frequency);
+    *  1. the intersection is PAIR-DRIVEN: candidate pairs fan out to
+    *     doc_a's shingles, then probe doc_b's shingles on (doc_b, shingle).
+    *     The intermediate is Σ_pairs |shingles(doc_a)| — linear in the LSH
+    *     candidate count (itself bucket-bounded) — never the co-shingle
+    *     self-join, which is quadratic in shingle document frequency;
     *  2. a document-frequency cap (`dfCap`) drops stopword-like shingles
-    *     ("of the and" at web scale) from the similarity universe entirely
-    *     — standard MinHash practice; bounds the worst bucket of both the
-    *     signature pass and the intersection join. The cap is far above any
+    *     ("of the and" at web scale) from the counts and the intersection
+    *     probe. The signature pass runs on the UNCAPPED table (the capped
+    *     variant would change minhash values and break replicability);
+    *     its quadratic risk is bounded separately by the (band, sig)
+    *     bucket guard in [[candidatesFromSigs]]. The cap is far above any
     *     real shingle's df at test scale (max 25 at sf0.1), so small-sf
     *     results are unchanged. */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0,
                    dfCap: Int = 1000): DataFrame = {
     // The shingle table feeds several consumers (df cap, counts, signatures,
-    // intersection) — persist + materialize once. Kept on the SAME logical
-    // plan as minhashCandidates' table so the session cache is shared.
+    // both intersection probes) — persist + materialize ONCE. The only
+    // other eager index is the signature table (self-joined); candidate
+    // pairs are consumed by exactly one downstream join, so they flow
+    // lazily through AQE with no barrier.
     val sh0 = materialize(shingles(docs, idCol, textCol, shingleN))
     // Stopword-shingle cap: the heavy-hitter list is tiny (shingles with
-    // df > cap), so the anti-join broadcasts; the groupBy is map-side
-    // combinable. Capped universe feeds counts AND intersection, keeping
-    // jaccard internally consistent.
+    // df > cap) — broadcast it explicitly so the anti-join never degrades
+    // to a shuffle on a bad size estimate. The groupBy is map-side
+    // combinable over the cached sh0.
     val heavy = sh0.groupBy(F.col("shingle"))
       .agg(F.count(F.lit(1)).as("df"))
       .filter(F.col("df") > dfCap)
       .select("shingle")
-    // Not cached separately: the anti-join against the tiny heavy list is a
-    // cheap broadcast pass over the already-cached sh0 — a second cached
-    // copy of the near-identical table would cost more than it saves.
-    val sh = sh0.join(heavy, Seq("shingle"), "left_anti")
+    val sh = sh0.join(F.broadcast(heavy), Seq("shingle"), "left_anti")
     val counts = sh.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("n"))
-    val pairs = materialize(
-      candidatesFromSigs(materialize(minhashSignatures(sh0, idCol, bands)), idCol))
-    // Guard 1: restrict the shingle table to candidate documents BEFORE the
-    // intersection join. Catalyst can't push the final pair semi-join below
-    // the aggregation, so we push its projection (candidate doc ids) down
-    // by hand on both sides.
-    val candIds = pairs.select(F.col("doc_a").as(idCol))
-      .union(pairs.select(F.col("doc_b").as(idCol)))
-      .distinct()
-    val shCand = materialize(sh.join(candIds, Seq(idCol), "left_semi"))
-    val inter = shCand.select(F.col(idCol).as("doc_a"), F.col("shingle"))
-      .join(shCand.select(F.col(idCol).as("doc_b"), F.col("shingle")), Seq("shingle"))
-      .filter(F.col("doc_a") < F.col("doc_b"))
+    val pairs =
+      candidatesFromSigs(materialize(minhashSignatures(sh0, idCol, bands)), idCol)
+    // Guard 1 (pair-driven probe): same join tree as the SQL oracle —
+    // pairs ⋈ sh(doc_a) ⋈ sh(doc_b, shingle) → count per pair.
+    val inter = pairs
+      .join(sh.select(F.col(idCol).as("doc_a"), F.col("shingle")), Seq("doc_a"))
+      .join(sh.select(F.col(idCol).as("doc_b"), F.col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(F.count(F.lit(1)).as("inter"))
-      // both-ends-candidate ≠ candidate PAIR: the final semi-join still
-      // restricts to pairs that actually shared a band signature
-      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
     inter
       .join(counts.select(F.col(idCol).as("doc_a"), F.col("n").as("n_a")), Seq("doc_a"))
       .join(counts.select(F.col(idCol).as("doc_b"), F.col("n").as("n_b")), Seq("doc_b"))
