@@ -56,8 +56,30 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Single-node reference wall-times (tools/baseline.py → BASELINE.md):
+    // DuckDB running the same oracle SQL on the same box. Ratios >1 mean
+    // Spark is slower; at sf0.1 Spark's fixed per-query cost (job setup,
+    // codegen, AQE) dominates — see BASELINE.md for the scale analysis.
+    val baselinePath = java.nio.file.Paths.get("baseline_times.json")
+    val baseline: Map[String, Double] =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val txt = java.nio.file.Files.readString(baselinePath)
+        "\"(q_\\w+)\":\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    val ratioJson =
+      if (baseline.isEmpty) ""
+      else {
+        val rs = results.collect { case (k, v) if baseline.contains(k) =>
+          "\"" + k + "\":" + f"${v / baseline(k)}%.1f"
+        }.mkString("{", ",", "}")
+        val bTot = results.collect { case (k, _) if baseline.contains(k) => baseline(k) }.sum
+        val sTot = results.collect { case (k, v) if baseline.contains(k) => v }.sum
+        s""","baseline_total":${f"$bTot%.3f"},"bench_vs_baseline":${f"${sTot / bTot}%.1f"},"ratio_vs_duckdb":$rs"""
+      }
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"$ratioJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("graft_bench.json"), json + "\n")
     spark.stop()

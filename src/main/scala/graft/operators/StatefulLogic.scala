@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** User-defined per-key stateful logic — the Spark-native re-expression of
@@ -44,9 +44,57 @@ object StatefulExec {
       }
     }
 
+  /** Streaming execution with EVENT-TIME TTL — the faithful analogue of
+    * the reference's epoch-driven expiry (malstrom-core/src/operators/
+    * ttl_map.rs:21-23, tests :123-152): state expires when the event-time
+    * WATERMARK (the epoch-frontier analogue) passes
+    * last-seen-event-time + ttlMs — advancing the data's clock, not the
+    * wall clock, drives expiry.
+    *
+    * `ds` must carry a watermark (`withWatermark` upstream of the `.as[V]`)
+    * — Structured Streaming requires one for EventTimeTimeout. The state
+    * tuple carries the per-key max event time so a restart re-arms the
+    * same expiry deadline from the checkpoint. */
+  def streamEventTime[K: Encoder, V, S: Encoder, O: Encoder](
+      ds: Dataset[V],
+      key: V => K,
+      eventTimeMs: V => Long,
+      ttlMs: Long,
+      logic: StatefulLogic[K, V, S, O]): Dataset[O] = {
+    implicit val stateEnc: Encoder[(S, Long)] =
+      Encoders.tuple(implicitly[Encoder[S]], Encoders.scalaLong)
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[(S, Long), O](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: K, values: Iterator[V], gs: GroupState[(S, Long)]) =>
+          if (gs.hasTimedOut) {
+            val out = logic.onExpiry(k, gs.get._1)
+            gs.remove()
+            out.iterator
+          } else {
+            var (state, maxTs) = gs.getOption.getOrElse((logic.zero, Long.MinValue))
+            val out = values.flatMap { v =>
+              maxTs = math.max(maxTs, eventTimeMs(v))
+              val (s2, o) = logic.update(k, v, state)
+              state = s2
+              o.iterator
+            }.toVector
+            gs.update((state, maxTs))
+            // Deadline must sit above the current watermark or Spark
+            // rejects it; a key fed only pre-watermark (late) data arms
+            // one interval past the frontier instead.
+            val deadline = math.max(
+              maxTs + ttlMs,
+              gs.getCurrentWatermarkMs() + ttlMs)
+            gs.setTimeoutTimestamp(deadline)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming execution under flatMapGroupsWithState with optional
-    * processing-time TTL (operators/ttl_map.rs:16 analogue — state that is
-    * not touched for `ttlMs` expires and `onExpiry` fires). */
+    * processing-time TTL (state untouched for `ttlMs` of WALL-CLOCK time
+    * expires and `onExpiry` fires — the operational-cleanup variant;
+    * [[streamEventTime]] is the reference-faithful epoch-driven one). */
   def stream[K: Encoder, V, S: Encoder, O: Encoder](
       ds: Dataset[V],
       key: V => K,

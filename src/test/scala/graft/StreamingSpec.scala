@@ -12,6 +12,9 @@ import graft.streaming.StreamingOps
 
 case class SEvent(k: Long, v: Long)
 case class STotal(k: Long, total: Long)
+/** Watermark-carrying event: the watermarked `ts` column must stay in the
+  * Dataset for EventTimeTimeout (Spark checks it reaches the stateful op). */
+case class WmEvent(k: Long, v: Long, ts: java.sql.Timestamp)
 
 /** Structured-Streaming execution: keyed state across micro-batches
   * (snapshot/ → checkpointLocation), resume after restart
@@ -142,6 +145,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
     q.stop()
     assert(rows.contains(STotal(1, 6)), s"expiry did not deliver final state: $rows")
+  }
+
+  test("event-time TTL expires state when the WATERMARK passes, not the clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ttlLogic = new StatefulLogic[Long, WmEvent, Long, STotal] {
+      def zero = 0L
+      def update(k: Long, v: WmEvent, s: Long): (Long, IterableOnce[STotal]) =
+        (s + v.v, Iterator.empty)
+      override def onExpiry(k: Long, s: Long): IterableOnce[STotal] =
+        Iterator.single(STotal(k, s)) // final state, delivered on expiry
+    }
+    // (k, v) pairs where v doubles as the event time in minutes.
+    val input = MemoryStream[SEvent]
+    val ds = input.toDF()
+      .withColumn("ts", F.timestamp_seconds($"v" * 60))
+      .withWatermark("ts", "0 seconds")
+      .as[WmEvent]
+    val out = StatefulExec.streamEventTime[Long, WmEvent, Long, STotal](
+      ds, _.k, _.ts.getTime, ttlMs = 30 * 60000L, ttlLogic)
+    val q = out.writeStream.format("memory").queryName("ttl_et")
+      .outputMode("append").start()
+    // batch 1: keys 1 and 2 at t=10min → both armed to expire at t+30min
+    input.addData(SEvent(1, 10), SEvent(2, 10))
+    q.processAllAvailable()
+    // batch 2: key 1 refreshed at t=60min → watermark advances to 60min,
+    // putting key 2's deadline (40min) behind the frontier
+    input.addData(SEvent(1, 60))
+    q.processAllAvailable()
+    // batch 3: timeouts fire against the batch-2 watermark
+    input.addData(SEvent(3, 61))
+    q.processAllAvailable()
+    val rows = spark.table("ttl_et").as[STotal].collect().toSeq
+    q.stop()
+    assert(rows.contains(STotal(2, 10)),
+      s"advancing the watermark did not expire idle key 2: $rows")
+    assert(!rows.exists(_.k == 1),
+      s"key 1 was refreshed past the frontier and must NOT expire: $rows")
   }
 
   test("stream-stream equi-join with watermarks joins within the time bound") {

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Time the DuckDB oracle SQL for each headline bench query — the single-node
+reference wall-time that BENCH_r{N}.json is graded against (BASELINE.json's
+"within 2x of BASELINE" metric).
+
+DuckDB is the same engine the driver uses as the correctness oracle, run here
+with all cores on the same box as the Spark bench, so spark_sec/duckdb_sec is
+an apples-to-apples single-node throughput ratio.
+
+Usage: baseline.py <sfDir> <oracle_sql.json> [repeat]
+Writes baseline_times.json to cwd (read by Bench.scala and BASELINE.md).
+"""
+import sys, json, time, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# Must match Bench.headline (Bench.scala).
+HEADLINE = ["q_join", "q_epochs_window", "q_stream_epochs", "q_stateful_map",
+            "q_ttl_map", "q_key_distribute", "q_agg_salted", "q_dedup_exact",
+            "q_dedup_minhash", "q_ngram_jaccard", "q_fingerprint_winnow",
+            "q_ann_brute", "q_ann_ivf", "q_ann_lsh", "q_tokens", "q_quality",
+            "q_pipeline"]
+
+
+def main():
+    sf_dir = sys.argv[1]
+    oracle_path = sys.argv[2]
+    repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    times = {}
+    for name in HEADLINE:
+        sql = oracle.get(name)
+        if sql is None:
+            times[name] = None  # rows-only query: no SQL-expressible oracle
+            continue
+        best = None
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            n = len(con.execute(sql).fetchall())
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        print(f"[baseline] {name:22s} {best:8.3f}s  ({n} rows)", file=sys.stderr)
+
+    out = {"sf": sf_dir, "engine": f"duckdb-{duckdb.__version__}",
+           "repeat": repeat, "queries": times,
+           "total": round(sum(v for v in times.values() if v), 3)}
+    with open("baseline_times.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
