@@ -348,16 +348,48 @@ object OracleSql {
          |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
     },
 
-    // IVF ANN: centroids = first 16 corpus vectors (deterministic seed);
-    // cell assignment ties → lowest centroid id (mirrors array_position on
+    // IVF ANN with TRAINED centroids: deterministic sampled k-means
+    // mirroring Ann.trainCentroids bit-for-bit — init = first `cells`
+    // sample vectors, then `iters` Lloyd rounds where the per-dimension
+    // mean left-folds members in vec_id order (list_sum over an ORDER BY
+    // list is DuckDB's sequential fold, matching the Scala accumulator).
+    // Cell assignment ties → lowest centroid id (mirrors array_position on
     // the first max); probe-list ties → HIGHEST centroid id (mirrors the
     // reverse of an ascending (score, idx) struct sort).
     "q_ann_ivf" -> {
+      val (cells, sampleN, iters, dim) = (16, 512, 2, 64)
+      val trainCtes = {
+        val steps = (1 to iters).flatMap { it =>
+          val prev = if (it == 1) "cent0" else s"cent${it - 1}"
+          Seq(
+            s"cn$it AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM $prev)",
+            s"""sc$it AS (
+               |  SELECT s.vec_id, c.cid,
+               |    list_sum(list_transform(list_zip(s.embedding, c.ce), p -> CAST(p[1] AS DOUBLE) * p[2])) * 2 - c.c2 AS sc
+               |  FROM sample s, cn$it c)""".stripMargin,
+            s"""a$it AS (
+               |  SELECT vec_id, cid AS cell FROM (
+               |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+               |    FROM sc$it) WHERE rn = 1)""".stripMargin,
+            s"""m$it AS (
+               |  SELECT a.cell, d.d,
+               |    list_sum(list(CAST(s.embedding[d.d] AS DOUBLE) ORDER BY s.vec_id)) / COUNT(*) AS mu
+               |  FROM a$it a JOIN sample s USING (vec_id),
+               |       (SELECT unnest(generate_series(1, $dim)) AS d) d
+               |  GROUP BY a.cell, d.d)""".stripMargin,
+            s"""cent$it AS (
+               |  SELECT c0.cid, COALESCE(m.ce, c0.ce) AS ce FROM $prev c0
+               |  LEFT JOIN (SELECT cell AS cid, list(mu ORDER BY d) AS ce FROM m$it GROUP BY cell) m USING (cid))""".stripMargin)
+        }
+        (Seq(
+          s"sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $sampleN)",
+          s"""cent0 AS (
+             |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+             |  FROM sample WHERE vec_id < $cells)""".stripMargin) ++ steps).mkString(",\n")
+      }
       val dotVC = "list_sum(list_transform(list_zip(e.embedding, c.ce), s -> CAST(s[1] AS DOUBLE) * s[2]))"
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-         |  FROM embeddings WHERE vec_id < 16),
-         |centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent),
+      s"""WITH $trainCtes,
+         |centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent$iters),
          |scores AS (
          |  SELECT e.vec_id, c.cid, $dotVC * 2 - c.c2 AS sc
          |  FROM embeddings e, centn c),

@@ -432,7 +432,9 @@ object SparkEntry {
     Dedup.minhashCandidates(T(s, dir, "documents"))
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(T(s, dir, "documents"), maxHamming = 16)
+    // maxHamming 3 with 4 bands ⇒ provably complete candidacy (pigeonhole;
+    // recall asserted = 1.0 in DedupAnnSpec against the exhaustive join).
+    Dedup.simhashCandidates(T(s, dir, "documents"), maxHamming = 3)
 
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCandidates(T(s, dir, "embeddings"))

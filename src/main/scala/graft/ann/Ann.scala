@@ -114,28 +114,100 @@ object Ann {
         F.col("neighbor_id"), F.col("cosine"))
   }
 
+  /** Element-type-tolerant fetch: embeddings may arrive as array<float>
+    * (the parquet tables) or array<double> (derived columns) — both map to
+    * the identical double sequence (float→double widening is exact). */
+  private def rowToDoubles(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Any](0).iterator.map {
+      case f: java.lang.Float  => f.doubleValue
+      case d: java.lang.Double => d.doubleValue
+      case x => throw new IllegalArgumentException(
+        s"embedding element must be float or double, got ${x.getClass}")
+    }.toArray
+
+  /** Deterministic sampled k-means (Lloyd) for the IVF coarse quantizer.
+    *
+    * Replicability contract (the whole point of this formulation): every
+    * arithmetic step is a LEFT FOLD over a deterministic order, so any
+    * engine reproduces the centroids bit-for-bit —
+    *  - sample = vectors with id < `sampleN`, processed in id order
+    *    (a pushed-down range predicate, not a random() sample);
+    *  - init: centroid j = sample vector j (cast to double, exact);
+    *  - assignment: argmax_j 2·(v·c_j) − |c_j|², dots left-folded in
+    *    element order, ties → lowest j;
+    *  - update: per-dimension mean, members summed in id order, then one
+    *    double division by the member count; an empty cell keeps its
+    *    previous centroid.
+    * The SQL oracle mirrors this with list_sum(list(x ORDER BY id)) —
+    * DuckDB's list_sum is the same sequential fold (verified in
+    * tools/baseline notes + the gate's hash match).
+    *
+    * The sample is a bounded driver collect (`sampleN` rows — an
+    * index-build step, not a data-sized loop); at 100 TB you'd raise
+    * `sampleN`, never scan the corpus: training cost is O(sampleN · cells
+    * · dim · iters) on one node, independent of corpus size. */
+  def trainCentroids(corpus: DataFrame, idCol: String = "vec_id",
+                     embCol: String = "embedding", cells: Int = 16,
+                     sampleN: Int = 512, iters: Int = 2): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .filter(F.col(idCol) < sampleN)
+      .orderBy(F.col(idCol))
+      .select(F.col(embCol))
+      .collect()
+      .map(rowToDoubles)
+    require(sample.length >= cells,
+      s"IVF training needs >= $cells sample vectors, got ${sample.length}")
+    val dim = sample(0).length
+    var cent: Array[Array[Double]] = Array.tabulate(cells)(j => sample(j).clone())
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    for (_ <- 1 to iters) {
+      val c2 = cent.map(c => dot(c, c))
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Long](cells)
+      sample.foreach { v =>
+        var best = 0
+        var bs = Double.NegativeInfinity
+        var j = 0
+        while (j < cells) {
+          val s = 2.0 * dot(v, cent(j)) - c2(j)
+          if (s > bs) { best = j; bs = s } // strict: ties keep the lowest j
+          j += 1
+        }
+        val acc = sums(best)
+        var d = 0
+        while (d < dim) { acc(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cent = Array.tabulate(cells) { j =>
+        if (counts(j) == 0) cent(j)
+        else {
+          val n = counts(j).toDouble
+          Array.tabulate(dim)(d => sums(j)(d) / n)
+        }
+      }
+    }
+    cent
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus into `cells` Voronoi cells
     * and probe only each query's `probes` nearest cells.
     *
-    * Centroids are seeded deterministically from the first `cells` corpus
-    * vectors (a production build would k-means-refine them; the probe/
-    * assignment machinery is identical). Centroids are a bounded, tiny
-    * collect (`cells` rows — an index-build step, not a data-sized driver
-    * loop); they ship to executors as plan-time constant arrays, so cell
-    * assignment is `cells` codegen dot products per row, one corpus scan.
-    * Candidate generation is an equi-join on the cell id — bucket-bounded,
-    * never all-pairs. */
+    * Centroids come from [[trainCentroids]] — deterministic sampled
+    * k-means, bit-replicable by the SQL oracle. They ship to executors as
+    * plan-time constant arrays, so cell assignment is `cells` codegen dot
+    * products per row, one corpus scan. Candidate generation is an
+    * equi-join on the cell id — bucket-bounded, never all-pairs. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
               embCol: String = "embedding", k: Int = 5, cells: Int = 16,
-              probes: Int = 4, native: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.Row
-    val centroids: Array[(Int, Seq[Double])] = corpus
-      .orderBy(F.col(idCol))
-      .limit(cells)
-      .select(F.col(embCol))
-      .collect()
-      .zipWithIndex
-      .map { case (r: Row, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
+              probes: Int = 4, native: Boolean = true,
+              sampleN: Int = 512, iters: Int = 2): DataFrame = {
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, idCol, embCol, cells, sampleN, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     // score against cell c: 2·(v·c) − |c|² (argmax ⇔ nearest centroid)
     def cellScores(e: Column): Column = F.array(centroids.toIndexedSeq.map { case (_, c) =>
       val c2 = c.map(x => x * x).sum

@@ -244,16 +244,44 @@ object Dedup {
       .filter(F.col("n_shared") >= minShared)
   }
 
-  /** SimHash near-dup candidates: bucket by the top 16 bits (prefix), then
-    * compare hamming distance within buckets only. */
+  /** SimHash near-dup candidates via multi-band bucketing: the 64-bit
+    * simhash splits into `bands` disjoint (64/bands)-bit slices, and a pair
+    * is a candidate when ANY band slice matches exactly (one bucket join
+    * per band, unioned by the explode — never all-pairs). Exact hamming is
+    * then computed within candidates only.
+    *
+    * Completeness: by pigeonhole, a pair at hamming ≤ bands−1 differs in at
+    * most bands−1 slices, so at least one band matches — recall is exactly
+    * 1.0 for maxHamming ≤ bands−1 (the default 4 bands / maxHamming 3;
+    * proven against the exhaustive join in DedupAnnSpec). Multi-band also
+    * removes the skew magnet of a single fixed prefix: a doc lands in
+    * `bands` independent buckets keyed by different hash slices. */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-      .withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
-    val a = sh.select(F.col("bucket"), F.col(idCol).as("doc_a"), F.col("simhash").as("sh_a"))
-    val b = sh.select(F.col("bucket"), F.col(idCol).as("doc_b"), F.col("simhash").as("sh_b"))
-    a.join(b, Seq("bucket"))
+                        maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val slices = F.array((0 until bands).map { b =>
+      F.struct(
+        F.lit(b).as("band"),
+        F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(mask).as("bsig"))
+    }: _*)
+    // The simhash table feeds both sides of the band self-join — build the
+    // (id, simhash, band, bsig) index once.
+    val banded = materialize(
+      simhash(docs, idCol, textCol)
+        .select(F.col(idCol), F.col("simhash"), F.explode(slices).as("bs"))
+        .select(F.col(idCol), F.col("simhash"),
+          F.col("bs.band").as("band"), F.col("bs.bsig").as("bsig")))
+    val a = banded.select(F.col("band"), F.col("bsig"),
+      F.col(idCol).as("doc_a"), F.col("simhash").as("sh_a"))
+    val b = banded.select(F.col("band"), F.col("bsig"),
+      F.col(idCol).as("doc_b"), F.col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bsig"))
       .filter(F.col("doc_a") < F.col("doc_b"))
+      // a pair can collide in several bands — dedup before the hamming test
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .distinct()
       .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
       .filter(F.col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -53,6 +53,25 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("multi-band simhash candidacy is COMPLETE at maxHamming <= bands-1") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    // Exhaustive truth: all pairs within hamming 3, computed driver-side
+    // over the (tiny) sf0.001 corpus.
+    val sh = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, ha) <- sh
+      (ib, hb) <- sh
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(exact.nonEmpty, "corpus has no hamming<=3 pairs; recall check is vacuous")
+    val cand = Dedup.simhashCandidates(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & cand).size.toDouble / exact.size
+    info(f"simhash banded recall at hamming<=3: $recall%.2f over ${exact.size} true pairs")
+    assert(recall == 1.0, s"pigeonhole completeness violated: missing ${exact -- cand}")
+    assert(cand == exact, s"hamming filter must also make candidacy precise: extra ${cand -- exact}")
+  }
+
   test("winnowing fingerprints detect shared substrings, skip unrelated docs") {
     val fps = planted.select(F.col("doc_id"),
       graft.functions.TextFunctions.winnowFingerprints(F.col("text")).as("fp"))
@@ -96,8 +115,48 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     info(f"IVF recall@5 (6/16 cells probed): $recall%.2f")
-    assert(recall > 0.3, f"IVF recall too low: $recall%.2f")
+    assert(recall >= 0.7, f"IVF recall too low: $recall%.2f")
     assert(ivf.size <= 100) // k per query, bounded
+  }
+
+  test("IVF trained centroids keep cells balanced (max <= 4x mean)") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val cells = 16
+    val cent = Ann.trainCentroids(emb, cells = cells)
+    // Assign the FULL corpus with the same argmax the operator uses and
+    // check no hot cell: one degenerate cell would turn the probe step
+    // into brute force over most of the corpus.
+    val c2 = cent.map(c => c.map(x => x * x).sum)
+    val rows = emb.select(F.col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sizes = new Array[Long](cells)
+    rows.foreach { v =>
+      var best = 0; var bs = Double.NegativeInfinity
+      (0 until cells).foreach { j =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * cent(j)(i); i += 1 }
+        val s = 2.0 * d - c2(j)
+        if (s > bs) { best = j; bs = s }
+      }
+      sizes(best) += 1
+    }
+    val mean = rows.length.toDouble / cells
+    info(s"IVF cell sizes: ${sizes.sorted.mkString(",")} (mean $mean)")
+    assert(sizes.forall(_ > 0), s"empty cells: ${sizes.mkString(",")}")
+    assert(sizes.max <= 4 * mean,
+      s"hot cell ${sizes.max} exceeds 4x mean $mean — quantizer degenerated")
+  }
+
+  test("IVF accepts array<double> embeddings and matches the float result") {
+    val embF = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val embD = embF.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    val qF = embF.filter(F.col("vec_id") < 10)
+    val qD = embD.filter(F.col("vec_id") < 10)
+    def res(c: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) =
+      Ann.ivfTopK(c, q, k = 5, cells = 16, probes = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    // float→double widening is exact, so the whole pipeline must agree bitwise
+    assert(res(embF, qF) == res(embD, qD))
   }
 
   test("LSH ANN recall vs brute force is usable and bucket-bounded") {
