@@ -26,23 +26,52 @@ trait StatefulLogic[K, V, S, O] extends Serializable {
 
 object StatefulExec {
 
-  /** Batch execution: groupByKey + ordered fold per key.
+  /** Batch execution via SECONDARY SORT: repartition by key hash, let the
+    * shuffle machinery sort each partition by (key, orderBy) — spillable,
+    * never in-heap — then stream a single fold over the sorted run,
+    * resetting state at key boundaries.
     * `orderBy` gives the deterministic intra-key order (malstrom processes
-    * messages in arrival order; batch needs an explicit one). */
-  def batch[K: Encoder, V, S, O: Encoder](
+    * messages in arrival order; batch needs an explicit one).
+    *
+    * Holds exactly ONE (key, state) pair in memory per task regardless of
+    * key skew: a key owning half the corpus streams through the fold
+    * instead of materializing as a Vector (the 100 TB hot-key case —
+    * proven by the StatefulSpec hot-key test). This is the one operator
+    * that drops to the RDD layer: per-partition imperative state over a
+    * shuffle-time sort is exactly what Catalyst can't express. */
+  def batch[K: Ordering, V, S, O: Encoder](
       ds: Dataset[V],
       key: V => K,
       orderBy: Ordering[V],
-      logic: StatefulLogic[K, V, S, O]): Dataset[O] =
-    ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[V]) =>
-      val sorted = it.toVector.sorted(orderBy)
-      var state = logic.zero
-      sorted.iterator.flatMap { v =>
-        val (s2, out) = logic.update(k, v, state)
-        state = s2
-        out.iterator
-      }
+      logic: StatefulLogic[K, V, S, O]): Dataset[O] = {
+    val spark = ds.sparkSession
+    val numParts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = numParts
+      override def getPartition(k: Any): Int =
+        java.lang.Math.floorMod(k.asInstanceOf[(K, V)]._1.hashCode, numParts)
     }
+    implicit val kvOrd: Ordering[(K, V)] =
+      Ordering.Tuple2(implicitly[Ordering[K]], orderBy)
+    // mapPartitions needs a ClassTag for O; the erased runtime class is all
+    // Spark uses, so AnyRef is exact for every product/ref output type.
+    implicit val oTag: scala.reflect.ClassTag[O] =
+      scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[O]]
+    val folded = ds.rdd
+      .map(v => ((key(v), v), ()))
+      .repartitionAndSortWithinPartitions(partitioner)
+      .mapPartitions { it =>
+        var cur: Option[K] = None
+        var state: S = logic.zero
+        it.flatMap { case ((k, v), _) =>
+          if (!cur.contains(k)) { cur = Some(k); state = logic.zero }
+          val (s2, out) = logic.update(k, v, state)
+          state = s2
+          out.iterator
+        }
+      }
+    spark.createDataset(folded)
+  }
 
   /** Streaming execution with EVENT-TIME TTL — the faithful analogue of
     * the reference's epoch-driven expiry (malstrom-core/src/operators/

@@ -40,6 +40,28 @@ class StatefulSpec extends AnyFunSuite with SparkFixture {
     assert(out.sortBy(o => (o.k, o.seq)).toSeq == expected.sortBy(o => (o.k, o.seq)).toSeq)
   }
 
+  test("StatefulExec.batch streams a hot key without buffering it") {
+    import spark.implicits._
+    // One key owns half the rows — the 100 TB skew shape. The fold must
+    // stream the sorted run (the secondary sort keeps state O(1) per task;
+    // the old toVector.sorted path materialized the whole key group).
+    val n = 50000L
+    val hot = (0L until n).map(i => KV(if (i % 2 == 0) 7L else i, i, i)).toDS()
+    val logic = new StatefulLogic[Long, KV, Long, RunOut] {
+      def zero = 0L
+      def update(k: Long, v: KV, s: Long): (Long, IterableOnce[RunOut]) =
+        (s + 1, Iterator.single(RunOut(k, v.seq, s + 1)))
+    }
+    val out = StatefulExec.batch[Long, KV, Long, RunOut](
+      hot, _.k, Ordering.by(_.seq), logic)
+    // the hot key's running count must climb monotonically in seq order
+    val hotRows = out.filter(_.k == 7L).collect().sortBy(_.seq)
+    assert(hotRows.length == n / 2)
+    assert(hotRows.map(_.total).toSeq == (1L to n / 2).toSeq,
+      "hot-key fold lost order or state across the sorted run")
+    assert(out.filter(_.k != 7L).count() == n / 2) // singleton keys intact
+  }
+
   test("statefulProject matches a manual running sum") {
     val df = kvDs.toDF()
     val out = GraftStream(df)
