@@ -66,7 +66,9 @@ object Bench {
       if (java.nio.file.Files.exists(baselinePath)) {
         val txt = java.nio.file.Files.readString(baselinePath)
         "\"(q_\\w+)\":\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0.0) // a 0.0 baseline (sub-ms DuckDB query rounded
+          .toMap              // down) would print ratio "Infinity" = bad JSON
       } else Map.empty
     val ratioJson =
       if (baseline.isEmpty) ""

@@ -33,9 +33,10 @@ object OracleSql {
       |  FROM mh a JOIN mh b2 ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
       |""".stripMargin
 
-  /** Per-language stopword-hit expression (mirrors TextFunctions.stopwordHits). */
+  /** Per-language stopword-hit expression (mirrors TextFunctions.stopwordHits,
+    * including the bare — non-`\b` — pattern for CJK inventories). */
   private def hitsExpr(words: Seq[String]): String =
-    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    s"len(regexp_extract_all(lower(text), '${TextFunctions.hitsPattern(words)}'))"
 
   /** Language-ID CASE (mirrors TextFunctions.langId: first language in
     * inventory order whose hit count is positive and maximal), as a CTE

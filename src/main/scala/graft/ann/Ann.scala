@@ -117,8 +117,8 @@ object Ann {
   /** Element-type-tolerant fetch: embeddings may arrive as array<float>
     * (the parquet tables) or array<double> (derived columns) — both map to
     * the identical double sequence (float→double widening is exact). */
-  private def rowToDoubles(r: org.apache.spark.sql.Row): Array[Double] =
-    r.getSeq[Any](0).iterator.map {
+  private def rowToDoubles(r: org.apache.spark.sql.Row, at: Int = 0): Array[Double] =
+    r.getSeq[Any](at).iterator.map {
       case f: java.lang.Float  => f.doubleValue
       case d: java.lang.Double => d.doubleValue
       case x => throw new IllegalArgumentException(
@@ -149,14 +149,21 @@ object Ann {
   def trainCentroids(corpus: DataFrame, idCol: String = "vec_id",
                      embCol: String = "embedding", cells: Int = 16,
                      sampleN: Int = 512, iters: Int = 2): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = corpus
+    val sampled = corpus
       .filter(F.col(idCol) < sampleN)
       .orderBy(F.col(idCol))
-      .select(F.col(embCol))
+      .select(F.col(idCol).cast("long"), F.col(embCol))
       .collect()
-      .map(rowToDoubles)
+    val sample: Array[Array[Double]] = sampled.map(r => rowToDoubles(r, 1))
     require(sample.length >= cells,
       s"IVF training needs >= $cells sample vectors, got ${sample.length}")
+    // The SQL oracle seeds centroid j from the row WHERE <id> = j; we seed
+    // positionally from sample(j). These coincide only when ids are dense
+    // from 0 — enforce it rather than silently diverge from the oracle.
+    (0 until cells).foreach { j =>
+      require(sampled(j).getLong(0) == j.toLong,
+        s"IVF training requires dense ids 0..${cells - 1}; position $j has id ${sampled(j).getLong(0)}")
+    }
     val dim = sample(0).length
     var cent: Array[Array[Double]] = Array.tabulate(cells)(j => sample(j).clone())
     def dot(a: Array[Double], b: Array[Double]): Double = {

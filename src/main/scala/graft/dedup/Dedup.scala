@@ -46,9 +46,19 @@ object Dedup {
       .select(F.col(idCol), F.explode(shingleArr).as("shingle"))
   }
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shinglesRaw(docs, idCol, textCol, n).distinct()
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Distinctness is PER DOCUMENT, so it is computed inside the row
+    * (`array_distinct` over the shingle array, codegen'd) before the
+    * explode — same (id, shingle) set as `shinglesRaw().distinct()`, but
+    * with no distinct() SHUFFLE of the exploded table (docs × shingles
+    * rows at 100 TB). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), n))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(F.col(idCol), F.explode(F.array_distinct(shingleArr)).as("shingle"))
+  }
 
   /** Per-band minhash signatures: for band b, sig_b = min over shingles of
     * md5(b || '|' || shingle). Fixed-width lowercase hex ⇒ the string MIN is
@@ -71,6 +81,28 @@ object Dedup {
       .select(F.col(idCol), F.col("bs.band").as("band"), F.col("bs.sig").as("sig"))
   }
 
+  /** Per-band minhash signatures computed per ROW — no shingle explode, no
+    * groupBy shuffle: [[graft.functions.expressions.MinhashSigsExpr]]
+    * folds all band minima in one pass over each document's shingle
+    * array, so the signature build is a pure scan (docs in, docs × bands
+    * out). Bit-identical to [[minhashSignatures]] (MIN over the same md5
+    * hex strings; duplicate shingles are idempotent under MIN). Docs with
+    * no shingles (fewer than n tokens) drop out, exactly as explode would
+    * drop them. */
+  def minhashSignaturesFromDocs(docs: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int, bands: Int): DataFrame = {
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+    val sigArr = ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        ColumnBridge.expression(shingleArr), bands))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(F.col(idCol), sigArr.as("sigs"))
+      .filter(F.col("sigs").isNotNull)
+      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
+  }
+
   /** MinHash-LSH candidate duplicate pairs: docs sharing any band signature.
     * The join key is (band, sig) — a bucket join, never all-pairs. Bucket
     * sizes are bounded by construction (a band signature is a 128-bit hash;
@@ -78,11 +110,8 @@ object Dedup {
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, bands: Int = 8): DataFrame =
-    // Signatures run over the RAW shingle stream: MIN is idempotent under
-    // duplicates, so skipping the distinct() saves a full shuffle of the
-    // shingle table — the groupBy(id) collapses everything map-side.
     candidatesFromSigs(
-      materialize(minhashSignatures(shinglesRaw(docs, idCol, textCol, shingleN), idCol, bands)),
+      materialize(minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands)),
       idCol)
 
   /** Persist + eagerly materialize an index table. Without the eager
@@ -157,19 +186,36 @@ object Dedup {
       .filter(F.col("df") > dfCap)
       .select("shingle")
     val sh = sh0.join(F.broadcast(heavy), Seq("shingle"), "left_anti")
-    val counts = sh.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("n"))
+    // Per-doc shingle SET as one array row: (id, arr, n). One shuffle of
+    // the capped shingle table; order inside `arr` is irrelevant (set
+    // intersection below).
+    val docArr = materialize(sh.groupBy(F.col(idCol))
+      .agg(F.collect_list(F.col("shingle")).as("arr"), F.count(F.lit(1)).as("n")))
+    // LSH candidacy runs off the one-pass per-row signature build (same
+    // values; see minhashSignaturesFromDocs) — it re-shingles the doc scan
+    // instead of re-aggregating sh0, trading a cheap projection for the
+    // groupBy(id) shuffle of the shingle table.
     val pairs =
-      candidatesFromSigs(materialize(minhashSignatures(sh0, idCol, bands)), idCol)
-    // Guard 1 (pair-driven probe): same join tree as the SQL oracle —
-    // pairs ⋈ sh(doc_a) ⋈ sh(doc_b, shingle) → count per pair.
-    val inter = pairs
-      .join(sh.select(F.col(idCol).as("doc_a"), F.col("shingle")), Seq("doc_a"))
-      .join(sh.select(F.col(idCol).as("doc_b"), F.col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(F.count(F.lit(1)).as("inter"))
-    inter
-      .join(counts.select(F.col(idCol).as("doc_a"), F.col("n").as("n_a")), Seq("doc_a"))
-      .join(counts.select(F.col(idCol).as("doc_b"), F.col("n").as("n_b")), Seq("doc_b"))
+      candidatesFromSigs(
+        materialize(minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands)), idCol)
+    // Guard 1 (pair-driven intersection): |A∩B| = size(array_intersect) per
+    // candidate PAIR row — two doc-keyed joins carrying the arrays, zero
+    // row fan-out. The SQL oracle expresses the same math relationally
+    // (pairs ⋈ sh ⋈ sh → COUNT per pair); this form replaces that
+    // Σ_pairs |shingles(doc_a)|-row intermediate and its aggregation
+    // shuffle with a per-row set intersection. Pairs with an empty
+    // intersection are dropped by the `inter > 0` guard below — exactly
+    // the rows the oracle's inner probe join never produces.
+    pairs
+      .join(docArr.select(F.col(idCol).as("doc_a"),
+        F.col("arr").as("arr_a"), F.col("n").as("n_a")), Seq("doc_a"))
+      .join(docArr.select(F.col(idCol).as("doc_b"),
+        F.col("arr").as("arr_b"), F.col("n").as("n_b")), Seq("doc_b"))
+      .select(
+        F.col("doc_a"), F.col("doc_b"),
+        F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("long").as("inter"),
+        F.col("n_a"), F.col("n_b"))
+      .filter(F.col("inter") > 0L)
       .select(
         F.col("doc_a"), F.col("doc_b"),
         (F.col("inter").cast("double") /

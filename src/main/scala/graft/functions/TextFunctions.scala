@@ -60,9 +60,23 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
+  /** True when an inventory is CJK: `\b` in Java (and DuckDB/RE2) regex
+    * only fires next to `[A-Za-z0-9_]`, so boundary-anchored patterns can
+    * NEVER match ideographs — CJK inventories must match bare. Chinese
+    * text has no word delimiters anyway, so bare substring hits are the
+    * correct token semantics for it. */
+  private[graft] def isCjkInventory(words: Seq[String]): Boolean =
+    words.forall(_.forall(ch => Character.UnicodeScript.of(ch) == Character.UnicodeScript.HAN))
+
+  /** Regex matching `words` as standalone tokens (boundary-anchored for
+    * alphabetic scripts, bare for CJK — see [[isCjkInventory]]). */
+  private[graft] def hitsPattern(words: Seq[String]): String =
+    if (isCjkInventory(words)) "(" + words.mkString("|") + ")"
+    else "\\b(" + words.mkString("|") + ")\\b"
+
   /** Count of hits of `words` as standalone tokens in lowercased `text`. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    F.regexp_count(F.lower(text), F.lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
+    F.regexp_count(F.lower(text), F.lit(hitsPattern(words))).cast("long")
 
   /** Heuristic language ID: argmax of per-language stopword hits, ties
     * broken by language-code order; "und" (undetermined) when no hits. */

@@ -38,7 +38,13 @@ object StatefulExec {
     * instead of materializing as a Vector (the 100 TB hot-key case —
     * proven by the StatefulSpec hot-key test). This is the one operator
     * that drops to the RDD layer: per-partition imperative state over a
-    * shuffle-time sort is exactly what Catalyst can't express. */
+    * shuffle-time sort is exactly what Catalyst can't express.
+    *
+    * Contract on K's Ordering: keys that compare equal form ONE group
+    * (boundaries are detected with `compare != 0`, consistent with the
+    * sort); such keys must also share a `hashCode` so the partitioner
+    * co-locates them. The default case-class Ordering/hashCode pair
+    * satisfies both. */
   def batch[K: Ordering, V, S, O: Encoder](
       ds: Dataset[V],
       key: V => K,
@@ -61,10 +67,18 @@ object StatefulExec {
       .map(v => ((key(v), v), ()))
       .repartitionAndSortWithinPartitions(partitioner)
       .mapPartitions { it =>
+        val ord = implicitly[Ordering[K]]
         var cur: Option[K] = None
         var state: S = logic.zero
         it.flatMap { case ((k, v), _) =>
-          if (!cur.contains(k)) { cur = Some(k); state = logic.zero }
+          // Key boundaries are detected with the SAME Ordering the sort
+          // used (compare != 0), not equals: an Ordering over a subset of
+          // the key's fields would interleave compare-equal keys in the
+          // sorted run, and an equals-based check would reset state on
+          // every alternation.
+          if (cur.isEmpty || ord.compare(cur.get, k) != 0) {
+            cur = Some(k); state = logic.zero
+          }
           val (s2, out) = logic.update(k, v, state)
           state = s2
           out.iterator

@@ -62,8 +62,10 @@ object KafkaShim {
       .parquet(topicPath(root, topic))
   }
 
-  /** Batch read from `startingOffsets` (exclusive lower bounds per
-    * partition; missing partition = from 0). */
+  /** Batch read from `startingOffsets` (INCLUSIVE lower bounds per
+    * partition — offset o reads o itself onward, matching Kafka's
+    * `startingOffsets` contract; a resuming caller passes
+    * last-committed + 1. Missing partition = from 0). */
   def read(
       spark: SparkSession,
       root: String,
@@ -82,6 +84,52 @@ object KafkaShim {
   /** Streaming read (file-stream over the topic directory). */
   def readStream(spark: SparkSession, root: String, topic: String): DataFrame =
     spark.readStream.schema(schemaDDL).parquet(topicPath(root, topic))
+
+  /** True when Spark's real Kafka connector is on the classpath (the
+    * spark-sql-kafka-0-10 jar does not ship in this container). */
+  private[graft] def kafkaJarPresent: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** Kafka `startingOffsets` JSON for a topic (inclusive per-partition
+    * offsets — identical contract to [[read]]'s map). */
+  private[graft] def brokerStartingOffsetsJson(
+      topic: String, startingOffsets: Map[Int, Long]): String =
+    if (startingOffsets.isEmpty) "earliest"
+    else {
+      val parts = startingOffsets.toSeq.sortBy(_._1)
+        .map { case (p, o) => s""""$p": $o""" }.mkString(", ")
+      s"""{"$topic": {$parts}}"""
+    }
+
+  /** Batch read dispatching on the environment: with a broker address AND
+    * the kafka jar present, go through Spark's native `format("kafka")`
+    * (malstrom-kafka/src/source.rs's true broker path), projected to the
+    * shim's exact schema; otherwise fall back to the file shim. The
+    * offset contract (inclusive lower bounds) is identical either way. */
+  def readAuto(
+      spark: SparkSession,
+      root: String,
+      topic: String,
+      startingOffsets: Map[Int, Long] = Map.empty,
+      bootstrapServers: Option[String] = None): DataFrame =
+    bootstrapServers match {
+      case Some(servers) if kafkaJarPresent =>
+        spark.read.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", topic)
+          .option("startingOffsets", brokerStartingOffsetsJson(topic, startingOffsets))
+          .load()
+          .select(
+            F.col("partition").cast("int").as("partition"),
+            F.col("offset").cast("long").as("offset"),
+            F.col("key").cast("string").as("key"),
+            F.col("value").cast("string").as("value"),
+            F.col("timestamp").cast("timestamp").as("ts"))
+      case _ => read(spark, root, topic, startingOffsets)
+    }
 
   /** Committed high-water mark per partition — the connector's offset
     * state (malstrom-kafka keeps this in snapshot state). */

@@ -30,9 +30,24 @@ final case class ParquetSource(path: String, schemaDDL: Option[String] = None) e
 /** In-memory iterator source (sources/single_iterator.rs): a driver-side
   * finite sequence distributed via `spark.range` + pure projection — the
   * generator runs on executors, not the driver. */
-final case class RangeSource(n: Long, numPartitions: Int = 4) extends GraftSource {
+final case class RangeSource(n: Long, numPartitions: Int = 4,
+    rowsPerSecond: Long = 100000L) extends GraftSource {
   override def load(spark: SparkSession): DataFrame =
     spark.range(0, n, 1, numPartitions).toDF("i")
+
+  /** The iterator as a STREAM (single_iterator.rs is a first-class stream
+    * source in the reference): Spark's rate source supplies the monotonic
+    * cursor, projected to the same `(i)` schema and bounded by a pushed
+    * `i < n` predicate — the query emits 0..n-1 exactly once, then goes
+    * quiet (a finite iterator over an open streaming channel; terminating
+    * the query is the caller's choice, as with the reference's frontier). */
+  override def loadStream(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+      .select(F.col("value").as("i"))
+      .where(F.col("i") < n)
 }
 
 /** Stateless file source (sources/stateless.rs): re-reads everything,

@@ -84,4 +84,18 @@ class CoreOpsSpec extends AnyFunSuite with SparkFixture {
     val out = keyed.agg(F.count(F.lit(1)).as("n")).toDF.collect()
     assert(out.length == 5 && out.forall(_.getLong(1) == 20))
   }
+
+  test("langId classifies CJK text as zh (bare pattern, no \\b)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1, "这是一个中文文档，我们在这里写了很多的字。他说这不是问题。"),
+      (2, "the quick brown fox jumps over the lazy dog and the cat"),
+      (3, "der hund und die katze sind nicht auf der straße"),
+      (4, "12345 67890 @@@ ###")).toDF("doc_id", "text")
+    val out = docs.select(F.col("doc_id"),
+      graft.functions.TextFunctions.langId(F.col("text")).as("lang"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "zh", s"CJK doc must classify zh, got ${out(1)}")
+    assert(out(2) == "en" && out(3) == "de" && out(4) == "und")
+  }
 }

@@ -37,6 +37,16 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(!pairs.contains((4L, 5L)), s"false positive on unrelated docs: $pairs")
   }
 
+  test("MinhashSigsExpr one-pass signatures match explode+groupBy bit-for-bit") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val viaAgg = Dedup.minhashSignatures(
+      Dedup.shinglesRaw(docs, "doc_id", "text", 3), "doc_id", 8)
+    val viaExpr = Dedup.minhashSignaturesFromDocs(docs, "doc_id", "text", 3, 8)
+    assert(viaExpr.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.count() > 0)
+  }
+
   test("ngram jaccard is 1.0 for identical docs and high for near dups") {
     val j = Dedup.ngramJaccard(planted)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

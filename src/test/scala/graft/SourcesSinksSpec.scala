@@ -18,6 +18,23 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() == 100)
   }
 
+  test("RangeSource streams the same finite iterator via loadStream") {
+    val q = RangeSource(20, numPartitions = 2).loadStream(spark)
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def seen(): Long = spark.table("range_stream").count()
+      while (seen() < 20 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        if (seen() < 20) Thread.sleep(100)
+      }
+      val got = spark.table("range_stream").select("i").collect()
+        .map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 20L), s"stream emitted ${got.length} rows")
+    } finally q.stop()
+  }
+
   test("StatefulSource resumes strictly after the stored offset") {
     val src = StatefulSource(s"$sf001/documents.parquet", "doc_id", 490L)
     val ids = src.load(spark).select("doc_id").collect().map(_.getLong(0))
@@ -68,6 +85,26 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     // end offsets
     val ends = KafkaShim.endOffsets(spark, root, "t1").collect()
     assert(ends.length == 3)
+  }
+
+  test("KafkaShim.readAuto dispatches: shim fallback without the kafka jar") {
+    import spark.implicits._
+    // no spark-sql-kafka jar ships in this container
+    assert(!KafkaShim.kafkaJarPresent)
+    val root = Files.createTempDirectory("graft_kauto_").toString
+    val df = (0L until 6L).map(i => (i % 2, s"k$i", s"v$i", i))
+      .toDF("partition", "key", "value", "seq")
+      .withColumn("ts", F.timestamp_seconds(F.col("seq")))
+    KafkaShim.write(df, root, "td", orderCols = Seq("seq"))
+    // even with a broker address, jar-absent → file shim handles the read
+    val viaAuto = KafkaShim.readAuto(spark, root, "td",
+      Map(0 -> 1L), bootstrapServers = Some("broker:9092"))
+    assert(viaAuto.filter(F.col("partition") === 0).select(F.min("offset"))
+      .head().getLong(0) == 1L)
+    // the broker-path startingOffsets JSON carries the same inclusive map
+    assert(KafkaShim.brokerStartingOffsetsJson("td", Map.empty) == "earliest")
+    assert(KafkaShim.brokerStartingOffsetsJson("td", Map(1 -> 5L, 0 -> 3L)) ==
+      """{"td": {"0": 3, "1": 5}}""")
   }
 
   test("KafkaShim append continues offsets after each partition's high-water mark") {

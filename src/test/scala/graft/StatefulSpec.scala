@@ -46,7 +46,8 @@ class StatefulSpec extends AnyFunSuite with SparkFixture {
     // stream the sorted run (the secondary sort keeps state O(1) per task;
     // the old toVector.sorted path materialized the whole key group).
     val n = 50000L
-    val hot = (0L until n).map(i => KV(if (i % 2 == 0) 7L else i, i, i)).toDS()
+    // odd i keys at n+i so no singleton collides with the hot key 7
+    val hot = (0L until n).map(i => KV(if (i % 2 == 0) 7L else n + i, i, i)).toDS()
     val logic = new StatefulLogic[Long, KV, Long, RunOut] {
       def zero = 0L
       def update(k: Long, v: KV, s: Long): (Long, IterableOnce[RunOut]) =

@@ -50,12 +50,12 @@ def main():
             n = len(con.execute(sql).fetchall())
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+        times[name] = max(round(best, 3), 0.001)  # floor: 0.0 breaks ratio division downstream
         print(f"[baseline] {name:22s} {best:8.3f}s  ({n} rows)", file=sys.stderr)
 
     out = {"sf": sf_dir, "engine": f"duckdb-{duckdb.__version__}",
            "repeat": repeat, "queries": times,
-           "total": round(sum(v for v in times.values() if v), 3)}
+           "total": round(sum(v for v in times.values() if v is not None), 3)}
     with open("baseline_times.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
