@@ -171,33 +171,51 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0,
                    dfCap: Int = 1000): DataFrame = {
-    // The shingle table feeds several consumers (df cap, counts, signatures,
-    // both intersection probes) — persist + materialize ONCE. The only
-    // other eager index is the signature table (self-joined); candidate
-    // pairs are consumed by exactly one downstream join, so they flow
-    // lazily through AQE with no barrier.
-    val sh0 = materialize(shingles(docs, idCol, textCol, shingleN))
-    // Stopword-shingle cap: the heavy-hitter list is tiny (shingles with
-    // df > cap) — broadcast it explicitly so the anti-join never degrades
-    // to a shuffle on a bad size estimate. The groupBy is map-side
-    // combinable over the cached sh0.
-    val heavy = sh0.groupBy(F.col("shingle"))
+    // ONE per-doc shingle-SET table (id, arr, n) drives everything —
+    // df cap, counts, signatures, intersections. Built with ZERO shuffles
+    // (array_distinct runs inside the row, before any explode) and
+    // persisted at docs granularity: the only corpus-sized cache, and the
+    // doc scan + ShingleExpr run exactly once.
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+    val docArr0 = materialize(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(idCol), F.array_distinct(shingleArr).as("arr"))
+        .filter(F.size(F.col("arr")) > 0)
+        .withColumn("n", F.size(F.col("arr")).cast("long")))
+    // Stopword-shingle df cap: the explode STREAMS through one map-side-
+    // combinable aggregation (never materialized); the heavy-hitter list
+    // is tiny by construction (shingles with df > cap) — broadcast it so
+    // the anti-join never degrades to a shuffle on a bad size estimate.
+    val heavy = docArr0.select(F.explode(F.col("arr")).as("shingle"))
+      .groupBy(F.col("shingle"))
       .agg(F.count(F.lit(1)).as("df"))
       .filter(F.col("df") > dfCap)
       .select("shingle")
-    val sh = sh0.join(F.broadcast(heavy), Seq("shingle"), "left_anti")
-    // Per-doc shingle SET as one array row: (id, arr, n). One shuffle of
-    // the capped shingle table; order inside `arr` is irrelevant (set
-    // intersection below).
-    val docArr = materialize(sh.groupBy(F.col(idCol))
-      .agg(F.collect_list(F.col("shingle")).as("arr"), F.count(F.lit(1)).as("n")))
-    // LSH candidacy runs off the one-pass per-row signature build (same
-    // values; see minhashSignaturesFromDocs) — it re-shingles the doc scan
-    // instead of re-aggregating sh0, trading a cheap projection for the
-    // groupBy(id) shuffle of the shingle table.
-    val pairs =
-      candidatesFromSigs(
-        materialize(minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands)), idCol)
+    // Adaptive cap application (the AQE spirit): when NO shingle exceeds
+    // dfCap — every corpus below web scale — the per-row arrays are
+    // already the capped sets, and the explode → anti-join → regroup
+    // shuffle is skipped entirely. The emptiness probe is one cheap
+    // aggregation job over the cached docArr0.
+    val docArr =
+      if (heavy.isEmpty) docArr0
+      else materialize(
+        docArr0.select(F.col(idCol), F.explode(F.col("arr")).as("shingle"))
+          .join(F.broadcast(heavy), Seq("shingle"), "left_anti")
+          .groupBy(F.col(idCol))
+          .agg(F.collect_list(F.col("shingle")).as("arr"),
+            F.count(F.lit(1)).as("n")))
+    // LSH candidacy straight off the cached shingle sets (MIN over the
+    // distinct set equals MIN over the raw stream) — no re-shingling, no
+    // groupBy: the signature build is a projection of docArr0.
+    val sigArr = ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        ColumnBridge.expression(F.col("arr")), bands))
+    val pairs = candidatesFromSigs(
+      materialize(docArr0
+        .select(F.col(idCol), sigArr.as("sigs"))
+        .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))),
+      idCol)
     // Guard 1 (pair-driven intersection): |A∩B| = size(array_intersect) per
     // candidate PAIR row — two doc-keyed joins carrying the arrays, zero
     // row fan-out. The SQL oracle expresses the same math relationally
