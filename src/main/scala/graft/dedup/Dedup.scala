@@ -270,23 +270,20 @@ object Dedup {
       .filter(F.col("cosine") >= minCosine)
   }
 
-  /** 64-bit SimHash over whitespace tokens, built from per-token xxhash64:
-    * bit j of the simhash = (Σ_tokens (2·bit_j(xxh64(token)) − 1)) ≥ 0.
-    * Composed entirely from codegen'd built-ins (explode + 64 conditional
-    * sums collapsed map-side); no UDF. Returns (id, simhash). */
+  /** 64-bit SimHash over whitespace tokens: bit j of the simhash =
+    * (Σ_tokens (2·bit_j(md5₆₄(token)) − 1)) ≥ 0, folded per ROW by the
+    * native [[graft.functions.expressions.SimhashExpr]] — no token
+    * explode, no 64-column aggregation shuffle, and md5-derived bits so
+    * the DuckDB oracle replicates the value exactly. Docs with no tokens
+    * drop out. Returns (id, simhash). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tok = docs.select(
-      F.col(idCol),
-      F.explode(TextFunctions.tokens(F.col(textCol))).as("tok"))
-      .withColumn("h", F.xxhash64(F.col("tok")))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
-      F.sum(F.shiftright(F.col("h"), j).bitwiseAND(1L) * 2L - 1L).as(s"b$j")
-    }
-    val summed = tok.groupBy(F.col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map { j =>
-      F.when(F.col(s"b$j") >= 0, F.lit(1L << j)).otherwise(F.lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    summed.select(F.col(idCol), packed.as("simhash"))
+    val sh = ColumnBridge.column(
+      graft.functions.expressions.SimhashExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(F.col(idCol), sh.as("simhash"))
+      .filter(F.col("simhash").isNotNull)
   }
 
   /** Winnowing near-dup candidates: docs sharing at least `minShared`

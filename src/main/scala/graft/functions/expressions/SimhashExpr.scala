@@ -1,0 +1,69 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash of whitespace-tokenized lowercased text, in ONE pass
+  * per row (reference semantics: simhash near-dup candidacy; the
+  * construction is Charikar's classic bit-vote).
+  *
+  * Per token, the 64 hash bits come from the first 8 BYTES of
+  * `md5(token)`: bit j = (digest[j/8] >> (j%8)) & 1 — chosen over
+  * xxhash64 so the DuckDB oracle can replicate the value exactly from
+  * `md5()` hex (see OracleSql's q_dedup_simhash). Bit j of the result is
+  * set iff Σ_tokens (2·bit_j − 1) ≥ 0.
+  *
+  * Tokenization matches TextFunctions.tokens / ShingleExpr: lowercase,
+  * split on \s+, drop empties. NULL for token-less text (such docs have
+  * no simhash row, as the old explode-based build dropped them).
+  *
+  * Like [[MinhashSigsExpr]], running the fold inside the projection
+  * removes the token explode and the 64-column aggregation SHUFFLE — the
+  * simhash build is a pure scan at any corpus size.
+  */
+case class SimhashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
+    val toks = text.split("\\s+")
+    val md = MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](64)
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        any = true
+        val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 64) {
+          val bit = (dig(j >> 3) >> (j & 7)) & 1
+          sums(j) += (2 * bit - 1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) null
+    else {
+      var out = 0L
+      var j = 0
+      while (j < 64) {
+        if (sums(j) >= 0) out |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}

@@ -47,7 +47,10 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
       hs(i) = h
       i += 1
     }
-    // winnow: min of each w-window (rightmost min on ties, per the paper)
+    // winnow: min of each w-window (rightmost min on ties, per the paper),
+    // via a monotonic deque — O(m) total, not O(m·w). Popping `>=` on push
+    // makes the surviving front the RIGHTMOST minimal index of its window,
+    // matching the paper's tie rule.
     val sel = new java.util.TreeSet[java.lang.Long]()
     if (m <= w) {
       var best = 0
@@ -55,13 +58,20 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
       while (j < m) { if (hs(j) <= hs(best)) best = j; j += 1 }
       sel.add(hs(best))
     } else {
-      var start = 0
-      while (start + w <= m) {
-        var best = start
-        var j = start + 1
-        while (j < start + w) { if (hs(j) <= hs(best)) best = j; j += 1 }
-        sel.add(hs(best))
-        start += 1
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0
+      var j = 0
+      while (j < m) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+        dq(tail) = j
+        tail += 1
+        val start = j - w + 1
+        if (start >= 0) {
+          while (dq(head) < start) head += 1
+          sel.add(hs(dq(head)))
+        }
+        j += 1
       }
     }
     val out = new Array[Any](sel.size)

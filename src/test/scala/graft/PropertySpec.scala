@@ -36,6 +36,33 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winnow deque selection equals the naive per-window rightmost-min") {
+    val k = 4; val w = 5
+    forSamples(text, n = 80) { t =>
+      val s = t.toLowerCase
+      if (s.length >= k) {
+        // naive reference: recompute each window's rightmost min
+        val B = 1000000007L
+        val m = s.length - k + 1
+        val hs = new Array[Long](m)
+        var pow = 1L
+        (1 until k).foreach(_ => pow *= B)
+        var h = 0L
+        (0 until k).foreach(i => h = h * B + s.charAt(i))
+        hs(0) = h
+        (1 until m).foreach { i =>
+          h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1); hs(i) = h
+        }
+        val expected =
+          if (m <= w) Set(hs.zipWithIndex.minBy { case (v, i) => (v, -i) }._1)
+          else (0 to m - w).map { st =>
+            (st until st + w).map(j => (hs(j), -j)).min._1
+          }.toSet
+        assert(winnow(t, k, w) == expected)
+      }
+    }
+  }
+
   test("winnow is invariant to case (lowercasing is internal)") {
     forSamples(text) { t =>
       assert(winnow(t.toUpperCase, 8, 12) == winnow(t, 8, 12))
