@@ -165,4 +165,55 @@ object StatefulExec {
         }
     }
   }
+
+  /** Streaming execution on Spark 4's transformWithState (state v2) — the
+    * modern engine for the same [[StatefulLogic]] contract. Differences
+    * from [[stream]]/[[streamEventTime]] that matter at scale:
+    *  - state lives in named `ValueState` slots in the RocksDB state store
+    *    (changelog-checkpointable — the snapshot/slatedb.rs analogue with
+    *    an LSM backend, not a memory map);
+    *  - expiry is an event-time TIMER per key (re-armed to
+    *    watermark + ttl on every update), so `onExpiry` fires when the
+    *    watermark — the epoch frontier analogue, ttl_map.rs:21-23 —
+    *    passes the deadline, never the wall clock.
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider and, when `ttlMs` is set, a watermark on
+    * `ds` (timers need TimeMode.EventTime). */
+  def streamTws[K: Encoder, V, S: Encoder, O: Encoder](
+      ds: Dataset[V],
+      key: V => K,
+      logic: StatefulLogic[K, V, S, O],
+      ttlMs: Option[Long] = None): Dataset[O] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val stateEnc = implicitly[Encoder[S]]
+    val processor = new StatefulProcessor[K, V, O] {
+      @transient private var state: ValueState[S] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[S]("graft_state", stateEnc, TTLConfig.NONE)
+      override def handleInputRows(k: K, rows: Iterator[V], tv: TimerValues): Iterator[O] = {
+        var s = if (state.exists()) state.get() else logic.zero
+        val out = Vector.newBuilder[O]
+        rows.foreach { v =>
+          val (s2, os) = logic.update(k, v, s)
+          s = s2
+          out ++= os
+        }
+        state.update(s)
+        ttlMs.foreach { t =>
+          // one live deadline per key: re-arm from the current frontier
+          getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+          getHandle.registerTimer(tv.getCurrentWatermarkInMs() + t)
+        }
+        out.result().iterator
+      }
+      override def handleExpiredTimer(k: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[O] =
+        if (state.exists()) {
+          val s = state.get()
+          state.clear()
+          logic.onExpiry(k, s).iterator
+        } else Iterator.empty
+    }
+    val mode = if (ttlMs.isDefined) TimeMode.EventTime() else TimeMode.None()
+    ds.groupByKey(key).transformWithState(processor, mode, OutputMode.Append())
+  }
 }

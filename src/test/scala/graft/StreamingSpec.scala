@@ -48,6 +48,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows.contains(STotal(2, 5)))
   }
 
+  test("transformWithState (state v2) keeps per-key state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SEvent]
+      val out = StatefulExec.streamTws[Long, SEvent, Long, STotal](
+        input.toDS(), _.k, runningSum)
+      val q = out.writeStream.format("memory").queryName("totals_tws")
+        .outputMode("append").start()
+      input.addData(SEvent(1, 10), SEvent(2, 5))
+      q.processAllAvailable()
+      input.addData(SEvent(1, 7)) // ValueState for key 1 must persist: 10 + 7
+      q.processAllAvailable()
+      val rows = spark.table("totals_tws").as[STotal].collect().toSeq
+      q.stop()
+      assert(rows.contains(STotal(1, 17)), s"state lost across batches: $rows")
+      assert(rows.contains(STotal(2, 5)))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpointed query resumes state after a restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ckpt_").toString
