@@ -27,6 +27,19 @@ object StreamingOps {
       .groupBy(keys.map(F.col) :+ F.window(F.col(tsCol), width): _*)
       .agg(F.count(F.lit(1)).as("n"))
 
+  /** Streaming exact dedup: keep the FIRST document per content hash.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by EVENT time
+    * — the state store holds one sha-256 entry per distinct document seen
+    * within the watermark horizon, then evicts, so a continuous 100 TB/day
+    * ingest dedups with bounded state instead of an ever-growing hash set
+    * (the streaming face of [[graft.dedup.Dedup.exact]]). */
+  def dedupExactStream(docs: DataFrame, tsCol: String, delay: String,
+                       textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", F.sha2(F.col(textCol), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Start a query with a durable checkpoint (snapshot backend analogue).
     * Killing the query and calling this again resumes from state. */
   def startWithCheckpoint(writer: DataStreamWriter[Row], checkpointDir: String): StreamingQuery =

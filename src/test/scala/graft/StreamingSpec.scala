@@ -74,6 +74,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedupExactStream keeps first occurrence across micro-batches, bounded by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val out = graft.streaming.StreamingOps.dedupExactStream(
+      input.toDS().toDF("ts", "text"), "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(ts(0) -> "alpha doc", ts(1) -> "beta doc", ts(2) -> "alpha doc")
+    q.processAllAvailable()
+    input.addData(ts(3) -> "alpha doc", ts(4) -> "gamma doc") // dup within horizon
+    q.processAllAvailable()
+    val texts = spark.table("dedup_stream").select("text").as[String].collect().toSeq
+    q.stop()
+    assert(texts.sorted == Seq("alpha doc", "beta doc", "gamma doc"),
+      s"expected one survivor per distinct text, got $texts")
+  }
+
   test("checkpointed query resumes state after a restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ckpt_").toString
