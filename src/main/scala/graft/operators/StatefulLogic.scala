@@ -183,7 +183,8 @@ object StatefulExec {
       ds: Dataset[V],
       key: V => K,
       logic: StatefulLogic[K, V, S, O],
-      ttlMs: Option[Long] = None): Dataset[O] = {
+      ttlMs: Option[Long] = None,
+      eventTimeMs: Option[V => Long] = None): Dataset[O] = {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
     val stateEnc = implicitly[Encoder[S]]
     val processor = new StatefulProcessor[K, V, O] {
@@ -192,17 +193,23 @@ object StatefulExec {
         state = getHandle.getValueState[S]("graft_state", stateEnc, TTLConfig.NONE)
       override def handleInputRows(k: K, rows: Iterator[V], tv: TimerValues): Iterator[O] = {
         var s = if (state.exists()) state.get() else logic.zero
+        var maxTs = Long.MinValue
         val out = Vector.newBuilder[O]
         rows.foreach { v =>
+          eventTimeMs.foreach(f => maxTs = math.max(maxTs, f(v)))
           val (s2, os) = logic.update(k, v, s)
           s = s2
           out ++= os
         }
         state.update(s)
         ttlMs.foreach { t =>
-          // one live deadline per key: re-arm from the current frontier
+          // one live deadline per key, re-armed to last-seen-event-time +
+          // ttl (ttl_map.rs semantics: expiry when the frontier passes the
+          // last activity). Floor at the current watermark so a key fed
+          // only late data still arms ahead of the frontier.
           getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
-          getHandle.registerTimer(tv.getCurrentWatermarkInMs() + t)
+          val base = math.max(maxTs, tv.getCurrentWatermarkInMs())
+          getHandle.registerTimer(base + t)
         }
         out.result().iterator
       }

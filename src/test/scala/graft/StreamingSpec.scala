@@ -230,6 +230,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"key 1 was refreshed past the frontier and must NOT expire: $rows")
   }
 
+  test("transformWithState timers expire on the WATERMARK, sparing refreshed keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ttlLogic = new StatefulLogic[Long, WmEvent, Long, STotal] {
+        def zero = 0L
+        def update(k: Long, v: WmEvent, s: Long): (Long, IterableOnce[STotal]) =
+          (s + v.v, Iterator.empty)
+        override def onExpiry(k: Long, s: Long): IterableOnce[STotal] =
+          Iterator.single(STotal(k, s))
+      }
+      val input = MemoryStream[SEvent]
+      val ds = input.toDF()
+        .withColumn("ts", F.timestamp_seconds($"v" * 60))
+        .withWatermark("ts", "0 seconds")
+        .as[WmEvent]
+      val out = StatefulExec.streamTws[Long, WmEvent, Long, STotal](
+        ds, _.k, ttlLogic, ttlMs = Some(30 * 60000L),
+        eventTimeMs = Some(_.ts.getTime))
+      val q = out.writeStream.format("memory").queryName("ttl_tws")
+        .outputMode("append").start()
+      // same scenario as the fMGWS event-time test: key 2 idles past its
+      // deadline, key 1 is refreshed beyond the frontier
+      input.addData(SEvent(1, 10), SEvent(2, 10))
+      q.processAllAvailable()
+      input.addData(SEvent(1, 60))
+      q.processAllAvailable()
+      input.addData(SEvent(3, 61))
+      q.processAllAvailable()
+      val rows = spark.table("ttl_tws").as[STotal].collect().toSeq
+      q.stop()
+      assert(rows.contains(STotal(2, 10)),
+        s"watermark passing the deadline did not expire idle key 2: $rows")
+      assert(!rows.exists(_.k == 1),
+        s"key 1 was refreshed past the frontier and must NOT expire: $rows")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream equi-join with watermarks joins within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
