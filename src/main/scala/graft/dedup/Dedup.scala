@@ -137,11 +137,19 @@ object Dedup {
     * ≈ dup-cluster size ≈ 5), so small-sf results are unchanged. */
   private def candidatesFromSigs(sigs: DataFrame, idCol: String,
                                  maxBucket: Int = 100000): DataFrame = {
-    val big = sigs.groupBy(F.col("band"), F.col("sig"))
-      .agg(F.count(F.lit(1)).as("bn"))
-      .filter(F.col("bn") > maxBucket)
-      .select("band", "sig")
-    val pruned = sigs.join(F.broadcast(big), Seq("band", "sig"), "left_anti")
+    // Adaptive: a bucket cannot exceed maxBucket when the WHOLE signature
+    // table is smaller — skip the heavy-hitter scan + anti-join outright
+    // (sigs arrives persisted, so the count reads the cache). The full
+    // guard engages exactly when it can matter: web-scale corpora.
+    val pruned =
+      if (sigs.count() <= maxBucket) sigs
+      else {
+        val big = sigs.groupBy(F.col("band"), F.col("sig"))
+          .agg(F.count(F.lit(1)).as("bn"))
+          .filter(F.col("bn") > maxBucket)
+          .select("band", "sig")
+        sigs.join(F.broadcast(big), Seq("band", "sig"), "left_anti")
+      }
     val a = pruned.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_a"))
     val b = pruned.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_b"))
     a.join(b, Seq("band", "sig"))
