@@ -358,6 +358,77 @@ object OracleSql {
 
     "q_ann_lsh" -> lshBucketSql,
 
+    // Product quantization: per-subspace k-means (the IVF training CTEs on
+    // SLICED embeddings), per-vector nearest-centroid codes, ADC first
+    // stage (sum of subspace dots, folded in m order), exact-cosine rerank
+    // of the top-`rerank` cut. Mirrors Pq.topK / PqEncodeExpr / PqAdcExpr
+    // evaluation order exactly.
+    "q_ann_pq" -> {
+      val (m, subDim, books, sampleN, iters, rerank, k) = (8, 8, 16, 512, 2, 50, 5)
+      def slice(col: String, s: Int) = s"$col[${s * subDim + 1}:${(s + 1) * subDim}]"
+      val perSub = (0 until m).flatMap { s =>
+        val steps = (1 to iters).flatMap { it =>
+          val prev = if (it == 1) s"cent0_$s" else s"cent${it - 1}_$s"
+          Seq(
+            s"cn${it}_$s AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM $prev)",
+            s"""sc${it}_$s AS (
+               |  SELECT smp.vec_id, c.cid,
+               |    list_sum(list_transform(list_zip(smp.e, c.ce), p -> p[1] * p[2])) * 2 - c.c2 AS sc
+               |  FROM sample_$s smp, cn${it}_$s c)""".stripMargin,
+            s"""a${it}_$s AS (
+               |  SELECT vec_id, cid AS cell FROM (
+               |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+               |    FROM sc${it}_$s) WHERE rn = 1)""".stripMargin,
+            s"""m${it}_$s AS (
+               |  SELECT a.cell, d.d,
+               |    list_sum(list(smp.e[d.d] ORDER BY smp.vec_id)) / COUNT(*) AS mu
+               |  FROM a${it}_$s a JOIN sample_$s smp USING (vec_id),
+               |       (SELECT unnest(generate_series(1, $subDim)) AS d) d
+               |  GROUP BY a.cell, d.d)""".stripMargin,
+            s"""cent${it}_$s AS (
+               |  SELECT c0.cid, COALESCE(mm.ce, c0.ce) AS ce FROM $prev c0
+               |  LEFT JOIN (SELECT cell AS cid, list(mu ORDER BY d) AS ce FROM m${it}_$s GROUP BY cell) mm USING (cid))""".stripMargin)
+        }
+        Seq(
+          s"sample_$s AS (SELECT vec_id, list_transform(${slice("embedding", s)}, x -> CAST(x AS DOUBLE)) AS e FROM embeddings WHERE vec_id < $sampleN)",
+          s"cent0_$s AS (SELECT vec_id AS cid, e AS ce FROM sample_$s WHERE vec_id < $books)") ++ steps ++ Seq(
+          s"cnn_$s AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent${iters}_$s)",
+          s"""code_$s AS (
+             |  SELECT vec_id, cid AS code, ce FROM (
+             |    SELECT e.vec_id, c.cid, c.ce,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |        list_sum(list_transform(list_zip(${slice("e.embedding", s)}, c.ce), p -> CAST(p[1] AS DOUBLE) * p[2])) * 2 - c.c2 DESC,
+             |        c.cid ASC) AS rn
+             |    FROM embeddings e, cnn_$s c) WHERE rn = 1)""".stripMargin)
+      }
+      val adcParts = (0 until m).map { s =>
+        s"""SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, $s AS sub,
+           |    list_sum(list_transform(list_zip(${slice("q.embedding", s)}, cd.ce), p -> CAST(p[1] AS DOUBLE) * p[2])) AS part
+           |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q, code_$s cd
+           |  WHERE cd.vec_id <> q.vec_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${perSub.mkString(",\n")},
+         |adcp AS (
+         |$adcParts),
+         |adc AS (
+         |  SELECT query_id, neighbor_id, list_sum(list(part ORDER BY sub)) AS adc
+         |  FROM adcp GROUP BY query_id, neighbor_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS arn
+         |    FROM adc) WHERE arn <= $rerank),
+         |p AS (
+         |  SELECT cand.query_id, cand.neighbor_id, ${cosSql("qv.embedding", "cv.embedding")} AS cosine
+         |  FROM cand
+         |  JOIN embeddings qv ON qv.vec_id = cand.query_id
+         |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= $k""".stripMargin
+    },
+
     // embedding-cosine near-dup: multi-table LSH candidacy (4 tables x 6
     // bits, disjoint plane families), exact rounded cosine within buckets
     "q_dedup_embedding" -> {

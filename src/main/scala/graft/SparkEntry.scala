@@ -464,6 +464,12 @@ object SparkEntry {
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshBuckets(T(s, dir, "embeddings"), planes = 8)
 
+  /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.ann.Pq.topK(emb, emb.filter(F.col("vec_id") < 20), k = 5, rerank = 50)
+  }
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(F.col("doc_id"), TF.langId(F.col("text")).as("pred_lang"))
 
@@ -572,6 +578,7 @@ object SparkEntry {
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_tokens" -> (qTokens _),

@@ -1,0 +1,94 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.expressions.{PqAdcExpr, PqEncodeExpr}
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compressed scale
+  * path beyond IVF: a 64-float embedding becomes `subspaces` small codes
+  * (16× compression at 8 subspaces × 16 centroids), and the first-stage
+  * scan scores CODES, not vectors.
+  *
+  * Spark shape (the 100 TB story):
+  *  - codebooks train on a bounded driver-side sample per subspace —
+  *    [[Ann.trainCentroids]] on a SLICED embedding column, so training is
+  *    identical deterministic Lloyd k-means, replicable by the SQL oracle;
+  *  - the code index is one scan ([[PqEncodeExpr]], a per-row native
+  *    fold — no shuffle) persisted at `subspaces` bytes-per-doc scale;
+  *  - query scoring is a broadcast join + per-row asymmetric-distance
+  *    computation ([[PqAdcExpr]]) + WindowGroupLimit top-`rerank` cut;
+  *  - only the surviving `rerank` candidates per query touch real
+  *    vectors (exact rounded cosine, same formulation as every other ANN
+  *    tier) before the final top-k.
+  */
+object Pq {
+
+  /** Trained PQ model: `codebooks(m)(j)` = centroid j of subspace m. */
+  final case class PqModel(subspaces: Int, subDim: Int,
+                           codebooks: Array[Array[Array[Double]]])
+
+  /** Train per-subspace codebooks on the first `sampleN` vectors (dense
+    * ids, asserted by trainCentroids) — deterministic, bit-replicable. */
+  def train(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
+            dim: Int = 64, subspaces: Int = 8, codebookSize: Int = 16,
+            sampleN: Int = 512, iters: Int = 2): PqModel = {
+    require(dim % subspaces == 0, s"subspaces must divide dim: $subspaces / $dim")
+    val subDim = dim / subspaces
+    val books = (0 until subspaces).map { m =>
+      val sliced = corpus.select(
+        F.col(idCol),
+        F.slice(F.col(embCol), m * subDim + 1, subDim).as(embCol))
+      Ann.trainCentroids(sliced, idCol, embCol, codebookSize, sampleN, iters)
+    }.toArray
+    PqModel(subspaces, subDim, books)
+  }
+
+  /** Code index: (id, codes array<int>) — one scan, no shuffle. */
+  def encode(corpus: DataFrame, model: PqModel, idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame =
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(F.col(idCol), F.col(embCol),
+        ColumnBridge.column(PqEncodeExpr(
+          ColumnBridge.expression(F.col(embCol)), model.codebooks)).as("codes"))
+
+  /** Top-k per query: ADC first stage over codes, exact-cosine rerank of
+    * the top `rerank` survivors. Output matches the other ANN tiers:
+    * (query_id, rnk, neighbor_id, cosine). */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+           embCol: String = "embedding", k: Int = 5, rerank: Int = 50,
+           dim: Int = 64, subspaces: Int = 8, codebookSize: Int = 16,
+           sampleN: Int = 512, iters: Int = 2): DataFrame = {
+    val model = train(corpus, idCol, embCol, dim, subspaces, codebookSize, sampleN, iters)
+    val codes = encode(corpus, model, idCol, embCol)
+      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"), F.col("codes"))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"))
+    val adc = ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(F.col("q_emb")),
+      ColumnBridge.expression(F.col("codes")),
+      model.codebooks))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(F.col("adc").desc, F.col("neighbor_id").asc)
+    val wCos = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    def dot(a: Column, b: Column) = graft.functions.VectorFunctions.dotF(a, b)
+    def nrm(e: Column) = F.sqrt(dot(e, e))
+    codes.join(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("q_emb"), F.col("c_emb"),
+        adc.as("adc"))
+      .withColumn("arn", F.row_number().over(wAdc))
+      .filter(F.col("arn") <= rerank)
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.round(dot(F.col("q_emb"), F.col("c_emb")) /
+          (nrm(F.col("q_emb")) * nrm(F.col("c_emb"))), 6).as("cosine"))
+      .withColumn("rank", F.row_number().over(wCos))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
+        F.col("neighbor_id"), F.col("cosine"))
+  }
+}

@@ -129,6 +129,26 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(ivf.size <= 100) // k per query, bounded
   }
 
+  test("PQ ANN: 16x-compressed codes still rank true neighbors into the rerank set") {
+    import graft.ann.Pq
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    val brute = Ann.bruteTopK(emb, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Pq.topK(emb, q, k = 5, rerank = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"PQ recall@5 (8 subspaces x 16 centroids, rerank 50): $recall%.2f")
+    assert(recall >= 0.6, f"PQ recall too low: $recall%.2f")
+    // compression: a code row is `subspaces` small ints, not dim floats
+    val model = Pq.train(emb)
+    val codes = Pq.encode(emb, model).select("codes").head().getSeq[Int](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    // determinism: same inputs, same model, same codes
+    val again = Pq.encode(emb, Pq.train(emb)).select("codes").head().getSeq[Int](0)
+    assert(codes == again)
+  }
+
   test("IVF trained centroids keep cells balanced (max <= 4x mean)") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cells = 16
