@@ -40,6 +40,33 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup dedup: a document is dropped when any of its
+    * minhash band signatures was already seen inside the watermark
+    * horizon. One [[graft.functions.expressions.MinhashSigsExpr]] scan
+    * per row (no shuffle before the dedup state), then
+    * `dropDuplicatesWithinWatermark` on band 0's signature keyed state —
+    * the streaming face of [[graft.dedup.Dedup.minhashCandidates]]:
+    * instead of pairing near-dups after the fact, the stream keeps only
+    * each cluster's FIRST representative. Candidacy here uses the full
+    * band vector (all bands must be new), the conservative variant that
+    * never drops a non-duplicate: docs agreeing on every band are
+    * near-identical by construction. */
+  def dedupMinhashStream(docs: DataFrame, tsCol: String, delay: String,
+                         textCol: String = "text", shingleN: Int = 3,
+                         bands: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.expressions.{MinhashSigsExpr, ShingleExpr}
+    val sigArr = ColumnBridge.column(MinhashSigsExpr(
+      ColumnBridge.expression(ColumnBridge.column(
+        ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))), bands))
+    docs
+      .withColumn("mh_sig", F.concat_ws("|", sigArr))
+      .filter(F.col("mh_sig").isNotNull && F.length(F.col("mh_sig")) > 0)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("mh_sig")
+      .drop("mh_sig")
+  }
+
   /** Start a query with a durable checkpoint (snapshot backend analogue).
     * Killing the query and calling this again resumes from state. */
   def startWithCheckpoint(writer: DataStreamWriter[Row], checkpointDir: String): StreamingQuery =

@@ -93,6 +93,26 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"expected one survivor per distinct text, got $texts")
   }
 
+  test("dedupMinhashStream drops exact re-sends, keeps distinct docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "a completely different document about spark streams here"
+    val out = graft.streaming.StreamingOps.dedupMinhashStream(
+      input.toDS().toDF("ts", "text"), "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("mh_stream")
+      .outputMode("append").start()
+    input.addData(ts(0) -> a, ts(1) -> b)
+    q.processAllAvailable()
+    input.addData(ts(2) -> a) // identical doc → same band vector → dropped
+    q.processAllAvailable()
+    val texts = spark.table("mh_stream").select("text").as[String].collect().toSeq
+    q.stop()
+    assert(texts.sorted == Seq(a, b).sorted, s"expected one survivor per doc: $texts")
+  }
+
   test("checkpointed query resumes state after a restart") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ckpt_").toString
