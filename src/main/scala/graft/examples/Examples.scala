@@ -116,3 +116,24 @@ object JoiningAndSplitting {
     spark.stop()
   }
 }
+
+/** The LLM-data-pipeline pack end to end on real test data: near-dup
+  * detection (MinHash-LSH), compressed similarity search (PQ), and
+  * text-quality scoring — the graft-side surface the reference's users
+  * would reach for at corpus scale. */
+object DataPipelinePack {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    println(s"near-dup candidate pairs: ${graft.dedup.Dedup.minhashCandidates(docs).count()}")
+    graft.ann.Pq.topK(emb, emb.filter(F.col("vec_id") < 3), k = 3)
+      .orderBy("query_id", "rnk").show(9, false)
+    docs.select(F.col("doc_id"),
+        graft.functions.TextFunctions.langId(F.col("text")).as("lang"),
+        F.round(graft.functions.TextFunctions.qualityScore(F.col("text")), 3).as("quality"))
+      .orderBy(F.col("quality").desc).show(5, false)
+    spark.stop()
+  }
+}
