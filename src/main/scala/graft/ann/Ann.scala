@@ -145,7 +145,15 @@ object Ann {
     * The sample is a bounded driver collect (`sampleN` rows — an
     * index-build step, not a data-sized loop); at 100 TB you'd raise
     * `sampleN`, never scan the corpus: training cost is O(sampleN · cells
-    * · dim · iters) on one node, independent of corpus size. */
+    * · dim · iters) on one node, independent of corpus size.
+    *
+    * PRECONDITION: `idCol` must hold ids dense from 0 (0,1,2,…) — the
+    * centroid seed for cell j is the row with id j, matching the SQL
+    * oracle's `WHERE <id> = j` seed, and the method `require`-fails fast
+    * on sparse or offset id spaces rather than silently training on a
+    * different seed than the oracle. Arbitrary id spaces: pass a
+    * pre-densified projection (`row_number() - 1`). Applies transitively
+    * to [[graft.ann.Pq.train]] / [[graft.ann.Pq.topK]]. */
   def trainCentroids(corpus: DataFrame, idCol: String = "vec_id",
                      embCol: String = "embedding", cells: Int = 16,
                      sampleN: Int = 512, iters: Int = 2): Array[Array[Double]] = {

@@ -31,8 +31,11 @@ object Pq {
   final case class PqModel(subspaces: Int, subDim: Int,
                            codebooks: Array[Array[Array[Double]]])
 
-  /** Train per-subspace codebooks on the first `sampleN` vectors (dense
-    * ids, asserted by trainCentroids) — deterministic, bit-replicable. */
+  /** Train per-subspace codebooks on the first `sampleN` vectors —
+    * deterministic, bit-replicable. PRECONDITION: `idCol` ids must be
+    * dense from 0 (seed parity with the SQL oracle); `trainCentroids`
+    * `require`-fails on anything else — densify with `row_number() - 1`
+    * first for arbitrary id spaces. */
   def train(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
             dim: Int = 64, subspaces: Int = 8, codebookSize: Int = 16,
             sampleN: Int = 512, iters: Int = 2): PqModel = {
@@ -58,7 +61,8 @@ object Pq {
 
   /** Top-k per query: ADC first stage over codes, exact-cosine rerank of
     * the top `rerank` survivors. Output matches the other ANN tiers:
-    * (query_id, rnk, neighbor_id, cosine). */
+    * (query_id, rnk, neighbor_id, cosine). Corpus ids must be dense from
+    * 0 (see [[train]]) — training seeds by id. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
            embCol: String = "embedding", k: Int = 5, rerank: Int = 50,
            dim: Int = 64, subspaces: Int = 8, codebookSize: Int = 16,

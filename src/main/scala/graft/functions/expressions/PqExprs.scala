@@ -87,7 +87,11 @@ case class PqAdcExpr(left: Expression, right: Expression,
     var acc = 0.0
     var mi = 0
     while (mi < m) {
-      val cb = codebooks(mi)(codes.getInt(mi))
+      val code = codes.getInt(mi)
+      // codes not produced by PqEncodeExpr (or built against a different
+      // codebookSize) must yield NULL, not an executor-side AIOOBE
+      if (code < 0 || code >= codebooks(mi).length) return null
+      val cb = codebooks(mi)(code)
       var dot = 0.0
       var d = 0
       while (d < subDim) {

@@ -40,11 +40,12 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** Streaming NEAR-dup dedup: a document is dropped when any of its
-    * minhash band signatures was already seen inside the watermark
-    * horizon. One [[graft.functions.expressions.MinhashSigsExpr]] scan
-    * per row (no shuffle before the dedup state), then
-    * `dropDuplicatesWithinWatermark` on band 0's signature keyed state —
+  /** Streaming NEAR-dup dedup: a document is dropped only when its FULL
+    * minhash band vector (every band signature, concatenated) was already
+    * seen inside the watermark horizon. One
+    * [[graft.functions.expressions.MinhashSigsExpr]] scan per row (no
+    * shuffle before the dedup state), then
+    * `dropDuplicatesWithinWatermark` keyed on the concatenated vector —
     * the streaming face of [[graft.dedup.Dedup.minhashCandidates]]:
     * instead of pairing near-dups after the fact, the stream keeps only
     * each cluster's FIRST representative. Candidacy here uses the full

@@ -149,6 +149,25 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(codes == again)
   }
 
+  test("PqAdcExpr: out-of-range codes yield NULL, not an executor exception") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.expressions.PqAdcExpr
+    // 2 subspaces x 2 centroids x subDim 2; query dim 4
+    val books = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 1.0), Array(2.0, 2.0)))
+    val df = spark.range(1).select(
+      F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0)).as("q"),
+      F.array(F.lit(1), F.lit(7)).as("bad"),   // 7 >= codebookSize 2
+      F.array(F.lit(-1), F.lit(0)).as("neg"),  // negative code
+      F.array(F.lit(1), F.lit(1)).as("ok"))
+    val adc = (c: String) => ColumnBridge.column(PqAdcExpr(
+      ColumnBridge.expression(F.col("q")), ColumnBridge.expression(F.col(c)), books))
+    val r = df.select(adc("bad").as("b"), adc("neg").as("n"), adc("ok").as("o")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) == 2.0 + (3.0 * 2.0 + 4.0 * 2.0))
+  }
+
   test("IVF trained centroids keep cells balanced (max <= 4x mean)") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cells = 16
