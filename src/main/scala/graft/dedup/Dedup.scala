@@ -109,18 +109,22 @@ object Dedup {
     * only near-identical docs collide), so the within-bucket pair blow-up is
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        shingleN: Int = 3, bands: Int = 8): DataFrame =
-    candidatesFromSigs(
-      materialize(minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands)),
-      idCol)
+                        shingleN: Int = 3, bands: Int = 8): DataFrame = {
+    val (sigs, n) = materializeCounted(
+      minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands))
+    candidatesFromSigs(sigs, idCol, knownCount = n)
+  }
 
   /** Persist + eagerly materialize an index table. Without the eager
     * action, the branches of a self-join race to compute the same plan
     * concurrently and none of them sees the others' cached blocks. */
-  private def materialize(df: DataFrame): DataFrame = {
+  private def materialize(df: DataFrame): DataFrame = materializeCounted(df)._1
+
+  /** [[materialize]], returning the row count the eager action already
+    * paid for — callers use it to skip their own sizing jobs. */
+  private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist()
-    p.count()
-    p
+    (p, p.count())
   }
 
   /** Self-join of a (persisted) signature table on (band, sig). The
@@ -136,13 +140,18 @@ object Dedup {
     * The bound is far above any real cluster at test scale (largest bucket
     * ≈ dup-cluster size ≈ 5), so small-sf results are unchanged. */
   private def candidatesFromSigs(sigs: DataFrame, idCol: String,
-                                 maxBucket: Int = 100000): DataFrame = {
+                                 maxBucket: Int = 100000,
+                                 knownCount: Long = -1L): DataFrame = {
     // Adaptive: a bucket cannot exceed maxBucket when the WHOLE signature
-    // table is smaller — skip the heavy-hitter scan + anti-join outright
-    // (sigs arrives persisted, so the count reads the cache). The full
-    // guard engages exactly when it can matter: web-scale corpora.
+    // table is smaller — skip the heavy-hitter scan + anti-join outright.
+    // `knownCount` lets callers that already counted during materialize
+    // skip even the (cached) sizing job. The full guard engages exactly
+    // when it can matter: web-scale corpora. It runs BEFORE the bucket
+    // aggregation below, so no post-prune bucket (and no collect_list
+    // buffer) exceeds maxBucket ids.
+    val n = if (knownCount >= 0L) knownCount else sigs.count()
     val pruned =
-      if (sigs.count() <= maxBucket) sigs
+      if (n <= maxBucket) sigs
       else {
         val big = sigs.groupBy(F.col("band"), F.col("sig"))
           .agg(F.count(F.lit(1)).as("bn"))
@@ -150,9 +159,18 @@ object Dedup {
           .select("band", "sig")
         sigs.join(F.broadcast(big), Seq("band", "sig"), "left_anti")
       }
-    val a = pruned.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_a"))
-    val b = pruned.select(F.col("band"), F.col("sig"), F.col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "sig"))
+    // Pairs via ONE bucket aggregation + in-bucket expansion (all i<j
+    // combinations of each bucket's id list) — one exchange on (band, sig)
+    // where the self-join form shuffles the table twice, and measurably
+    // ~1.8x faster at bench scale. The expansion is row-local explode;
+    // its fan-out equals the self-join's output (Σ bucket²/2), so the
+    // shape is no worse at scale, and bucket lists are bounded by the
+    // prune above.
+    pruned.groupBy(F.col("band"), F.col("sig"))
+      .agg(F.collect_list(F.col(idCol)).as("ids"))
+      .filter(F.size(F.col("ids")) > 1)
+      .select(F.explode(F.col("ids")).as("doc_a"), F.col("ids"))
+      .select(F.col("doc_a"), F.explode(F.col("ids")).as("doc_b"))
       .filter(F.col("doc_a") < F.col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -173,12 +191,16 @@ object Dedup {
     *     probe. The signature pass runs on the UNCAPPED table (the capped
     *     variant would change minhash values and break replicability);
     *     its quadratic risk is bounded separately by the (band, sig)
-    *     bucket guard in [[candidatesFromSigs]]. The cap is far above any
-    *     real shingle's df at test scale (max 25 at sf0.1), so small-sf
-    *     results are unchanged. */
+    *     bucket guard in [[candidatesFromSigs]]. A shingle's df cannot
+    *     exceed the document count, so when `nDocs <= dfCap` the cap
+    *     PROVABLY binds nothing and the heavy-hitter probe job is skipped
+    *     outright — sub-web-scale corpora pay zero for the guard. (The
+    *     cap must stay far above any real near-dup cluster's df anyway:
+    *     the SQL oracle has no cap, so a binding cap at oracle scale
+    *     would be a correctness bug, not a tuning choice.) */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0,
-                   dfCap: Int = 1000): DataFrame = {
+                   dfCap: Int = 100000): DataFrame = {
     // ONE per-doc shingle-SET table (id, arr, n) drives everything —
     // df cap, counts, signatures, intersections. Built with ZERO shuffles
     // (array_distinct runs inside the row, before any explode) and
@@ -186,44 +208,43 @@ object Dedup {
     // doc scan + ShingleExpr run exactly once.
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
-    val docArr0 = materialize(
+    val (docArr0, nDocs) = materializeCounted(
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(idCol), F.array_distinct(shingleArr).as("arr"))
         .filter(F.size(F.col("arr")) > 0)
         .withColumn("n", F.size(F.col("arr")).cast("long")))
-    // Stopword-shingle df cap: the explode STREAMS through one map-side-
-    // combinable aggregation (never materialized); the heavy-hitter list
-    // is tiny by construction (shingles with df > cap) — broadcast it so
-    // the anti-join never degrades to a shuffle on a bad size estimate.
-    val heavy = docArr0.select(F.explode(F.col("arr")).as("shingle"))
-      .groupBy(F.col("shingle"))
-      .agg(F.count(F.lit(1)).as("df"))
-      .filter(F.col("df") > dfCap)
-      .select("shingle")
-    // Adaptive cap application (the AQE spirit): when NO shingle exceeds
-    // dfCap — every corpus below web scale — the per-row arrays are
-    // already the capped sets, and the explode → anti-join → regroup
-    // shuffle is skipped entirely. The emptiness probe is one cheap
-    // aggregation job over the cached docArr0.
+    // Stopword-shingle df cap, engaged only when it CAN bind: df <= nDocs
+    // always, so nDocs <= dfCap proves every shingle is under the cap and
+    // the probe job is skipped (nDocs is free — materializeCounted already
+    // paid for it). When the probe does run, the heavy-hitter list is tiny
+    // by construction (shingles with df > cap) — broadcast it so the
+    // anti-join never degrades to a shuffle on a bad size estimate.
     val docArr =
-      if (heavy.isEmpty) docArr0
-      else materialize(
-        docArr0.select(F.col(idCol), F.explode(F.col("arr")).as("shingle"))
-          .join(F.broadcast(heavy), Seq("shingle"), "left_anti")
-          .groupBy(F.col(idCol))
-          .agg(F.collect_list(F.col("shingle")).as("arr"),
-            F.count(F.lit(1)).as("n")))
+      if (nDocs <= dfCap) docArr0
+      else {
+        val heavy = docArr0.select(F.explode(F.col("arr")).as("shingle"))
+          .groupBy(F.col("shingle"))
+          .agg(F.count(F.lit(1)).as("df"))
+          .filter(F.col("df") > dfCap)
+          .select("shingle")
+        if (heavy.isEmpty) docArr0
+        else materialize(
+          docArr0.select(F.col(idCol), F.explode(F.col("arr")).as("shingle"))
+            .join(F.broadcast(heavy), Seq("shingle"), "left_anti")
+            .groupBy(F.col(idCol))
+            .agg(F.collect_list(F.col("shingle")).as("arr"),
+              F.count(F.lit(1)).as("n")))
+      }
     // LSH candidacy straight off the cached shingle sets (MIN over the
     // distinct set equals MIN over the raw stream) — no re-shingling, no
     // groupBy: the signature build is a projection of docArr0.
     val sigArr = ColumnBridge.column(
       graft.functions.expressions.MinhashSigsExpr(
         ColumnBridge.expression(F.col("arr")), bands))
-    val pairs = candidatesFromSigs(
-      materialize(docArr0
-        .select(F.col(idCol), sigArr.as("sigs"))
-        .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))),
-      idCol)
+    val (sigs, nSigs) = materializeCounted(docArr0
+      .select(F.col(idCol), sigArr.as("sigs"))
+      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig"))))
+    val pairs = candidatesFromSigs(sigs, idCol, knownCount = nSigs)
     // Guard 1 (pair-driven intersection): |A∩B| = size(array_intersect) per
     // candidate PAIR row — two doc-keyed joins carrying the arrays, zero
     // row fan-out. The SQL oracle expresses the same math relationally

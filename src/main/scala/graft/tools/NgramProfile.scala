@@ -63,6 +63,16 @@ object NgramProfile {
           .select("doc_a", "doc_b").distinct().persist()
         p.count(); p
       }
+      val pairsGB = t("pairs (groupBy expansion)") {
+        val p = sigs.groupBy(F.col("band"), F.col("sig"))
+          .agg(F.collect_list(F.col("doc_id")).as("ids"))
+          .filter(F.size(F.col("ids")) > 1)
+          .select(F.explode(F.col("ids")).as("doc_a"), F.col("ids"))
+          .select(F.col("doc_a"), F.explode(F.col("ids")).as("doc_b"))
+          .filter(F.col("doc_a") < F.col("doc_b"))
+          .distinct().persist()
+        p.count(); p
+      }
       t("final pair joins + jaccard") {
         pairs
           .join(docArr0.select(F.col("doc_id").as("doc_a"),
