@@ -114,9 +114,24 @@ object Dedup {
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, bands: Int = 8): DataFrame = {
-    val (sigs, n) = materializeCounted(
-      minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands))
-    candidatesFromSigs(sigs, idCol, knownCount = n)
+    // Cache the UNEXPLODED (id, sigs) table and explode above the cache
+    // boundary: InferFiltersFromGenerate synthesizes `size(sigs) > 0` under
+    // the posexplode, and with the explode below the cache that filter
+    // pushes past the repartition and re-evaluates the whole
+    // shingle+minhash fold per row on the unspread scan. Above the cache
+    // it lands on a stored array column — free. The cache is also
+    // bands-fold smaller than the exploded form.
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+    val sigArr = ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        ColumnBridge.expression(shingleArr), bands))
+    val (sigsArr, nDocs) = materializeCounted(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(idCol), sigArr.as("sigs")))
+    val sigs = sigsArr
+      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
+    candidatesFromSigs(sigs, idCol, knownCount = nDocs * bands)
   }
 
   /** Persist + eagerly materialize an index table. Without the eager
@@ -205,21 +220,32 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0,
                    dfCap: Int = 100000): DataFrame = {
-    // ONE per-doc shingle-SET table (id, arr, n) drives everything —
-    // df cap, counts, signatures, intersections. Built with ZERO shuffles
-    // (array_distinct runs inside the row, before any explode) and
-    // persisted at docs granularity: the only corpus-sized cache, and the
-    // doc scan + ShingleExpr run exactly once.
+    // ONE per-doc table (id, arr, n, sigs) drives everything — df cap,
+    // counts, signatures, intersections. Built with ZERO shuffles beyond
+    // the scan spread (array_distinct and the minhash fold run inside the
+    // row, before any explode) and persisted at docs granularity: the only
+    // corpus-sized cache, and the doc scan + ShingleExpr run exactly once.
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
     // No size(arr) > 0 filter: a doc with no shingles has no signatures,
     // lands in no LSH bucket, and joins no pair — and the filter would be
     // pushed below the repartition, re-evaluating ShingleExpr +
     // array_distinct per row on the unspread scan.
+    //
+    // The minhash signature array is computed INTO the same cache, in a
+    // second chained select: CollapseProject keeps the two projections
+    // separate (it refuses to duplicate the non-cheap shingle expression
+    // referenced twice), so ShingleExpr runs once per row and the cache
+    // holds (id, arr, n, sigs) — every index the query needs, one pass,
+    // one count job.
+    val sigOverArr = ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        ColumnBridge.expression(F.col("arr")), bands))
     val (docArr0, nDocs) = materializeCounted(
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(idCol), F.array_distinct(shingleArr).as("arr"))
-        .withColumn("n", F.size(F.col("arr")).cast("long")))
+        .select(F.col(idCol), F.col("arr"),
+          F.size(F.col("arr")).cast("long").as("n"), sigOverArr.as("sigs")))
     // Stopword-shingle df cap, engaged only when it CAN bind: df <= nDocs
     // always, so nDocs <= dfCap proves every shingle is under the cap and
     // the probe job is skipped (nDocs is free — materializeCounted already
@@ -242,16 +268,14 @@ object Dedup {
             .agg(F.collect_list(F.col("shingle")).as("arr"),
               F.count(F.lit(1)).as("n")))
       }
-    // LSH candidacy straight off the cached shingle sets (MIN over the
-    // distinct set equals MIN over the raw stream) — no re-shingling, no
-    // groupBy: the signature build is a projection of docArr0.
-    val sigArr = ColumnBridge.column(
-      graft.functions.expressions.MinhashSigsExpr(
-        ColumnBridge.expression(F.col("arr")), bands))
-    val (sigs, nSigs) = materializeCounted(docArr0
-      .select(F.col(idCol), sigArr.as("sigs"))
-      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig"))))
-    val pairs = candidatesFromSigs(sigs, idCol, knownCount = nSigs)
+    // LSH candidacy: explode the CACHED signature arrays (MIN over the
+    // distinct set equals MIN over the raw stream, so sigs built from
+    // `arr` match the raw-text construction bit for bit). The explode
+    // sits above the cache boundary — the Generate-inferred size filter
+    // reads a stored column instead of re-running the minhash fold.
+    val sigs = docArr0
+      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
+    val pairs = candidatesFromSigs(sigs, idCol, knownCount = nDocs * bands)
     // Guard 1 (pair-driven intersection): |A∩B| = size(array_intersect) per
     // candidate PAIR row — two doc-keyed joins carrying the arrays, zero
     // row fan-out. The SQL oracle expresses the same math relationally
