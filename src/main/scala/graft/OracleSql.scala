@@ -229,6 +229,31 @@ object OracleSql {
         |f AS (SELECT event_id, user_id, uts, MAX(uts) OVER (PARTITION BY user_id) AS fr FROM e)
         |SELECT event_id, user_id, epoch_us(uts) AS ts_us FROM f WHERE uts < fr - INTERVAL 6 HOUR""".stripMargin,
 
+    // DuckDB's native ASOF JOIN — an independent implementation of the
+    // nearest-earlier-match semantics (inclusive on equal timestamps),
+    // against graft's union + running-window formulation. (user_id, ts)
+    // is duplicate-free in the generated events, so the match is unique.
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, epoch_us(p.pts) AS p_ts_us,
+        |       c.click_id, epoch_us(c.cts) AS c_ts_us, c.value AS click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts""".stripMargin,
+
+    // Plain inequality join (fine at oracle scale; graft's operator is the
+    // bucketed equi-join + residual form of the same predicate).
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS t0,
+        |             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS t1
+        |           FROM events WHERE event_type = 'error'),
+        |     c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT e.err_id, e.user_id, c.click_id,
+        |       epoch_us(e.t0) AS err_ts_us, epoch_us(c.cts) AS click_ts_us
+        |FROM e JOIN c ON e.user_id = c.user_id AND c.cts >= e.t0 AND c.cts < e.t1""".stripMargin,
+
     "q_join" ->
       """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

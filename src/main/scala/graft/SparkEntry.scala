@@ -277,6 +277,44 @@ object SparkEntry {
       .toDF
   }
 
+  /** As-of join: each purchase picks up the user's most recent click at or
+    * before it ([[graft.operators.TemporalJoins.asofJoin]] — one key
+    * shuffle + running window, no inequality join). Oracle: DuckDB's
+    * native ASOF JOIN, an independent implementation of the semantics. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id").as("purchase_id"), F.col("user_id"), F.col("ts"))
+    val clicks = ev.filter(F.col("event_type") === "click")
+      .select(F.col("user_id"), F.col("event_id"), F.col("ts"), F.col("value"))
+    graft.operators.TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"))
+      .select(
+        F.col("purchase_id"), F.col("user_id"),
+        F.unix_micros(F.col("ts")).as("p_ts_us"),
+        F.col("r_event_id").as("click_id"),
+        F.unix_micros(F.col("r_ts")).as("c_ts_us"),
+        F.col("r_value").as("click_value"))
+  }
+
+  /** Range join: clicks landing inside the 1-hour window after an error by
+    * the same user ([[graft.operators.TemporalJoins.rangeJoin]] —
+    * equi-join on (key, time bucket) + residual filter, never a
+    * cross-product inequality join). */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(F.col("event_type") === "error")
+      .select(F.col("user_id"), F.col("event_id").as("err_id"),
+        F.col("ts").as("t0"), (F.col("ts") + F.expr("INTERVAL 1 HOUR")).as("t1"))
+    val clicks = ev.filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("user_id"), F.col("ts"))
+    graft.operators.TemporalJoins.rangeJoin(
+        clicks, errors, Seq("user_id"), bucketSeconds = 3600L)
+      .select(
+        F.col("i_err_id").as("err_id"), F.col("user_id"), F.col("click_id"),
+        F.unix_micros(F.col("i_t0")).as("err_ts_us"),
+        F.unix_micros(F.col("ts")).as("click_ts_us"))
+  }
+
   // ------------------------------------------------------- sources / sinks
 
   private def qSourceParquet(s: SparkSession, dir: String): DataFrame =
@@ -555,6 +593,8 @@ object SparkEntry {
     "q_frontier" -> (qFrontier _),
     "q_late_data" -> (qLateData _),
     "q_join" -> (qJoin _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_source_parquet" -> (qSourceParquet _),
     "q_source_iterator" -> (qSourceIterator _),
     "q_source_stateless" -> (qSourceStateless _),
