@@ -322,12 +322,69 @@ object OracleSql {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // TF-IDF: same tokenizer as the dedup oracles; tf * ln(N/df) with the
+    // exact operand order of TfIdf.score, rounded to 6 decimals both sides.
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf_r
+        |  FROM tf JOIN df USING (tok), n),
+        |r AS (SELECT doc_id, tok, tf, tfidf_r,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, tok ASC) AS rk FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rnk, tok, tf, tfidf_r FROM r WHERE rk <= 3""".stripMargin,
+
+    // Deterministic stratified sample: md5 hex threshold per stratum —
+    // identical subset in any engine with md5.
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |FROM events
+        |WHERE md5(CAST(event_id AS VARCHAR)) <
+        |  CASE event_type WHEN 'purchase' THEN 'ff' WHEN 'error' THEN '80'
+        |    WHEN 'click' THEN '40' WHEN 'view' THEN '20' WHEN 'signup' THEN '10' END""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
+
+    // Dedup clusters: recursive-CTE transitive closure (min label per
+    // node) over the SAME verified-pair edge set the Spark side builds
+    // (LSH candidates filtered to exact jaccard >= 0.5) — an independent
+    // formulation of Components.connectedComponents' propagation loop.
+    "q_dedup_components" ->
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          |  FROM pairs p
+          |  JOIN sh s1 ON s1.doc_id = p.doc_a
+          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+          |  GROUP BY 1, 2),
+          |jac AS (
+          |  SELECT i2.doc_a, i2.doc_b
+          |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
+          |  WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.5),
+          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+          |        UNION ALL SELECT doc_b, doc_a FROM jac),
+          |reach(id, lbl) AS (
+          |  SELECT DISTINCT src, src FROM sym
+          |  UNION
+          |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst)
+          |SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY id""".stripMargin),
 
     // Mirrors SimhashExpr: per-token 64-bit hash = first 8 bytes of
     // md5(token), bit j = (byte[j/8] >> (j%8)) & 1; simhash bit j set iff

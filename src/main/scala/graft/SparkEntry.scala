@@ -470,6 +470,41 @@ object SparkEntry {
         F.percentile(F.col("value"), F.lit(0.5)).as("p50"),
         F.percentile(F.col("value"), F.lit(0.9)).as("p90"))
 
+  /** Dedup clusters: connected components over VERIFIED near-dup pairs
+    * (exact jaccard >= 0.5 within LSH candidates) — each doc labelled with
+    * its component's min doc id, the canonical-survivor key. Oracle:
+    * DuckDB recursive CTE transitive closure over the identical edge set. */
+  private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ngramJaccard(T(s, dir, "documents"), minJaccard = 0.5)
+      .select("doc_a", "doc_b")
+    graft.dedup.Components.connectedComponents(edges)
+  }
+
+  /** Top-3 TF-IDF keywords per document (windowed, token tie-break). */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.TfIdf.topKeywords(docs, docs.count(), k = 3)
+  }
+
+  /** Deterministic stratified sample of events: per-type md5-threshold
+    * rates (purchase ~100%, error 50%, click 25%, view 12.5%, signup
+    * 6.25%) — repartition-stable, engine-replicable, pure scan filter. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.events(s, dir), "event_type", "event_id",
+        Map("purchase" -> "ff", "error" -> "80", "click" -> "40",
+          "view" -> "20", "signup" -> "10"))
+      .select(F.col("event_id"), F.col("event_type"),
+        F.unix_micros(F.col("ts")).as("ts_us"), F.col("value"))
+
+  /** Hierarchical aggregate: ROLLUP over (returnflag, linestatus) —
+    * grand-total and per-flag subtotals in one pass (built-in grouping
+    * sets; partial aggregation still map-side). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(F.col("l_returnflag"), F.col("l_linestatus"))
+      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("l_quantity")).as("sum_qty"))
+
   // ---------------------------------------------------------- LLM pipeline
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -608,6 +643,10 @@ object SparkEntry {
     "q_agg_salted" -> (qAggSalted _),
     "q_topk" -> (qTopK _),
     "q_dedup_keep" -> (qDedupKeep _),
+    "q_dedup_components" -> (qDedupComponents _),
+    "q_tfidf" -> (qTfidf _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_rollup" -> (qRollup _),
     "q_distinct" -> (qDistinct _),
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** TF-IDF keyword scoring over a document corpus — the classic
+  * "what is this document about" signal for training-data curation
+  * (topic balancing, keyword-based filtering, near-topic dedup).
+  *
+  * Pure relational shape: tokenize → explode → two map-side-combinable
+  * aggregations (term frequency per (doc, token); document frequency per
+  * token) → broadcast-friendly join → windowed top-k. No UDFs; the whole
+  * score is `tf * ln(N / df)` in IEEE doubles with a fixed operand order,
+  * so the DuckDB oracle reproduces it bit-for-bit (rounded to 6 decimals
+  * on both sides, the same convention as the cosine queries).
+  */
+object TfIdf {
+
+  /** (doc_id, tok, tf, tfidf_r): every (document, token) pair scored.
+    * `nDocs` is the corpus size for the idf denominator — pass the
+    * pre-counted table size (an index-build scalar, not a per-row
+    * lookup). */
+  def score(docs: DataFrame, nDocs: Long, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(F.col(idCol), F.explode(TextFunctions.tokens(F.col(textCol))).as("tok"))
+    val tf = toks.groupBy(F.col(idCol), F.col("tok"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    // df: tf is already one row per (doc, token), so a count per token IS
+    // the document frequency — no distinct pass.
+    val df = tf.groupBy(F.col("tok")).agg(F.count(F.lit(1)).as("df"))
+    tf.join(df, "tok")
+      .select(
+        F.col(idCol), F.col("tok"), F.col("tf"),
+        F.round(
+          F.col("tf").cast("double") *
+            F.log(F.lit(nDocs.toDouble) / F.col("df").cast("double")),
+          6).as("tfidf_r"))
+  }
+
+  /** Top-`k` keywords per document by TF-IDF, deterministically tie-broken
+    * on the token string. WindowGroupLimit keeps only k rows per doc on
+    * both the map and reduce side of the rank shuffle. */
+  def topKeywords(docs: DataFrame, nDocs: Long, k: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(F.col(idCol))
+      .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
+    score(docs, nDocs, idCol, textCol)
+      .withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= k)
+      .select(F.col(idCol), F.col("rnk").cast("long").as("rnk"),
+        F.col("tok"), F.col("tf"), F.col("tfidf_r"))
+  }
+}
