@@ -15,8 +15,9 @@ object Bench {
     "q_join", "q_asof_join", "q_range_join",
     "q_epochs_window", "q_stream_epochs", "q_stateful_map", "q_ttl_map",
     "q_key_distribute", "q_agg_salted", "q_dedup_exact", "q_dedup_minhash",
-    "q_ngram_jaccard", "q_fingerprint_winnow", "q_ann_brute", "q_ann_ivf",
-    "q_ann_lsh", "q_tokens", "q_quality", "q_pipeline")
+    "q_ngram_jaccard", "q_dedup_components", "q_fingerprint_winnow",
+    "q_ann_brute", "q_ann_ivf",
+    "q_ann_lsh", "q_tokens", "q_tfidf", "q_quality", "q_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +80,8 @@ object Bench {
         }.mkString("{", ",", "}")
         val bTot = results.collect { case (k, _) if baseline.contains(k) => baseline(k) }.sum
         val sTot = results.collect { case (k, v) if baseline.contains(k) => v }.sum
-        s""","baseline_total":${f"$bTot%.3f"},"bench_vs_baseline":${f"${sTot / bTot}%.1f"},"ratio_vs_duckdb":$rs"""
+        if (bTot == 0.0) "" // no covered queries selected: NaN would corrupt the JSON
+        else s""","baseline_total":${f"$bTot%.3f"},"bench_vs_baseline":${f"${sTot / bTot}%.1f"},"ratio_vs_duckdb":$rs"""
       }
     val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"$ratioJson}"""

@@ -24,11 +24,17 @@ object TfIdf {
   def score(docs: DataFrame, nDocs: Long, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val toks = docs
+    // Term frequency folded per ROW (TokenTfExpr): the explode output is
+    // already (doc, tok, tf) — no docs × tokens fan-out through an
+    // aggregation and no (doc, tok) shuffle at all.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tfArr = ColumnBridge.column(
+      graft.functions.expressions.TokenTfExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    val tf = docs
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(F.col(idCol), F.explode(TextFunctions.tokens(F.col(textCol))).as("tok"))
-    val tf = toks.groupBy(F.col(idCol), F.col("tok"))
-      .agg(F.count(F.lit(1)).as("tf"))
+      .select(F.col(idCol), F.explode(tfArr).as("tt"))
+      .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
     // df: tf is already one row per (doc, token), so a count per token IS
     // the document frequency — no distinct pass.
     val df = tf.groupBy(F.col("tok")).agg(F.count(F.lit(1)).as("df"))

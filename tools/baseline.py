@@ -20,9 +20,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_epochs_window", "q_stream_epochs", "q_stateful_map",
             "q_ttl_map", "q_key_distribute", "q_agg_salted", "q_dedup_exact",
-            "q_dedup_minhash", "q_ngram_jaccard", "q_fingerprint_winnow",
-            "q_ann_brute", "q_ann_ivf", "q_ann_lsh", "q_tokens", "q_quality",
-            "q_pipeline"]
+            "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_components",
+            "q_fingerprint_winnow",
+            "q_ann_brute", "q_ann_ivf", "q_ann_lsh", "q_tokens", "q_tfidf",
+            "q_quality", "q_pipeline"]
 
 
 def main():
