@@ -322,6 +322,57 @@ object OracleSql {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Chunking: same tokenizer; chunk i = tokens [i*stride+1, i*stride+size]
+    // (inclusive list slice), k = ceil(max(n - overlap, 1) / stride).
+    "q_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+        |k AS (SELECT doc_id, w, n,
+        |        CAST(ceil(CAST(greatest(n - 10, 1) AS DOUBLE) / 40) AS INT) AS nk FROM t2),
+        |c AS (SELECT doc_id, w, n, unnest(generate_series(0, nk - 1)) AS ci FROM k)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_ix,
+        |  list_aggregate(w[ci*40+1 : ci*40+50], 'string_agg', ' ') AS chunk_text,
+        |  CAST(least(n - ci*40, 50) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
+
+    // Packing: exclusive running token sum per source, floor-div binning.
+    "q_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor(CAST(cum AS DOUBLE) / 2048) AS BIGINT) AS bin,
+        |  CAST(cum % 2048 AS BIGINT) AS bin_pos
+        |FROM c""".stripMargin,
+
+    // Scrubbing: the same three-regex chain, 'g' flag for replace-all.
+    "q_scrub" ->
+      """SELECT event_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{2,}', '<NUM>', 'g') AS clean_props,
+        |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_nums
+        |FROM events""".stripMargin,
+
+    // Top-20 corpus bigrams, deterministic (count desc, bigram asc) cut.
+    "q_bigrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest([list_aggregate(w[i:i+1], 'string_agg', ' ') for i in generate_series(1, len(w)-1)]) AS bigram
+        |  FROM tok WHERE len(w) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
     // TF-IDF: same tokenizer as the dedup oracles; tf * ln(N/df) with the
     // exact operand order of TfIdf.score, rounded to 6 decimals both sides.
     "q_tfidf" ->

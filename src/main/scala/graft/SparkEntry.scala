@@ -505,6 +505,39 @@ object SparkEntry {
       .rollup(F.col("l_returnflag"), F.col("l_linestatus"))
       .agg(F.count(F.lit(1)).as("n"), dsum(F.col("l_quantity")).as("sum_qty"))
 
+  /** Context-window chunking: 50-token chunks, 10-token overlap — the
+    * pre-tokenization split step of an LLM data pipeline (row-local
+    * sequence explode, zero shuffle). */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunk(T(s, dir, "documents"), size = 50, overlap = 10)
+
+  /** Sequence packing: greedy 2048-token binning per source stratum via
+    * one running-sum window pass. */
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.pack(T(s, dir, "documents"), budget = 2048L, groupCol = "source")
+
+  /** PII/noise scrubbing over the events props payload (digit runs are
+    * live in this corpus; the email/URL passes ride the same chain). */
+  private def qScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      F.col("event_id"),
+      graft.functions.TextFunctions.scrub(F.col("props")).as("clean_props"),
+      F.regexp_count(F.col("props"), F.lit("[0-9]{2,}")).cast("long").as("n_nums"))
+
+  /** Corpus-wide top-20 bigrams (language-model count table, head of). */
+  private def qBigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bg = ColumnBridge.column(graft.functions.expressions.ShingleExpr(
+      ColumnBridge.expression(F.col("text")), 2))
+    T(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(F.explode(bg).as("bigram"))
+      .groupBy(F.col("bigram"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy(F.col("n").desc, F.col("bigram").asc)
+      .limit(20)
+  }
+
   // ---------------------------------------------------------- LLM pipeline
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -647,6 +680,10 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_rollup" -> (qRollup _),
+    "q_chunk" -> (qChunk _),
+    "q_pack" -> (qPack _),
+    "q_scrub" -> (qScrub _),
+    "q_bigrams" -> (qBigrams _),
     "q_distinct" -> (qDistinct _),
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),

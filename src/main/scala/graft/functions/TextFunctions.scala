@@ -114,6 +114,19 @@ object TextFunctions {
     * the exact-dup key that survives formatting differences. */
   def fingerprint(text: Column): Column = F.md5(F.lower(normalizeWs(text)))
 
+  /** PII/noise scrubbing for training corpora: emails → `<EMAIL>`,
+    * URLs → `<URL>`, digit runs (2+) → `<NUM>`, applied in that order
+    * (emails before the digit pass so an address is one `<EMAIL>`, not a
+    * shredded mix). A chain of codegen'd regexp_replace — no UDF — using
+    * the Java∩RE2 regex subset so the SQL oracle replays it verbatim. */
+  def scrub(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(text,
+          F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), F.lit("<EMAIL>")),
+        F.lit("https?://[^\\s]+"), F.lit("<URL>")),
+      F.lit("[0-9]{2,}"), F.lit("<NUM>"))
+
   /** Winnowing fingerprints: rolling-hash k-gram minima per w-window
     * (see [[graft.functions.expressions.WinnowExpr]]). array<bigint>. */
   def winnowFingerprints(text: Column, k: Int = 16, w: Int = 32): Column =

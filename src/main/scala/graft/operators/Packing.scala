@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.TextFunctions
+
+/** Context-window preparation for LLM training: split long documents into
+  * overlapping token-window chunks, and pack short documents into
+  * fixed-budget sequences.
+  *
+  * Both are pure relational shapes — a row-local explode for chunking, a
+  * per-partition running-sum window for packing — so they scale as scans
+  * plus at most one key shuffle, and both have exact SQL oracles.
+  */
+object Packing {
+
+  /** Split each document into chunks of `size` whitespace tokens with
+    * `overlap` tokens of context carried between consecutive chunks
+    * (stride = size - overlap). Row-local: the chunk windows are a
+    * `sequence` explode and each chunk re-joins its token slice — no
+    * shuffle at all; output is (id, chunk_ix, chunk_text, n_tokens).
+    * Documents shorter than `size` yield one chunk. The final chunk may
+    * be shorter than `size`; a chunk never starts past the last token. */
+  def chunk(docs: DataFrame, size: Int, overlap: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = TextFunctions.tokens(F.col(textCol))
+    // number of chunks: ceil(max(n - overlap, 1) / stride), indexes 0..k-1
+    val n = F.size(F.col("__toks"))
+    val k = F.ceil(F.greatest(n - overlap, F.lit(1)).cast("double") / stride)
+      .cast("int")
+    docs
+      .select(F.col(idCol), toks.as("__toks"))
+      .filter(F.size(F.col("__toks")) > 0)
+      .select(F.col(idCol), F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), k - 1)).as("chunk_ix"))
+      .select(
+        F.col(idCol), F.col("chunk_ix").cast("long").as("chunk_ix"),
+        F.concat_ws(" ",
+          F.slice(F.col("__toks"), F.col("chunk_ix") * stride + 1, F.lit(size))).as("chunk_text"),
+        F.least(F.size(F.col("__toks")) - F.col("chunk_ix") * stride, F.lit(size))
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Greedy sequential packing: within each `groupCol` stratum, documents
+    * (in `idCol` order) accumulate into bins of at most `budget` tokens —
+    * bin id = floor(exclusive-prefix-sum / budget) over the running token
+    * count, the streaming-friendly approximation of first-fit packing
+    * (a document longer than `budget` gets a bin of its own and overflows
+    * it; chunk first if that matters). One window pass per stratum: the
+    * shuffle key is `groupCol`, state is a running sum — the same shape at
+    * 100 TB with a date/shard column as the stratum.
+    *
+    * Output: (group, id, n_tokens, bin, bin_pos). */
+  def pack(docs: DataFrame, budget: Long, groupCol: String = "source",
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(F.col(groupCol)).orderBy(F.col(idCol).asc)
+    val nTok: Column = TextFunctions.tokenCount(F.col(textCol))
+    docs
+      .select(F.col(groupCol), F.col(idCol), nTok.as("n_tokens"))
+      .withColumn("__cum",
+        F.coalesce(
+          F.sum(F.col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+          F.lit(0L)))
+      .select(
+        F.col(groupCol), F.col(idCol), F.col("n_tokens"),
+        F.floor(F.col("__cum") / budget).as("bin"),
+        (F.col("__cum") % budget).as("bin_pos"))
+  }
+}

@@ -60,6 +60,57 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(byType("view") < views / 2, "rate 20 should keep ~12.5% of views")
   }
 
+  test("chunk covers every token with the configured overlap") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // 95 tokens, size 50, overlap 10 (stride 40): chunks at 0, 40, 80
+    val text = (1 to 95).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "short doc")).toDF("doc_id", "text")
+    val chunks = Packing.chunk(docs, size = 50, overlap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._4 == 50L)
+    assert(d1(1)._3.startsWith("t41 ") && d1(1)._4 == 50L)
+    assert(d1(2)._3.startsWith("t81 ") && d1(2)._3.endsWith(" t95") && d1(2)._4 == 15L)
+    // consecutive chunks share the 10-token overlap
+    assert(d1(0)._3.split(" ").takeRight(10).toSeq == d1(1)._3.split(" ").take(10).toSeq)
+    val d2 = chunks.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2(0)._3 == "short doc" && d2(0)._4 == 2L)
+  }
+
+  test("pack bins never start past the budget and preserve id order") {
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf001)
+    val packed = Packing.pack(docs, budget = 2048L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // bin ids are non-decreasing in doc order and bin_pos < budget
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      assert(sorted.forall(_._5 < 2048L))
+      // exclusive prefix sum: first doc of each stratum starts at (0, 0)
+      assert(sorted.head._4 == 0L && sorted.head._5 == 0L)
+    }
+  }
+
+  test("scrub redacts emails, urls, and digit runs in order") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "mail bob.smith+x@example.org now",
+      "see https://a.example.com/p?q=1 ok",
+      "call 5551234 or 12",
+      "clean text").toDF("text")
+    val out = df.select(TextFunctions.scrub(F.col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "see <URL> ok")
+    assert(out(2) == "call <NUM> or <NUM>")
+    assert(out(3) == "clean text")
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
