@@ -32,8 +32,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val chain = (0L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalArgumentException] {
-      Components.connectedComponents(chain, maxIter = 2).collect()
+      // smallGraphEdges = 0 forces the distributed propagation path
+      Components.connectedComponents(chain, maxIter = 2, smallGraphEdges = 0L).collect()
     }
+  }
+
+  test("driver union-find and distributed propagation produce identical labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("doc_a", "doc_b")
+    val local = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connectedComponents(edges, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist && local.nonEmpty)
   }
 
   test("deterministic sample is repartition-stable and rate-plausible") {
