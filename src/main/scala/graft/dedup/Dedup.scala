@@ -353,6 +353,11 @@ object Dedup {
     * length ≥ w+k−1. */
   def winnowCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                        k: Int = 16, w: Int = 32, minShared: Int = 2): DataFrame = {
+    // NOTE: this stays the AQE-planned self-join (not the bucket
+    // collect_list expansion candidatesFromSigs uses) — winnow buckets
+    // are larger and denser than LSH signature buckets, and measured at
+    // bench scale the ObjectHashAggregate list build costs ~4x what the
+    // (broadcastable) join does.
     val fp = docs.select(
       F.col(idCol),
       F.explode(TextFunctions.winnowFingerprints(F.col(textCol), k, w)).as("fp"))
@@ -387,13 +392,23 @@ object Dedup {
         F.lit(b).as("band"),
         F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(mask).as("bsig"))
     }: _*)
-    // The simhash table feeds both sides of the band self-join — build the
-    // (id, simhash, band, bsig) index once.
-    val banded = materialize(
-      simhash(docs, idCol, textCol)
-        .select(F.col(idCol), F.col("simhash"), F.explode(slices).as("bs"))
-        .select(F.col(idCol), F.col("simhash"),
-          F.col("bs.band").as("band"), F.col("bs.bsig").as("bsig")))
+    // Cache the UNEXPLODED (id, simhash) table: the not-null filter and
+    // the band explode then read a stored column — with the filter below
+    // the cache, Catalyst pushes it past the repartition and re-evaluates
+    // the SimhashExpr fold three times per row on the unspread scan (the
+    // same InferFilters/pushdown trap as the minhash paths). The banded
+    // view is a cheap projection of the cache, recomputed per join side.
+    val sh = ColumnBridge.column(
+      graft.functions.expressions.SimhashExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    val shTable = materialize(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(idCol), sh.as("simhash")))
+    val banded = shTable
+      .filter(F.col("simhash").isNotNull)
+      .select(F.col(idCol), F.col("simhash"), F.explode(slices).as("bs"))
+      .select(F.col(idCol), F.col("simhash"),
+        F.col("bs.band").as("band"), F.col("bs.bsig").as("bsig"))
     val a = banded.select(F.col("band"), F.col("bsig"),
       F.col(idCol).as("doc_a"), F.col("simhash").as("sh_a"))
     val b = banded.select(F.col("band"), F.col("bsig"),
