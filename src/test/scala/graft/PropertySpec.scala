@@ -82,6 +82,65 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(diff == 0)
   }
 
+  test("TokenTfExpr counts equal the explode+groupBy counts on random texts") {
+    import spark.implicits._
+    val samples = Gen.listOfN(60, text).sample.get
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val tfArr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.TokenTfExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(F.col("text"))))
+    val viaExpr = df.select(F.col("id"), F.explode(tfArr).as("tt"))
+      .select(F.col("id"), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaAgg = df.select(F.col("id"),
+        F.explode(TextFunctions.tokens(F.col("text"))).as("tok"))
+      .groupBy("id", "tok").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaExpr == viaAgg)
+  }
+
+  test("chunk reassembles to the original token stream (minus the overlaps)") {
+    import spark.implicits._
+    import graft.operators.Packing
+    forSamples(Gen.zip(text, Gen.chooseNum(4, 12), Gen.chooseNum(0, 3)), n = 25) {
+      case (t, size, overlap) =>
+        val docs = Seq((1L, t)).toDF("doc_id", "text")
+        val stride = size - overlap
+        val chunks = Packing.chunk(docs, size, overlap).collect()
+          .sortBy(_.getLong(1))
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        // dropping each chunk's leading overlap (except the first) must
+        // reassemble the exact token stream
+        val reassembled = chunks.zipWithIndex.flatMap { case (r, i) =>
+          val ts = r.getString(2).split(" ").toSeq
+          if (i == 0) ts else ts.drop(overlap)
+        }.toSeq
+        assert(reassembled == toks, s"size=$size overlap=$overlap")
+        // every chunk except possibly the last is exactly `size` tokens
+        chunks.dropRight(1).foreach(r => assert(r.getLong(3) == size))
+    }
+  }
+
+  test("asofJoin output equals the brute-force argmax on random event sets") {
+    import spark.implicits._
+    import graft.operators.TemporalJoins
+    val ev = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 1000L))).sample.get
+      .zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+    val probe = ev.filter(_._1 % 2 == 0).toDF("pid", "k", "ts")
+    val build = ev.filter(_._1 % 2 == 1).toDF("bid", "k", "ts")
+    val fast = TemporalJoins.asofJoin(probe, build, Seq("k")).collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("r_bid")).toMap
+    val brute = ev.filter(_._1 % 2 == 0).flatMap { case (pid, k, ts) =>
+      val cands = ev.filter(e => e._1 % 2 == 1 && e._2 == k && !e._3.after(ts))
+      // impl tie-break: max payload struct == max (ts, bid) lexicographically
+      if (cands.isEmpty) None
+      else Some(pid -> cands.maxBy(e => (e._3.getTime, e._1))._1)
+    }.toMap
+    assert(fast == brute)
+  }
+
   test("aggSalted equals plain agg for any bucket count (associativity)") {
     import spark.implicits._
     val data = Gen.listOfN(500, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000L, 1000L)))
