@@ -80,6 +80,87 @@ object Components {
       .repartition(spark.sparkContext.defaultParallelism)
   }
 
+  /** Connected components in O(log² n) rounds via the alternating
+    * large-star / small-star operations (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the adversarial-graph path:
+    * min-label propagation needs O(diameter) rounds, so a long path
+    * graph (a chain of near-identical shingled documents, say) degrades
+    * it to hundreds of shuffles, while star contraction halves structure
+    * every couple of rounds regardless of shape.
+    *
+    * Each round is two groupBy-min aggregations + joins over the current
+    * edge set, all map-side combinable; the edge set only shrinks toward
+    * the final star forest (every node → its component min). Output
+    * matches [[connectedComponents]] exactly (property-tested against
+    * union-find on random and pathological graphs). */
+  def connectedComponentsStars(edges: DataFrame, srcCol: String = "doc_a",
+                               dstCol: String = "doc_b", maxIter: Int = 40): DataFrame = {
+    val spark = edges.sparkSession
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      val m = nbrs.groupBy("src").agg(F.min("dst").as("md"))
+        .select(F.col("src"), F.least(F.col("md"), F.col("src")).as("m"))
+      nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))                 // v > u
+        .select(F.col("dst").as("src"), F.col("m").as("dst")) // emit (v, m)
+        .filter(F.col("src") =!= F.col("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // invariant from largeStar: every edge points bigger -> smaller
+      val m = e.groupBy("src").agg(F.min("dst").as("m"))
+      e.join(m, "src")
+        .select(
+          F.array(
+            F.struct(F.col("dst").as("src"), F.col("m").as("dst")), // (v, m)
+            F.struct(F.col("src").as("src"), F.col("m").as("dst"))  // (u, m)
+          ).as("out"))
+        .select(F.explode(F.col("out")).as("e"))
+        .select(F.col("e.src").as("src"), F.col("e.dst").as("dst"))
+        .filter(F.col("src") =!= F.col("dst"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, String) = {
+      // hash sum through decimal(38): an order-independent set checksum
+      // that cannot overflow under ANSI arithmetic
+      val r = e.agg(F.count(F.lit(1)).as("n"),
+        F.coalesce(F.sum(F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")),
+          F.lit(java.math.BigDecimal.ZERO)).as("h")).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+
+    // localCheckpoint (not persist): each round's plan references the
+    // previous round's edge set several times, so without lineage
+    // TRUNCATION the logical plan tree grows exponentially with rounds
+    // (the data is fine — the plan itself OOMs the driver). On a cluster
+    // with long chains, swap for a reliable checkpoint directory.
+    var e = edges
+      .select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+      .filter(F.col("src") =!= F.col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = checksum(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val c = checksum(next)
+      e.unpersist()
+      e = next
+      converged = c == prev
+      prev = c
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStars did not converge in $maxIter rounds")
+    // e is a star forest: (v, center). Centers label themselves.
+    e.select(F.col("src").as("doc_id"), F.col("dst").as("cluster_id"))
+      .union(e.select(F.col("dst").as("doc_id"), F.col("dst").as("cluster_id")))
+      .distinct()
+  }
+
   /** Distributed min-label propagation (see object doc). */
   private def propagateDistributed(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges
@@ -90,9 +171,12 @@ object Components {
     def labelSum(labels: DataFrame): java.math.BigDecimal =
       labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
 
+    // localCheckpoint truncates lineage: each round references the
+    // previous label table twice, so the un-truncated plan tree doubles
+    // per round (see connectedComponentsStars).
     var labels = sym.select(F.col("src").as("id")).distinct()
       .select(F.col("id"), F.col("id").as("lbl"))
-      .persist()
+      .localCheckpoint(true)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -104,7 +188,7 @@ object Components {
       val next = labels.withColumnRenamed("lbl", "olbl")
         .join(nbr, "id")
         .select(F.col("id"), F.least(F.col("olbl"), F.col("nlbl")).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       val s = labelSum(next)
       labels.unpersist()
       labels = next

@@ -37,6 +37,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("large-star/small-star contraction equals union-find on random and path graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val random = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    // adversarial for propagation: one long path (diameter = length)
+    val path = (100L until 140L).map(i => (i, i + 1))
+    val edges = (random ++ path).toDF("doc_a", "doc_b")
+    val stars = Components.connectedComponentsStars(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == uf && stars.nonEmpty)
+  }
+
   test("driver union-find and distributed propagation produce identical labels") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
