@@ -72,4 +72,23 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       .head().getDouble(0)
     assert(v == 1.5 * 2.0 + 2.0 * 3.0)
   }
+
+  test("the full graft_* SQL surface is callable after registerAll") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  size(graft_shingles('a b c d', 3)) AS n_sh,
+        |  size(graft_minhash_sigs(graft_shingles('a b c d', 3), 8)) AS n_sigs,
+        |  graft_simhash('hello world') AS sh,
+        |  graft_token_tf('x y x') AS tf,
+        |  size(graft_winnow('abcdefghijklmnopqrstuvwxyz', 4, 5)) > 0 AS has_fp
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 2)  // 4 tokens, 3-shingles -> 2
+    assert(r.getInt(1) == 8)  // one signature per band
+    assert(!r.isNullAt(2))
+    val tf = r.getSeq[org.apache.spark.sql.Row](3)
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tf == Map("x" -> 2L, "y" -> 1L))
+    assert(r.getBoolean(4))
+  }
 }

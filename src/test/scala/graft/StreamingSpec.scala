@@ -93,6 +93,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"expected one survivor per distinct text, got $texts")
   }
 
+  test("corpus-prep operators (scrub, stratified sample, chunk) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDS().toDF("doc_id", "source", "text")
+    // stateless row-local ops compose on a streaming DataFrame as-is
+    val out = graft.operators.Packing.chunk(
+      graft.operators.Sampling.stratifiedSample(
+        stream.withColumn("text",
+          graft.functions.TextFunctions.scrub(F.col("text"))),
+        "source", "doc_id", Map("web" -> "ff")), // keep ~all of 'web', drop others
+      size = 3, overlap = 1)
+    val q = out.writeStream.format("memory").queryName("prep_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "web", "one two three four mail a@b.com"),
+      (2L, "books", "dropped stratum"),
+      (3L, "web", "short 12345 text"))
+    q.processAllAvailable()
+    val rows = spark.table("prep_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    q.stop()
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(2L), "books stratum must be dropped")
+    assert(byDoc.contains(1L) && byDoc.contains(3L))
+    val allText = rows.map(_._3).mkString(" ")
+    // chunking lowercases tokens, so the scrub markers come out lowercased
+    assert(allText.contains("<email>") && allText.contains("<num>"),
+      s"scrub must apply before chunking: $allText")
+    // doc 1: 6 tokens, size 3 stride 2 -> chunks at 0,1,2
+    assert(byDoc(1L).map(_._2).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("dedupMinhashStream drops exact re-sends, keeps distinct docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
