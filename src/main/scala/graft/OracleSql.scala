@@ -373,6 +373,34 @@ object OracleSql {
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
+    "q_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(greatest(floor(value / 5.0), 0), 19) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // "view" is a DuckDB keyword — quoted alias keeps the column name.
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS "view",
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // Explicit ROWS frame for the running mean (DuckDB's ORDER BY default
+    // is RANGE); (user_id, ts) is duplicate-free so ordering is total.
+    "q_window_analytics" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, epoch_us(uts) AS ts_us, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY uts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_avg,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq
+        |FROM p WINDOW w AS (PARTITION BY user_id ORDER BY uts)""".stripMargin,
+
     // TF-IDF: same tokenizer as the dedup oracles; tf * ln(N/df) with the
     // exact operand order of TfIdf.score, rounded to 6 decimals both sides.
     "q_tfidf" ->

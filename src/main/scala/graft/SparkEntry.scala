@@ -505,6 +505,40 @@ object SparkEntry {
       .rollup(F.col("l_returnflag"), F.col("l_linestatus"))
       .agg(F.count(F.lit(1)).as("n"), dsum(F.col("l_quantity")).as("sum_qty"))
 
+  /** Equi-width histogram of event values per type: bucket = floor(v/5)
+    * clamped to [0, 19] — one map-side-combinable aggregation, the
+    * data-profiling primitive. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(F.col("event_type"),
+        F.least(F.greatest(F.floor(F.col("value") / 5.0), F.lit(0L)), F.lit(19L)).as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(F.count(F.lit(1)).as("n"))
+
+  /** Pivot: per-user event counts spread across fixed event-type columns
+    * (conditional aggregation — one pass, no per-column scans). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(F.col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+      .agg(F.count(F.lit(1)))
+      .na.fill(0L)
+
+  /** Window-analytics pack: previous value (lag), running mean, and rank
+    * per user ordered by event time — one window shuffle for all three. */
+  private def qWindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(F.col("user_id")).orderBy(F.col("ts").asc)
+    Tables.events(s, dir)
+      .filter(F.col("event_type") === "purchase")
+      .select(
+        F.col("user_id"), F.unix_micros(F.col("ts")).as("ts_us"), F.col("value"),
+        F.lag(F.col("value"), 1).over(w).as("prev_value"),
+        F.round(F.avg(F.col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6).as("running_avg"),
+        F.row_number().over(w).cast("long").as("seq"))
+  }
+
   /** Context-window chunking: 50-token chunks, 10-token overlap — the
     * pre-tokenization split step of an LLM data pipeline (row-local
     * sequence explode, zero shuffle). */
@@ -684,6 +718,9 @@ object SparkEntry {
     "q_pack" -> (qPack _),
     "q_scrub" -> (qScrub _),
     "q_bigrams" -> (qBigrams _),
+    "q_histogram" -> (qHistogram _),
+    "q_pivot" -> (qPivot _),
+    "q_window_analytics" -> (qWindowAnalytics _),
     "q_distinct" -> (qDistinct _),
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
