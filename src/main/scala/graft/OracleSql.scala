@@ -373,6 +373,21 @@ object OracleSql {
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
+    // Decontamination: distinct 8-gram sets per side, shingle equi-join,
+    // per-(train, bench) overlap count. Same tokenizer as everything else.
+    "q_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh8 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([list_aggregate(w[i:i+7], 'string_agg', ' ') for i in generate_series(1, len(w)-7)]) AS shingle
+        |  FROM tok WHERE len(w) >= 8),
+        |b AS (SELECT doc_id AS bench_id, shingle FROM sh8 WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id AS train_id, b.bench_id, COUNT(*) AS n_shared
+        |FROM sh8 s JOIN b USING (shingle)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_histogram" ->
       """SELECT event_type,
         |  CAST(least(greatest(floor(value / 5.0), 0), 19) AS BIGINT) AS bucket,

@@ -558,6 +558,15 @@ object SparkEntry {
       graft.functions.TextFunctions.scrub(F.col("props")).as("clean_props"),
       F.regexp_count(F.col("props"), F.lit("[0-9]{2,}")).cast("long").as("n_nums"))
 
+  /** Benchmark decontamination: training docs sharing any distinct 8-gram
+    * with the eval slice (every 50th doc) — the pre-training-run
+    * train/test-overlap audit. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.contamination(docs, docs.filter(F.col("doc_id") % 50 === 0),
+      shingleN = 8, minShared = 1)
+  }
+
   /** Corpus-wide top-20 bigrams (language-model count table, head of). */
   private def qBigrams(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -718,6 +727,7 @@ object SparkEntry {
     "q_pack" -> (qPack _),
     "q_scrub" -> (qScrub _),
     "q_bigrams" -> (qBigrams _),
+    "q_contamination" -> (qContamination _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),
     "q_window_analytics" -> (qWindowAnalytics _),

@@ -301,6 +301,47 @@ object Dedup {
       .filter(F.col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct word `shingleN`-grams with any benchmark/eval
+    * document — the standard train/test-overlap check run before an LLM
+    * training run (long rare n-grams are the signal; 8–13 grams in
+    * published practice).
+    *
+    * Shape: distinct shingles per side (row-local, like [[ngramJaccard]]'s
+    * set build), equi-join on the shingle value (bucket join — the shuffle
+    * key is the n-gram), count per (train, bench) pair. A df cap on the
+    * TRAINING side drops boilerplate n-grams that would fan out the join;
+    * the probe is skipped when even the shingle ROW count is under the cap
+    * (df <= row count — a conservative form of ngramJaccard's proof); the
+    * benchmark side is small by definition. Benchmark docs that also
+    * appear in the corpus match themselves — maximal contamination,
+    * reported as such. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 8, minShared: Int = 1,
+                    dfCap: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    def shingleSet(df: DataFrame, outId: String): DataFrame = {
+      val arr = ColumnBridge.column(
+        ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(idCol).as(outId), F.explode(F.array_distinct(arr)).as("shingle"))
+    }
+    val (train, nDocs) = materializeCounted(shingleSet(corpus, "train_id"))
+    val trainCapped =
+      if (nDocs <= dfCap) train
+      else {
+        val heavy = train.groupBy("shingle").agg(F.count(F.lit(1)).as("df"))
+          .filter(F.col("df") > dfCap).select("shingle")
+        train.join(F.broadcast(heavy), Seq("shingle"), "left_anti")
+      }
+    trainCapped
+      .join(shingleSet(benchmark, "bench_id"), Seq("shingle"))
+      .groupBy("train_id", "bench_id")
+      .agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate candidates: vector pairs whose
     * multi-table hyperplane-LSH signatures collide in ANY table and whose
     * exact cosine (computed only within buckets — never all-pairs) clears

@@ -141,6 +141,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3) == "clean text")
   }
 
+  test("contamination flags planted n-gram overlap and nothing else") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val secret = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val corpus = Seq(
+      (1L, s"intro words here $secret trailing text tokens"), // contains the 8-gram
+      (2L, "completely unrelated document with other content entirely"),
+      (3L, s"another leak $secret appears again here too")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"eval question: $secret answer")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, shingleN = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.map(_._1).toSet == Set(1L, 3L), s"wrong train docs flagged: ${hits.toSeq}")
+    assert(hits.forall(h => h._2 == 100L && h._3 >= 1L))
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
