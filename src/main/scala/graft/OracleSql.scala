@@ -229,6 +229,16 @@ object OracleSql {
         |f AS (SELECT event_id, user_id, uts, MAX(uts) OVER (PARTITION BY user_id) AS fr FROM e)
         |SELECT event_id, user_id, epoch_us(uts) AS ts_us FROM f WHERE uts < fr - INTERVAL 6 HOUR""".stripMargin,
 
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |  COALESCE(n_orders, 0) AS n_orders
+        |FROM customer FULL OUTER JOIN pc ON c_custkey = o_custkey""".stripMargin,
+
     // DuckDB's native ASOF JOIN — an independent implementation of the
     // nearest-earlier-match semantics (inclusive on equal timestamps),
     // against graft's union + running-window formulation. (user_id, ts)

@@ -277,6 +277,26 @@ object SparkEntry {
       .toDF
   }
 
+  /** Anti join: orders with no lineitems (the "orphans" audit) — Spark
+    * plans a broadcast/shuffled hash anti join, never a subquery loop. */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "lineitem"), F.col("o_orderkey") === F.col("l_orderkey"), "left_anti")
+      .select(F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice"))
+
+  /** Full outer join: order counts per customer INCLUDING customers with
+    * no orders and orders with dangling customer keys. */
+  private def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val perCust = T(s, dir, "orders")
+      .groupBy(F.col("o_custkey")).agg(F.count(F.lit(1)).as("n_orders"))
+    T(s, dir, "customer")
+      .join(perCust, F.col("c_custkey") === F.col("o_custkey"), "full_outer")
+      .select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).as("custkey"),
+        F.col("c_mktsegment"),
+        F.coalesce(F.col("n_orders"), F.lit(0L)).as("n_orders"))
+  }
+
   /** As-of join: each purchase picks up the user's most recent click at or
     * before it ([[graft.operators.TemporalJoins.asofJoin]] — one key
     * shuffle + running window, no inequality join). Oracle: DuckDB's
@@ -706,6 +726,8 @@ object SparkEntry {
     "q_join" -> (qJoin _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_source_parquet" -> (qSourceParquet _),
     "q_source_iterator" -> (qSourceIterator _),
     "q_source_stateless" -> (qSourceStateless _),
