@@ -35,9 +35,10 @@ object Bench {
     // Warm the JVM/session (codegen, parquet footers) outside the timings.
     Tables(spark, sfDir, "lineitem").count()
 
-    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid).
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid) — any
+    // registered gate query is benchable, not just the headline set.
     val selected = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSeq.filter(headline.contains))
+      .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(headline)
     // Best-of-N per query (default 2): this box is shared, and a single
     // shot can be 2-4x inflated by ambient load; the minimum measures the
