@@ -383,6 +383,21 @@ object OracleSql {
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
+    // Repetition: duplicated-trigram fraction per doc, all in-row.
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [list_aggregate(w[i:i+2], 'string_agg', ' ') for i in generate_series(1, len(w)-2)] AS sh
+        |  FROM tok WHERE len(w) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(sh) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE), 6) AS rep_fraction
+        |FROM g""".stripMargin,
+
     // Decontamination: distinct 8-gram sets per side, shingle equi-join,
     // per-(train, bench) overlap count. Same tokenizer as everything else.
     "q_contamination" ->

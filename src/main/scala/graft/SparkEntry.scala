@@ -587,6 +587,25 @@ object SparkEntry {
       shingleN = 8, minShared = 1)
   }
 
+  /** Within-document repetition: the duplicated-trigram fraction
+    * (1 - distinct/total word 3-grams) — the classic repetitive-text
+    * quality signal, computed entirely inside the row (zero shuffle). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sh = ColumnBridge.column(graft.functions.expressions.ShingleExpr(
+      ColumnBridge.expression(F.col("text")), 3))
+    T(s, dir, "documents")
+      .select(F.col("doc_id"), sh.as("sh"))
+      .filter(F.size(F.col("sh")) > 0)
+      .select(
+        F.col("doc_id"),
+        F.size(F.col("sh")).cast("long").as("n_grams"),
+        F.size(F.array_distinct(F.col("sh"))).cast("long").as("n_distinct"),
+        F.round(F.lit(1.0) -
+          F.size(F.array_distinct(F.col("sh"))).cast("double") /
+            F.size(F.col("sh")).cast("double"), 6).as("rep_fraction"))
+  }
+
   /** Corpus-wide top-20 bigrams (language-model count table, head of). */
   private def qBigrams(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -750,6 +769,7 @@ object SparkEntry {
     "q_scrub" -> (qScrub _),
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
+    "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),
     "q_window_analytics" -> (qWindowAnalytics _),
