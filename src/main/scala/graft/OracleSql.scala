@@ -190,6 +190,10 @@ object OracleSql {
          |  COUNT(*) AS n, $dec4sum AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // The streaming tws job's per-key MAX running count == total count.
+    "q_stream_stateful" ->
+      "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+
     "q_stream_epochs" ->
       s"""SELECT event_type,
          |  strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -220,6 +220,52 @@ object SparkEntry {
       F.col("n"), F.col("sum_value"))
   }
 
+  /** End-to-end transformWithState (state v2, RocksDB provider): the SAME
+    * StatefulLogic as q_stateful_op runs as a real streaming job over the
+    * staged events file, keyed ValueState counting per user across
+    * micro-batches; the per-key MAX of the running counts is the total —
+    * order-independent, so the batch COUNT(*) per user is its exact
+    * oracle. */
+  private def qStreamStateful(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir.toString)
+      .select(F.col("event_id"), F.col("user_id"), F.expr("ts DIV 1000").as("ts_us"))
+      .as[Ev]
+    val logic = new StatefulLogic[Long, Ev, Long, RunningN] {
+      def zero: Long = 0L
+      def update(k: Long, v: Ev, n: Long): (Long, IterableOnce[RunningN]) =
+        (n + 1, Iterator.single(RunningN(k, v.event_id, n + 1)))
+    }
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val qname = "graft_stream_stateful"
+    try {
+      val q = StatefulExec.streamTws[Long, Ev, Long, RunningN](stream, _.user_id, logic)
+        .toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prevProvider match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    s.table(qname)
+      .groupBy(F.col("user_id"))
+      .agg(F.max(F.col("running_n")).as("n_events"))
+  }
+
   /** Sliding event-time windows (1h width, 30m slide) — each event lands
     * in width/slide windows; Spark's `window()` handles the fan-out. */
   private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
@@ -738,6 +784,7 @@ object SparkEntry {
     "q_assign_timestamps" -> (qAssignTimestamps _),
     "q_epochs_window" -> (qEpochsWindow _),
     "q_stream_epochs" -> (qStreamEpochs _),
+    "q_stream_stateful" -> (qStreamStateful _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_frontier" -> (qFrontier _),
