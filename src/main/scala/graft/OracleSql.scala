@@ -387,6 +387,19 @@ object OracleSql {
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
+    // Fold = (first 2 md5 hex digits) mod 5, via digit arithmetic
+    // (the simhash oracle's hex-digit trick — same numeric value as
+    // Spark's conv(substr(md5, 1, 2), 16, 10)).
+    "q_folds" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars,
+        |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 5 AS fold
+        |  FROM documents)
+        |SELECT CAST(fold AS BIGINT) AS fold, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM f GROUP BY 1""".stripMargin,
+
     // Repetition: duplicated-trigram fraction per doc, all in-row.
     "q_repetition" ->
       """WITH tok AS (

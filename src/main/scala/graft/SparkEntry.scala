@@ -563,6 +563,16 @@ object SparkEntry {
       .select(F.col("event_id"), F.col("event_type"),
         F.unix_micros(F.col("ts")).as("ts_us"), F.col("value"))
 
+  /** Deterministic 5-fold split assignment over documents + per-fold
+    * corpus stats — the train/val/test split audit. */
+  private def qFolds(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("n_chars"),
+        graft.operators.Sampling.foldAssign(F.col("doc_id"), 5).as("fold"))
+      .groupBy(F.col("fold"))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("n_chars")).cast("long").as("total_chars"))
+
   /** Hierarchical aggregate: ROLLUP over (returnflag, linestatus) —
     * grand-total and per-flag subtotals in one pass (built-in grouping
     * sets; partial aggregation still map-side). */
@@ -810,6 +820,7 @@ object SparkEntry {
     "q_dedup_components" -> (qDedupComponents _),
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_folds" -> (qFolds _),
     "q_rollup" -> (qRollup _),
     "q_chunk" -> (qChunk _),
     "q_pack" -> (qPack _),

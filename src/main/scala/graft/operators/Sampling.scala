@@ -26,6 +26,17 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, hexThreshold: String): DataFrame =
     df.filter(keep(F.col(idCol), hexThreshold))
 
+  /** Deterministic k-fold assignment: fold = (first two md5 hex digits of
+    * the id) mod k — the train/val/test split primitive. Same stability
+    * contract as the samplers (pure per-row predicate, repartition- and
+    * rescale-stable, engine-replicable); folds are uniform to within the
+    * 256-mod-k remainder bias (k=5 → ±0.2%). */
+  def foldAssign(idCol: Column, k: Int): Column = {
+    require(k >= 2 && k <= 256, s"need 2 <= k <= 256, got $k")
+    F.conv(F.substring(F.md5(idCol.cast("string")), 1, 2), 16, 10)
+      .cast("long") % k
+  }
+
   /** Per-stratum deterministic sample: each stratum value keeps rows under
     * its own threshold; strata absent from `rates` are dropped. The whole
     * thing is one CASE filter — no shuffle, no per-stratum pass, and the
