@@ -26,14 +26,21 @@ object TfIdf {
     val spark = docs.sparkSession
     // Term frequency folded per ROW (TokenTfExpr): the explode output is
     // already (doc, tok, tf) — no docs × tokens fan-out through an
-    // aggregation and no (doc, tok) shuffle at all.
+    // aggregation and no (doc, tok) shuffle at all. The UNEXPLODED array
+    // table is cached because BOTH consumers (tf and df) read it — without
+    // the cache the corpus scan + fold runs once per consumer (visible as
+    // two parquet scans in the un-cached plan).
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    val tf = docs
+    val tfTable = docs
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(F.col(idCol), F.explode(tfArr).as("tt"))
+      .select(F.col(idCol), tfArr.as("tts"))
+      .persist()
+    tfTable.count()
+    val tf = tfTable
+      .select(F.col(idCol), F.explode(F.col("tts")).as("tt"))
       .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
     // df: tf is already one row per (doc, token), so a count per token IS
     // the document frequency — no distinct pass.
