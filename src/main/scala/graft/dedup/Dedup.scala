@@ -399,9 +399,14 @@ object Dedup {
     // are larger and denser than LSH signature buckets, and measured at
     // bench scale the ObjectHashAggregate list build costs ~4x what the
     // (broadcastable) join does.
-    val fp = docs.select(
-      F.col(idCol),
-      F.explode(TextFunctions.winnowFingerprints(F.col(textCol), k, w)).as("fp"))
+    // cache the UNEXPLODED fingerprint arrays: both join sides read them,
+    // and uncached each side re-runs the WinnowExpr fold over the corpus
+    // (explode above the cache boundary, as everywhere else).
+    val fpArr = materialize(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(idCol),
+          TextFunctions.winnowFingerprints(F.col(textCol), k, w).as("fps")))
+    val fp = fpArr.select(F.col(idCol), F.explode(F.col("fps")).as("fp"))
     val a = fp.select(F.col("fp"), F.col(idCol).as("doc_a"))
     val b = fp.select(F.col("fp"), F.col(idCol).as("doc_b"))
     a.join(b, Seq("fp"))
