@@ -178,19 +178,48 @@ object SparkEntry {
         F.col("n"), F.col("sum_value"))
   }
 
+  /** FileStreamSource wants a directory; stage the events table file into
+    * one, keyed on a hash of the FULL source path (two datasets sharing a
+    * basename can't collide) and re-linked through NOFOLLOW_LINKS +
+    * deleteIfExists (a dangling or stale symlink is replaced, never
+    * followed into a false "exists" or a silent read of old data). */
+  private def stageEventsDir(dir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val key = f"${src.toAbsolutePath.toString.hashCode}%08x"
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_stream_src_${new java.io.File(dir).getName}_$key")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) ||
+        java.nio.file.Files.readSymbolicLink(link) != src) {
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link, src)
+    }
+    srcDir
+  }
+
+  /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong` set (the
+    * streaming sources read the raw nanosecond BIGINT column), restoring
+    * the previous session value afterwards so the setting cannot leak into
+    * other queries in the same session. */
+  private def withNanosAsLong[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** The SAME epoch-window aggregation, executed as a real Structured
     * Streaming job (file stream → watermark → windowed agg → memory sink,
     * AvailableNow trigger) — proving the streaming path produces the
     * batch-identical answer the oracle checks. */
-  private def qStreamEpochs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource wants a directory; stage the table file into one.
-    val srcDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+  private def qStreamEpochs(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val srcDir = stageEventsDir(dir)
     val stream = s.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(srcDir.toString)
@@ -226,15 +255,9 @@ object SparkEntry {
     * micro-batches; the per-key MAX of the running counts is the total —
     * order-independent, so the batch COUNT(*) per user is its exact
     * oracle. */
-  private def qStreamStateful(s: SparkSession, dir: String): DataFrame = {
+  private def qStreamStateful(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val srcDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val srcDir = stageEventsDir(dir)
     val stream = s.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
       .parquet(srcDir.toString)
@@ -305,12 +328,25 @@ object SparkEntry {
   // ----------------------------------------------------------- core: join
 
   private def qJoin(s: SparkSession, dir: String): DataFrame = {
-    // keyLocal (not keyDistribute) on both fact sides: the join itself is
-    // the shuffle boundary, and AQE is free to replan small sides as
-    // broadcast — an explicit repartition here would be a wasted Exchange.
-    val orders = GraftStream(T(s, dir, "orders")).keyLocal(F.col("o_orderkey"))
-    val lineitem = GraftStream(T(s, dir, "lineitem")).keyLocal(F.col("l_orderkey"))
-    val joined = lineitem.join(orders, "inner")
+    // Aggregate-before-join: lineitem (the big fact) collapses to one row
+    // per orderkey FIRST — a single map-side-combinable exchange — so the
+    // orderkey join carries |orders| rows instead of |lineitem|, and AQE
+    // sees a small enough build side to broadcast it (orders and customer
+    // are then never shuffled; see PLANS.md § q_join). The two-stage
+    // revenue stays bit-identical to the oracle's single-stage sum: the
+    // per-row DECIMAL(18,4) cast happens before any addition, and decimal
+    // addition is exact and associative.
+    // keyLocal (not keyDistribute) everywhere: the aggregation/join are
+    // the shuffle boundaries; an explicit repartition would be a wasted
+    // Exchange.
+    val lineAgg = GraftStream(T(s, dir, "lineitem"))
+      .keyLocal(F.col("l_orderkey"))
+      .agg(
+        F.count(F.lit(1)).as("n_items"),
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+    val joined = GraftStream(T(s, dir, "orders")).keyLocal(F.col("o_orderkey"))
+      .join(lineAgg.keyLocal(F.col("l_orderkey")), "inner")
     GraftStream(joined.toDF)
       .keyLocal(F.col("o_custkey"))
       .join(
@@ -318,8 +354,8 @@ object SparkEntry {
         how = "inner", broadcastRight = true)
       .keyLocal(F.col("c_mktsegment"), F.col("o_orderpriority"))
       .agg(
-        F.count(F.lit(1)).as("n"),
-        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4).as("revenue"))
+        F.sum(F.col("n_items")).as("n"),
+        F.sum(F.col("rev")).cast("double").as("revenue"))
       .toDF
   }
 
@@ -546,11 +582,11 @@ object SparkEntry {
     graft.dedup.Components.connectedComponents(edges)
   }
 
-  /** Top-3 TF-IDF keywords per document (windowed, token tie-break). */
-  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    graft.functions.TfIdf.topKeywords(docs, docs.count(), k = 3)
-  }
+  /** Top-3 TF-IDF keywords per document (windowed, token tie-break). The
+    * corpus size for the idf term comes out of TfIdf's own cached tf-table
+    * count — no separate `docs.count()` job, one scan of documents. */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TfIdf.topKeywords(T(s, dir, "documents"), k = 3)
 
   /** Deterministic stratified sample of events: per-type md5-threshold
     * rates (purchase ~100%, error 50%, click 25%, view 12.5%, signup

@@ -126,25 +126,25 @@ object Dedup {
     val sigArr = ColumnBridge.column(
       graft.functions.expressions.MinhashSigsExpr(
         ColumnBridge.expression(shingleArr), bands))
-    val (sigsArr, nDocs) = materializeCounted(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(idCol), sigArr.as("sigs")))
-    val sigs = sigsArr
-      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
-    candidatesFromSigs(sigs, idCol, knownCount = nDocs * bands)
+    graft.CacheScope.scoped {
+      val (sigsArr, nDocs) = materializeCounted(
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+          .select(F.col(idCol), sigArr.as("sigs")))
+      val sigs = sigsArr
+        .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
+      candidatesFromSigs(sigs, idCol, knownCount = nDocs * bands)
+    }
   }
 
-  /** Persist + eagerly materialize an index table. Without the eager
-    * action, the branches of a self-join race to compute the same plan
-    * concurrently and none of them sees the others' cached blocks. */
-  private def materialize(df: DataFrame): DataFrame = materializeCounted(df)._1
+  /** Persist + eagerly materialize an index table, scope-tracked so the
+    * enclosing [[graft.CacheScope.scoped]] releases it once the (small)
+    * result is pinned. Without the eager action, the branches of a
+    * self-join race to compute the same plan concurrently and none of them
+    * sees the others' cached blocks. */
+  private def materialize(df: DataFrame): DataFrame = graft.CacheScope.materialize(df)
 
-  /** [[materialize]], returning the row count the eager action already
-    * paid for — callers use it to skip their own sizing jobs. */
-  private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
-    val p = df.persist()
-    (p, p.count())
-  }
+  private def materializeCounted(df: DataFrame): (DataFrame, Long) =
+    graft.CacheScope.materializeCounted(df)
 
   /** Self-join of a (persisted) signature table on (band, sig). The
     * signature table is docs × bands rows — tiny relative to the corpus —
@@ -219,58 +219,74 @@ object Dedup {
     *     would be a correctness bug, not a tuning choice.) */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0,
-                   dfCap: Int = 100000): DataFrame = {
+                   dfCap: Int = 100000): DataFrame = graft.CacheScope.scoped {
     // ONE per-doc table (id, arr, n, sigs) drives everything — df cap,
     // counts, signatures, intersections. Built with ZERO shuffles beyond
     // the scan spread (array_distinct and the minhash fold run inside the
     // row, before any explode) and persisted at docs granularity: the only
     // corpus-sized cache, and the doc scan + ShingleExpr run exactly once.
+    //
+    // `arr` holds the 64-bit xxhash64 of each distinct shingle, NOT the
+    // shingle strings: |A|, |B| and |A∩B| are hash-invariant (a 64-bit
+    // collision inside one candidate pair's union is ~2^-45 at 10^3
+    // shingles/doc), so the jaccard output is bit-identical to the
+    // raw-string form the SQL oracle computes — while the cache carries
+    // fixed 8-byte primitives instead of the corpus re-materialized as
+    // ~3x-overlapping n-gram strings (the round-6 scale-killer: at 100 TB
+    // that cache IS the corpus x 3 and permanently over any storage
+    // fraction), and the per-pair array_intersect compares longs.
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
-    // No size(arr) > 0 filter: a doc with no shingles has no signatures,
+    // No size(raw) > 0 filter: a doc with no shingles has no signatures,
     // lands in no LSH bucket, and joins no pair — and the filter would be
     // pushed below the repartition, re-evaluating ShingleExpr +
     // array_distinct per row on the unspread scan.
     //
-    // The minhash signature array is computed INTO the same cache, in a
-    // second chained select: CollapseProject keeps the two projections
-    // separate (it refuses to duplicate the non-cheap shingle expression
-    // referenced twice), so ShingleExpr runs once per row and the cache
-    // holds (id, arr, n, sigs) — every index the query needs, one pass,
-    // one count job.
-    val sigOverArr = ColumnBridge.column(
+    // The hash + size + minhash fold all read `raw` in a second chained
+    // select: CollapseProject keeps the two projections separate (it
+    // refuses to duplicate the non-cheap shingle expression referenced
+    // three times), so ShingleExpr runs once per row, the raw strings
+    // live only inside that projection, and the cache holds
+    // (id, arr, n, sigs) — every index the query needs, one pass, one
+    // count job.
+    val sigOverRaw = ColumnBridge.column(
       graft.functions.expressions.MinhashSigsExpr(
-        ColumnBridge.expression(F.col("arr")), bands))
+        ColumnBridge.expression(F.col("raw")), bands))
+    val hashedRaw = ColumnBridge.column(
+      graft.functions.expressions.XxHash64ArrayExpr(
+        ColumnBridge.expression(F.col("raw"))))
     val (docArr0, nDocs) = materializeCounted(
       docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select(F.col(idCol), F.array_distinct(shingleArr).as("arr"))
-        .select(F.col(idCol), F.col("arr"),
-          F.size(F.col("arr")).cast("long").as("n"), sigOverArr.as("sigs")))
+        .select(F.col(idCol), F.array_distinct(shingleArr).as("raw"))
+        .select(F.col(idCol), hashedRaw.as("arr"),
+          F.size(F.col("raw")).cast("long").as("n"), sigOverRaw.as("sigs")))
     // Stopword-shingle df cap, engaged only when it CAN bind: df <= nDocs
     // always, so nDocs <= dfCap proves every shingle is under the cap and
     // the probe job is skipped (nDocs is free — materializeCounted already
     // paid for it). When the probe does run, the heavy-hitter list is tiny
     // by construction (shingles with df > cap) — broadcast it so the
-    // anti-join never degrades to a shuffle on a bad size estimate.
+    // anti-join never degrades to a shuffle on a bad size estimate. The
+    // probe runs entirely on the 8-byte hashes (df of the hash = df of the
+    // shingle, same injectivity argument as the intersection).
     val docArr =
       if (nDocs <= dfCap) docArr0
       else {
-        val heavy = docArr0.select(F.explode(F.col("arr")).as("shingle"))
-          .groupBy(F.col("shingle"))
+        val heavy = docArr0.select(F.explode(F.col("arr")).as("sh_hash"))
+          .groupBy(F.col("sh_hash"))
           .agg(F.count(F.lit(1)).as("df"))
           .filter(F.col("df") > dfCap)
-          .select("shingle")
+          .select("sh_hash")
         if (heavy.isEmpty) docArr0
         else materialize(
-          docArr0.select(F.col(idCol), F.explode(F.col("arr")).as("shingle"))
-            .join(F.broadcast(heavy), Seq("shingle"), "left_anti")
+          docArr0.select(F.col(idCol), F.explode(F.col("arr")).as("sh_hash"))
+            .join(F.broadcast(heavy), Seq("sh_hash"), "left_anti")
             .groupBy(F.col(idCol))
-            .agg(F.collect_list(F.col("shingle")).as("arr"),
+            .agg(F.collect_list(F.col("sh_hash")).as("arr"),
               F.count(F.lit(1)).as("n")))
       }
     // LSH candidacy: explode the CACHED signature arrays (MIN over the
     // distinct set equals MIN over the raw stream, so sigs built from
-    // `arr` match the raw-text construction bit for bit). The explode
+    // `raw` match the raw-text construction bit for bit). The explode
     // sits above the cache boundary — the Generate-inferred size filter
     // reads a stored column instead of re-running the minhash fold.
     val sigs = docArr0
@@ -319,7 +335,7 @@ object Dedup {
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 8, minShared: Int = 1,
-                    dfCap: Int = 100000): DataFrame = {
+                    dfCap: Int = 100000): DataFrame = graft.CacheScope.scoped {
     val spark = corpus.sparkSession
     def shingleSet(df: DataFrame, outId: String): DataFrame = {
       val arr = ColumnBridge.column(
@@ -327,13 +343,18 @@ object Dedup {
       df.repartition(spark.sparkContext.defaultParallelism)
         .select(F.col(idCol).as(outId), F.explode(F.array_distinct(arr)).as("shingle"))
     }
-    val (train, nDocs) = materializeCounted(shingleSet(corpus, "train_id"))
+    // The cap gate counts shingle ROWS (a conservative bound: df <= rows),
+    // and even past the gate the anti-join is skipped when no shingle
+    // actually exceeds the cap — mirroring ngramJaccard's provably-idle
+    // skip, so sub-web-scale corpora never pay the extra join stage.
+    val (train, nRows) = materializeCounted(shingleSet(corpus, "train_id"))
     val trainCapped =
-      if (nDocs <= dfCap) train
+      if (nRows <= dfCap) train
       else {
         val heavy = train.groupBy("shingle").agg(F.count(F.lit(1)).as("df"))
           .filter(F.col("df") > dfCap).select("shingle")
-        train.join(F.broadcast(heavy), Seq("shingle"), "left_anti")
+        if (heavy.isEmpty) train
+        else train.join(F.broadcast(heavy), Seq("shingle"), "left_anti")
       }
     trainCapped
       .join(shingleSet(benchmark, "bench_id"), Seq("shingle"))
@@ -393,7 +414,7 @@ object Dedup {
     * shape as MinHash-LSH, guaranteed to catch any shared substring of
     * length ≥ w+k−1. */
   def winnowCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                       k: Int = 16, w: Int = 32, minShared: Int = 2): DataFrame = {
+                       k: Int = 16, w: Int = 32, minShared: Int = 2): DataFrame = graft.CacheScope.scoped {
     // NOTE: this stays the AQE-planned self-join (not the bucket
     // collect_list expansion candidatesFromSigs uses) — winnow buckets
     // are larger and denser than LSH signature buckets, and measured at
@@ -429,7 +450,7 @@ object Dedup {
     * removes the skew magnet of a single fixed prefix: a doc lands in
     * `bands` independent buckets keyed by different hash slices. */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                        maxHamming: Int = 3, bands: Int = 4): DataFrame = graft.CacheScope.scoped {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val width = 64 / bands
     val mask = (1L << width) - 1L

@@ -18,10 +18,16 @@ import org.apache.spark.sql.{functions => F}
 object TfIdf {
 
   /** (doc_id, tok, tf, tfidf_r): every (document, token) pair scored.
-    * `nDocs` is the corpus size for the idf denominator — pass the
-    * pre-counted table size (an index-build scalar, not a per-row
-    * lookup). */
-  def score(docs: DataFrame, nDocs: Long, idCol: String = "doc_id",
+    * The idf denominator N is the cached tf table's own row count (one row
+    * per input document, empty-token docs included) — ONE job pays for
+    * both the cache materialization and the corpus size; callers must not
+    * run their own `docs.count()`.
+    *
+    * Cache contract: the persisted tf table is scope-tracked
+    * ([[graft.CacheScope]]); callers that consume `score` directly should
+    * wrap the terminal action in `CacheScope.scoped` (as [[topKeywords]]
+    * does) or call `CacheScope.releaseAll()` afterwards. */
+  def score(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     // Term frequency folded per ROW (TokenTfExpr): the explode output is
@@ -34,11 +40,10 @@ object TfIdf {
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    val tfTable = docs
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(F.col(idCol), tfArr.as("tts"))
-      .persist()
-    tfTable.count()
+    val (tfTable, nDocs) = graft.CacheScope.materializeCounted(
+      docs
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(idCol), tfArr.as("tts")))
     val tf = tfTable
       .select(F.col(idCol), F.explode(F.col("tts")).as("tt"))
       .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
@@ -56,15 +61,18 @@ object TfIdf {
 
   /** Top-`k` keywords per document by TF-IDF, deterministically tie-broken
     * on the token string. WindowGroupLimit keeps only k rows per doc on
-    * both the map and reduce side of the rank shuffle. */
-  def topKeywords(docs: DataFrame, nDocs: Long, k: Int = 3,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(F.col(idCol))
-      .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
-    score(docs, nDocs, idCol, textCol)
-      .withColumn("rnk", F.row_number().over(w))
-      .filter(F.col("rnk") <= k)
-      .select(F.col(idCol), F.col("rnk").cast("long").as("rnk"),
-        F.col("tok"), F.col("tf"), F.col("tfidf_r"))
-  }
+    * both the map and reduce side of the rank shuffle. The result is
+    * pinned and [[score]]'s tf cache released before returning
+    * ([[graft.CacheScope.scoped]]). */
+  def topKeywords(docs: DataFrame, k: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.CacheScope.scoped {
+      val w = Window.partitionBy(F.col(idCol))
+        .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
+      score(docs, idCol, textCol)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col(idCol), F.col("rnk").cast("long").as("rnk"),
+          F.col("tok"), F.col("tf"), F.col("tfidf_r"))
+    }
 }

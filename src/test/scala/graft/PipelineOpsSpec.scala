@@ -164,7 +164,7 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       (1L, "the dog sat on the log"),
       (2L, "the bird sat on the wire")
     ).toDF("doc_id", "text")
-    val top = TfIdf.topKeywords(docs, 3L, k = 1).collect()
+    val top = TfIdf.topKeywords(docs, k = 1).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     // 'the/sat/on' appear everywhere (idf = ln(1) = 0); the unique nouns win
     assert(top(0L) == "cat" || top(0L) == "mat")
