@@ -32,6 +32,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-stage attribution for every shot → bench_stages.jsonl. This is
+    // the instrument for the suite-vs-solo gap: GC pressure, spill, and
+    // lingering storage blocks each leave a distinct signature.
+    val listener = new graft.tools.StageMetricsListener()
+    spark.sparkContext.addSparkListener(listener)
+    val stagesOut = new java.io.PrintWriter(
+      java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get("bench_stages.jsonl")))
+
     // Warm the JVM/session (codegen, parquet footers) outside the timings.
     Tables(spark, sfDir, "lineitem").count()
 
@@ -40,6 +48,28 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
       .getOrElse(headline)
+
+    // JIT warmup (untimed): run each selected query once at the SMALLEST
+    // scale factor available so HotSpot compiles the hot loops (native
+    // expressions, codegen'd stages) before any timed shot. Stage metrics
+    // showed the first execution of a query burning 3-10x the CPU of the
+    // second on identical cold-cache plans — pure interpreter/C1 tax, not
+    // query work; without this, best-of-N measures JIT state instead of
+    // the query on short-run boxes. Data caches do NOT leak into timings:
+    // every timed shot still starts with clearCache(), and the warmup
+    // runs on sf0.001-sized inputs where available (falling back to the
+    // bench dir only if no smaller set exists).
+    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ == "1")) {
+      val warmDir = {
+        val small = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+        if (java.nio.file.Files.isDirectory(small)) small.toString else sfDir
+      }
+      selected.foreach { name =>
+        try { SparkEntry.queries(name)(spark, warmDir).count(); () }
+        catch { case _: Throwable => () } // warmup is best-effort
+      }
+      spark.catalog.clearCache()
+    }
     // Best-of-N per query (default 2): this box is shared, and a single
     // shot can be 2-4x inflated by ambient load; the minimum measures the
     // query, not the neighbors.
@@ -47,16 +77,30 @@ object Bench {
 
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
-      val sec = (1 to runs).map { _ =>
+      val sec = (1 to runs).zipWithIndex.map { case (_, shot) =>
         spark.catalog.clearCache() // every shot cold: no warm index reuse
+        org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext, 10000)
+        listener.drain() // discard stages of prior work
+        val gc0 = graft.tools.StageMetricsListener.jvmGcMs()
+        val (blocks0, bytes0) = graft.tools.StageMetricsListener.storedRddBytes(spark.sparkContext)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         val s = (System.nanoTime() - t0) / 1e9
+        val gcDelta = graft.tools.StageMetricsListener.jvmGcMs() - gc0
+        org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext, 10000)
+        val stages = listener.drain()
+        stagesOut.println(
+          s"""{"query":"$name","shot":$shot,"sec":${f"$s%.3f"},"rows":$n,""" +
+            s""""driver_gc_ms":$gcDelta,"heap_mb":${graft.tools.StageMetricsListener.heapUsedMb()},""" +
+            s""""rdd_blocks_before":$blocks0,"rdd_bytes_before":$bytes0,""" +
+            s""""stages":${listener.summarize(stages)}}""")
+        stagesOut.flush()
         System.err.println(f"[bench] $name%-20s $s%8.2fs  ($n rows)")
         s
       }.min
       name -> sec
     }
+    stagesOut.close()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 

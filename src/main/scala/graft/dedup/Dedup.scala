@@ -234,7 +234,8 @@ object Dedup {
     // fixed 8-byte primitives instead of the corpus re-materialized as
     // ~3x-overlapping n-gram strings (the round-6 scale-killer: at 100 TB
     // that cache IS the corpus x 3 and permanently over any storage
-    // fraction), and the per-pair array_intersect compares longs.
+    // fraction), and the per-pair intersection is a linear merge over
+    // sorted longs (XxHash64ArrayExpr emits them sorted).
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
     // No size(raw) > 0 filter: a doc with no shingles has no signatures,
@@ -281,7 +282,10 @@ object Dedup {
           docArr0.select(F.col(idCol), F.explode(F.col("arr")).as("sh_hash"))
             .join(F.broadcast(heavy), Seq("sh_hash"), "left_anti")
             .groupBy(F.col(idCol))
-            .agg(F.collect_list(F.col("sh_hash")).as("arr"),
+            // array_sort restores the sorted-ascending invariant the
+            // merge-count intersection below requires (collect_list has no
+            // order guarantee); runs only at web scale, on capped arrays.
+            .agg(F.array_sort(F.collect_list(F.col("sh_hash"))).as("arr"),
               F.count(F.lit(1)).as("n")))
       }
     // LSH candidacy: explode the CACHED signature arrays (MIN over the
@@ -292,9 +296,10 @@ object Dedup {
     val sigs = docArr0
       .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
     val pairs = candidatesFromSigs(sigs, idCol, knownCount = nDocs * bands)
-    // Guard 1 (pair-driven intersection): |A∩B| = size(array_intersect) per
-    // candidate PAIR row — two doc-keyed joins carrying the arrays, zero
-    // row fan-out. The SQL oracle expresses the same math relationally
+    // Guard 1 (pair-driven intersection): |A∩B| = a sorted-merge count
+    // (SortedIntersectCountExpr — no per-pair hash set or output array)
+    // per candidate PAIR row — two doc-keyed joins carrying the arrays,
+    // zero row fan-out. The SQL oracle expresses the same math relationally
     // (pairs ⋈ sh ⋈ sh → COUNT per pair); this form replaces that
     // Σ_pairs |shingles(doc_a)|-row intermediate and its aggregation
     // shuffle with a per-row set intersection. Pairs with an empty
@@ -307,7 +312,9 @@ object Dedup {
         F.col("arr").as("arr_b"), F.col("n").as("n_b")), Seq("doc_b"))
       .select(
         F.col("doc_a"), F.col("doc_b"),
-        F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("long").as("inter"),
+        ColumnBridge.column(graft.functions.expressions.SortedIntersectCountExpr(
+          ColumnBridge.expression(F.col("arr_a")),
+          ColumnBridge.expression(F.col("arr_b")))).as("inter"),
         F.col("n_a"), F.col("n_b"))
       .filter(F.col("inter") > 0L)
       .select(

@@ -75,7 +75,16 @@ case class MinhashSigsExpr(child: Expression, bands: Int)
     val n = arr.numElements()
     if (n == 0) return null
     val md = MessageDigest.getInstance("MD5")
-    val mins = new Array[Array[Byte]](bands)
+    // Zero-alloc digest loop: `md.digest()` allocates a 16-byte array per
+    // call — shingles x bands allocations per document, which at bench
+    // scale is tens of millions of short-lived arrays and measurable GC /
+    // allocation-stall time on the signature-build stage. Instead every
+    // digest lands in one reusable scratch buffer; a candidate only gets
+    // copied into its band's (preallocated) min slot when it actually
+    // wins, which after the first few shingles is rare.
+    val scratch = new Array[Byte](16)
+    val mins = Array.fill(bands)(new Array[Byte](16))
+    val seen = new Array[Boolean](bands)
     var i = 0
     while (i < n) {
       val sBytes = arr.getUTF8String(i).getBytes
@@ -84,8 +93,11 @@ case class MinhashSigsExpr(child: Expression, bands: Int)
         md.reset()
         md.update(prefixes(b))
         md.update(sBytes)
-        val dig = md.digest()
-        if (mins(b) == null || unsignedLess(dig, mins(b))) mins(b) = dig
+        md.digest(scratch, 0, 16)
+        if (!seen(b) || unsignedLess(scratch, mins(b))) {
+          System.arraycopy(scratch, 0, mins(b), 0, 16)
+          seen(b) = true
+        }
         b += 1
       }
       i += 1

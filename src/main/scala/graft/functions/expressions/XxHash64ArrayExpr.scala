@@ -38,6 +38,11 @@ case class XxHash64ArrayExpr(child: Expression)
       out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       i += 1
     }
+    // Sorted output: set cardinalities are order-invariant, and sorting
+    // once at index-build time lets every downstream pair intersection run
+    // as a linear merge ([[SortedIntersectCountExpr]]) instead of a
+    // per-pair hash set.
+    java.util.Arrays.sort(out)
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
