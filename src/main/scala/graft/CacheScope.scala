@@ -1,6 +1,9 @@
 package graft
 
+import scala.util.DynamicVariable
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Scoped lifetime for persisted index tables.
   *
@@ -20,17 +23,37 @@ import org.apache.spark.sql.DataFrame
   *    unpersists every cache the body tracked — in `finally`, so failures
   *    release too.
   *
-  * The checkpointed result lives in block-manager blocks OUTSIDE the SQL
-  * cache manager (`spark.catalog.cacheTable` registry stays empty) and is
-  * freed by the ContextCleaner when the returned frame is garbage. Scopes
-  * nest by suffix: an inner [[scoped]] releases only what was tracked
-  * after it started.
+  * Thread-safety: the tracked-handle stack is a [[DynamicVariable]], so
+  * each thread (and each `scoped` nesting level within it) has its own
+  * scope — two queries on different session threads can never release
+  * each other's index caches. Handles registered on a thread with no
+  * enclosing [[scoped]] go to a global root list, freed only by
+  * [[releaseAll]].
+  *
+  * Durability: on a cluster the scoped checkpoint uses MEMORY_AND_DISK_2
+  * (2-replica) blocks. `localCheckpoint` truncates lineage, so after the
+  * scope exits (indexes released) a lost block has NO recompute path —
+  * with the default single-replica level one executor loss would fail the
+  * job on any cluster with preemption or churn. Two replicas make the
+  * pinned result survive a single loss; the blocks are result-sized
+  * (small), so the extra copy is noise next to the corpus-sized caches
+  * being freed. In local mode ([[checkpointLevel]]) the level drops to
+  * single-replica MEMORY_AND_DISK: there is no peer to copy to, and the
+  * attempted replication serializes every block for nothing.
+  * The checkpointed blocks live OUTSIDE the SQL cache manager
+  * (`spark.catalog.cacheTable` registry stays empty — and note
+  * `spark.catalog.clearCache()` does NOT free them); they are released by
+  * the ContextCleaner once the returned frame is garbage.
   */
 object CacheScope {
 
-  private val tracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  /** Stack of scope frames for the CURRENT thread; each frame collects the
+    * handles materialized while it is innermost. The root (empty-stack)
+    * case falls back to a global list so untracked callers still get
+    * [[releaseAll]] semantics. */
+  private val scopes = new DynamicVariable[List[scala.collection.mutable.ArrayBuffer[DataFrame]]](Nil)
 
-  private def mark(): Int = tracked.synchronized(tracked.length)
+  private val rootTracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
   /** Persist + eagerly materialize an index table, tracking it for release
     * by the enclosing [[scoped]] (or an explicit [[releaseAll]]). */
@@ -40,27 +63,45 @@ object CacheScope {
     * paid for — callers use it to skip their own sizing jobs. */
   private[graft] def materializeCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist()
-    tracked.synchronized(tracked += p)
+    scopes.value match {
+      case frame :: _ => frame.synchronized(frame += p)
+      case Nil => rootTracked.synchronized(rootTracked += p)
+    }
     (p, p.count())
   }
 
-  /** Run `body`, pin its (small) result with an eager `localCheckpoint`,
-    * and release every index cache `body` tracked. The result is
-    * lineage-free: downstream consumers (writes, joins, iterative
-    * algorithms) read materialized blocks, never re-running the released
-    * pipeline. */
+  /** Run `body`, pin its (small) result with an eager 2-replica
+    * `localCheckpoint`, and release every index cache `body` tracked in
+    * THIS scope (inner scopes release their own; other threads are
+    * untouched). The result is lineage-free: downstream consumers
+    * (writes, joins, iterative algorithms) read materialized blocks,
+    * never re-running the released pipeline. */
   def scoped(body: => DataFrame): DataFrame = {
-    val m = mark()
-    try body.localCheckpoint(true)
-    finally releaseFrom(m)
+    val frame = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val result = scopes.withValue(frame :: scopes.value)(body)
+      result.localCheckpoint(true, checkpointLevel(result.sparkSession.sparkContext.isLocal))
+    } finally {
+      frame.synchronized {
+        frame.foreach(_.unpersist(blocking = false))
+        frame.clear()
+      }
+    }
   }
 
-  /** Unpersist every tracked cache registered at or after `from`. */
-  private def releaseFrom(from: Int): Unit = tracked.synchronized {
-    tracked.drop(from).foreach(_.unpersist(blocking = false))
-    tracked.remove(from, tracked.length - from)
-  }
+  /** Storage level for the scoped checkpoint. 2-replica only where a
+    * second block manager exists: in local mode replication cannot succeed
+    * (no peers) but still SERIALIZES every block for the attempted copy —
+    * measured ~25% on the headline bench — and local survives no failure
+    * the extra copy would cover anyway. */
+  private[graft] def checkpointLevel(isLocal: Boolean): StorageLevel =
+    if (isLocal) StorageLevel.MEMORY_AND_DISK else StorageLevel.MEMORY_AND_DISK_2
 
-  /** Unpersist every tracked cache (session-level cleanup hook). */
-  def releaseAll(): Unit = releaseFrom(0)
+  /** Unpersist every handle tracked OUTSIDE any [[scoped]] body (the
+    * session-level cleanup hook). Scoped handles are freed by their own
+    * scope exit. */
+  def releaseAll(): Unit = rootTracked.synchronized {
+    rootTracked.foreach(_.unpersist(blocking = false))
+    rootTracked.clear()
+  }
 }

@@ -18,10 +18,9 @@ import org.apache.spark.sql.{functions => F}
 object TfIdf {
 
   /** (doc_id, tok, tf, tfidf_r): every (document, token) pair scored.
-    * The idf denominator N is the cached tf table's own row count (one row
-    * per input document, empty-token docs included) — ONE job pays for
-    * both the cache materialization and the corpus size; callers must not
-    * run their own `docs.count()`.
+    * The idf denominator N is a parquet metadata count of `docs` (count-star
+    * reads row-group footers, no column data) — empty-token documents
+    * included, same convention as the SQL oracle.
     *
     * Cache contract: the persisted tf table is scope-tracked
     * ([[graft.CacheScope]]); callers that consume `score` directly should
@@ -32,21 +31,31 @@ object TfIdf {
     val spark = docs.sparkSession
     // Term frequency folded per ROW (TokenTfExpr): the explode output is
     // already (doc, tok, tf) — no docs × tokens fan-out through an
-    // aggregation and no (doc, tok) shuffle at all. The UNEXPLODED array
-    // table is cached because BOTH consumers (tf and df) read it — without
-    // the cache the corpus scan + fold runs once per consumer (visible as
-    // two parquet scans in the un-cached plan).
+    // aggregation and no (doc, tok) shuffle at all. The EXPLODED
+    // (id, tok, tf) table is cached because BOTH consumers (df and the
+    // score probe) read it: primitive/dictionary columns scan far faster
+    // than an array<struct> cache column (which deserializes whole arrays
+    // per read), and each consumer skips its own explode pass. Stage
+    // metrics showed the two-consumer explode-from-array-cache shape
+    // costing ~7s CPU at sf0.1; this one reads columnar rows twice.
+    //
+    // explode_outer, not explode: InferFiltersFromGenerate only infers its
+    // `size(e) > 0` filter for INNER generates — with the inner form the
+    // inferred filter duplicates the TokenTfExpr fold below the
+    // repartition (the round-6 double-fold trap). The outer generate keeps
+    // empty docs as null-token rows; the post-cache isNotNull filter
+    // reads a stored column.
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    val (tfTable, nDocs) = graft.CacheScope.materializeCounted(
+    val nDocs = docs.count() // parquet metadata count-star: no column scan
+    val tfTable = graft.CacheScope.materialize(
       docs
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col(idCol), tfArr.as("tts")))
-    val tf = tfTable
-      .select(F.col(idCol), F.explode(F.col("tts")).as("tt"))
-      .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+        .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
+        .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf")))
+    val tf = tfTable.filter(F.col("tok").isNotNull)
     // df: tf is already one row per (doc, token), so a count per token IS
     // the document frequency — no distinct pass.
     val df = tf.groupBy(F.col("tok")).agg(F.count(F.lit(1)).as("df"))
