@@ -256,6 +256,18 @@ object OracleSql {
         |       c.click_id, epoch_us(c.cts) AS c_ts_us, c.value AS click_value
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts""".stripMargin,
 
+    // Same oracle as q_asof_join: the skew-hardened operator must be
+    // output-identical to the plain one (bucket-local window + carry is an
+    // exact decomposition of the running last).
+    "q_asof_join_skewed" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts, value
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, p.user_id, epoch_us(p.pts) AS p_ts_us,
+        |       c.click_id, epoch_us(c.cts) AS c_ts_us, c.value AS click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts""".stripMargin,
+
     // Plain inequality join (fine at oracle scale; graft's operator is the
     // bucketed equi-join + residual form of the same predicate).
     "q_range_join" ->

@@ -398,6 +398,26 @@ object SparkEntry {
         F.col("r_value").as("click_value"))
   }
 
+  /** Same query as [[qAsofJoin]] through the skew-hardened variant
+    * ([[graft.operators.TemporalJoins.asofJoinSkewed]] — windows on
+    * (key, time bucket) with a boundary carry, so one hot user cannot
+    * serialize into a single task's sort). Oracle-identical output. */
+  private def qAsofJoinSkewed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id").as("purchase_id"), F.col("user_id"), F.col("ts"))
+    val clicks = ev.filter(F.col("event_type") === "click")
+      .select(F.col("user_id"), F.col("event_id"), F.col("ts"), F.col("value"))
+    graft.operators.TemporalJoins.asofJoinSkewed(purchases, clicks, Seq("user_id"),
+      bucketSeconds = 6 * 3600L)
+      .select(
+        F.col("purchase_id"), F.col("user_id"),
+        F.unix_micros(F.col("ts")).as("p_ts_us"),
+        F.col("r_event_id").as("click_id"),
+        F.unix_micros(F.col("r_ts")).as("c_ts_us"),
+        F.col("r_value").as("click_value"))
+  }
+
   /** Range join: clicks landing inside the 1-hour window after an error by
     * the same user ([[graft.operators.TemporalJoins.rangeJoin]] —
     * equi-join on (key, time bucket) + residual filter, never a
@@ -837,6 +857,7 @@ object SparkEntry {
     "q_late_data" -> (qLateData _),
     "q_join" -> (qJoin _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_join_skewed" -> (qAsofJoinSkewed _),
     "q_range_join" -> (qRangeJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join" -> (qOuterJoin _),

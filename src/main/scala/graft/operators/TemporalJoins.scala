@@ -31,10 +31,12 @@ object TemporalJoins {
     * scale-out as-of, linear in |left| + |right|.
     *
     * Skew note (100 TB): a pathologically hot key serializes into one
-    * task's sort. The standard mitigation — range-partition within the
-    * key by time and replicate the last build row of each range boundary
-    * forward — composes on top of this operator; not needed at gate
-    * scales.
+    * task's sort. [[asofJoinSkewed]] is the hardened variant — it
+    * range-partitions within the key by time bucket and carries each
+    * bucket's last build row forward, so no task ever sorts more than one
+    * (key, bucket) slice. Use it when one key can hold a large fraction
+    * of the rows; this form is one shuffle cheaper when keys are well
+    * distributed.
     *
     * Right payload columns (everything but the keys) come back prefixed
     * with `rightPrefix` to keep the output schema collision-free. */
@@ -64,6 +66,93 @@ object TemporalJoins {
     probe.unionByName(build)
       .withColumn("__match", F.last(F.col("__r"), ignoreNulls = true).over(w))
       .filter(F.col("__probe") === 1 && F.col("__match").isNotNull)
+      .select(F.col("__l.*") +: rPayload.map(c =>
+        F.col(s"__match.$rightPrefix$c").as(s"$rightPrefix$c")): _*)
+  }
+
+  /** Skew-hardened backward as-of join — same semantics and output as
+    * [[asofJoin]], safe against hot keys.
+    *
+    * [[asofJoin]]'s single window partitions by `keys` alone: one
+    * pathological key (the null-ish user, the monitoring heartbeat) pulls
+    * its entire history into ONE task's sort. Here the window partitions
+    * by (keys, time bucket) — a hot key spreads over as many tasks as it
+    * spans `bucketSeconds` buckets — and cross-bucket matches are restored
+    * with a boundary carry:
+    *
+    *  1. per (key, bucket): the running last build row, exactly
+    *     [[asofJoin]]'s window but bucket-local;
+    *  2. a carry table with ONE row per (key, bucket) — the greatest build
+    *     row of each bucket, then a per-key running `last` over buckets
+    *     shifted one back, i.e. "the last build row strictly before this
+    *     bucket". Bucket-granularity rows, so the per-key window that
+    *     would be the skew hazard runs on a table orders of magnitude
+    *     smaller than the data;
+    *  3. probe rows take their bucket-local match, falling back to the
+    *     carry-in (`coalesce`) — the carry join is on (keys, bucket), the
+    *     same partitioning the window just produced, so it reuses the
+    *     exchange.
+    *
+    * Tie-breaking matches [[asofJoin]] bit for bit: the bucket-local
+    * window uses the same (ts, side, payload) order, and the carry picks
+    * `max(struct(ts, payload))` — the same greatest element (equal
+    * timestamps can't straddle a bucket boundary, so the cross-bucket
+    * side flag is irrelevant).
+    *
+    * Size `bucketSeconds` so the hottest key's per-bucket row count fits a
+    * task sort comfortably (e.g. events/sec of the hot key x bucket
+    * seconds ~ a few million). */
+  def asofJoinSkewed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String = "ts", rightTs: String = "ts",
+                     rightPrefix: String = "r_",
+                     bucketSeconds: Long = 3600L): DataFrame = {
+    require(keys.nonEmpty, "asofJoinSkewed needs at least one key column")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val bucketUs = bucketSeconds * 1000000L
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val lStruct = F.struct(left.columns.toSeq.map(F.col): _*)
+    val rStruct = F.struct(rPayload.map(c => F.col(c).as(s"$rightPrefix$c")): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+
+    def bucketOf(ts: org.apache.spark.sql.Column) =
+      F.floor(F.unix_micros(ts) / bucketUs)
+
+    val probe = left.select(
+      keys.map(F.col) ++ Seq(
+        F.col(leftTs).as("__ts"), F.lit(1).as("__probe"),
+        lStruct.as("__l"), F.lit(null).cast(rType).as("__r"),
+        bucketOf(F.col(leftTs)).as("__bucket")): _*)
+    val build = right.select(
+      keys.map(F.col) ++ Seq(
+        F.col(rightTs).as("__ts"), F.lit(0).as("__probe"),
+        F.lit(null).cast(lType).as("__l"), rStruct.as("__r"),
+        bucketOf(F.col(rightTs)).as("__bucket")): _*)
+    val u = probe.unionByName(build)
+
+    val bucketKeys = keys :+ "__bucket"
+    val wLocal = Window.partitionBy(bucketKeys.map(F.col): _*)
+      .orderBy(F.col("__ts").asc, F.col("__probe").asc, F.col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // Carry table: greatest build row per (key, bucket), then the running
+    // last over STRICTLY EARLIER buckets per key. Rows here are one per
+    // (key, bucket) — the per-key window is not a skew surface.
+    val wCarry = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u
+      .groupBy(bucketKeys.map(F.col): _*)
+      .agg(F.max(F.when(F.col("__probe") === 0,
+        F.struct(F.col("__ts").as("ts"), F.col("__r").as("r")))).as("__lastb"))
+      .withColumn("__carry", F.last(F.col("__lastb.r"), ignoreNulls = true).over(wCarry))
+      .select((bucketKeys.map(F.col) :+ F.col("__carry")): _*)
+
+    u.withColumn("__local", F.last(F.col("__r"), ignoreNulls = true).over(wLocal))
+      .filter(F.col("__probe") === 1)
+      .join(carry, bucketKeys, "left")
+      .withColumn("__match", F.coalesce(F.col("__local"), F.col("__carry")))
+      .filter(F.col("__match").isNotNull)
       .select(F.col("__l.*") +: rPayload.map(c =>
         F.col(s"__match.$rightPrefix$c").as(s"$rightPrefix$c")): _*)
   }

@@ -108,4 +108,52 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkFixture {
     assert(fast.length == fast.distinct.length, "duplicate pairs emitted")
     assert(fast.toSet == brute.toSet && fast.nonEmpty)
   }
+
+  test("asofJoinSkewed == asofJoin under a 50%-hot key (property)") {
+    import spark.implicits._
+    // One key holds half of all rows on both sides; timestamps collide
+    // across and within keys to exercise every tie-break path.
+    val rng = new scala.util.Random(42)
+    def key(i: Int): Long = if (rng.nextBoolean()) 7L else 1L + rng.nextInt(20)
+    def when(i: Int): Timestamp =
+      new Timestamp(1704100000000L + rng.nextInt(400) * 90000L) // ~90s grid, collisions
+    val probe = (1 to 800).map(i => (key(i), when(i), s"p$i")).toDF("k", "ts", "tag")
+    val build = (1 to 800).map(i => (key(i), when(i), rng.nextInt(50).toDouble))
+      .toDF("k", "ts", "v")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("tag", "r_v").collect().map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy(identity[(String, Double)]).toSeq
+    val plain = canon(TemporalJoins.asofJoin(probe, build, Seq("k")))
+    val skewed = canon(TemporalJoins.asofJoinSkewed(probe, build, Seq("k"),
+      bucketSeconds = 3600L))
+    assert(plain.nonEmpty && skewed == plain,
+      s"skew-hardened variant diverged: ${skewed.size} vs ${plain.size} rows")
+  }
+
+  test("asofJoinSkewed spreads the hot key: no window slice over ~2x the mean") {
+    import spark.implicits._
+    // 50% of rows on one key over a 40-hour span with 1-hour buckets: the
+    // plain window sorts all hot rows in ONE task; the skewed window's
+    // largest (key, bucket) slice must stay near the mean slice size.
+    val rng = new scala.util.Random(7)
+    val n = 4000
+    val rows = (1 to n).map { i =>
+      val k = if (i % 2 == 0) 7L else 1L + rng.nextInt(40)
+      (k, new Timestamp(1704100000000L + rng.nextInt(144000) * 1000L), i.toDouble)
+    }.toDF("k", "ts", "v")
+    val hotSlices = rows.filter(F.col("k") === 7L).groupBy(
+      F.floor(F.unix_micros(F.col("ts")) / (3600L * 1000000L)).as("b"))
+      .count().select("count").as[Long].collect()
+    val hot = hotSlices.sum
+    assert(hot >= n / 2, s"test setup: hot key should hold half the rows, got $hot")
+    // The plain window sorts all `hot` rows in one task; after bucketing,
+    // the hot key's largest slice must sit near its per-bucket mean — the
+    // sort that was O(hot) is now O(hot / buckets-spanned).
+    val meanSlice = hot.toDouble / hotSlices.length
+    assert(hotSlices.max <= (2.0 * meanSlice).ceil.toLong,
+      s"largest hot-key bucket slice ${hotSlices.max} exceeds 2x its mean $meanSlice")
+    assert(hotSlices.max <= hot / 10,
+      s"bucketing failed to spread the hot key: max slice ${hotSlices.max} of $hot rows")
+  }
 }
