@@ -19,11 +19,11 @@ object TextFunctions {
     * marks each count as one token — a cheap deterministic proxy for a BPE
     * tokenizer's piece count. */
   def bpeishTokenCount(text: Column): Column =
-    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("long")
 
   /** Whitespace-split tokens (lowercased), as an array column. */
   def tokens(text: Column): Column =
-    F.filter(F.split(F.lower(text), "\\s+"), t => F.length(t) > 0)
+    F.filter(F.split(F.lower(text), "[ \\t\\n\\f\\r]+"), t => F.length(t) > 0)
 
   /** Word n-gram shingles over the token array; empty when fewer than `n`
     * tokens (strict semantics so any engine replicates it exactly).
@@ -108,7 +108,7 @@ object TextFunctions {
 
   /** Whitespace-normalized text: trim + collapse runs of whitespace. */
   def normalizeWs(text: Column): Column =
-    F.trim(F.regexp_replace(text, "\\s+", " "))
+    F.trim(F.regexp_replace(text, "[ \\t\\n\\f\\r]+", " "))
 
   /** Content fingerprint: md5 of lowercased whitespace-normalized text —
     * the exact-dup key that survives formatting differences. */
@@ -124,7 +124,7 @@ object TextFunctions {
       F.regexp_replace(
         F.regexp_replace(text,
           F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), F.lit("<EMAIL>")),
-        F.lit("https?://[^\\s]+"), F.lit("<URL>")),
+        F.lit("https?://[^ \\t\\n\\f\\r]+"), F.lit("<URL>")),
       F.lit("[0-9]{2,}"), F.lit("<NUM>"))
 
   /** Winnowing fingerprints: rolling-hash k-gram minima per w-window

@@ -27,7 +27,7 @@ case class ShingleExpr(child: Expression, n: Int) extends UnaryExpression with C
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val toks = text.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty) // RE2 \\s subset: no \\x0B
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](toks.length - n + 1)

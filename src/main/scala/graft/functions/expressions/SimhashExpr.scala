@@ -33,7 +33,7 @@ case class SimhashExpr(child: Expression) extends UnaryExpression with CodegenFa
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
-    val toks = text.split("\\s+")
+    val toks = text.split("[ \\t\\n\\f\\r]+") // RE2 \\s subset: no \\x0B, matches the SQL oracle
     val md = MessageDigest.getInstance("MD5")
     val sums = new Array[Int](64)
     var any = false

@@ -38,10 +38,12 @@ case class TokenTfExpr(child: Expression)
     containsNull = false)
   override def nullable: Boolean = true
 
-  // exactly Java regex \s (ASCII-only), the delimiter class of
-  // split(text, "\\s+") and of the oracle's string_split_regex
+  // exactly RE2 \s = [ \t\n\f\r], the delimiter class of the oracle's
+  // string_split_regex. NOT Java \s: Java adds \x0B (vertical tab), which
+  // RE2 excludes -- a \x0B-bearing document would otherwise tokenize
+  // differently on the two sides of the correctness gate.
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toLowerCase.toString

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -155,5 +157,31 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(counts.forall(_ >= 1))
     // a ~500-byte doc at 100 bytes/frame yields multiple frames
     assert(counts.max > 1)
+  }
+
+  test("brokerStartingOffsetsJson matches the spark-sql-kafka documented shape") {
+    import graft.sources.KafkaShim
+    // The connector's `startingOffsets` option documents the JSON as
+    // {"topicA":{"0":23,"1":-2}} — topic -> (partition AS STRING -> long
+    // offset), with -2/-1 as earliest/latest sentinels, or the bare
+    // strings "earliest"/"latest". readAuto feeds this function straight
+    // into option("startingOffsets", ...), so the shape is load-bearing:
+    // pin it exactly.
+    assert(KafkaShim.brokerStartingOffsetsJson("t", Map.empty) == "earliest")
+    val json = KafkaShim.brokerStartingOffsetsJson("clicks", Map(1 -> 42L, 0 -> 7L))
+    assert(json == """{"clicks": {"0": 7, "1": 42}}""") // partitions sorted, keys quoted
+    // Must parse as JSON with STRING partition keys and integral offsets
+    // (the connector parses it with Jackson; a bare-int key or trailing
+    // comma would fail at the broker path only — too late to catch).
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    assert(root.isObject && root.has("clicks"))
+    val parts = root.get("clicks")
+    assert(parts.fieldNames().asScala.toSet == Set("0", "1"))
+    assert(parts.get("0").isIntegralNumber && parts.get("0").longValue() == 7L)
+    assert(parts.get("1").longValue() == 42L)
+    // Kafka sentinel offsets pass through untouched.
+    val sentinels = KafkaShim.brokerStartingOffsetsJson("t", Map(0 -> -2L, 1 -> -1L))
+    assert(mapper.readTree(sentinels).get("t").get("0").longValue() == -2L)
   }
 }
