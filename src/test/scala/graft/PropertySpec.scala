@@ -99,6 +99,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(viaExpr == viaAgg)
   }
 
+  test("SortedIntersectCountExpr equals size(array_intersect) on random sorted sets") {
+    import graft.functions.expressions.SortedIntersectCountExpr
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val setGen = for {
+      n <- Gen.chooseNum(0, 60)
+      xs <- Gen.listOfN(n, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+    } yield xs.distinct.sorted.toArray
+    forSamples(Gen.zip(setGen, setGen), n = 200) { case (a, b) =>
+      val expr = SortedIntersectCountExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)))
+      val got = expr.nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+        .asInstanceOf[Long]
+      val want = a.toSet.intersect(b.toSet).size.toLong
+      assert(got == want, s"merge count $got != set count $want for ${a.toSeq} ∩ ${b.toSeq}")
+    }
+  }
+
+  test("XxHash64ArrayExpr output is sorted and hash-faithful") {
+    import graft.functions.expressions.XxHash64ArrayExpr
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    forSamples(Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word)), n = 100) { words =>
+      val arr = new GenericArrayData(words.map(w => UTF8String.fromString(w)).toArray[Any])
+      val expr = XxHash64ArrayExpr(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+      val out = expr.nullSafeEval(arr)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]
+      val got = (0 until out.numElements()).map(out.getLong)
+      assert(got == got.sorted, s"unsorted hash output: $got")
+      val want = words.map { w =>
+        val u = UTF8String.fromString(w)
+        XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      }.sorted
+      assert(got == want, "hash values diverge from XXH64 seed-42 convention")
+    }
+  }
+
   test("chunk reassembles to the original token stream (minus the overlaps)") {
     import spark.implicits._
     import graft.operators.Packing
