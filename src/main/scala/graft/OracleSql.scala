@@ -442,6 +442,25 @@ object OracleSql {
         |FROM sh8 s JOIN b USING (shingle)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Same shingle construction as q_contamination (RE2 \s tokenizer,
+    // space-joined 5-grams, DISTINCT per doc); SUM over an int CASE is
+    // HUGEINT in DuckDB -> cast to BIGINT to match Spark's long.
+    "q_dup_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([list_aggregate(w[i:i+4], 'string_agg', ' ') for i in generate_series(1, len(w)-4)]) AS shingle
+        |  FROM tok WHERE len(w) >= 5),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT s.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+        |FROM sh s JOIN df USING (shingle)
+        |GROUP BY 1""".stripMargin,
+
     "q_histogram" ->
       """SELECT event_type,
         |  CAST(least(greatest(floor(value / 5.0), 0), 19) AS BIGINT) AS bucket,

@@ -699,6 +699,12 @@ object SparkEntry {
       shingleN = 8, minShared = 1)
   }
 
+  /** Corpus-level duplicated-5-gram fraction per document
+    * ([[Dedup.dupNgramFraction]]) — the cross-document boilerplate signal
+    * (within-doc repetition is [[qRepetition]]). */
+  private def qDupNgrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupNgramFraction(T(s, dir, "documents"), shingleN = 5)
+
   /** Within-document repetition: the duplicated-trigram fraction
     * (1 - distinct/total word 3-grams) — the classic repetitive-text
     * quality signal, computed entirely inside the row (zero shuffle). */
@@ -884,6 +890,7 @@ object SparkEntry {
     "q_scrub" -> (qScrub _),
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
+    "q_dup_ngrams" -> (qDupNgrams _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

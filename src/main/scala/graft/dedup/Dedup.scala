@@ -370,6 +370,52 @@ object Dedup {
       .filter(F.col("n_shared") >= minShared)
   }
 
+  /** Duplicated n-gram fraction per document: of a document's DISTINCT
+    * word `shingleN`-grams, the fraction that also occur in at least one
+    * OTHER document (corpus df >= 2) — the standard corpus-level
+    * boilerplate/duplication quality signal used by published
+    * training-data filters (cut documents whose text is mostly shared
+    * n-grams). Documents with fewer than `shingleN` tokens have no
+    * n-grams and are absent from the output (they carry no signal).
+    *
+    * Shape (the [[graft.functions.TfIdf]] pattern): one corpus scan folds
+    * distinct shingle HASHES per row (ShingleExpr -> array_distinct ->
+    * XxHash64ArrayExpr — counts are hash-invariant, and 8-byte hashes keep
+    * the cache and the df shuffle fixed-width; same injectivity argument
+    * as [[ngramJaccard]]), cached EXPLODED as primitive (id, h) columns;
+    * df is a map-side-combinable count per hash over the cache; the join
+    * back on h is bucket-keyed; the per-doc fraction is one aggregation.
+    * Nothing is quadratic and no row carries more than (id, hash).
+    *
+    * Output: (idCol, n_grams, n_dup, dup_frac) with dup_frac rounded to
+    * 6 decimals (the oracle-replicable double convention). */
+  def dupNgramFraction(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       shingleN: Int = 5): DataFrame = graft.CacheScope.scoped {
+    val spark = docs.sparkSession
+    val hashedDistinct = ColumnBridge.column(
+      graft.functions.expressions.XxHash64ArrayExpr(ColumnBridge.expression(
+        F.array_distinct(ColumnBridge.column(
+          ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))))))
+    // explode_outer: the inner form would let InferFiltersFromGenerate
+    // push a size() filter on the computed array below the repartition and
+    // re-run the shingle fold per row (the round-6 trap); the outer form
+    // keeps shingle-less docs as null-h rows, dropped AFTER the cache.
+    val sh = materialize(
+      docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(idCol), F.explode_outer(hashedDistinct).as("h")))
+      .filter(F.col("h").isNotNull)
+    val df = sh.groupBy(F.col("h")).agg(F.count(F.lit(1)).as("df"))
+    sh.join(df, Seq("h"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.when(F.col("df") > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .select(F.col(idCol), F.col("n_grams"), F.col("n_dup"),
+        F.round(F.col("n_dup").cast("double") / F.col("n_grams").cast("double"), 6)
+          .as("dup_frac"))
+  }
+
   /** Embedding-cosine near-duplicate candidates: vector pairs whose
     * multi-table hyperplane-LSH signatures collide in ANY table and whose
     * exact cosine (computed only within buckets — never all-pairs) clears

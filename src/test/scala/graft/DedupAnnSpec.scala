@@ -23,6 +23,22 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
       .toDF("doc_id", "text")
   }
 
+  test("dupNgramFraction: shared n-grams counted cross-doc, short docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),        // shares "a b c d e" with doc 1
+      (3L, "p q r s t u"),        // no shared grams
+      (4L, "too short")           // < 5 tokens: no grams, absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramFraction(docs, shingleN = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(planted).collect()
     assert(out.length == 4)
