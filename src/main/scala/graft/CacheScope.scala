@@ -59,6 +59,25 @@ object CacheScope {
     * by the enclosing [[scoped]] (or an explicit [[releaseAll]]). */
   private[graft] def materialize(df: DataFrame): DataFrame = materializeCounted(df)._1
 
+  /** Persist + TRACK without an eager action. Safe ONLY when the plan's
+    * consumers are strictly sequential — e.g. the first consumer is a
+    * broadcast-subquery job that completes before the main job's probe
+    * side starts, so it alone populates the cache. Consumers that run
+    * inside ONE job (a self-join's two build sides) race without the
+    * eager action: use [[materialize]] there. (The race costs duplicated
+    * computation, never wrong results — block-level cache puts are
+    * atomic — but duplicated index builds are exactly what the cache is
+    * for.) Saves one full pass over the cached table plus a job
+    * round-trip. */
+  private[graft] def materializeLazy(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    scopes.value match {
+      case frame :: _ => frame.synchronized(frame += p)
+      case Nil => rootTracked.synchronized(rootTracked += p)
+    }
+    p
+  }
+
   /** [[materialize]], returning the row count the eager action already
     * paid for — callers use it to skip their own sizing jobs. */
   private[graft] def materializeCounted(df: DataFrame): (DataFrame, Long) = {

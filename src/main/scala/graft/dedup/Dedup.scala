@@ -401,7 +401,10 @@ object Dedup {
     // push a size() filter on the computed array below the repartition and
     // re-run the shingle fold per row (the round-6 trap); the outer form
     // keeps shingle-less docs as null-h rows, dropped AFTER the cache.
-    val sh = materialize(
+    // materializeLazy: the df count below is a broadcast-subquery job that
+    // populates the cache before the main job's probe reads it — strictly
+    // sequential consumers, no eager count needed (see CacheScope).
+    val sh = graft.CacheScope.materializeLazy(
       docs.repartition(spark.sparkContext.defaultParallelism)
         .select(F.col(idCol), F.explode_outer(hashedDistinct).as("h")))
       .filter(F.col("h").isNotNull)

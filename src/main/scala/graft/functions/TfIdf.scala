@@ -50,7 +50,13 @@ object TfIdf {
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
     val nDocs = docs.count() // parquet metadata count-star: no column scan
-    val tfTable = graft.CacheScope.materialize(
+    // materializeLazy, not materialize: the df aggregation below runs as a
+    // broadcast-subquery JOB that completes before the main job's probe
+    // side starts, so it alone populates the cache — strictly sequential
+    // consumers, and the eager count would be a wasted full pass over the
+    // cached table. (A/B on the shared bench box is within its ±30%
+    // drift; this form does strictly less work.)
+    val tfTable = graft.CacheScope.materializeLazy(
       docs
         .repartition(spark.sparkContext.defaultParallelism)
         .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
