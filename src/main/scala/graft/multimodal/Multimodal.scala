@@ -37,14 +37,18 @@ object Multimodal {
 
   /** The decode/feature-extract stage: batched per-partition processing,
     * the exact execution shape (and batch-size economics) of a Pandas-UDF /
-    * `mapInPandas` decoder: the codec initializes ONCE per partition, and
-    * records flow through it in `batchSize` groups (an Arrow batch stand-in
-    * — a real codec amortizes per-batch setup the same way). Swap
-    * [[StubDecoder.decode]] for a real codec. */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    * `mapInPandas` decoder: the codec initializes ONCE per partition
+    * (`decoderFactory()` — model load / JNI handle), and records flow
+    * through it in `batchSize` groups (an Arrow batch stand-in — a real
+    * codec amortizes per-batch setup the same way). Production swaps the
+    * factory for one returning a real codec; the default is the
+    * deterministic [[StubDecoder]] (no codec libs in this container). */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64,
+                      decoderFactory: () => MediaDecoder = () => StubDecoder)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.as[MediaRecord].mapPartitions { records =>
-      val decoder = StubDecoder // per-partition init (model load / JNI handle)
+      val decoder = decoderFactory() // per-partition init
       records.grouped(batchSize).flatMap { batch =>
         decoder.decodeBatch(batch)
       }
@@ -81,7 +85,15 @@ object Multimodal {
 
 /** Deterministic stand-in for a media codec: "features" derived from bytes
   * only (length + first/last byte), so any engine can replicate them. */
-object StubDecoder extends Serializable {
+/** The per-partition codec contract a production decoder implements: one
+  * instance per partition (constructed executor-side by the factory passed
+  * to [[Multimodal.extractFeatures]]), batches submitted whole — the
+  * boundary where a JPEG/ffmpeg/JNI codec plugs in. */
+trait MediaDecoder extends Serializable {
+  def decodeBatch(batch: Seq[Multimodal.MediaRecord]): Seq[Multimodal.MediaFeatures]
+}
+
+object StubDecoder extends MediaDecoder {
   /** Batch entry point (the Arrow-batch analogue): a real codec would
     * submit the whole batch to the device/library at once. */
   def decodeBatch(batch: Seq[Multimodal.MediaRecord]): Seq[Multimodal.MediaFeatures] =

@@ -145,6 +145,22 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(single == feats.sortBy(_.doc_id).toSeq)
   }
 
+  test("multimodal decoder is pluggable: a custom codec replaces the stub") {
+    import graft.multimodal.{MediaDecoder, Multimodal}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(10)
+    val media = Multimodal.attachMedia(docs)
+    // A "real" codec stand-in: constant feature, proving the per-partition
+    // factory + batch path carry a user decoder end to end.
+    class ConstDecoder extends MediaDecoder {
+      def decodeBatch(batch: Seq[Multimodal.MediaRecord]): Seq[Multimodal.MediaFeatures] =
+        batch.map(r => Multimodal.MediaFeatures(
+          r.doc_id, r.media.length.toLong, r.media_type, r.width, r.height, 42.0))
+    }
+    val feats = Multimodal.extractFeatures(media, batchSize = 3,
+      decoderFactory = () => new ConstDecoder).collect()
+    assert(feats.length == 10 && feats.forall(_.feature == 42.0))
+  }
+
   test("multimodal resize and frame-sample stubs transform metadata and explode frames") {
     import graft.multimodal.Multimodal
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(10)
