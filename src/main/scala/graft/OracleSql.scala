@@ -442,6 +442,25 @@ object OracleSql {
         |FROM sh8 s JOIN b USING (shingle)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Per-(doc,token) term computed in double (identical IEEE ops to the
+    // Spark side), cast to DECIMAL(38,18) so the SUM is exact and
+    // order-free on both engines; DuckDB SUM(BIGINT) is HUGEINT -> cast.
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t AS tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM tf),
+        |cnt AS (SELECT tok, CAST(SUM(tf) AS DOUBLE) AS cnt FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * ln(cnt.cnt / tot.total)
+        |                      AS DECIMAL(38,18))) AS DOUBLE)
+        |        / CAST(SUM(tf.tf) AS DOUBLE), 6) AS lm_score
+        |FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
     // Same shingle construction as q_contamination (RE2 \s tokenizer,
     // space-joined 5-grams, DISTINCT per doc); SUM over an int CASE is
     // HUGEINT in DuckDB -> cast to BIGINT to match Spark's long.

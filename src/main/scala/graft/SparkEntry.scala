@@ -705,6 +705,13 @@ object SparkEntry {
   private def qDupNgrams(s: SparkSession, dir: String): DataFrame =
     Dedup.dupNgramFraction(T(s, dir, "documents"), shingleN = 5)
 
+  /** Unigram LM quality score per document
+    * ([[graft.functions.UnigramLm.score]]) — mean token log-probability
+    * under the corpus unigram distribution, summed in exact decimal so the
+    * distributed aggregation is order-free and oracle-checkable. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLm.score(T(s, dir, "documents"))
+
   /** Within-document repetition: the duplicated-trigram fraction
     * (1 - distinct/total word 3-grams) — the classic repetitive-text
     * quality signal, computed entirely inside the row (zero shuffle). */
@@ -891,6 +898,7 @@ object SparkEntry {
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
     "q_dup_ngrams" -> (qDupNgrams _),
+    "q_lm_score" -> (qLmScore _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

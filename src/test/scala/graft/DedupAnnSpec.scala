@@ -39,6 +39,21 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("UnigramLm.score: hand-computed mean log-prob, empty docs absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
+    val out = graft.functions.UnigramLm.score(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L)) // tokenless doc carries no signal
+    // total=5, counts: a=2, b=2, c=1
+    // doc1: (2 ln(2/5) + 1 ln(2/5)) / 3 = ln(0.4)
+    val d1 = BigDecimal(3 * math.log(0.4) / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d2 = BigDecimal((math.log(0.4) + math.log(0.2)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(1L) == ((3L, d1.toDouble)))
+    assert(out(2L) == ((2L, d2.toDouble)))
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(planted).collect()
     assert(out.length == 4)
