@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Unigram language-model scoring: each document's mean token
+  * log-probability under the corpus's own unigram distribution — the
+  * CCNet/KenLM-style quality signal (gibberish and boilerplate score low;
+  * fluent in-distribution text scores high) used to filter or
+  * importance-weight training corpora.
+  *
+  * score(d) = ( Σ_{t ∈ d} tf(d,t) · ln(count(t) / totalTokens) ) / |d|
+  *
+  * Determinism at scale (the interesting part): a distributed SUM of
+  * doubles is order-nondeterministic — partial aggregation order varies
+  * run to run — so the naive form cannot be oracle-checked bit-exactly.
+  * Instead each per-(doc, token) term is computed as a double (identical
+  * IEEE ops on identical operands on any engine) and CAST TO
+  * DECIMAL(38,18); decimal addition is exact and associative, so the sum
+  * is order-free and the final double division sees identical operands on
+  * Spark and the SQL oracle. (Residual risk: the double→decimal cast's
+  * rounding at 1e-18 per term; divergence reaches the 6-dp output only on
+  * a ~.5e-6 boundary — the same accepted class as the tfidf ln 1-ulp
+  * note.)
+  *
+  * Shape: the [[TfIdf]] pattern — one corpus scan folds per-row term
+  * frequencies (TokenTfExpr), cached exploded as primitive columns; token
+  * counts are one map-side-combinable aggregation; the join back is
+  * token-keyed; the per-doc sum is exact decimal. Nothing quadratic; no
+  * driver data beyond the single totalTokens long.
+  */
+object UnigramLm {
+
+  /** (idCol, n_tokens, lm_score) per document with at least one token;
+    * lm_score rounded to 6 decimals. */
+  def score(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = graft.CacheScope.scoped {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tfArr = ColumnBridge.column(
+      graft.functions.expressions.TokenTfExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    // Lazy persist: the totalTokens aggregate below is the first (and
+    // strictly earlier) consumer, so it populates the cache for the
+    // token-count aggregation and the probe side (see CacheScope).
+    val tfTable = graft.CacheScope.materializeLazy(
+      docs
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
+        .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf")))
+      .filter(F.col("tok").isNotNull)
+    // One small job: corpus token total (also warms the cache).
+    val totalTokens = tfTable.agg(F.sum(F.col("tf"))).first().getLong(0)
+    val tokCounts = tfTable.groupBy(F.col("tok"))
+      .agg(F.sum(F.col("tf")).as("cnt"))
+    tfTable.join(tokCounts, Seq("tok"))
+      .select(
+        F.col(idCol), F.col("tf"),
+        // identical IEEE ops on both engines, then exact decimal
+        (F.col("tf").cast("double") *
+          F.log(F.col("cnt").cast("double") / F.lit(totalTokens.toDouble)))
+          .cast("decimal(38,18)").as("term"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.sum(F.col("tf")).as("n_tokens"),
+        F.sum(F.col("term")).as("ll"))
+      .select(
+        F.col(idCol), F.col("n_tokens"),
+        F.round(F.col("ll").cast("double") / F.col("n_tokens").cast("double"), 6)
+          .as("lm_score"))
+  }
+}
