@@ -188,6 +188,37 @@ object CheckpointAndRescale {
   }
 }
 
+/** malstrom-kafka/examples/source_sink.rs: read a topic, inspect, write to
+  * another topic. Runs on the file shim here (no broker/jar in this
+  * container); on a cluster, pass a bootstrap server and
+  * [[graft.sources.KafkaShim.readAuto]] dispatches to Spark's native
+  * `format("kafka")` with the identical offset contract. */
+object KafkaSourceSink {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    import spark.implicits._
+    import graft.sources.KafkaShim
+    val root = java.nio.file.Files.createTempDirectory("graft-kafka-example").toString
+    KafkaShim.write(
+      Seq((0, "k1", "hello", "2024-01-01 00:00:00"),
+          (1, "k2", "kafka", "2024-01-01 00:00:01"),
+          (0, "k1", "world", "2024-01-01 00:00:02"))
+        .toDF("partition", "key", "value", "ts"),
+      root, "foobar", orderCols = Seq("ts"))
+    val in = KafkaShim.readAuto(spark, root, "foobar",
+      startingOffsets = Map.empty, bootstrapServers = sys.env.get("KAFKA_BROKERS"))
+    val inspected = graft.api.GraftStream(in)
+      .inspect("print", F.count(F.lit(1)).as("records"))
+    KafkaShim.write(
+      inspected.toDF.select(F.col("partition"), F.col("key"),
+        F.upper(F.col("value")).as("value"), F.col("ts")),
+      root, "foobar-out", orderCols = Seq("ts"))
+    spark.read.schema(KafkaShim.schemaDDL)
+      .parquet(s"$root/topic=foobar-out").orderBy("partition", "offset").show(false)
+    spark.stop()
+  }
+}
+
 /** The LLM-data-pipeline pack end to end on real test data: near-dup
   * detection (MinHash-LSH), compressed similarity search (PQ), and
   * text-quality scoring — the graft-side surface the reference's users
