@@ -442,6 +442,23 @@ object OracleSql {
         |FROM sh8 s JOIN b USING (shingle)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Within-doc Shannon entropy H = ln(n) - (sum tf*ln(tf))/n; same
+    // exact-decimal summation discipline as q_lm_score.
+    "q_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t AS tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  ROUND(ln(CAST(SUM(tf) AS DOUBLE))
+        |        - CAST(SUM(CAST(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))
+        |                        AS DECIMAL(38,18))) AS DOUBLE)
+        |          / CAST(SUM(tf) AS DOUBLE), 6) AS entropy
+        |FROM tf
+        |GROUP BY 1""".stripMargin,
+
     // Per-(doc,token) term computed in double (identical IEEE ops to the
     // Spark side), cast to DECIMAL(38,18) so the SUM is exact and
     // order-free on both engines; DuckDB SUM(BIGINT) is HUGEINT -> cast.

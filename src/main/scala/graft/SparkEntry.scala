@@ -712,6 +712,11 @@ object SparkEntry {
   private def qLmScore(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLm.score(T(s, dir, "documents"))
 
+  /** Within-doc token entropy ([[graft.functions.UnigramLm.tokenEntropy]])
+    * — vocabulary-diversity quality filter, decimal-exact sum. */
+  private def qEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLm.tokenEntropy(T(s, dir, "documents"))
+
   /** Within-document repetition: the duplicated-trigram fraction
     * (1 - distinct/total word 3-grams) — the classic repetitive-text
     * quality signal, computed entirely inside the row (zero shuffle). */
@@ -899,6 +904,7 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_lm_score" -> (qLmScore _),
+    "q_entropy" -> (qEntropy _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

@@ -31,6 +31,42 @@ import org.apache.spark.sql.{functions => F}
   */
 object UnigramLm {
 
+  /** (idCol, n_tokens, entropy) per document with at least one token:
+    * Shannon entropy of the document's own token distribution,
+    * H = ln(n) − (Σ_t tf·ln tf)/n — low for repetitive/templated text,
+    * high for diverse vocabulary; the complement of [[score]]'s
+    * corpus-level signal. Same exact-decimal summation (each tf·ln(tf)
+    * term is an identical double on any engine; the decimal sum is
+    * order-free), same one-scan shape — but with a SINGLE consumer, so
+    * no cache, no scope: one scan, one shuffle (the per-doc sum). */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tfArr = ColumnBridge.column(
+      graft.functions.expressions.TokenTfExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
+      .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+      .filter(F.col("tok").isNotNull)
+      .select(
+        F.col(idCol), F.col("tf"),
+        (F.col("tf").cast("double") * F.log(F.col("tf").cast("double")))
+          .cast("decimal(38,18)").as("term"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.sum(F.col("tf")).as("n_tokens"),
+        F.sum(F.col("term")).as("tl"))
+      .select(
+        F.col(idCol), F.col("n_tokens"),
+        F.round(
+          F.log(F.col("n_tokens").cast("double")) -
+            F.col("tl").cast("double") / F.col("n_tokens").cast("double"),
+          6).as("entropy"))
+  }
+
   /** (idCol, n_tokens, lm_score) per document with at least one token;
     * lm_score rounded to 6 decimals. */
   def score(docs: DataFrame, idCol: String = "doc_id",

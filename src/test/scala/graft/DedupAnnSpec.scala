@@ -54,6 +54,18 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(out(2L) == ((2L, d2.toDouble)))
   }
 
+  test("tokenEntropy: uniform text maximal, repeated text zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b")).toDF("doc_id", "text")
+    val out = graft.functions.UnigramLm.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ln2 = BigDecimal(math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln4 = BigDecimal(math.log(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((4L, ln4)))  // 4 distinct tokens: H = ln 4
+    assert(out(2L) == ((4L, 0.0)))  // single repeated token: H = 0
+    assert(out(3L) == ((4L, ln2)))  // two tokens at p=1/2: H = ln 2
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exact(planted).collect()
     assert(out.length == 4)
