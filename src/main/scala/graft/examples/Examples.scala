@@ -236,6 +236,12 @@ object DataPipelinePack {
         graft.functions.TextFunctions.langId(F.col("text")).as("lang"),
         F.round(graft.functions.TextFunctions.qualityScore(F.col("text")), 3).as("quality"))
       .orderBy(F.col("quality").desc).show(5, false)
+    // Corpus-level quality signals: duplicated-5-gram fraction (boilerplate),
+    // unigram LM score (fluency), token entropy (vocabulary diversity).
+    graft.dedup.Dedup.dupNgramFraction(docs)
+      .join(graft.functions.UnigramLm.score(docs).select("doc_id", "lm_score"), "doc_id")
+      .join(graft.functions.UnigramLm.tokenEntropy(docs).select("doc_id", "entropy"), "doc_id")
+      .orderBy(F.col("dup_frac").desc).show(5, false)
     spark.stop()
   }
 }
