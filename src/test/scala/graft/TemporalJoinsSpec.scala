@@ -125,10 +125,16 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkFixture {
       df.select("tag", "r_v").collect().map(r => (r.getString(0), r.getDouble(1)))
         .sortBy(identity[(String, Double)]).toSeq
     val plain = canon(TemporalJoins.asofJoin(probe, build, Seq("k")))
-    val skewed = canon(TemporalJoins.asofJoinSkewed(probe, build, Seq("k"),
-      bucketSeconds = 3600L))
-    assert(plain.nonEmpty && skewed == plain,
-      s"skew-hardened variant diverged: ${skewed.size} vs ${plain.size} rows")
+    // Three regimes: normal buckets; one giant bucket (degenerates to the
+    // plain window, carry unused); 1-second buckets (nearly every match
+    // crosses a boundary — the carry path does all the work).
+    Seq(3600L, 10000000L, 1L).foreach { bs =>
+      val skewed = canon(TemporalJoins.asofJoinSkewed(probe, build, Seq("k"),
+        bucketSeconds = bs))
+      assert(plain.nonEmpty && skewed == plain,
+        s"skew-hardened variant diverged at bucketSeconds=$bs: " +
+          s"${skewed.size} vs ${plain.size} rows")
+    }
   }
 
   test("asofJoinSkewed spreads the hot key: no window slice over ~2x the mean") {
