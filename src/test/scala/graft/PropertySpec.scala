@@ -138,6 +138,63 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dupNgramFraction equals a local brute-force on random corpora") {
+    import spark.implicits._
+    val corpusGen = Gen.chooseNum(5, 15).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(3, 12).flatMap(m => Gen.listOfN(m,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))))
+    forSamples(corpusGen, n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.dupNgramFraction(docs, shingleN = 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // brute force: distinct 3-gram sets per doc, df over the corpus
+      val sets = texts.zipWithIndex.map { case (t, i) =>
+        val w = t.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+        i.toLong -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+      val df = sets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+      sets.foreach { case (id, gs) =>
+        if (gs.isEmpty) assert(!got.contains(id))
+        else {
+          val nDup = gs.count(g => df(g) > 1).toLong
+          assert(got(id) == ((gs.size.toLong, nDup)),
+            s"doc $id: got ${got(id)}, want (${gs.size}, $nDup)")
+        }
+      }
+    }
+  }
+
+  test("UnigramLm.score equals a local brute-force on random corpora") {
+    import spark.implicits._
+    val corpusGen = Gen.chooseNum(4, 10).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(1, 10).flatMap(m => Gen.listOfN(m,
+        Gen.oneOf("x", "yy", "zzz", "w")).map(_.mkString(" ")))))
+    forSamples(corpusGen, n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.functions.UnigramLm.score(docs).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val toks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val cnt = toks.values.flatten.groupBy(identity).map { case (t, o) => t -> o.size }
+      val total = cnt.values.sum.toDouble
+      toks.foreach { case (id, ts) =>
+        if (ts.isEmpty) assert(!got.contains(id))
+        else {
+          // decimal-sum replica: per-token tf*ln(p) terms, exact sum
+          val tf = ts.groupBy(identity).map { case (t, o) => t -> o.size }
+          val sum = tf.map { case (t, f) =>
+            BigDecimal(f.toDouble * math.log(cnt(t) / total))
+              .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+          val want = BigDecimal(sum.toDouble / ts.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(got(id) - want) < 1e-9, s"doc $id: got ${got(id)}, want $want")
+        }
+      }
+    }
+  }
+
   test("chunk reassembles to the original token stream (minus the overlaps)") {
     import spark.implicits._
     import graft.operators.Packing
