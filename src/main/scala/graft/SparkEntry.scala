@@ -602,9 +602,9 @@ object SparkEntry {
     graft.dedup.Components.connectedComponents(edges)
   }
 
-  /** Top-3 TF-IDF keywords per document (windowed, token tie-break). The
-    * corpus size for the idf term comes out of TfIdf's own cached tf-table
-    * count — no separate `docs.count()` job, one scan of documents. */
+  /** Top-3 TF-IDF keywords per document (windowed, token tie-break).
+    * Single-pass shape: one corpus scan, df computed inline by a window
+    * over the tok exchange — no cache, no join (TfIdf.score scaladoc). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.functions.TfIdf.topKeywords(T(s, dir, "documents"), k = 3)
 
