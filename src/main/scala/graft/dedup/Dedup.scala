@@ -114,26 +114,32 @@ object Dedup {
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, bands: Int = 8): DataFrame = {
-    // Cache the UNEXPLODED (id, sigs) table and explode above the cache
-    // boundary: InferFiltersFromGenerate synthesizes `size(sigs) > 0` under
-    // the posexplode, and with the explode below the cache that filter
-    // pushes past the repartition and re-evaluates the whole
-    // shingle+minhash fold per row on the unspread scan. Above the cache
-    // it lands on a stored array column — free. The cache is also
-    // bands-fold smaller than the exploded form.
+    // Cache-free single-consumer pipeline (round 9): with the bucket
+    // bound tightened to nDocs (see candidatesFromSigs), the heavy-hitter
+    // prune is skipped below web scale, so the signature table is read by
+    // exactly ONE consumer — no persist, no eager materialize job, no
+    // count over the cache. The explode is posexplode_OUTER because
+    // InferFiltersFromGenerate only synthesizes its `size(sigs) > 0`
+    // filter for INNER generates — the inner form would re-evaluate the
+    // whole shingle+minhash fold per row at the scan (the round-6
+    // double-fold trap; the round-8 cache existed to absorb exactly that
+    // filter). The isNotNull filter reads the GENERATED column, which
+    // cannot be pushed below its own Generate.
+    val spark = docs.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Spread the signature fold only when the scan under-parallelizes
+    // (small-file regime) — a no-op at 100 TB, where splits >> cores.
+    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
     val sigArr = ColumnBridge.column(
       graft.functions.expressions.MinhashSigsExpr(
         ColumnBridge.expression(shingleArr), bands))
-    graft.CacheScope.scoped {
-      val (sigsArr, nDocs) = materializeCounted(
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-          .select(F.col(idCol), sigArr.as("sigs")))
-      val sigs = sigsArr
-        .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
-      candidatesFromSigs(sigs, idCol, knownCount = nDocs * bands)
-    }
+    val nDocs = docs.count() // parquet metadata count-star: no column scan
+    val sigs = spread
+      .select(F.col(idCol), F.posexplode_outer(sigArr.as("sigs")).as(Seq("band", "sig")))
+      .filter(F.col("sig").isNotNull)
+    candidatesFromSigs(sigs, idCol, knownBucketBound = nDocs)
   }
 
   /** Persist + eagerly materialize an index table, scope-tracked so the
@@ -160,15 +166,20 @@ object Dedup {
     * ≈ dup-cluster size ≈ 5), so small-sf results are unchanged. */
   private def candidatesFromSigs(sigs: DataFrame, idCol: String,
                                  maxBucket: Int = 100000,
-                                 knownCount: Long = -1L): DataFrame = {
-    // Adaptive: a bucket cannot exceed maxBucket when the WHOLE signature
-    // table is smaller — skip the heavy-hitter scan + anti-join outright.
-    // `knownCount` lets callers that already counted during materialize
-    // skip even the (cached) sizing job. The full guard engages exactly
-    // when it can matter: web-scale corpora. It runs BEFORE the bucket
-    // aggregation below, so no post-prune bucket (and no collect_list
-    // buffer) exceeds maxBucket ids.
-    val n = if (knownCount >= 0L) knownCount else sigs.count()
+                                 knownBucketBound: Long = -1L): DataFrame = {
+    // Adaptive: a (band, sig) bucket holds at most one row per DOCUMENT
+    // (each doc contributes exactly one signature per band), so any proven
+    // bound on the document count bounds every bucket — callers pass
+    // nDocs as `knownBucketBound` and the heavy-hitter scan + anti-join
+    // are skipped outright below web scale. (Round 8 bounded with the
+    // sigs ROW count = docs x bands, which tripped the prune at sf0.1 —
+    // 120k rows vs the 15k true bound — paying 3 needless stages.) When
+    // no bound is known, the sigs row count is a valid if loose fallback.
+    // The full guard engages exactly when it can matter: web-scale
+    // corpora. It runs BEFORE the bucket aggregation below, so no
+    // post-prune bucket (and no collect_list buffer) exceeds maxBucket
+    // ids.
+    val n = if (knownBucketBound >= 0L) knownBucketBound else sigs.count()
     val pruned =
       if (n <= maxBucket) sigs
       else {
@@ -295,7 +306,7 @@ object Dedup {
     // reads a stored column instead of re-running the minhash fold.
     val sigs = docArr0
       .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
-    val pairs = candidatesFromSigs(sigs, idCol, knownCount = nDocs * bands)
+    val pairs = candidatesFromSigs(sigs, idCol, knownBucketBound = nDocs)
     // Guard 1 (pair-driven intersection): |A∩B| = a sorted-merge count
     // (SortedIntersectCountExpr — no per-pair hash set or output array)
     // per candidate PAIR row — two doc-keyed joins carrying the arrays,
