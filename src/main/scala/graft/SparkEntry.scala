@@ -741,8 +741,7 @@ object SparkEntry {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val bg = ColumnBridge.column(graft.functions.expressions.ShingleExpr(
       ColumnBridge.expression(F.col("text")), 2))
-    T(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.Spread(T(s, dir, "documents"))
       .select(F.explode(bg).as("bigram"))
       .groupBy(F.col("bigram"))
       .agg(F.count(F.lit(1)).as("n"))
@@ -812,8 +811,7 @@ object SparkEntry {
       F.col("doc_id"), TF.fingerprint(F.col("text")).as("fingerprint"))
 
   private def qFingerprintWinnow(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowCandidates(
-      T(s, dir, "documents").repartition(s.sparkContext.defaultParallelism))
+    Dedup.winnowCandidates(T(s, dir, "documents"))
 
   /** Semi-structured field extraction from the JSON props column. */
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =

@@ -53,8 +53,7 @@ object Pq {
   /** Code index: (id, codes array<int>) — one scan, no shuffle. */
   def encode(corpus: DataFrame, model: PqModel, idCol: String = "vec_id",
              embCol: String = "embedding"): DataFrame =
-    corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread(corpus)
       .select(F.col(idCol), F.col(embCol),
         ColumnBridge.column(PqEncodeExpr(
           ColumnBridge.expression(F.col(embCol)), model.codebooks)).as("codes"))

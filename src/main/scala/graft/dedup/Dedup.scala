@@ -41,8 +41,7 @@ object Dedup {
   def shinglesRaw(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), n))
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread(docs)
       .select(F.col(idCol), F.explode(shingleArr).as("shingle"))
   }
 
@@ -55,8 +54,7 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), n))
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread(docs)
       .select(F.col(idCol), F.explode(F.array_distinct(shingleArr)).as("shingle"))
   }
 
@@ -101,8 +99,7 @@ object Dedup {
     // PUSHED BELOW the repartition by Catalyst — re-evaluating the whole
     // shingle+minhash fold twice per row on the unspread scan (measured
     // 3x the scan work at bench scale).
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread(docs)
       .select(F.col(idCol), sigArr.as("sigs"))
       .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
   }
@@ -125,11 +122,7 @@ object Dedup {
     // double-fold trap; the round-8 cache existed to absorb exactly that
     // filter). The isNotNull filter reads the GENERATED column, which
     // cannot be pushed below its own Generate.
-    val spark = docs.sparkSession
-    val p = spark.sparkContext.defaultParallelism
-    // Spread the signature fold only when the scan under-parallelizes
-    // (small-file regime) — a no-op at 100 TB, where splits >> cores.
-    val spread = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    val spread = graft.Spread(docs)
     val shingleArr = ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
     val sigArr = ColumnBridge.column(
@@ -268,7 +261,7 @@ object Dedup {
       graft.functions.expressions.XxHash64ArrayExpr(
         ColumnBridge.expression(F.col("raw"))))
     val (docArr0, nDocs) = materializeCounted(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      graft.Spread(docs)
         .select(F.col(idCol), F.array_distinct(shingleArr).as("raw"))
         .select(F.col(idCol), hashedRaw.as("arr"),
           F.size(F.col("raw")).cast("long").as("n"), sigOverRaw.as("sigs")))
@@ -358,7 +351,7 @@ object Dedup {
     def shingleSet(df: DataFrame, outId: String): DataFrame = {
       val arr = ColumnBridge.column(
         ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
-      df.repartition(spark.sparkContext.defaultParallelism)
+      graft.Spread(df)
         .select(F.col(idCol).as(outId), F.explode(F.array_distinct(arr)).as("shingle"))
     }
     // The cap gate counts shingle ROWS (a conservative bound: df <= rows),
@@ -416,7 +409,7 @@ object Dedup {
     // populates the cache before the main job's probe reads it — strictly
     // sequential consumers, no eager count needed (see CacheScope).
     val sh = graft.CacheScope.materializeLazy(
-      docs.repartition(spark.sparkContext.defaultParallelism)
+      graft.Spread(docs)
         .select(F.col(idCol), F.explode_outer(hashedDistinct).as("h")))
       .filter(F.col("h").isNotNull)
     val df = sh.groupBy(F.col("h")).agg(F.count(F.lit(1)).as("df"))
@@ -469,8 +462,7 @@ object Dedup {
     val sh = ColumnBridge.column(
       graft.functions.expressions.SimhashExpr(
         ColumnBridge.expression(F.col(textCol))))
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    graft.Spread(docs)
       .select(F.col(idCol), sh.as("simhash"))
       .filter(F.col("simhash").isNotNull)
   }
@@ -491,7 +483,7 @@ object Dedup {
     // and uncached each side re-runs the WinnowExpr fold over the corpus
     // (explode above the cache boundary, as everywhere else).
     val fpArr = materialize(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      graft.Spread(docs)
         .select(F.col(idCol),
           TextFunctions.winnowFingerprints(F.col(textCol), k, w).as("fps")))
     val fp = fpArr.select(F.col(idCol), F.explode(F.col("fps")).as("fp"))
@@ -536,7 +528,7 @@ object Dedup {
       graft.functions.expressions.SimhashExpr(
         ColumnBridge.expression(F.col(textCol))))
     val shTable = materialize(
-      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      graft.Spread(docs)
         .select(F.col(idCol), sh.as("simhash")))
     val banded = shTable
       .filter(F.col("simhash").isNotNull)

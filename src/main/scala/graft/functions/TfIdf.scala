@@ -45,8 +45,7 @@ object TfIdf {
     // (fewer splits than cores — the small-file regime). At 100 TB the
     // scan already has thousands of splits and this is a no-op, so no
     // gratuitous full-corpus shuffle at scale.
-    val spread =
-      if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    val spread = graft.Spread(docs)
     // Term frequency folded per ROW (TokenTfExpr): the explode output is
     // already (doc, tok, tf) — no docs × tokens fan-out through an
     // aggregation and no (doc, tok) shuffle at all.

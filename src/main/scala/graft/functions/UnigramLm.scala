@@ -41,13 +41,11 @@ object UnigramLm {
     * no cache, no scope: one scan, one shuffle (the per-doc sum). */
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    graft.Spread(docs)
       .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
       .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
       .filter(F.col("tok").isNotNull)
@@ -71,7 +69,6 @@ object UnigramLm {
     * lm_score rounded to 6 decimals. */
   def score(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = graft.CacheScope.scoped {
-    val spark = docs.sparkSession
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
@@ -80,13 +77,16 @@ object UnigramLm {
     // strictly earlier) consumer, so it populates the cache for the
     // token-count aggregation and the probe side (see CacheScope).
     val tfTable = graft.CacheScope.materializeLazy(
-      docs
-        .repartition(spark.sparkContext.defaultParallelism)
+      graft.Spread(docs)
         .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
         .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf")))
       .filter(F.col("tok").isNotNull)
-    // One small job: corpus token total (also warms the cache).
-    val totalTokens = tfTable.agg(F.sum(F.col("tf"))).first().getLong(0)
+    // One small job: corpus token total (also warms the cache). On a
+    // corpus where NO document has tokens, sum over the empty table is
+    // null — any placeholder is sound then, because the empty tfTable
+    // makes every downstream join/aggregate empty regardless.
+    val totalRow = tfTable.agg(F.sum(F.col("tf"))).first()
+    val totalTokens = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
     val tokCounts = tfTable.groupBy(F.col("tok"))
       .agg(F.sum(F.col("tf")).as("cnt"))
     tfTable.join(tokCounts, Seq("tok"))

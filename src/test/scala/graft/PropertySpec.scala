@@ -195,6 +195,16 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("UnigramLm.score and tokenEntropy return empty on an all-empty corpus") {
+    import spark.implicits._
+    // Regression (round-9 ADVICE): sum(tf) over the empty filtered table is
+    // null; score must not NPE reading it — it must return zero rows, like
+    // tokenEntropy and dupNgramFraction do.
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "\t\n")).toDF("doc_id", "text")
+    assert(graft.functions.UnigramLm.score(docs).collect().isEmpty)
+    assert(graft.functions.UnigramLm.tokenEntropy(docs).collect().isEmpty)
+  }
+
   test("chunk reassembles to the original token stream (minus the overlaps)") {
     import spark.implicits._
     import graft.operators.Packing
