@@ -1,7 +1,5 @@
 package graft
 
-import scala.util.DynamicVariable
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -23,12 +21,18 @@ import org.apache.spark.storage.StorageLevel
   *    unpersists every cache the body tracked — in `finally`, so failures
   *    release too.
   *
-  * Thread-safety: the tracked-handle stack is a [[DynamicVariable]], so
-  * each thread (and each `scoped` nesting level within it) has its own
-  * scope — two queries on different session threads can never release
-  * each other's index caches. Handles registered on a thread with no
-  * enclosing [[scoped]] go to a global root list, freed only by
-  * [[releaseAll]].
+  * Thread-safety: the tracked-handle stack is a plain (deliberately
+  * NON-inheritable) ThreadLocal, so each thread — and each `scoped`
+  * nesting level within it — has its own scope; two queries on different
+  * session threads can never release each other's index caches. Plain
+  * rather than `DynamicVariable` (round-9 ADVICE): DynamicVariable is
+  * backed by InheritableThreadLocal, so a thread spawned INSIDE a scoped
+  * body would inherit a reference to the live frame and could keep
+  * appending to it after the scope exits — those handles would land in an
+  * already-drained buffer and leak. With a plain ThreadLocal a spawned
+  * thread starts at the empty stack and its handles fall back to the
+  * global root list, freed by [[releaseAll]]. Handles registered on a
+  * thread with no enclosing [[scoped]] go to the same root list.
   *
   * Durability: on a cluster the scoped checkpoint uses MEMORY_AND_DISK_2
   * (2-replica) blocks. `localCheckpoint` truncates lineage, so after the
@@ -51,7 +55,10 @@ object CacheScope {
     * handles materialized while it is innermost. The root (empty-stack)
     * case falls back to a global list so untracked callers still get
     * [[releaseAll]] semantics. */
-  private val scopes = new DynamicVariable[List[scala.collection.mutable.ArrayBuffer[DataFrame]]](Nil)
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+      override def initialValue(): List[scala.collection.mutable.ArrayBuffer[DataFrame]] = Nil
+    }
 
   private val rootTracked = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
@@ -68,10 +75,24 @@ object CacheScope {
     * computation, never wrong results — block-level cache puts are
     * atomic — but duplicated index builds are exactly what the cache is
     * for.) Saves one full pass over the cached table plus a job
-    * round-trip. */
+    * round-trip.
+    *
+    * REGIME BOUNDARY (round-9 ADVICE): the "strictly sequential" premise
+    * holds only while the aggregated consumer is planned as a broadcast
+    * subquery. When that side outgrows
+    * `spark.sql.autoBroadcastJoinThreshold` (e.g. a token-count table at
+    * web-corpus vocabulary), AQE re-plans the join as sort-merge and BOTH
+    * consumers run inside one job — the corpus fold races and can run
+    * twice, defeating the cache at exactly the scale it targets (results
+    * stay correct; block puts are atomic). Callers whose aggregated side
+    * is not provably broadcast-sized should use [[materialize]] — one
+    * extra pass is strictly cheaper than a racing double fold. The sole
+    * current caller (UnigramLm.score) qualifies unconditionally: its
+    * first consumer is a driver-BLOCKING `first()` action, which
+    * completes before any other consumer is even planned. */
   private[graft] def materializeLazy(df: DataFrame): DataFrame = {
     val p = df.persist()
-    scopes.value match {
+    scopes.get() match {
       case frame :: _ => frame.synchronized(frame += p)
       case Nil => rootTracked.synchronized(rootTracked += p)
     }
@@ -82,7 +103,7 @@ object CacheScope {
     * paid for — callers use it to skip their own sizing jobs. */
   private[graft] def materializeCounted(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist()
-    scopes.value match {
+    scopes.get() match {
       case frame :: _ => frame.synchronized(frame += p)
       case Nil => rootTracked.synchronized(rootTracked += p)
     }
@@ -97,10 +118,13 @@ object CacheScope {
     * never re-running the released pipeline. */
   def scoped(body: => DataFrame): DataFrame = {
     val frame = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val saved = scopes.get()
     try {
-      val result = scopes.withValue(frame :: scopes.value)(body)
+      scopes.set(frame :: saved)
+      val result = body
       result.localCheckpoint(true, checkpointLevel(result.sparkSession.sparkContext.isLocal))
     } finally {
+      scopes.set(saved)
       frame.synchronized {
         frame.foreach(_.unpersist(blocking = false))
         frame.clear()

@@ -382,14 +382,14 @@ object Dedup {
     * n-grams). Documents with fewer than `shingleN` tokens have no
     * n-grams and are absent from the output (they carry no signal).
     *
-    * Shape (the [[graft.functions.TfIdf]] pattern): one corpus scan folds
-    * distinct shingle HASHES per row (ShingleExpr -> array_distinct ->
-    * XxHash64ArrayExpr — counts are hash-invariant, and 8-byte hashes keep
-    * the cache and the df shuffle fixed-width; same injectivity argument
-    * as [[ngramJaccard]]), cached EXPLODED as primitive (id, h) columns;
-    * df is a map-side-combinable count per hash over the cache; the join
-    * back on h is bucket-keyed; the per-doc fraction is one aggregation.
-    * Nothing is quadratic and no row carries more than (id, hash).
+    * Shape (the [[graft.functions.TfIdf]] single-pass pattern): one corpus
+    * scan folds distinct shingle HASHES per row (ShingleExpr ->
+    * array_distinct -> XxHash64ArrayExpr — counts are hash-invariant, and
+    * 8-byte hashes keep the shuffle fixed-width; same injectivity argument
+    * as [[ngramJaccard]]); the corpus df of each hash is computed INLINE
+    * as `count(*) over (partition by h)` on the one h-keyed exchange; the
+    * per-doc fraction is one aggregation. No cache, no join, nothing
+    * quadratic, and no row carries more than (id, hash).
     *
     * Output: (idCol, n_grams, n_dup, dup_frac) with dup_frac rounded to
     * 6 decimals (the oracle-replicable double convention). */
@@ -404,16 +404,24 @@ object Dedup {
     // explode_outer: the inner form would let InferFiltersFromGenerate
     // push a size() filter on the computed array below the repartition and
     // re-run the shingle fold per row (the round-6 trap); the outer form
-    // keeps shingle-less docs as null-h rows, dropped AFTER the cache.
-    // materializeLazy: the df count below is a broadcast-subquery job that
-    // populates the cache before the main job's probe reads it — strictly
-    // sequential consumers, no eager count needed (see CacheScope).
-    val sh = graft.CacheScope.materializeLazy(
-      graft.Spread(docs)
-        .select(F.col(idCol), F.explode_outer(hashedDistinct).as("h")))
+    // keeps shingle-less docs as null-h rows, dropped after the generate
+    // (the isNotNull filter reads the GENERATED column and cannot sink
+    // below its own Generate).
+    val sh = graft.Spread(docs)
+      .select(F.col(idCol), F.explode_outer(hashedDistinct).as("h"))
       .filter(F.col("h").isNotNull)
-    val df = sh.groupBy(F.col("h")).agg(F.count(F.lit(1)).as("df"))
-    sh.join(df, Seq("h"))
+    // df computed INLINE as count(*) over the h partition (the q_tfidf
+    // round-9 shape): the rows are distinct (id, h) pairs, so the window
+    // count IS the corpus document frequency of the shingle hash. One
+    // exchange on h replaces the round-8 cache + aggregate + join-back —
+    // no persist, single consumer, two shuffles total. The repartition
+    // pins the partition count of the exchange the window needs anyway
+    // (AQE would coalesce the sort to one task at small SF); a hot hash's
+    // window partition is bounded by nDocs and spills, not OOMs.
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    sh.repartition(p, F.col("h"))
+      .withColumn("df", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(F.col("h"))))
       .groupBy(F.col(idCol))
       .agg(
         F.count(F.lit(1)).as("n_grams"),

@@ -137,7 +137,12 @@ object TemporalJoins {
 
     // Carry table: greatest build row per (key, bucket), then the running
     // last over STRICTLY EARLIER buckets per key. Rows here are one per
-    // (key, bucket) — the per-key window is not a skew surface.
+    // (key, bucket) — the per-key window is not a skew surface for DATA
+    // rows. Residual ceiling: this window still serializes ONE task per
+    // key over that key's ACTIVE-BUCKET sequence, so a single key would
+    // need ~millions of non-empty buckets (e.g. >100 years of 1-hour
+    // buckets) before the carry pass itself skews — raise `bucketSeconds`
+    // if a deployment ever approaches that regime.
     val wCarry = Window.partitionBy(keys.map(F.col): _*)
       .orderBy(F.col("__bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
