@@ -8,11 +8,20 @@ import org.apache.spark.sql.{functions => F}
   * as a 100 TB training-data pipeline would carry them (payload pruned
   * unless projected; metadata usable for partition pruning and filtering).
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries — see build brief): [[StubDecoder]] is a deterministic fake
-  * that stands in for e.g. a JPEG decode + feature extraction. Everything
-  * around it — schema, batched `mapPartitions` execution, partitioning —
-  * is real and is what a production decoder would plug into.
+  * Decoders plug in behind [[MediaDecoder]]. Two implementations ship:
+  *
+  *  - [[ImageIoDecoder]] — a REAL image decoder (round 9) over the JDK's
+  *    built-in `javax.imageio` (PNG/JPEG/BMP/GIF, zero external deps):
+  *    actual decode, actual dimensions, mean-luma pixel stats, real
+  *    bilinear resize.
+  *  - [[StubDecoder]] — a deterministic byte-level fake, still the
+  *    gate/oracle DEFAULT: its features are replicable in SQL by any
+  *    engine, which is what the correctness gate needs, and it stands in
+  *    for codecs that genuinely aren't in this container (audio/video).
+  *
+  * Everything around the decoder — schema, batched `mapPartitions`
+  * execution, per-partition factory init, partitioning — is shared and
+  * real.
   */
 object Multimodal {
 

@@ -161,6 +161,47 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(feats.length == 10 && feats.forall(_.feature == 42.0))
   }
 
+  test("ImageIoDecoder really decodes a generated PNG (dims, luma, resize, drops non-images)") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import graft.multimodal.{ImageIoDecoder, Multimodal}
+    import spark.implicits._
+
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // white 8x6, black 4x4, mid-gray 10x2, and one non-image payload
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, png(8, 6, 0xffffff), "image/png", 8, 6),
+      Multimodal.MediaRecord(2L, png(4, 4, 0x000000), "image/png", 4, 4),
+      Multimodal.MediaRecord(3L, png(10, 2, 0x808080), "image/png", 10, 2),
+      Multimodal.MediaRecord(4L, "not an image".getBytes("UTF-8"), "text/plain", 0, 0))
+    val media = recs.toDF()
+
+    val feats = Multimodal.extractFeatures(media,
+        decoderFactory = () => new ImageIoDecoder())
+      .collect().sortBy(_.doc_id)
+    // the undecodable payload is dropped; dims come from the DECODE, luma
+    // from the PIXELS (white=1, black=0, 0x80 = 128/255)
+    assert(feats.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(feats(0).width == 8 && feats(0).height == 6 && math.abs(feats(0).feature - 1.0) < 1e-9)
+    assert(feats(1).width == 4 && feats(1).height == 4 && math.abs(feats(1).feature) < 1e-9)
+    assert(math.abs(feats(2).feature - 128.0 / 255.0) < 1e-9)
+
+    // real resize: output dims are the TARGET's, constant-color luma is
+    // preserved by bilinear interpolation
+    val resized = Multimodal.extractFeatures(media,
+        decoderFactory = () => new ImageIoDecoder(resizeTo = Some((3, 5))))
+      .collect().sortBy(_.doc_id)
+    assert(resized.forall(f => f.width == 3 && f.height == 5))
+    assert(math.abs(resized(2).feature - 128.0 / 255.0) < 1e-9)
+  }
+
   test("multimodal resize and frame-sample stubs transform metadata and explode frames") {
     import graft.multimodal.Multimodal
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(10)
