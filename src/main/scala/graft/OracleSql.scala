@@ -497,6 +497,29 @@ object OracleSql {
         |FROM sh s JOIN df USING (shingle)
         |GROUP BY 1""".stripMargin,
 
+    // Paragraph-level cross-doc duplication: non-overlapping 10-token
+    // blocks; a block is "dup" when it occurs in >= 2 DISTINCT documents.
+    // Counts are per block OCCURRENCE (a doc's repeated shared block
+    // counts each time), mirroring the per-row window in
+    // Dedup.dupParagraphFraction; DuckDB joins each occurrence to its
+    // block's distinct-doc count instead.
+    "q_dup_paragraphs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |para AS (
+        |  SELECT doc_id,
+        |    unnest([list_aggregate(w[(i-1)*10+1 : i*10], 'string_agg', ' ')
+        |            for i in generate_series(1, CAST((len(w)-1)//10 AS INT) + 1)]) AS block
+        |  FROM tok WHERE len(w) > 0),
+        |df AS (SELECT block, COUNT(DISTINCT doc_id) AS nd FROM para GROUP BY 1)
+        |SELECT p.doc_id, COUNT(*) AS n_paras,
+        |  CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS dup_para_frac
+        |FROM para p JOIN df USING (block)
+        |GROUP BY 1""".stripMargin,
+
     "q_histogram" ->
       """SELECT event_type,
         |  CAST(least(greatest(floor(value / 5.0), 0), 19) AS BIGINT) AS bucket,

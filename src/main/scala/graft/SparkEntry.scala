@@ -705,6 +705,14 @@ object SparkEntry {
   private def qDupNgrams(s: SparkSession, dir: String): DataFrame =
     Dedup.dupNgramFraction(T(s, dir, "documents"), shingleN = 5)
 
+  /** Paragraph-level cross-document duplication
+    * ([[Dedup.dupParagraphFraction]]) — shared-boilerplate fraction per
+    * document at the granularity between doc-level exact dedup and
+    * n-gram fractions; paragraphs are 10-token blocks on this
+    * newline-free corpus. */
+  private def qDupParagraphs(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupParagraphFraction(T(s, dir, "documents"), blockTokens = 10)
+
   /** Unigram LM quality score per document
     * ([[graft.functions.UnigramLm.score]]) — mean token log-probability
     * under the corpus unigram distribution, summed in exact decimal so the
@@ -901,6 +909,7 @@ object SparkEntry {
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
     "q_dup_ngrams" -> (qDupNgrams _),
+    "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_entropy" -> (qEntropy _),
     "q_repetition" -> (qRepetition _),

@@ -67,6 +67,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
       requirePushdown = true),
     Audit("q_dedup_embedding", maxExchange = 1, minBhj = 3,
       requirePushdown = true),
+    // spread + one h exchange (both windows share its sort) + doc agg
+    Audit("q_dup_paragraphs", maxExchange = 3),
     Audit("q_epochs_window", maxExchange = 1, requirePushdown = true),
     Audit("q_key_distribute", maxExchange = 1),
     Audit("q_agg_salted", maxExchange = 2),

@@ -195,6 +195,35 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dupParagraphFraction equals a local brute-force on random corpora") {
+    import spark.implicits._
+    val K = 3
+    // tiny vocab + short docs => plenty of genuine cross-doc block collisions
+    val corpusGen = Gen.chooseNum(4, 10).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(0, 9).flatMap(m => Gen.listOfN(m,
+        Gen.oneOf("a", "b", "cc")).map(_.mkString(" ")))))
+    forSamples(corpusGen, n = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.dupParagraphFraction(docs, blockTokens = K)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val blocks = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+          .grouped(K).map(_.mkString(" ")).toSeq
+      }.toMap
+      val docsPerBlock = blocks.toSeq
+        .flatMap { case (id, bs) => bs.distinct.map(b => (b, id)) }
+        .groupBy(_._1).map { case (b, o) => b -> o.size }
+      blocks.foreach { case (id, bs) =>
+        if (bs.isEmpty) assert(!got.contains(id))
+        else {
+          val nDup = bs.count(b => docsPerBlock(b) > 1).toLong
+          assert(got(id) == ((bs.size.toLong, nDup)),
+            s"doc $id: got ${got(id)}, want (${bs.size}, $nDup)")
+        }
+      }
+    }
+  }
+
   test("UnigramLm.score and tokenEntropy return empty on an all-empty corpus") {
     import spark.implicits._
     // Regression (round-9 ADVICE): sum(tf) over the empty filtered table is
