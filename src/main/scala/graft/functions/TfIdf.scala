@@ -28,17 +28,27 @@ import org.apache.spark.sql.{functions => F}
   * (groupBy(tok) df + join back) only avoids that shuffle while the df
   * side stays broadcastable; at web-corpus vocabulary (1e8+ tokens) the
   * join degenerates to a sort-merge join on `tok` — the SAME shuffle with
-  * an extra aggregation job in front. Pre-filtering stopwords (or a
-  * `maxDfFraction` cap) is the real fix at that scale and composes with
-  * this shape; the window form is strictly fewer stages everywhere else.
+  * an extra aggregation job in front. The real fix at that scale is the
+  * `maxDfFraction` stopword cap on [[score]] — with df inline it is a
+  * free post-window filter; the window form is strictly fewer stages
+  * everywhere else.
   */
 object TfIdf {
 
   /** (doc_id, tok, tf, tfidf_r): every (document, token) pair scored.
     * The idf denominator N counts ALL of `docs` — empty-token documents
-    * included, same convention as the SQL oracle. */
+    * included, same convention as the SQL oracle.
+    *
+    * `maxDfFraction` < 1 drops tokens whose document frequency exceeds
+    * that fraction of the corpus — the stopword cap from the scale note
+    * above. Because df is already computed inline by the window, the cap
+    * is a FREE row filter after the one exchange (no extra pass or join);
+    * it also bounds the rank window's input. The default 1.0 binds
+    * nothing (df <= N always), keeping the oracle contract exact. */
   def score(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text", maxDfFraction: Double = 1.0): DataFrame = {
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     val spark = docs.sparkSession
     val p = spark.sparkContext.defaultParallelism
     // Spread the tokenize fold ONLY when the scan under-parallelizes
@@ -79,22 +89,28 @@ object TfIdf {
     // on tok satisfies the window's distribution), stopping AQE from
     // coalescing the whole sort into one task at small SF.
     val dfCol = F.count(F.lit(1)).over(Window.partitionBy(F.col("tok")))
-    tf.repartition(p, F.col("tok"))
+    val scored = tf.repartition(p, F.col("tok"))
       .withColumn("df", dfCol)
       .crossJoin(F.broadcast(nDf))
-      .select(
-        F.col(idCol), F.col("tok"), F.col("tf"),
-        F.round(
-          F.col("tf").cast("double") *
-            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
-          6).as("tfidf_r"))
+    val capped =
+      if (maxDfFraction >= 1.0) scored
+      else scored.filter(
+        F.col("df").cast("double") <=
+          F.col("n_docs").cast("double") * maxDfFraction)
+    capped.select(
+      F.col(idCol), F.col("tok"), F.col("tf"),
+      F.round(
+        F.col("tf").cast("double") *
+          F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        6).as("tfidf_r"))
   }
 
   /** Top-`k` keywords per document by TF-IDF, deterministically tie-broken
     * on the token string. WindowGroupLimit keeps only k rows per doc on
     * both the map and reduce side of the rank shuffle. */
   def topKeywords(docs: DataFrame, k: Int = 3,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxDfFraction: Double = 1.0): DataFrame = {
     val w = Window.partitionBy(F.col(idCol))
       .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
     // No partition pin on THIS exchange: an explicit repartition between
@@ -102,7 +118,7 @@ object TfIdf {
     // (measured round 9), and the k-per-doc map-side cut shrinks the
     // shuffle ~70x — worth far more than parallelizing the tiny
     // post-cut sort.
-    score(docs, idCol, textCol)
+    score(docs, idCol, textCol, maxDfFraction)
       .withColumn("rnk", F.row_number().over(w))
       .filter(F.col("rnk") <= k)
       .select(F.col(idCol), F.col("rnk").cast("long").as("rnk"),

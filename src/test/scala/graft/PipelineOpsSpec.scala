@@ -170,5 +170,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(top(0L) == "cat" || top(0L) == "mat")
     assert(top(1L) == "dog" || top(1L) == "log")
     assert(top(2L) == "bird" || top(2L) == "wire")
+    // maxDfFraction cap: exactly the tokens with df <= nDocs * fraction
+    // survive (the corpus-wide 'the/sat/on' drop at 0.5; default binds none)
+    val all = TfIdf.score(docs).select("tok").distinct()
+      .collect().map(_.getString(0)).toSet
+    val capped = TfIdf.score(docs, maxDfFraction = 0.5)
+      .select("tok").distinct().collect().map(_.getString(0)).toSet
+    assert(capped.subsetOf(all))
+    val nDocs = docs.count()
+    val dfByTok = TfIdf.score(docs).select("tok", "doc_id").distinct()
+      .groupBy("tok").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    dfByTok.foreach { case (t, df) =>
+      assert(capped.contains(t) == (df.toDouble <= nDocs * 0.5),
+        s"token $t df=$df nDocs=$nDocs capped=${capped.contains(t)}")
+    }
   }
 }
