@@ -843,7 +843,17 @@ object SparkEntry {
   private def qPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val keep = Dedup.exact(docs).select(F.col("keep_id").as("doc_id"))
-    docs.join(keep, Seq("doc_id"), "left_semi")
+    // Spread the probe-side SCAN: quality + langId + tokenCount are
+    // regex-heavy per-row folds (~1s CPU at sf0.1, measured single-task
+    // on the one-split scan) — graft.Spread parallelizes them below web
+    // scale and no-ops when the scan already has splits >> cores. Spread
+    // wraps the raw scan, not the joined plan: its partition probe would
+    // force AQE to materialize a complex child's exchanges as real jobs
+    // (measured: the dedup aggregate ran twice), while a bare scan plans
+    // job-free. The quality filter pushes itself below the exchange
+    // (filters are repartition-transparent), which is the right place
+    // for it anyway — fewer rows shuffled.
+    graft.Spread(docs).join(keep, Seq("doc_id"), "left_semi")
       .withColumn("quality", TF.qualityScore(F.col("text")))
       .filter(F.col("quality") >= 0.3)
       .withColumn("pred_lang", TF.langId(F.col("text")))

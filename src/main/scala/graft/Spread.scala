@@ -16,6 +16,14 @@ import org.apache.spark.sql.DataFrame
   * Not for exchanges that carry a REQUIRED distribution (e.g. the pinned
   * `repartition(p, col)` under a window) — those exist regardless of
   * partition count; this is only for parallelism-motivated spreads.
+  *
+  * Call it on SCANS (or other exchange-free plans), not on joined or
+  * aggregated subtrees: the `rdd` partition probe plans job-free for a
+  * bare scan, but on a plan that already contains exchanges AQE's
+  * `toRdd` materializes those query stages as REAL jobs, which then run
+  * AGAIN when the full query executes (exchange reuse does not span
+  * separate executions) — measured round 9 as a doubled dedup aggregate
+  * in q_pipeline.
   */
 object Spread {
   def apply(df: DataFrame): DataFrame = {

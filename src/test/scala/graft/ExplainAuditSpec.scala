@@ -59,7 +59,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_ann_brute", maxExchange = 1, minWgl = 2, allowedBnlj = 1,
       requirePushdown = true),
     Audit("q_ann_lsh", maxExchange = 1),
-    Audit("q_pipeline", maxExchange = 2, minBhj = 1, requirePushdown = true),
+    // dedup agg + conditional spread (parallelizes the regex folds) + final agg
+    Audit("q_pipeline", maxExchange = 3, minBhj = 1, requirePushdown = true),
     Audit("q_tokens", maxExchange = 1),
     Audit("q_quality", maxExchange = 0),
     Audit("q_entropy", maxExchange = 2),
