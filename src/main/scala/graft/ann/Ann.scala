@@ -242,8 +242,12 @@ object Ann {
         F.slice(F.reverse(F.array_sort(zipped)), 1, probes),
         p => p.getField("i"))
     }
-    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
-      bestCell(F.col(embCol)).as("cell"))
+    // Spread the corpus scan: cell assignment is `cells` dot products per
+    // row (~0.75s CPU single-task on the one-split sf0.1 scan, measured
+    // round 9); a no-op at scale where splits >> cores.
+    val c = graft.Spread(corpus)
+      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+        bestCell(F.col(embCol)).as("cell"))
     val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
       F.explode(probeCells(F.col(embCol))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
