@@ -200,6 +200,21 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
       .collect().sortBy(_.doc_id)
     assert(resized.forall(f => f.width == 3 && f.height == 5))
     assert(math.abs(resized(2).feature - 128.0 / 255.0) < 1e-9)
+
+    // JPEG path (lossy, so assert dims exactly and luma approximately):
+    // the decoder is format-agnostic over everything ImageIO registers
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val jrec = Seq(Multimodal.MediaRecord(9L, jpeg(6, 4, 0x808080), "image/jpeg", 6, 4)).toDF()
+    val jf = Multimodal.extractFeatures(jrec,
+        decoderFactory = () => new ImageIoDecoder()).collect()
+    assert(jf.length == 1 && jf(0).width == 6 && jf(0).height == 4)
+    assert(math.abs(jf(0).feature - 128.0 / 255.0) < 0.02) // lossy tolerance
   }
 
   test("multimodal resize and frame-sample stubs transform metadata and explode frames") {
