@@ -15,7 +15,10 @@ object OracleSql {
   private val dec4sum = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 
   /** Word-shingle + per-band minhash CTE prefix shared by the dedup oracles
-    * (mirrors Dedup.shingles / Dedup.minhashSignatures). */
+    * (mirrors Dedup.shingles / Dedup.minhashSignatures /
+    * functions.expressions.MinhashSigsExpr): ONE md5 per shingle split into
+    * big-endian 64-bit halves, band hash = Kirsch–Mitzenmacher
+    * lo + b*hi (mod 2^64) as fixed-width lowercase hex, signature = MIN. */
   private val minhashCtes =
     """WITH tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
@@ -24,9 +27,15 @@ object OracleSql {
       |  SELECT DISTINCT doc_id,
       |    unnest([list_aggregate(w[i:i+2], 'string_agg', ' ') for i in generate_series(1, len(w)-2)]) AS shingle
       |  FROM tok WHERE len(w) >= 3),
+      |hl AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(shingle), 1, 16))::UBIGINT::HUGEINT AS hi,
+      |    ('0x' || substr(md5(shingle), 17, 16))::UBIGINT::HUGEINT AS lo
+      |  FROM sh),
       |mh AS (
-      |  SELECT doc_id, b, MIN(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS sig
-      |  FROM sh, (SELECT unnest(generate_series(0, 7)) AS b) bands
+      |  SELECT doc_id, b,
+      |    MIN(lower(lpad(to_hex(((lo + b * hi) % 18446744073709551616::HUGEINT)::UBIGINT), 16, '0'))) AS sig
+      |  FROM hl, (SELECT unnest(generate_series(0, 7)) AS b) bands
       |  GROUP BY doc_id, b),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b

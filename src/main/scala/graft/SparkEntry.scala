@@ -762,8 +762,11 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(T(s, dir, "documents"))
 
-  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(T(s, dir, "documents"))
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // Bare parquet scan: count() is a metadata count-star, no column scan.
+    val docs = T(s, dir, "documents")
+    Dedup.minhashCandidates(docs, knownDocCount = docs.count())
+  }
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     // maxHamming 3 with 4 bands ⇒ provably complete candidacy (pigeonhole;

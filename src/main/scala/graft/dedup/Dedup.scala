@@ -59,17 +59,31 @@ object Dedup {
       .select(F.col(idCol), F.explode(F.array_distinct(shingleArr)).as("shingle"))
   }
 
-  /** Per-band minhash signatures: for band b, sig_b = min over shingles of
-    * md5(b || '|' || shingle). Fixed-width lowercase hex ⇒ the string MIN is
-    * the numeric min, so the signature is replicable in any engine with md5.
+  /** Per-band minhash signatures: ONE md5 per shingle, split into two
+    * big-endian 64-bit halves (hi = hex chars 1–16, lo = 17–32); band b's
+    * hash is the Kirsch–Mitzenmacher mix `lo + b*hi (mod 2^64)` and sig_b
+    * is its min over shingles as 16 lowercase hex chars. Fixed-width
+    * lowercase hex ⇒ the string MIN is the unsigned numeric min, so the
+    * signature is replicable in any engine with md5 (the DuckDB mirror is
+    * OracleSql.minhashCtes). The mix runs in DECIMAL because ANSI long
+    * arithmetic (Spark 4 default) throws on overflow instead of wrapping;
+    * the explicit `% 2^64` + signed-range shift reproduce the wraparound
+    * exactly, and values within long range cast losslessly for hex().
     *
     * All `bands` minima are computed in ONE pass over the shingle table
     * (wide aggregation, map-side combinable) and then unpivoted to
     * (id, band, sig) — the shuffle carries docs × bands rows, not
     * shingles × bands. */
   def minhashSignatures(sh: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val h = F.md5(F.col("shingle"))
+    val two64 = F.lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(64)))
+    val two63 = F.lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(63)))
+    val hi = F.conv(F.substring(h, 1, 16), 16, 10).cast("decimal(20,0)")
+    val lo = F.conv(F.substring(h, 17, 16), 16, 10).cast("decimal(20,0)")
     val aggs = (0 until bands).map { b =>
-      F.min(F.md5(F.concat(F.lit(s"$b|"), F.col("shingle")))).as(s"sig_$b")
+      val m = (lo + F.lit(b) * hi) % two64
+      val signed = F.when(m >= two63, m - two64).otherwise(m).cast("long")
+      F.min(F.lower(F.lpad(F.hex(signed), 16, "0"))).as(s"sig_$b")
     }
     val unpivot = F.explode(F.array(
       (0 until bands).map(b =>
@@ -111,7 +125,8 @@ object Dedup {
     * only near-identical docs collide), so the within-bucket pair blow-up is
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        shingleN: Int = 3, bands: Int = 8): DataFrame = {
+                        shingleN: Int = 3, bands: Int = 8,
+                        knownDocCount: Long = -1L): DataFrame = {
     // Cache-free single-consumer pipeline (round 9): with the bucket
     // bound tightened to nDocs (see candidatesFromSigs), the heavy-hitter
     // prune is skipped below web scale, so the signature table is read by
@@ -129,11 +144,15 @@ object Dedup {
     val sigArr = ColumnBridge.column(
       graft.functions.expressions.MinhashSigsExpr(
         ColumnBridge.expression(shingleArr), bands))
-    val nDocs = docs.count() // parquet metadata count-star: no column scan
+    // Bucket bound: callers that know the corpus size (SparkEntry passes
+    // the parquet metadata count-star — no column scan) supply it via
+    // `knownDocCount`, keeping this builder LAZY for arbitrary input
+    // plans; with no bound, candidatesFromSigs falls back to its own
+    // (looser but valid) sigs row count.
     val sigs = spread
       .select(F.col(idCol), F.posexplode_outer(sigArr.as("sigs")).as(Seq("band", "sig")))
       .filter(F.col("sig").isNotNull)
-    candidatesFromSigs(sigs, idCol, knownBucketBound = nDocs)
+    candidatesFromSigs(sigs, idCol, knownBucketBound = knownDocCount)
   }
 
   /** Persist + eagerly materialize an index table, scope-tracked so the

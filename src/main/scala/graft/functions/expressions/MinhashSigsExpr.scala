@@ -1,6 +1,5 @@
 package graft.functions.expressions
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -9,23 +8,32 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** All `bands` minhash band signatures of a shingle array, in ONE pass.
+/** All `bands` minhash band signatures of a shingle array, in ONE pass
+  * and ONE digest per shingle.
   *
-  * Band b's signature is `min over shingles of md5hex(b + "|" + shingle)`
-  * — bit-identical to the Column composition
-  * `groupBy(id).agg(min(md5(concat(lit(s"$b|"), shingle))) …)` the dedup
-  * oracles mirror in SQL (lowercase fixed-width hex means the string MIN
-  * is the byte-wise unsigned MIN of the raw digest, which is what this
-  * computes; only the winning digest per band is hex-encoded).
+  * Per shingle: h = md5(shingle); hi = first 8 digest bytes big-endian,
+  * lo = last 8 bytes big-endian. Band b's 64-bit hash is the
+  * Kirsch–Mitzenmacher mix `v_b = lo + b * hi (mod 2^64)`, and the band
+  * signature is `min over shingles of v_b`, emitted as 16 lowercase hex
+  * chars (fixed-width hex means string MIN = unsigned numeric MIN, which
+  * is what the oracle computes). Bit-identical to the SQL composition
+  *   min(lower(lpad(to_hex((lo + b*hi) % 2^64), 16, '0')))
+  * with lo/hi parsed from substr(md5(shingle), 17, 16) / (…, 1, 16) —
+  * mirrored in OracleSql.minhashCtes and Dedup.minhashSignatures.
+  *
+  * Why one digest, not one per band: the previous scheme digested
+  * `md5(b + "|" + shingle)` per band — bands× the MD5 compressions, and
+  * the bench's single largest CPU stage. The KM mix derives all band
+  * hashes from one digest with two multiply-adds each; KM double hashing
+  * is the standard trick for simulating k independent hash functions from
+  * two (Kirsch & Mitzenmacher, ESA 2006) and preserves the MinHash
+  * collision property in practice.
   *
   * Why an expression and not explode+groupBy: the aggregation is per-ROW
   * (per document), so running it inside the projection removes the
   * shingle fan-out (docs × shingles rows through the codegen pipeline),
   * the partial/final aggregation machinery, and the groupBy(id) SHUFFLE
-  * entirely — at 100 TB the signature build becomes a pure scan. It also
-  * reuses one `MessageDigest` per document instead of
-  * commons-codec's per-call `MessageDigest.getInstance` inside Spark's
-  * `md5()` (shingles × bands instantiations).
+  * entirely — at 100 TB the signature build becomes a pure scan.
   *
   * Empty/short inputs: an empty shingle array yields NULL (the caller
   * filters those docs out — explode would have dropped them).
@@ -33,8 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingle stream is fine.
   *
   * Reference: the minhash construction matches Dedup.minhashSignatures
-  * (see malstrom's dedup examples for the WHAT; the one-pass band fold is
-  * the Spark-native HOW).
+  * (see malstrom's dedup examples for the WHAT; the one-pass one-digest
+  * band fold is the Spark-native HOW).
   */
 case class MinhashSigsExpr(child: Expression, bands: Int)
     extends UnaryExpression with CodegenFallback {
@@ -42,29 +50,13 @@ case class MinhashSigsExpr(child: Expression, bands: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
-  // "b|" prefixes, precomputed once per expression instance.
-  @transient private lazy val prefixes: Array[Array[Byte]] =
-    Array.tabulate(bands)(b => s"$b|".getBytes(StandardCharsets.UTF_8))
-
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val ai = a(i) & 0xff
-      val bi = b(i) & 0xff
-      if (ai != bi) return ai < bi
-      i += 1
-    }
-    false
-  }
-
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def hex(d: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](32)
+  private def hex(v: Long): UTF8String = {
+    val out = new Array[Byte](16)
     var i = 0
     while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
-      out(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+      out(i) = hexDigits(((v >>> ((15 - i) * 4)) & 0xfL).toInt).toByte
       i += 1
     }
     UTF8String.fromBytes(out)
@@ -75,29 +67,27 @@ case class MinhashSigsExpr(child: Expression, bands: Int)
     val n = arr.numElements()
     if (n == 0) return null
     val md = MessageDigest.getInstance("MD5")
-    // Zero-alloc digest loop: `md.digest()` allocates a 16-byte array per
-    // call — shingles x bands allocations per document, which at bench
-    // scale is tens of millions of short-lived arrays and measurable GC /
-    // allocation-stall time on the signature-build stage. Instead every
-    // digest lands in one reusable scratch buffer; a candidate only gets
-    // copied into its band's (preallocated) min slot when it actually
-    // wins, which after the first few shingles is rare.
+    // One digest per shingle into a reusable scratch buffer (md.digest()
+    // would allocate 16 bytes per call), then 2 multiply-adds per band.
+    // Java long overflow wraps = the mod-2^64 the oracle computes in
+    // HUGEINT; unsigned compare = the oracle's fixed-width hex string MIN.
     val scratch = new Array[Byte](16)
-    val mins = Array.fill(bands)(new Array[Byte](16))
-    val seen = new Array[Boolean](bands)
+    val mins = new Array[Long](bands)
     var i = 0
     while (i < n) {
-      val sBytes = arr.getUTF8String(i).getBytes
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      md.digest(scratch, 0, 16)
+      var hi = 0L
+      var lo = 0L
+      var j = 0
+      while (j < 8) { hi = (hi << 8) | (scratch(j) & 0xffL); j += 1 }
+      while (j < 16) { lo = (lo << 8) | (scratch(j) & 0xffL); j += 1 }
       var b = 0
+      var v = lo
       while (b < bands) {
-        md.reset()
-        md.update(prefixes(b))
-        md.update(sBytes)
-        md.digest(scratch, 0, 16)
-        if (!seen(b) || unsignedLess(scratch, mins(b))) {
-          System.arraycopy(scratch, 0, mins(b), 0, 16)
-          seen(b) = true
-        }
+        if (i == 0 || java.lang.Long.compareUnsigned(v, mins(b)) < 0) mins(b) = v
+        v += hi
         b += 1
       }
       i += 1
