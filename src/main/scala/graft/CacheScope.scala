@@ -51,6 +51,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
 
+  /** Test-only plan recorder (ExplainAuditSpec, round 10): when non-null,
+    * receives (kind, formatted plan) for every index table at materialize
+    * time and for every scoped result BEFORE `localCheckpoint` replaces
+    * its plan with a checkpoint scan — the hook that lets CI audit the
+    * interesting INTERNAL plans the terminal frame no longer shows.
+    * Null in production: the only cost is one volatile read per
+    * materialize/scoped call. */
+  @volatile private[graft] var planRecorder: (String, String) => Unit = null
+
+  private def record(kind: String, df: DataFrame): Unit = {
+    val r = planRecorder
+    if (r != null)
+      r(kind, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+  }
+
   /** Stack of scope frames for the CURRENT thread; each frame collects the
     * handles materialized while it is innermost. The root (empty-stack)
     * case falls back to a global list so untracked callers still get
@@ -91,6 +107,7 @@ object CacheScope {
     * first consumer is a driver-BLOCKING `first()` action, which
     * completes before any other consumer is even planned. */
   private[graft] def materializeLazy(df: DataFrame): DataFrame = {
+    record("materialize_lazy", df)
     val p = df.persist()
     scopes.get() match {
       case frame :: _ => frame.synchronized(frame += p)
@@ -102,6 +119,7 @@ object CacheScope {
   /** [[materialize]], returning the row count the eager action already
     * paid for — callers use it to skip their own sizing jobs. */
   private[graft] def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    record("materialize", df)
     val p = df.persist()
     scopes.get() match {
       case frame :: _ => frame.synchronized(frame += p)
@@ -122,6 +140,7 @@ object CacheScope {
     try {
       scopes.set(frame :: saved)
       val result = body
+      record("scoped", result)
       result.localCheckpoint(true, checkpointLevel(result.sparkSession.sparkContext.isLocal))
     } finally {
       scopes.set(saved)

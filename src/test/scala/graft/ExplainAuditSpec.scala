@@ -22,14 +22,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the broadcast-queries x corpus probe of the ANN scans (bounded build
   * side by construction).
   *
-  * Deliberately NOT audited here: q_ngram_jaccard, q_dedup_components,
-  * q_dup_ngrams, q_lm_score, q_fingerprint_winnow, q_dedup_simhash —
-  * their operators pin results via `CacheScope.scoped`'s localCheckpoint
-  * (or a driver union-find fast path), so the returned frame's plan is a
-  * checkpoint scan and the interesting plan has already executed at
-  * build time. Their shapes are asserted structurally in their own specs
-  * (DedupAnnSpec, PipelineOpsSpec, PropertySpec) and documented in
-  * PLANS.md.
+  * The CacheScope/checkpoint queries (q_ngram_jaccard,
+  * q_dedup_components, q_dup_ngrams, q_lm_score, q_fingerprint_winnow,
+  * q_dedup_simhash) pin results via `CacheScope.scoped`'s
+  * localCheckpoint, so the returned frame's plan is a checkpoint scan —
+  * their INTERNAL plans are captured through `CacheScope.planRecorder`
+  * (every materialize input + every scoped result, pre-checkpoint) and
+  * audited with the same invariants below (round 10; VERDICT r9 #3).
   */
 class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
 
@@ -105,5 +104,51 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     if (a.requirePushdown)
       assert("PushedFilters: \\[[^\\]]*[A-Za-z]".r.findFirstIn(txt).isDefined,
         s"${a.name}: no non-empty PushedFilters on any scan:\n$txt")
+  }
+
+  /** Internal-plan audit for the CacheScope/checkpoint queries: run the
+    * query with the plan recorder armed, then apply the global invariants
+    * to every captured pre-checkpoint frame. `maxExchangeTotal` bounds the
+    * SUM of shuffle exchanges across all frames (probed at sf0.001 —
+    * upper bounds, so cheaper plans never fail). Frames read persisted
+    * index tables as InMemoryTableScan, so exchanges above each cache
+    * boundary are counted exactly once per consumer frame. */
+  private case class InternalAudit(name: String, maxExchangeTotal: Int,
+                                   allowedBnljPerFrame: Int = 0,
+                                   minFrames: Int = 2)
+
+  private val internalAudits = Seq(
+    InternalAudit("q_ngram_jaccard", maxExchangeTotal = 5),
+    InternalAudit("q_dedup_components", maxExchangeTotal = 5),
+    // cache-free since round 9: ONE scoped frame, no materialize
+    InternalAudit("q_dup_ngrams", maxExchangeTotal = 3, minFrames = 1),
+    // one-row count broadcast is the designed scalar-subquery shape
+    InternalAudit("q_lm_score", maxExchangeTotal = 5, allowedBnljPerFrame = 1),
+    InternalAudit("q_fingerprint_winnow", maxExchangeTotal = 4),
+    InternalAudit("q_dedup_simhash", maxExchangeTotal = 4))
+
+  for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
+    val frames = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    CacheScope.planRecorder = (k, p) => frames.synchronized { frames += ((k, p)) }
+    try SparkEntry.queries(a.name)(spark, sfDir)
+    finally CacheScope.planRecorder = null
+    assert(frames.length >= a.minFrames,
+      s"${a.name}: only ${frames.length} internal frames captured — " +
+        "operator no longer routes through CacheScope?")
+    var exchangeTotal = 0
+    for ((kind, txt) <- frames) {
+      val n = nodeCounts(txt)
+      assert(n.getOrElse("CartesianProduct", 0) == 0,
+        s"CartesianProduct in ${a.name} internal frame [$kind]:\n$txt")
+      assert(n.getOrElse("BroadcastNestedLoopJoin", 0) <= a.allowedBnljPerFrame,
+        s"unexpected BroadcastNestedLoopJoin in ${a.name} internal frame [$kind]:\n$txt")
+      exchangeTotal += n.getOrElse("Exchange", 0)
+    }
+    assert(exchangeTotal <= a.maxExchangeTotal,
+      s"${a.name}: $exchangeTotal shuffle exchanges across ${frames.length} " +
+        s"internal frames > allowed ${a.maxExchangeTotal}\n" +
+        frames.map { case (k, t) => s"--- [$k]\n$t" }.mkString("\n"))
+    info(s"${a.name}: ${frames.length} frames " +
+      s"(${frames.map(_._1).mkString(",")}), $exchangeTotal exchanges total")
   }
 }
