@@ -203,6 +203,13 @@ object OracleSql {
     "q_stream_stateful" ->
       "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
 
+    // Streaming dedup's order-independent survivor invariant: exactly one
+    // output row per distinct content hash (n_out counts sink rows per
+    // hash — >1 would mean a duplicate slipped through the state).
+    "q_stream_dedup" ->
+      """SELECT sha256(text) AS content_hash, CAST(1 AS BIGINT) AS n_out
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "q_stream_epochs" ->
       s"""SELECT event_type,
          |  strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
