@@ -628,6 +628,30 @@ object OracleSql {
           |SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY id""".stripMargin),
 
+    // Same oracle as q_dedup_components: the distributed
+    // large-star/small-star path must produce the identical clustering.
+    "q_dedup_components_dist" ->
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          |  FROM pairs p
+          |  JOIN sh s1 ON s1.doc_id = p.doc_a
+          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+          |  GROUP BY 1, 2),
+          |jac AS (
+          |  SELECT i2.doc_a, i2.doc_b
+          |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
+          |  WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.5),
+          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+          |        UNION ALL SELECT doc_b, doc_a FROM jac),
+          |reach(id, lbl) AS (
+          |  SELECT DISTINCT src, src FROM sym
+          |  UNION
+          |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst)
+          |SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY id""".stripMargin),
+
     // Mirrors SimhashExpr: per-token 64-bit hash = first 8 bytes of
     // md5(token), bit j = (byte[j/8] >> (j%8)) & 1; simhash bit j set iff
     // the bit-vote sum is >= 0. The impl's 4-band candidacy is COMPLETE at

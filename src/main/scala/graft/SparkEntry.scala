@@ -652,6 +652,18 @@ object SparkEntry {
     graft.dedup.Components.connectedComponents(edges)
   }
 
+  /** The SAME clustering over the SAME verified edges, forced down the
+    * DISTRIBUTED large-star/small-star path
+    * (Components.connectedComponentsStars — a function with NO driver
+    * fast path: every round is groupBy-min joins over the edge set), so
+    * the 100 TB branch gets its own hash-exact CORRECTNESS row instead of
+    * only the ≤1M-edge union-find ever facing the oracle (VERDICT r9 #6). */
+  private def qDedupComponentsDist(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ngramJaccard(T(s, dir, "documents"), minJaccard = 0.5)
+      .select("doc_a", "doc_b")
+    graft.dedup.Components.connectedComponentsStars(edges)
+  }
+
   /** Top-3 TF-IDF keywords per document (windowed, token tie-break).
     * Single-pass shape: one corpus scan, df computed inline by a window
     * over the tok exchange — no cache, no join (TfIdf.score scaladoc). */
@@ -963,6 +975,7 @@ object SparkEntry {
     "q_topk" -> (qTopK _),
     "q_dedup_keep" -> (qDedupKeep _),
     "q_dedup_components" -> (qDedupComponents _),
+    "q_dedup_components_dist" -> (qDedupComponentsDist _),
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_folds" -> (qFolds _),
