@@ -8,16 +8,19 @@ import org.apache.spark.sql.{functions => F}
   * as a 100 TB training-data pipeline would carry them (payload pruned
   * unless projected; metadata usable for partition pruning and filtering).
   *
-  * Decoders plug in behind [[MediaDecoder]]. Two implementations ship:
+  * Decoders plug in behind [[MediaDecoder]]. Three implementations ship:
   *
   *  - [[ImageIoDecoder]] — a REAL image decoder (round 9) over the JDK's
   *    built-in `javax.imageio` (PNG/JPEG/BMP/GIF, zero external deps):
   *    actual decode, actual dimensions, mean-luma pixel stats, real
   *    bilinear resize.
+  *  - [[WavDecoder]] — a REAL audio decoder (round 10) over the JDK's
+  *    built-in `javax.sound.sampled` (WAV/AIFF/AU PCM): header parse,
+  *    sample decode, RMS level + duration.
   *  - [[StubDecoder]] — a deterministic byte-level fake, still the
   *    gate/oracle DEFAULT: its features are replicable in SQL by any
   *    engine, which is what the correctness gate needs, and it stands in
-  *    for codecs that genuinely aren't in this container (audio/video).
+  *    for codecs that genuinely aren't in this container (video).
   *
   * Everything around the decoder — schema, batched `mapPartitions`
   * execution, per-partition factory init, partitioning — is shared and

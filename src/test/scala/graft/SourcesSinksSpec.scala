@@ -229,6 +229,47 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(tf.map(_.doc_id).toSeq == Seq(11L)) // corrupt dropped, good kept
   }
 
+  test("WavDecoder really decodes a generated WAV (rate, channels, RMS, duration, drops non-audio)") {
+    import java.io.ByteArrayOutputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import graft.multimodal.{Multimodal, WavDecoder}
+    import spark.implicits._
+
+    // 0.5s of a 440 Hz sine at amplitude 0.5, 16-bit signed mono 8 kHz
+    def sineWav(rate: Float, seconds: Double, hz: Double, amp: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val wav = sineWav(8000f, 0.5, 440, 0.5)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, wav, "audio/wav", 0, 0),
+      Multimodal.MediaRecord(2L, wav.take(30), "audio/wav", 0, 0), // truncated header
+      Multimodal.MediaRecord(3L, "not audio at all".getBytes("UTF-8"), "text/plain", 0, 0))
+
+    val feats = Multimodal.extractFeatures(recs.toDF(),
+        decoderFactory = () => new WavDecoder()).collect().sortBy(_.doc_id)
+    // undecodables dropped; rate/channels from the HEADER, RMS from the
+    // SAMPLES (sine RMS = amp / sqrt(2))
+    assert(feats.map(_.doc_id).toSeq == Seq(1L))
+    assert(feats(0).width == 8000 && feats(0).height == 1)
+    assert(math.abs(feats(0).feature - 0.5 / math.sqrt(2)) < 1e-3)
+
+    val dec = new WavDecoder()
+    assert(math.abs(dec.durationSeconds(recs.head).get - 0.5) < 1e-6)
+    assert(dec.durationSeconds(recs(2)).isEmpty)
+  }
+
   test("multimodal resize and frame-sample stubs transform metadata and explode frames") {
     import graft.multimodal.Multimodal
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(10)
