@@ -6,9 +6,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Sub-linearity assertion over the measured two-point scale trajectory
-  * (round 9; VERDICT r8 task #7). No sf1 dataset exists in this
+  * (round 9; VERDICT r8 task #7; re-measured round 10 after the
+  * one-digest KM minhash rewrite). No sf1 dataset exists in this
   * container, so the scale claim is pinned on the 10x step that does:
-  * docs/scale_trajectory_r9.json holds the full headline suite measured
+  * docs/scale_trajectory_r10.json holds the full headline suite measured
   * at sf0.01 AND sf0.1 with the same code, box, and methodology for both
   * engines (Spark best-of-3 cold-cache after JIT warmup; DuckDB
   * best-of-3).
@@ -25,7 +26,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r9.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r10.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
