@@ -210,6 +210,18 @@ object OracleSql {
       """SELECT sha256(text) AS content_hash, CAST(1 AS BIGINT) AS n_out
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // Same invariant for the NEAR-dup stream: one row per distinct FULL
+    // minhash band vector (the state key of dedupMinhashStream), the
+    // vector being the concat of the 8 per-doc KM band signatures the
+    // minhash CTE computes. Docs with <3 tokens have no vector and are
+    // filtered by the operator — mirrored by the mh CTE's len(w) >= 3.
+    "q_stream_dedup_minhash" ->
+      (minhashCtes +
+        """, sel AS (
+          |  SELECT DISTINCT string_agg(sig, '|' ORDER BY b) AS band_vector
+          |  FROM mh GROUP BY doc_id)
+          |SELECT band_vector, CAST(1 AS BIGINT) AS n_out FROM sel""".stripMargin),
+
     "q_stream_epochs" ->
       s"""SELECT event_type,
          |  strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -339,6 +339,42 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("n_out"))
   }
 
+  /** Streaming NEAR-dup dedup gate (StreamingOps.dedupMinhashStream): the
+    * state key is the doc's FULL minhash band vector, so the survivor
+    * invariant is one output row per distinct band vector — a set the
+    * oracle reproduces exactly from the batch KM-minhash CTE (which copy
+    * survives is arrival-dependent, as in [[qStreamDedup]]). */
+  private def qStreamDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageStreamDir(dir, "documents")
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(srcDir.toString)
+      .withColumn("ts", F.timestamp_micros(F.col("doc_id") + F.lit(86400000000L)))
+    val survivors = graft.streaming.StreamingOps
+      .dedupMinhashStream(stream, "ts", "1 hour")
+    // Re-derive the band vector from the surviving text (the operator
+    // drops its internal key column): same expression, same value.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.functions.expressions.{MinhashSigsExpr, ShingleExpr}
+    val sigArr = ColumnBridge.column(MinhashSigsExpr(
+      ColumnBridge.expression(ColumnBridge.column(
+        ShingleExpr(ColumnBridge.expression(F.col("text")), 3))), 8))
+    val qname = "graft_stream_dedup_minhash"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try survivors.select(F.concat_ws("|", sigArr).as("band_vector")).writeStream
+        .format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(qname)
+      .groupBy(F.col("band_vector"))
+      .agg(F.count(F.lit(1)).as("n_out"))
+  }
+
   /** Sliding event-time windows (1h width, 30m slide) — each event lands
     * in width/slide windows; Spark's `window()` handles the fan-out. */
   private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
@@ -951,6 +987,7 @@ object SparkEntry {
     "q_stream_epochs" -> (qStreamEpochs _),
     "q_stream_stateful" -> (qStreamStateful _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_dedup_minhash" -> (qStreamDedupMinhash _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_frontier" -> (qFrontier _),
