@@ -276,6 +276,48 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(fast == brute)
   }
 
+  test("KM minhash preserves the MinHash property: band collision rate ~= Jaccard") {
+    // The round-10 hash family derives all band hashes from ONE md5 via
+    // the Kirsch-Mitzenmacher mix lo + b*hi. This guards its statistical
+    // quality: for sets with known Jaccard J, P(band signature collision)
+    // must be ~= J per band (the property LSH candidate recall rests on),
+    // and no band may be degenerate. Sets are built with EXACT overlap:
+    // |A| = |B| = n, |A^B| = s => J = s / (2n - s).
+    import spark.implicits._
+    val n = 60
+    for (targetJ <- Seq(0.2, 0.5, 0.8)) {
+      val s = math.round(2 * n * targetJ / (1 + targetJ)).toInt
+      val j = s.toDouble / (2 * n - s)
+      val nPairs = 120
+      val rows = (0 until nPairs).flatMap { p =>
+        // disjoint token universes per pair: no cross-pair collisions
+        def tok(i: Int) = s"p${p}t$i"
+        val a = (0 until n).map(tok)
+        val b = (0 until s).map(tok) ++ (n until (2 * n - s)).map(tok)
+        Seq((2L * p, a.mkString(" ")), (2L * p + 1, b.mkString(" ")))
+      }
+      val sigs = graft.dedup.Dedup
+        .minhashSignaturesFromDocs(rows.toDF("doc_id", "text"), "doc_id", "text",
+          shingleN = 1, bands = 8)
+        .collect()
+        .groupBy(r => r.getLong(0))
+        .view.mapValues(_.map(r => r.getInt(1) -> r.getString(2)).toMap).toMap
+      val hitsPerBand = Array.fill(8)(0)
+      for (p <- 0 until nPairs; b <- 0 until 8)
+        if (sigs(2L * p)(b) == sigs(2L * p + 1)(b)) hitsPerBand(b) += 1
+      val rate = hitsPerBand.sum.toDouble / (nPairs * 8)
+      // 960 Bernoulli trials: 4 sigma of J=0.5 is ~0.065
+      assert(math.abs(rate - j) < 0.07,
+        f"collision rate $rate%.3f vs jaccard $j%.3f (target $targetJ)")
+      // per-band sanity: no band departs from J by more than noise allows
+      // (120 trials/band: 4 sigma ~ 0.19)
+      hitsPerBand.zipWithIndex.foreach { case (h, b) =>
+        assert(math.abs(h.toDouble / nPairs - j) < 0.2,
+          f"band $b degenerate: rate ${h.toDouble / nPairs}%.3f vs jaccard $j%.3f")
+      }
+    }
+  }
+
   test("aggSalted equals plain agg for any bucket count (associativity)") {
     import spark.implicits._
     val data = Gen.listOfN(500, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000L, 1000L)))
