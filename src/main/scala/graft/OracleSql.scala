@@ -42,6 +42,52 @@ object OracleSql {
       |  FROM mh a JOIN mh b2 ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
       |""".stripMargin
 
+  /** Deterministic Lloyd k-means CTE chain (mirrors Ann.trainCentroids +
+    * the broadcast-centroid assignment scan): seeds from the first `cells`
+    * sample vectors, `iters` assign/mean rounds over the `sampleN`-vector
+    * sample, then `scores` (every corpus vector vs every final centroid)
+    * and `cells` (per-vector nearest-centroid assignment, ties to the
+    * lowest cid). Shared by q_ann_ivf and q_cluster_kmeans. No leading
+    * WITH. */
+  private def kmeansCtes(cells: Int, sampleN: Int, iters: Int, dim: Int): String = {
+    val steps = (1 to iters).flatMap { it =>
+      val prev = if (it == 1) "cent0" else s"cent${it - 1}"
+      Seq(
+        s"cn$it AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM $prev)",
+        s"""sc$it AS (
+           |  SELECT s.vec_id, c.cid,
+           |    list_sum(list_transform(list_zip(s.embedding, c.ce), p -> CAST(p[1] AS DOUBLE) * p[2])) * 2 - c.c2 AS sc
+           |  FROM sample s, cn$it c)""".stripMargin,
+        s"""a$it AS (
+           |  SELECT vec_id, cid AS cell FROM (
+           |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+           |    FROM sc$it) WHERE rn = 1)""".stripMargin,
+        s"""m$it AS (
+           |  SELECT a.cell, d.d,
+           |    list_sum(list(CAST(s.embedding[d.d] AS DOUBLE) ORDER BY s.vec_id)) / COUNT(*) AS mu
+           |  FROM a$it a JOIN sample s USING (vec_id),
+           |       (SELECT unnest(generate_series(1, $dim)) AS d) d
+           |  GROUP BY a.cell, d.d)""".stripMargin,
+        s"""cent$it AS (
+           |  SELECT c0.cid, COALESCE(m.ce, c0.ce) AS ce FROM $prev c0
+           |  LEFT JOIN (SELECT cell AS cid, list(mu ORDER BY d) AS ce FROM m$it GROUP BY cell) m USING (cid))""".stripMargin)
+    }
+    val dotVC = "list_sum(list_transform(list_zip(e.embedding, c.ce), s -> CAST(s[1] AS DOUBLE) * s[2]))"
+    (Seq(
+      s"sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $sampleN)",
+      s"""cent0 AS (
+         |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+         |  FROM sample WHERE vec_id < $cells)""".stripMargin) ++ steps ++ Seq(
+      s"centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent$iters)",
+      s"""scores AS (
+         |  SELECT e.vec_id, c.cid, $dotVC * 2 - c.c2 AS sc
+         |  FROM embeddings e, centn c)""".stripMargin,
+      s"""cells AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM scores) WHERE rn = 1)""".stripMargin)).mkString(",\n")
+  }
+
   /** Per-language stopword-hit expression (mirrors TextFunctions.stopwordHits,
     * including the bare — non-`\b` — pattern for CJK inventories). */
   private def hitsExpr(words: Seq[String]): String =
@@ -718,6 +764,13 @@ object OracleSql {
 
     "q_ann_lsh" -> lshBucketSql,
 
+    // K-means corpus clustering: the shared Lloyd CTEs end in `cells`
+    // (every vector → nearest final centroid) — exactly the operator's
+    // output. Cluster ids are INTs on both sides.
+    "q_cluster_kmeans" ->
+      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)}
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id FROM cells""".stripMargin,
+
     // Product quantization: per-subspace k-means (the IVF training CTEs on
     // SLICED embeddings), per-vector nearest-centroid codes, ADC first
     // stage (sum of subspace dots, folded in m order), exact-cosine rerank
@@ -817,46 +870,7 @@ object OracleSql {
     // the first max); probe-list ties → HIGHEST centroid id (mirrors the
     // reverse of an ascending (score, idx) struct sort).
     "q_ann_ivf" -> {
-      val (cells, sampleN, iters, dim) = (16, 512, 2, 64)
-      val trainCtes = {
-        val steps = (1 to iters).flatMap { it =>
-          val prev = if (it == 1) "cent0" else s"cent${it - 1}"
-          Seq(
-            s"cn$it AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM $prev)",
-            s"""sc$it AS (
-               |  SELECT s.vec_id, c.cid,
-               |    list_sum(list_transform(list_zip(s.embedding, c.ce), p -> CAST(p[1] AS DOUBLE) * p[2])) * 2 - c.c2 AS sc
-               |  FROM sample s, cn$it c)""".stripMargin,
-            s"""a$it AS (
-               |  SELECT vec_id, cid AS cell FROM (
-               |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
-               |    FROM sc$it) WHERE rn = 1)""".stripMargin,
-            s"""m$it AS (
-               |  SELECT a.cell, d.d,
-               |    list_sum(list(CAST(s.embedding[d.d] AS DOUBLE) ORDER BY s.vec_id)) / COUNT(*) AS mu
-               |  FROM a$it a JOIN sample s USING (vec_id),
-               |       (SELECT unnest(generate_series(1, $dim)) AS d) d
-               |  GROUP BY a.cell, d.d)""".stripMargin,
-            s"""cent$it AS (
-               |  SELECT c0.cid, COALESCE(m.ce, c0.ce) AS ce FROM $prev c0
-               |  LEFT JOIN (SELECT cell AS cid, list(mu ORDER BY d) AS ce FROM m$it GROUP BY cell) m USING (cid))""".stripMargin)
-        }
-        (Seq(
-          s"sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $sampleN)",
-          s"""cent0 AS (
-             |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-             |  FROM sample WHERE vec_id < $cells)""".stripMargin) ++ steps).mkString(",\n")
-      }
-      val dotVC = "list_sum(list_transform(list_zip(e.embedding, c.ce), s -> CAST(s[1] AS DOUBLE) * s[2]))"
-      s"""WITH $trainCtes,
-         |centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent$iters),
-         |scores AS (
-         |  SELECT e.vec_id, c.cid, $dotVC * 2 - c.c2 AS sc
-         |  FROM embeddings e, centn c),
-         |cells AS (
-         |  SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
-         |    FROM scores) WHERE rn = 1),
+      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
          |qprobes AS (
          |  SELECT vec_id AS query_id, cid AS cell FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) AS rn

@@ -890,6 +890,11 @@ object SparkEntry {
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshBuckets(T(s, dir, "embeddings"), planes = 8)
 
+  /** Embedding k-means clustering (topic balancing): bounded-sample Lloyd
+    * training + one broadcast-centroid assignment scan, zero shuffles. */
+  private def qClusterKmeans(s: SparkSession, dir: String): DataFrame =
+    Ann.clusterKmeans(T(s, dir, "embeddings"), clusters = 16)
+
   /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -1040,6 +1045,7 @@ object SparkEntry {
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_cluster_kmeans" -> (qClusterKmeans _),
     "q_ann_pq" -> (qAnnPq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),

@@ -216,6 +216,44 @@ object Ann {
     * plan-time constant arrays, so cell assignment is `cells` codegen dot
     * products per row, one corpus scan. Candidate generation is an
     * equi-join on the cell id — bucket-bounded, never all-pairs. */
+  /** Score of a vector against every trained centroid: 2·(v·c) − |c|²
+    * per cell (argmax ⇔ nearest centroid in L2; the |v|² term is
+    * assignment-invariant and dropped). Centroids ride into codegen as
+    * typed literals — a broadcast-constant scan, no join, no shuffle. */
+  private def centroidScores(centroids: Array[(Int, Seq[Double])], e: Column,
+                             native: Boolean): Column =
+    F.array(centroids.toIndexedSeq.map { case (_, c) =>
+      val c2 = c.map(x => x * x).sum
+      dotX(e, F.typedlit(c), native) * 2.0 - F.lit(c2)
+    }: _*)
+
+  /** Nearest-centroid id; first max ⇔ lowest id on ties, matching the
+    * oracle's `ORDER BY sc DESC, cid ASC`. */
+  private def nearestCentroid(centroids: Array[(Int, Seq[Double])], e: Column,
+                              native: Boolean): Column = {
+    val sc = centroidScores(centroids, e, native)
+    (F.array_position(sc, F.array_max(sc)) - 1L).cast("int")
+  }
+
+  /** Embedding k-means clustering — the corpus topic-balancing / data-mixing
+    * primitive (cluster, inspect sizes, resample per cluster): the same
+    * deterministic Lloyd training as IVF (bounded driver sample — an index
+    * build, corpus-size-independent), then ONE broadcast-centroid scan
+    * assigns every vector to its nearest centroid. No shuffle anywhere:
+    * at 100 TB this is a pure map over the corpus with `clusters` dot
+    * products per row. Output: (idCol, cluster_id). */
+  def clusterKmeans(corpus: DataFrame, idCol: String = "vec_id",
+                    embCol: String = "embedding", clusters: Int = 16,
+                    native: Boolean = true, sampleN: Int = 512,
+                    iters: Int = 2): DataFrame = {
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, idCol, embCol, clusters, sampleN, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    graft.Spread(corpus)
+      .select(F.col(idCol),
+        nearestCentroid(centroids, F.col(embCol), native).as("cluster_id"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
               embCol: String = "embedding", k: Int = 5, cells: Int = 16,
               probes: Int = 4, native: Boolean = true,
@@ -223,15 +261,8 @@ object Ann {
     val centroids: Array[(Int, Seq[Double])] =
       trainCentroids(corpus, idCol, embCol, cells, sampleN, iters)
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    // score against cell c: 2·(v·c) − |c|² (argmax ⇔ nearest centroid)
-    def cellScores(e: Column): Column = F.array(centroids.toIndexedSeq.map { case (_, c) =>
-      val c2 = c.map(x => x * x).sum
-      dotX(e, F.typedlit(c), native) * 2.0 - F.lit(c2)
-    }: _*)
-    def bestCell(e: Column): Column = {
-      val sc = cellScores(e)
-      (F.array_position(sc, F.array_max(sc)) - 1L).cast("int")
-    }
+    def cellScores(e: Column): Column = centroidScores(centroids, e, native)
+    def bestCell(e: Column): Column = nearestCentroid(centroids, e, native)
     // top-`probes` cell ids per query: sort (score, idx) pairs descending
     def probeCells(e: Column): Column = {
       val sc = cellScores(e)

@@ -211,6 +211,30 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(r.getDouble(2) == 2.0 + (3.0 * 2.0 + 4.0 * 2.0))
   }
 
+  test("clusterKmeans assigns every vector to its true nearest trained centroid") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val clusters = 16
+    val assigned = Ann.clusterKmeans(emb, clusters = clusters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // brute-force reference: same trained centroids, local L2 argmax
+    val cent = Ann.trainCentroids(emb, cells = clusters)
+    val c2 = cent.map(c => c.map(x => x * x).sum)
+    val rows = emb.select(F.col("vec_id"), F.col("embedding")).collect()
+    assert(assigned.size == rows.length, "every vector must be assigned")
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      var best = 0; var bs = Double.NegativeInfinity
+      (0 until clusters).foreach { j =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * cent(j)(i); i += 1 }
+        val s = 2 * d - c2(j)
+        if (s > bs) { best = j; bs = s }
+      }
+      assert(assigned(r.getLong(0)) == best,
+        s"vec ${r.getLong(0)} assigned ${assigned(r.getLong(0))}, nearest is $best")
+    }
+  }
+
   test("IVF trained centroids keep cells balanced (max <= 4x mean)") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cells = 16
