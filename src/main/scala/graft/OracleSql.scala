@@ -414,6 +414,32 @@ object OracleSql {
       """SELECT doc_id, source, lang FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin,
 
+    // NEAR-dup survivors: the q_dedup_components closure, then keep every
+    // doc that is not a non-minimal member of its cluster.
+    "q_dedup_keep_near" ->
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          |  FROM pairs p
+          |  JOIN sh s1 ON s1.doc_id = p.doc_a
+          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+          |  GROUP BY 1, 2),
+          |jac AS (
+          |  SELECT i2.doc_a, i2.doc_b
+          |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
+          |  WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.5),
+          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+          |        UNION ALL SELECT doc_b, doc_a FROM jac),
+          |reach(id, lbl) AS (
+          |  SELECT DISTINCT src, src FROM sym
+          |  UNION
+          |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst),
+          |losers AS (
+          |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(lbl))
+          |SELECT d.doc_id, d.source, d.lang FROM documents d
+          |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
+
     "q_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,

@@ -661,6 +661,21 @@ object SparkEntry {
     docs.join(keep, Seq("doc_id"), "left_semi").select("doc_id", "source", "lang")
   }
 
+  /** The NEAR-dup survivor corpus — the full cleaning chain end to end:
+    * LSH candidates → exact-jaccard verification (≥ 0.5) → connected
+    * components → keep each cluster's min id, drop the other members.
+    * Docs in no verified pair survive trivially (anti join against the
+    * non-survivor set, which is a vanishing fraction of the corpus —
+    * broadcastable at any scale where dup clusters stay sparse). */
+  private def qDedupKeepNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val edges = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("doc_a", "doc_b")
+    val clusters = graft.dedup.Components.connectedComponents(edges)
+    val losers = clusters.filter(F.col("doc_id") =!= F.col("cluster_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id", "source", "lang")
+  }
+
   /** Exact distinct counting per group (shuffle-heavy path). */
   private def qDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -1016,6 +1031,7 @@ object SparkEntry {
     "q_agg_salted" -> (qAggSalted _),
     "q_topk" -> (qTopK _),
     "q_dedup_keep" -> (qDedupKeep _),
+    "q_dedup_keep_near" -> (qDedupKeepNear _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_components_dist" -> (qDedupComponentsDist _),
     "q_tfidf" -> (qTfidf _),

@@ -73,7 +73,10 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_key_distribute", maxExchange = 1),
     Audit("q_agg_salted", maxExchange = 2),
     Audit("q_topk", maxExchange = 1, minWgl = 2),
-    Audit("q_sample_stratified", maxExchange = 0, requirePushdown = true))
+    Audit("q_sample_stratified", maxExchange = 0, requirePushdown = true),
+    // broadcast-centroid assignment scan: the only exchange is the
+    // conditional spread (single-split file at test SF; no-op at scale)
+    Audit("q_cluster_kmeans", maxExchange = 1))
 
   private val nodeRe =
     """(?m)^\(\d+\) ([A-Za-z][A-Za-z0-9_ ]*?)\s*(?:\[codegen id : \d+\])?\s*$""".r
