@@ -42,6 +42,32 @@ object OracleSql {
       |  FROM mh a JOIN mh b2 ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
       |""".stripMargin
 
+  /** Verified-edge transitive closure on top of [[minhashCtes]]: exact
+    * jaccard over the candidate pairs, threshold 0.5, symmetrized edges,
+    * recursive min-label reachability — `reach(id, lbl)` holds every
+    * clustered doc with all reachable labels (MIN per id = cluster id).
+    * Callers prepend `minhashCtes` with WITH RECURSIVE and append their
+    * SELECT. Shared by q_dedup_components[_dist] and q_dedup_keep_near. */
+  private val componentsClosureCtes =
+    """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+      |  FROM pairs p
+      |  JOIN sh s1 ON s1.doc_id = p.doc_a
+      |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT i2.doc_a, i2.doc_b
+      |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
+      |  WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.5),
+      |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+      |        UNION ALL SELECT doc_b, doc_a FROM jac),
+      |reach(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst)
+      |""".stripMargin
+
   /** Deterministic Lloyd k-means CTE chain (mirrors Ann.trainCentroids +
     * the broadcast-centroid assignment scan): seeds from the first `cells`
     * sample vectors, `iters` assign/mean rounds over the `sampleN`-vector
@@ -417,25 +443,8 @@ object OracleSql {
     // NEAR-dup survivors: the q_dedup_components closure, then keep every
     // doc that is not a non-minimal member of its cluster.
     "q_dedup_keep_near" ->
-      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
-          |  FROM pairs p
-          |  JOIN sh s1 ON s1.doc_id = p.doc_a
-          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
-          |  GROUP BY 1, 2),
-          |jac AS (
-          |  SELECT i2.doc_a, i2.doc_b
-          |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
-          |  WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.5),
-          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
-          |        UNION ALL SELECT doc_b, doc_a FROM jac),
-          |reach(id, lbl) AS (
-          |  SELECT DISTINCT src, src FROM sym
-          |  UNION
-          |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst),
-          |losers AS (
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + componentsClosureCtes +
+        """, losers AS (
           |  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(lbl))
           |SELECT d.doc_id, d.source, d.lang FROM documents d
           |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin),
@@ -691,49 +700,15 @@ object OracleSql {
     // (LSH candidates filtered to exact jaccard >= 0.5) — an independent
     // formulation of Components.connectedComponents' propagation loop.
     "q_dedup_components" ->
-      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
-          |  FROM pairs p
-          |  JOIN sh s1 ON s1.doc_id = p.doc_a
-          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
-          |  GROUP BY 1, 2),
-          |jac AS (
-          |  SELECT i2.doc_a, i2.doc_b
-          |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
-          |  WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.5),
-          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
-          |        UNION ALL SELECT doc_b, doc_a FROM jac),
-          |reach(id, lbl) AS (
-          |  SELECT DISTINCT src, src FROM sym
-          |  UNION
-          |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst)
-          |SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + componentsClosureCtes +
+        """SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY id""".stripMargin),
 
     // Same oracle as q_dedup_components: the distributed
     // large-star/small-star path must produce the identical clustering.
     "q_dedup_components_dist" ->
-      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") +
-        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
-          |  FROM pairs p
-          |  JOIN sh s1 ON s1.doc_id = p.doc_a
-          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
-          |  GROUP BY 1, 2),
-          |jac AS (
-          |  SELECT i2.doc_a, i2.doc_b
-          |  FROM inter i2 JOIN cnt ca ON ca.doc_id = i2.doc_a JOIN cnt cb ON cb.doc_id = i2.doc_b
-          |  WHERE CAST(i2.i AS DOUBLE) / CAST(ca.n + cb.n - i2.i AS DOUBLE) >= 0.5),
-          |sym AS (SELECT doc_a AS src, doc_b AS dst FROM jac
-          |        UNION ALL SELECT doc_b, doc_a FROM jac),
-          |reach(id, lbl) AS (
-          |  SELECT DISTINCT src, src FROM sym
-          |  UNION
-          |  SELECT s.src, r.lbl FROM sym s JOIN reach r ON r.id = s.dst)
-          |SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + componentsClosureCtes +
+        """SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY id""".stripMargin),
 
     // Mirrors SimhashExpr: per-token 64-bit hash = first 8 bytes of
