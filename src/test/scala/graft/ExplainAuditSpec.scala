@@ -76,7 +76,32 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_sample_stratified", maxExchange = 0, requirePushdown = true),
     // broadcast-centroid assignment scan: the only exchange is the
     // conditional spread (single-split file at test SF; no-op at scale)
-    Audit("q_cluster_kmeans", maxExchange = 1))
+    Audit("q_cluster_kmeans", maxExchange = 1),
+    // round-10 breadth pass: every remaining batch gate query with a
+    // meaningful plan, bounds probed at sf0.001
+    Audit("q_dedup_keep", maxExchange = 1, minBhj = 1, requirePushdown = true),
+    // survivor anti-join stays a BROADCAST hash join (the dropped set is
+    // a vanishing fraction of the corpus)
+    Audit("q_dedup_keep_near", maxExchange = 1, minBhj = 1),
+    Audit("q_lang_id", maxExchange = 0),
+    Audit("q_scrub", maxExchange = 0),
+    Audit("q_chunk", maxExchange = 0),
+    Audit("q_repetition", maxExchange = 0),
+    Audit("q_json_extract", maxExchange = 0),
+    Audit("q_multimodal", maxExchange = 0),
+    Audit("q_multimodal_frames", maxExchange = 0),
+    Audit("q_histogram", maxExchange = 1),
+    Audit("q_sliding_window", maxExchange = 1, requirePushdown = true),
+    Audit("q_session_window", maxExchange = 1, requirePushdown = true),
+    Audit("q_window_analytics", maxExchange = 1, requirePushdown = true),
+    Audit("q_rollup", maxExchange = 1),
+    Audit("q_percentiles", maxExchange = 1),
+    Audit("q_folds", maxExchange = 1),
+    Audit("q_pack", maxExchange = 1),
+    Audit("q_late_data", maxExchange = 1),
+    Audit("q_frontier", maxExchange = 1),
+    Audit("q_distinct", maxExchange = 2),
+    Audit("q_bigrams", maxExchange = 2))
 
   private val nodeRe =
     """(?m)^\(\d+\) ([A-Za-z][A-Za-z0-9_ ]*?)\s*(?:\[codegen id : \d+\])?\s*$""".r
@@ -128,7 +153,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // one-row count broadcast is the designed scalar-subquery shape
     InternalAudit("q_lm_score", maxExchangeTotal = 5, allowedBnljPerFrame = 1),
     InternalAudit("q_fingerprint_winnow", maxExchangeTotal = 4),
-    InternalAudit("q_dedup_simhash", maxExchangeTotal = 4))
+    InternalAudit("q_dedup_simhash", maxExchangeTotal = 4),
+    // contamination's terminal frame is also a checkpoint scan
+    InternalAudit("q_contamination", maxExchangeTotal = 5))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
     val frames = scala.collection.mutable.ArrayBuffer[(String, String)]()
