@@ -5,14 +5,16 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Sub-linearity assertion over the measured two-point scale trajectory
-  * (round 9; VERDICT r8 task #7; re-measured round 10 after the
-  * one-digest KM minhash rewrite). No sf1 dataset exists in this
-  * container, so the scale claim is pinned on the 10x step that does:
+/** Sub-linearity assertion over the measured THREE-point scale
+  * trajectory (round 9; VERDICT r8 task #7; re-measured and extended to
+  * a third decade round 10). No sf1 dataset exists in this container, so
+  * the scale claim is pinned on the two 10x steps that do:
   * docs/scale_trajectory_r10.json holds the full headline suite measured
-  * at sf0.01 AND sf0.1 with the same code, box, and methodology for both
-  * engines (Spark best-of-3 cold-cache after JIT warmup; DuckDB
-  * best-of-3).
+  * at sf0.001, sf0.01 AND sf0.1 with the same code, box, and methodology
+  * for both engines (Spark best-of-N cold-cache after JIT warmup; DuckDB
+  * best-of-3). Two independent decades make the fit a trajectory, not a
+  * slope: a super-linear plan would bend UP somewhere across 100x data,
+  * and either step's exponent check would catch it.
   *
   * Per query we fit the power-law growth exponent from the two points:
   * e = log10(t(sf0.1) / t(sf0.01)), so e = 1 is exactly linear in data
@@ -34,32 +36,46 @@ class ScaleTrajectorySpec extends AnyFunSuite {
       .filter(!_.getValue.isNull)
       .map(e => e.getKey -> e.getValue.asDouble()).toMap
 
-  test("every headline query grows sub-linearly across the measured 10x step") {
-    val lo = queries("spark", "sf0.01")
-    val hi = queries("spark", "sf0.1")
-    assert(lo.keySet == hi.keySet && lo.size >= 20,
-      s"trajectory file incomplete: ${lo.size} vs ${hi.size} queries")
-    val exponents = lo.keys.map { q =>
-      q -> math.log10(hi(q) / lo(q))
-    }.toMap
-    val violations = exponents.filter { case (_, e) => e >= 1.0 }
-    assert(violations.isEmpty,
-      s"super-linear growth (exponent >= 1) detected: $violations")
-    // and the headroom is real, not a rounding artifact: the worst
-    // exponent stays clearly below linear
-    val worst = exponents.maxBy(_._2)
-    assert(worst._2 < 0.8, s"worst growth exponent too close to linear: $worst")
-  }
+  private val steps = Seq(("sf0.001", "sf0.01"), ("sf0.01", "sf0.1"))
 
-  test("aggregate Spark growth for 10x data is far below the single-node engine's") {
-    val sparkGrowth = root.path("spark").path("sf0.1").path("total").asDouble() /
-      root.path("spark").path("sf0.01").path("total").asDouble()
-    val duckGrowth = root.path("duckdb").path("sf0.1").path("total").asDouble() /
-      root.path("duckdb").path("sf0.01").path("total").asDouble()
-    assert(sparkGrowth < 2.0,
-      s"aggregate Spark growth $sparkGrowth for 10x data should be < 2x")
-    assert(duckGrowth > 2.0 * sparkGrowth,
-      s"single-node growth $duckGrowth no longer dominates Spark's $sparkGrowth — " +
-        "the crossover argument needs re-measuring")
+  for ((lo0, hi0) <- steps)
+    test(s"every headline query grows sub-linearly across the $lo0 -> $hi0 step") {
+      val lo = queries("spark", lo0)
+      val hi = queries("spark", hi0)
+      assert(lo.keySet == hi.keySet && lo.size >= 20,
+        s"trajectory file incomplete: ${lo.size} vs ${hi.size} queries")
+      val exponents = lo.keys.map { q =>
+        q -> math.log10(hi(q) / lo(q))
+      }.toMap
+      val violations = exponents.filter { case (_, e) => e >= 1.0 }
+      assert(violations.isEmpty,
+        s"super-linear growth (exponent >= 1) detected: $violations")
+      // and the headroom is real, not a rounding artifact: the worst
+      // exponent stays clearly below linear
+      val worst = exponents.maxBy(_._2)
+      assert(worst._2 < 0.8, s"worst growth exponent too close to linear: $worst")
+    }
+
+  test("aggregate Spark growth over TWO measured decades is far below the single-node engine's") {
+    def total(engine: String, sf: String): Double =
+      root.path(engine).path(sf).path("total").asDouble()
+    // Spark stays near-flat on every step (fixed cost amortizing)
+    for ((lo, hi) <- steps) {
+      val sparkGrowth = total("spark", hi) / total("spark", lo)
+      assert(sparkGrowth < 2.0,
+        s"aggregate Spark growth $sparkGrowth for 10x data ($lo -> $hi) should be < 2x")
+    }
+    // Single-node growth dominates on the data-bound step (at sf0.001
+    // BOTH engines are fixed-cost-bound — DuckDB's recursive components
+    // CTE is ~0.8s regardless of input — so domination is asserted where
+    // data volume actually drives cost, and across the full 100x span).
+    val sparkStep2 = total("spark", "sf0.1") / total("spark", "sf0.01")
+    val duckStep2 = total("duckdb", "sf0.1") / total("duckdb", "sf0.01")
+    assert(duckStep2 > 2.0 * sparkStep2,
+      s"single-node growth $duckStep2 no longer dominates Spark's $sparkStep2 on sf0.01 -> sf0.1")
+    val spark100 = total("spark", "sf0.1") / total("spark", "sf0.001")
+    val duck100 = total("duckdb", "sf0.1") / total("duckdb", "sf0.001")
+    assert(spark100 < 2.0 && duck100 > 2.0 * spark100,
+      s"100x growth: spark $spark100 vs duckdb $duck100 — domination lost")
   }
 }
