@@ -391,6 +391,15 @@ object OracleSql {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // The jsonl round-trip gate aggregates the STAGED json copy; values
+    // must equal the same aggregate over the original parquet — including
+    // the text lengths, which prove the json text round-trip is lossless.
+    "q_source_jsonl" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "q_source_iterator" ->
       """SELECT CAST(r AS BIGINT) AS i, CAST(r * r AS BIGINT) AS sq, CAST(r % 7 AS BIGINT) AS bucket
         |FROM range(0, 1000) t(r)""".stripMargin,

@@ -531,6 +531,25 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("n"), dsum(F.col("l_quantity")).as("sum_qty"))
       .toDF
 
+  /** JSONL ingestion (the dominant LLM training-data interchange format):
+    * the documents table round-trips through a staged .jsonl directory and
+    * back via the format-agnostic FileSource with an explicit schema (no
+    * inference pass), then aggregates — oracle = the same aggregate on
+    * the original parquet, so the gate proves the json read is lossless. */
+  private def qSourceJsonl(s: SparkSession, dir: String): DataFrame = {
+    val key = f"${dir.hashCode}%08x"
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_jsonl_${new java.io.File(dir).getName}_$key")
+    if (!java.nio.file.Files.exists(staged.resolve("_SUCCESS")))
+      T(s, dir, "documents").write.mode("overwrite").json(staged.toString)
+    val docs = graft.sources.FileSource(staged.toString, "json",
+      Some("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")).load(s)
+    docs.groupBy(F.col("lang"))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("n_chars")).as("sum_chars"),
+        F.sum(F.length(F.col("text")).cast("long")).as("sum_len"))
+  }
+
   private def qSourceIterator(s: SparkSession, dir: String): DataFrame =
     GraftStream(RangeSource(1000).load(s))
       .map(F.col("i"), (F.col("i") * F.col("i")).as("sq"), (F.col("i") % 7).as("bucket"))
@@ -1019,6 +1038,7 @@ object SparkEntry {
     "q_anti_join" -> (qAntiJoin _),
     "q_outer_join" -> (qOuterJoin _),
     "q_source_parquet" -> (qSourceParquet _),
+    "q_source_jsonl" -> (qSourceJsonl _),
     "q_source_iterator" -> (qSourceIterator _),
     "q_source_stateless" -> (qSourceStateless _),
     "q_source_stateful" -> (qSourceStateful _),

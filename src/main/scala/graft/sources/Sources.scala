@@ -50,6 +50,27 @@ final case class RangeSource(n: Long, numPartitions: Int = 4,
       .where(F.col("i") < n)
 }
 
+/** Format-agnostic file source — the ingestion formats a training-data
+  * pipeline actually sees (jsonl, csv, text, orc, parquet) behind the
+  * same [[GraftSource]] contract. `schemaDDL` is REQUIRED for the
+  * streaming variant (Structured Streaming refuses inference) and
+  * strongly recommended for batch on schemaless text formats, where
+  * inference costs an extra full pass over the data — at 100 TB an
+  * inferred schema is a second scan of the corpus. */
+final case class FileSource(path: String, format: String = "parquet",
+    schemaDDL: Option[String] = None,
+    options: Map[String, String] = Map.empty) extends GraftSource {
+  override def load(spark: SparkSession): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schemaDDL.fold(r)(s => r.schema(s)).load(path)
+  }
+  override def loadStream(spark: SparkSession): DataFrame = {
+    val ddl = schemaDDL.getOrElse(throw new IllegalArgumentException(
+      "streaming file sources require an explicit schema DDL"))
+    spark.readStream.format(format).options(options).schema(ddl).load(path)
+  }
+}
+
 /** Stateless file source (sources/stateless.rs): re-reads everything,
   * keeps no offsets. */
 final case class StatelessFileSource(path: String) extends GraftSource {

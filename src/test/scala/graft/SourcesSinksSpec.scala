@@ -284,6 +284,32 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(counts.max > 1)
   }
 
+  test("FileSource reads csv and jsonl with explicit schemas; streaming demands a schema") {
+    import graft.sources.FileSource
+    val dir = java.nio.file.Files.createTempDirectory("filesource")
+    java.nio.file.Files.writeString(dir.resolve("part.csv"),
+      "id,name,score\n1,alpha,0.5\n2,beta,1.5\n")
+    val csv = FileSource(dir.toString, "csv",
+      Some("id BIGINT, name STRING, score DOUBLE"),
+      Map("header" -> "true")).load(spark).collect().sortBy(_.getLong(0))
+    assert(csv.length == 2 && csv(0).getString(1) == "alpha" && csv(1).getDouble(2) == 1.5)
+
+    val jdir = java.nio.file.Files.createTempDirectory("filesource_json")
+    java.nio.file.Files.writeString(jdir.resolve("part.jsonl"),
+      """{"id":1,"name":"alpha"}""" + "\n" + """{"id":2,"name":"beta"}""" + "\n")
+    val json = FileSource(jdir.toString, "json", Some("id BIGINT, name STRING"))
+      .load(spark).collect().sortBy(_.getLong(0))
+    assert(json.length == 2 && json(1).getString(1) == "beta")
+
+    // streaming without a schema must fail fast, not silently infer
+    intercept[IllegalArgumentException] {
+      FileSource(jdir.toString, "json").loadStream(spark)
+    }
+    // with a schema it builds a real streaming source
+    assert(FileSource(jdir.toString, "json", Some("id BIGINT, name STRING"))
+      .loadStream(spark).isStreaming)
+  }
+
   test("brokerStartingOffsetsJson matches the spark-sql-kafka documented shape") {
     import graft.sources.KafkaShim
     // The connector's `startingOffsets` option documents the JSON as
