@@ -86,7 +86,7 @@ object Bench {
     def loadavg1(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
 
     final case class Shot(sec: Double, load: Double, waitMs: Long, cpuMs: Long, gcMs: Long)
 

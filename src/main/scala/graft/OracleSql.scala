@@ -703,6 +703,19 @@ object OracleSql {
 
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
+    // Heavy-hitter prune mirrored: drop (band, sig) buckets larger than
+    // maxBucket = 3 BEFORE pairing (Dedup.candidatesFromSigs guard).
+    "q_dedup_minhash_pruned" ->
+      (minhashCtes +
+        """, bigb AS (
+          |  SELECT b, sig FROM mh GROUP BY b, sig HAVING COUNT(*) > 3),
+          |kept AS (
+          |  SELECT m.doc_id, m.b, m.sig FROM mh m
+          |  WHERE NOT EXISTS (SELECT 1 FROM bigb g WHERE g.b = m.b AND g.sig = m.sig)),
+          |ppairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+          |  FROM kept a JOIN kept b2 ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
+          |SELECT doc_a, doc_b FROM ppairs""".stripMargin),
 
     // Dedup clusters: recursive-CTE transitive closure (min label per
     // node) over the SAME verified-pair edge set the Spark side builds

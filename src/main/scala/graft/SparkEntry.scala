@@ -537,7 +537,18 @@ object SparkEntry {
     * inference pass), then aggregates — oracle = the same aggregate on
     * the original parquet, so the gate proves the json read is lossless. */
   private def qSourceJsonl(s: SparkSession, dir: String): DataFrame = {
-    val key = f"${dir.hashCode}%08x"
+    // Staging key covers the source parquet's size+mtime (ADVICE r10): if
+    // testdata is regenerated in place the stale staged copy is discarded
+    // instead of silently aggregating against the fresh oracle.
+    val srcStamp = {
+      val root = java.nio.file.Paths.get(dir, "documents.parquet")
+      val st = java.nio.file.Files.walk(root)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(p => java.nio.file.Files.size(p) ^ java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .sum()
+      finally st.close()
+    }
+    val key = f"${dir.hashCode}%08x_$srcStamp%016x"
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_jsonl_${new java.io.File(dir).getName}_$key")
     if (!java.nio.file.Files.exists(staged.resolve("_SUCCESS")))
@@ -900,6 +911,18 @@ object SparkEntry {
     Dedup.minhashCandidates(docs, knownDocCount = docs.count())
   }
 
+  /** The heavy-hitter prune branch of the LSH bucket join, forced to
+    * execute at test scale (VERDICT r10 next-round #1): maxBucket = 3 is
+    * below the corpus's largest (band, sig) bucket (6 at sf0.01), so the
+    * degenerate-bucket guard — skipped at bench scale by the tight nDocs
+    * bound — runs its heavy-hitter scan + broadcast anti-join and DROPS
+    * buckets, and the oracle mirrors the drop. This is the code path a
+    * web-scale corpus (stopword-shingle signature collisions) exercises. */
+  private def qDedupMinhashPruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.minhashCandidates(docs, knownDocCount = docs.count(), maxBucket = 3)
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     // maxHamming 3 with 4 bands ⇒ provably complete candidacy (pigeonhole;
     // recall asserted = 1.0 in DedupAnnSpec against the exhaustive join).
@@ -1075,6 +1098,7 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, RepartitionOperation, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, RepartitionOperation, Sort, Window}
 
 /** Conditional scan spread (round 9; VERDICT r8 "what's wrong" #3).
   *
@@ -42,6 +42,7 @@ object Spread {
       case a: Aggregate => a
       case w: Window => w
       case r: RepartitionOperation => r
+      case s: Sort if s.global => s // orderBy plans a range exchange too
     }.isEmpty
 
   def apply(df: DataFrame): DataFrame = {

@@ -126,7 +126,8 @@ object Dedup {
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleN: Int = 3, bands: Int = 8,
-                        knownDocCount: Long = -1L): DataFrame = {
+                        knownDocCount: Long = -1L,
+                        maxBucket: Int = 100000): DataFrame = {
     // Cache-free single-consumer pipeline (round 9): with the bucket
     // bound tightened to nDocs (see candidatesFromSigs), the heavy-hitter
     // prune is skipped below web scale, so the signature table is read by
@@ -152,7 +153,7 @@ object Dedup {
     val sigs = spread
       .select(F.col(idCol), F.posexplode_outer(sigArr.as("sigs")).as(Seq("band", "sig")))
       .filter(F.col("sig").isNotNull)
-    candidatesFromSigs(sigs, idCol, knownBucketBound = knownDocCount)
+    candidatesFromSigs(sigs, idCol, maxBucket = maxBucket, knownBucketBound = knownDocCount)
   }
 
   /** Persist + eagerly materialize an index table, scope-tracked so the
@@ -191,16 +192,24 @@ object Dedup {
     // The full guard engages exactly when it can matter: web-scale
     // corpora. It runs BEFORE the bucket aggregation below, so no
     // post-prune bucket (and no collect_list buffer) exceeds maxBucket
-    // ids.
-    val n = if (knownBucketBound >= 0L) knownBucketBound else sigs.count()
+    // ids. The no-bound fallback PERSISTS before counting (ADVICE r10):
+    // a bare sigs.count() would execute the whole shingle+minhash
+    // pipeline once for the bound and again for the bucket aggregation.
+    val (bounded, n) =
+      if (knownBucketBound >= 0L) (sigs, knownBucketBound)
+      else materializeCounted(sigs)
     val pruned =
-      if (n <= maxBucket) sigs
+      if (n <= maxBucket) bounded
       else {
-        val big = sigs.groupBy(F.col("band"), F.col("sig"))
+        // The heavy-hitter scan and the anti-join probe are TWO consumers
+        // of the signature table; persist it so the shingle+minhash fold
+        // runs once (the no-bound fallback above already did).
+        val sigsIdx = if (knownBucketBound >= 0L) materialize(bounded) else bounded
+        val big = sigsIdx.groupBy(F.col("band"), F.col("sig"))
           .agg(F.count(F.lit(1)).as("bn"))
           .filter(F.col("bn") > maxBucket)
           .select("band", "sig")
-        sigs.join(F.broadcast(big), Seq("band", "sig"), "left_anti")
+        sigsIdx.join(F.broadcast(big), Seq("band", "sig"), "left_anti")
       }
     // Pairs via ONE bucket aggregation + in-bucket expansion (all i<j
     // combinations of each bucket's id list) — one exchange on (band, sig)

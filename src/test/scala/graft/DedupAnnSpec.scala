@@ -80,6 +80,27 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(!pairs.contains((4L, 5L)), s"false positive on unrelated docs: $pairs")
   }
 
+  test("heavy-hitter prune executes and only removes big-bucket pairs") {
+    // maxBucket = 3 < the corpus's largest (band, sig) bucket (5 at
+    // sf0.001), so the degenerate-bucket guard — dormant at bench scale
+    // behind the tight nDocs bound — must run its heavy-hitter scan +
+    // broadcast anti-join and drop pairs. q_dedup_minhash_pruned is the
+    // hash-exact oracle gate for the same path; this spec pins the plan
+    // evidence and the subset relation.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val n = docs.count()
+    assert(n > 3) // precondition: the prune branch engages
+    val prunedDf = Dedup.minhashCandidates(docs, knownDocCount = n, maxBucket = 3)
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"prune anti-join missing from plan:\n$plan")
+    assert(plan.contains("Broadcast"), s"prune side not broadcast:\n$plan")
+    val pruned = prunedDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(docs, knownDocCount = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.subsetOf(full), "prune invented pairs")
+    assert(pruned.size < full.size, "prune dropped nothing — maxBucket not below max bucket size")
+  }
+
   test("MinhashSigsExpr one-pass signatures match explode+groupBy bit-for-bit") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val viaAgg = Dedup.minhashSignatures(
