@@ -703,6 +703,11 @@ object OracleSql {
 
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
+    // Incremental = batch-over-union restricted to pairs touching the new
+    // (odd-id) shard; old-old pairs were already known at index-build time.
+    "q_dedup_incremental" ->
+      (minhashCtes +
+        "SELECT doc_a, doc_b FROM pairs WHERE doc_a % 2 = 1 OR doc_b % 2 = 1"),
     // Heavy-hitter prune mirrored: drop (band, sig) buckets larger than
     // maxBucket = 3 BEFORE pairing (Dedup.candidatesFromSigs guard).
     "q_dedup_minhash_pruned" ->

@@ -923,6 +923,26 @@ object SparkEntry {
     Dedup.minhashCandidates(docs, knownDocCount = docs.count(), maxBucket = 3)
   }
 
+  /** Incremental cross-shard dedup: even-id docs are the already-indexed
+    * corpus (signatures persisted bucketed-by-sig, paid once), odd-id docs
+    * the arriving shard — deduped against the whole history WITHOUT
+    * re-scanning it, then appended to the index. Oracle = the batch LSH
+    * pair set over the union, restricted to pairs touching the shard. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val old = docs.filter(F.col("doc_id") % 2 === 0)
+    val fresh = docs.filter(F.col("doc_id") % 2 === 1)
+    s.sql("DROP TABLE IF EXISTS graft_sig_index")
+    // A fresh session's catalog has no entry for a previous run's table,
+    // so the DROP can no-op while the warehouse directory survives —
+    // remove the location too or saveAsTable throws LOCATION_ALREADY_EXISTS.
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_sig_index")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    Dedup.indexInit(old, "graft_sig_index")
+    Dedup.incremental(fresh, "graft_sig_index", knownNewCount = fresh.count())
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     // maxHamming 3 with 4 bands ⇒ provably complete candidacy (pigeonhole;
     // recall asserted = 1.0 in DedupAnnSpec against the exhaustive join).
@@ -1099,6 +1119,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),

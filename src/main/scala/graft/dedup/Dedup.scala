@@ -228,6 +228,68 @@ object Dedup {
       .distinct()
   }
 
+  // -------------------------------------------------- incremental dedup
+
+  /** Build the persisted signature index for [[incremental]]: the corpus's
+    * (id, band, sig) MinHash signature table written as a bucketed,
+    * bucket-sorted managed table keyed on (band, sig) — the FULL LSH
+    * bucket-join key, which Spark's co-partitioning check requires in its
+    * entirety for the bucketed side to join exchange-free (a sig-only
+    * bucket key clusters the data just as well but is rejected by
+    * `requireAllClusterKeysForCoPartition`). Paid ONCE per corpus;
+    * every arriving shard after that dedups against the whole history by
+    * reading matching buckets, never the corpus text (the index is
+    * docs × bands fixed-width hashes — orders of magnitude smaller than
+    * the documents it summarizes, and the only thing 100 TB of history
+    * needs to keep hot). */
+  def indexInit(docs: DataFrame, table: String, idCol: String = "doc_id",
+                textCol: String = "text", shingleN: Int = 3, bands: Int = 8,
+                buckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketedBy(
+      minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands),
+      table, buckets, Seq("band", "sig"))
+
+  /** Incremental cross-shard dedup against a persisted [[indexInit]] index
+    * (VERDICT r10 next-round #2): candidate duplicate pairs TOUCHING the
+    * new shard — (new, old) via one join against the index and (new, new)
+    * via the usual bucket aggregation — as (least, greatest) id pairs,
+    * then (when `updateIndex`) the shard's signatures are appended to the
+    * index so the next shard sees this one.
+    *
+    * Scale shape: the new shard's signatures are computed once (persisted
+    * — three consumers: index probe, within-shard buckets, index append)
+    * and shuffled once to the index's bucketing; the index side joins
+    * WITHOUT an exchange, because its on-disk HashPartitioning(band, sig)
+    * is exactly the join key (BucketedJoinSpec pins the single-Exchange
+    * plan). The old corpus is never re-scanned, and the
+    * pair set equals the batch [[minhashCandidates]] answer over the
+    * union restricted to pairs with a new member — q_dedup_incremental
+    * gates exactly that equality hash-exact. */
+  def incremental(newDocs: DataFrame, indexTable: String, idCol: String = "doc_id",
+                  textCol: String = "text", shingleN: Int = 3, bands: Int = 8,
+                  buckets: Int = 32, knownNewCount: Long = -1L,
+                  updateIndex: Boolean = true): DataFrame = graft.CacheScope.scoped {
+    val newSigs = materialize(
+      minhashSignaturesFromDocs(newDocs, idCol, textCol, shingleN, bands))
+    val index = newDocs.sparkSession.table(indexTable)
+    val cross = newSigs
+      .join(index.select(F.col("band"), F.col("sig"), F.col(idCol).as("_old_id")),
+        Seq("band", "sig"))
+      .filter(F.col(idCol) =!= F.col("_old_id"))
+      .select(F.least(F.col(idCol), F.col("_old_id")).as("doc_a"),
+        F.greatest(F.col(idCol), F.col("_old_id")).as("doc_b"))
+    val within = candidatesFromSigs(newSigs, idCol, knownBucketBound = knownNewCount)
+    val pairs = cross.union(within.toDF("doc_a", "doc_b")).distinct()
+    if (updateIndex)
+      newSigs.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "band", "sig").sortBy("band", "sig").saveAsTable(indexTable)
+    // Scope exit checkpoints `pairs` AFTER the append above has run; the
+    // index probe may therefore also see the shard's own signatures, but
+    // the (new, new) pairs that adds are exactly `within`'s, merged by
+    // the distinct — the result is append-order-independent.
+    pairs
+  }
+
   /** Exact n-gram Jaccard similarity, computed only for LSH candidate
     * pairs: |A∩B| via a pair-driven shingle probe,
     * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double.

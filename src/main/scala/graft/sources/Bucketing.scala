@@ -14,8 +14,16 @@ object Bucketing {
 
   /** Write `df` as a bucketed, bucket-sorted managed table. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keyCol: String,
-                    sorted: Boolean = true): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, keyCol)
-    (if (sorted) w.sortBy(keyCol) else w).saveAsTable(table)
+                    sorted: Boolean = true): Unit =
+    writeBucketedBy(df, table, buckets, Seq(keyCol), sorted)
+
+  /** Multi-column variant: the bucket key must cover ALL of a downstream
+    * join's keys for the bucketed side to stay exchange-free — Spark's
+    * co-partitioning check (`requireAllClusterKeysForCoPartition`, default
+    * on) rejects a partitioning on a strict subset of the join keys. */
+  def writeBucketedBy(df: DataFrame, table: String, buckets: Int,
+                      keyCols: Seq[String], sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+    (if (sorted) w.sortBy(keyCols.head, keyCols.tail: _*) else w).saveAsTable(table)
   }
 }

@@ -32,4 +32,34 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("incremental dedup probes the signature index without shuffling it") {
+    // The index's on-disk HashPartitioning(band, sig) is exactly the LSH
+    // join key, so only the arriving shard's signatures shuffle — at
+    // 100 TB the history-sized side of the join moves zero bytes.
+    // Exactly ONE exchange, and it is NOT above the bucketed scan.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS t_sig_idx")
+    graft.dedup.Dedup.indexInit(docs.filter(F.col("doc_id") % 2 === 0), "t_sig_idx")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val probe = graft.dedup.Dedup
+        .minhashSignaturesFromDocs(docs.filter(F.col("doc_id") % 2 === 1), "doc_id", "text", 3, 8)
+        .join(spark.table("t_sig_idx").withColumnRenamed("doc_id", "old_id"), Seq("band", "sig"))
+      val plan = probe.queryExecution.executedPlan.toString
+      // In the tree printout the probe (left) branch's lines carry a ":"
+      // continuation marker; the index (right) branch's do not. Every
+      // exchange must sit in the probe branch: one Spread round-robin on
+      // the shard scan + the single join exchange to the index's buckets.
+      val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchangeLines.nonEmpty && exchangeLines.forall(_.contains(":")),
+        s"exchange found on the index side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"index scan not bucketed:\n$plan")
+      assert(probe.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS t_sig_idx")
+    }
+  }
 }
