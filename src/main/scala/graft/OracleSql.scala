@@ -799,6 +799,30 @@ object OracleSql {
       s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)}
          |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id FROM cells""".stripMargin,
 
+    // Semantic dedup (SemDeDup shape): within-cell candidate pairs over
+    // the shared Lloyd `cells`, exact rounded cosine >= 0.4 edges,
+    // recursive min-label closure, survivors = everyone not a non-minimal
+    // component member. Mirrors Dedup.semantic.
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
+         |cpairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |cedges AS (
+         |  SELECT p.va, p.vb FROM cpairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.va
+         |  JOIN embeddings eb ON eb.vec_id = p.vb
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4),
+         |csym AS (SELECT va AS src, vb AS dst FROM cedges
+         |         UNION ALL SELECT vb, va FROM cedges),
+         |creach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM csym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM csym s JOIN creach r ON r.id = s.dst),
+         |closers AS (SELECT id FROM creach GROUP BY id HAVING id <> MIN(lbl))
+         |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell FROM cells c
+         |WHERE c.vec_id NOT IN (SELECT id FROM closers)""".stripMargin,
+
     // Product quantization: per-subspace k-means (the IVF training CTEs on
     // SLICED embeddings), per-vector nearest-centroid codes, ADC first
     // stage (sum of subspace dots, folded in m order), exact-cosine rerank

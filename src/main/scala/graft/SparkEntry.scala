@@ -951,6 +951,11 @@ object SparkEntry {
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCandidates(T(s, dir, "embeddings"))
 
+  /** Semantic dedup over the embedding corpus: k-means cells → within-cell
+    * exact rounded cosine ≥ 0.4 → components → surviving vectors + cell. */
+  private def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semantic(T(s, dir, "embeddings"))
+
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(T(s, dir, "documents"), minJaccard = 0.2)
 
@@ -1120,6 +1125,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),

@@ -245,13 +245,16 @@ object Ann {
   def clusterKmeans(corpus: DataFrame, idCol: String = "vec_id",
                     embCol: String = "embedding", clusters: Int = 16,
                     native: Boolean = true, sampleN: Int = 512,
-                    iters: Int = 2): DataFrame = {
+                    iters: Int = 2, carry: Seq[String] = Nil): DataFrame = {
     val centroids: Array[(Int, Seq[Double])] =
       trainCentroids(corpus, idCol, embCol, clusters, sampleN, iters)
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    // `carry` rides extra columns (e.g. the embedding itself, for a
+    // downstream within-cell pairing) through the same single scan rather
+    // than forcing callers into a corpus self-join to get them back.
     graft.Spread(corpus)
-      .select(F.col(idCol),
-        nearestCentroid(centroids, F.col(embCol), native).as("cluster_id"))
+      .select(F.col(idCol) +: carry.map(F.col) :+
+        nearestCentroid(centroids, F.col(embCol), native).as("cluster_id"): _*)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",

@@ -614,6 +614,43 @@ object Dedup {
       .filter(F.col("cosine") >= minCosine)
   }
 
+  /** Semantic dedup (the SemDeDup shape: Abbas et al., 2023): k-means
+    * cells bound the candidate space — pairs are compared only WITHIN a
+    * cell — then exact rounded cosine ≥ `tau` edges feed the standard
+    * components → anti-join survivor chain. Output: one row per surviving
+    * vector with its cell, i.e. the semantically-deduplicated corpus.
+    *
+    * Scale shape: cell assignment is a broadcast-centroid scan (zero
+    * shuffles — [[graft.ann.Ann.clusterKmeans]], embeddings carried
+    * through), the pairing is ONE cell-keyed exchange of the assigned
+    * table joined against itself, and the within-cell blow-up is bounded
+    * by cell size — `clusters` scales with the corpus (k ≈ n / target
+    * cell size in SemDeDup practice), so the quadratic term stays
+    * constant-bounded per cell at any corpus size. Never all-pairs. */
+  def semantic(corpus: DataFrame, idCol: String = "vec_id",
+               embCol: String = "embedding", clusters: Int = 16,
+               tau: Double = 0.4, native: Boolean = true): DataFrame = graft.CacheScope.scoped {
+    import graft.functions.VectorFunctions
+    val assigned = materialize(
+      graft.ann.Ann.clusterKmeans(corpus, idCol, embCol, clusters,
+        native = native, carry = Seq(embCol)))
+    val a = assigned.select(F.col("cluster_id"), F.col(idCol).as("va"), F.col(embCol).as("e_a"))
+    val b = assigned.select(F.col("cluster_id"), F.col(idCol).as("vb"), F.col(embCol).as("e_b"))
+    def nrm(e: Column) = F.sqrt(VectorFunctions.dotF(e, e))
+    val edges = a.join(b, Seq("cluster_id"))
+      .filter(F.col("va") < F.col("vb"))
+      .select(F.col("va"), F.col("vb"),
+        F.round(VectorFunctions.dotF(F.col("e_a"), F.col("e_b")) /
+          (nrm(F.col("e_a")) * nrm(F.col("e_b"))), 6).as("cosine"))
+      .filter(F.col("cosine") >= tau)
+      .select("va", "vb")
+    val comp = Components.connectedComponents(edges, "va", "vb")
+    val losers = comp.filter(F.col("doc_id") =!= F.col("cluster_id"))
+      .select(F.col("doc_id").as(idCol))
+    assigned.select(F.col(idCol), F.col("cluster_id").as("cell"))
+      .join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit j of the simhash =
     * (Σ_tokens (2·bit_j(md5₆₄(token)) − 1)) ≥ 0, folded per ROW by the
     * native [[graft.functions.expressions.SimhashExpr]] — no token
