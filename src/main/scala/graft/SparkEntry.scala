@@ -375,6 +375,48 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("n_out"))
   }
 
+  /** Watermarked stream-stream INTERVAL join executed as a real streaming
+    * job (VERDICT r10 next-round #4): two file streams over the staged
+    * events table — errors and clicks — joined on user with the click
+    * time bounded to [t0, t0 + 1h). Both sides watermarked (the state
+    * cleanup contract: click state is evictable once the error watermark
+    * passes ts, and vice versa via the derived bound t0 ∈ (ts − 1h, ts]).
+    * An INNER interval join emits each match exactly once as it forms —
+    * not on watermark close — so the append-mode output is the complete
+    * pair set, row-identical to the batch range-join oracle regardless of
+    * arrival order. */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val srcDir = stageEventsDir(dir)
+    def readEv() = s.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir.toString)
+      .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    val errors = readEv().filter(F.col("event_type") === "error")
+      .select(F.col("user_id").as("err_user"), F.col("event_id").as("err_id"),
+        F.col("ts").as("t0"))
+      .withWatermark("t0", "30 days")
+    val clicks = readEv().filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("user_id"), F.col("ts"))
+      .withWatermark("ts", "30 days")
+    val joined = clicks.join(errors,
+      F.expr("user_id = err_user AND ts >= t0 AND ts < t0 + INTERVAL 1 HOUR"))
+    val qname = "graft_stream_join"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.select(
+          F.col("err_id"), F.col("user_id"), F.col("click_id"),
+          F.unix_micros(F.col("t0")).as("err_ts_us"),
+          F.unix_micros(F.col("ts")).as("click_ts_us"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(qname)
+  }
+
   /** Sliding event-time windows (1h width, 30m slide) — each event lands
     * in width/slide windows; Spark's `window()` handles the fan-out. */
   private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
@@ -1075,6 +1117,7 @@ object SparkEntry {
     "q_stream_stateful" -> (qStreamStateful _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_dedup_minhash" -> (qStreamDedupMinhash _),
+    "q_stream_join" -> (qStreamJoin _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_frontier" -> (qFrontier _),
