@@ -170,12 +170,30 @@ object Bench {
         val bTot = results.collect { case (k, _) if baseline.contains(k) => baseline(k) }.sum
         val sTot = results.collect { case (k, v) if baseline.contains(k) => v }.sum
         if (bTot == 0.0) "" // no covered queries selected: NaN would corrupt the JSON
-        else s""","baseline_total":${f"$bTot%.3f"},"bench_vs_baseline":${f"${sTot / bTot}%.1f"},"ratio_vs_duckdb":$rs"""
+        else {
+          // Composition honesty (VERDICT r10): q_dedup_components is one
+          // query where the single-node baseline is pathological (DuckDB's
+          // recursive-CTE closure pays ~2/3 of the whole baseline), so the
+          // headline aggregate can read as throughput parity on the back
+          // of one adversarial oracle. Emit the aggregate EXCLUDING that
+          // query on both sides alongside the headline ratio.
+          val exKey = "q_dedup_components"
+          val bEx = results.collect {
+            case (k, _) if baseline.contains(k) && k != exKey => baseline(k) }.sum
+          val sEx = results.collect {
+            case (k, v) if baseline.contains(k) && k != exKey => v }.sum
+          val exJson = if (bEx == 0.0) ""
+            else s""","ratio_ex_components":${f"${sEx / bEx}%.1f"}"""
+          s""","baseline_total":${f"$bTot%.3f"},"bench_vs_baseline":${f"${sTot / bTot}%.1f"}$exJson,"ratio_vs_duckdb":$rs"""
+        }
       }
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir","diag":$diagJson$ratioJson}"""
-    println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("graft_bench.json"), json + "\n")
+    // stdout gets the COMPACT line (no per-shot diag) so it fits the
+    // driver's parse window; graft_bench.json keeps the full diagnosis.
+    val core =
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir""""
+    println(s"{$core$ratioJson}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("graft_bench.json"),
+      s"""{$core,"diag":$diagJson$ratioJson}""" + "\n")
     spark.stop()
   }
 }
