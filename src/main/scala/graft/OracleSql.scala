@@ -475,6 +475,29 @@ object OracleSql {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Deterministic md5-register HLL (functions.Sketches): bit-identical
+    // registers, exact-integer harmonic sum, and the estimate expression
+    // reuses the SAME SQL text the Spark side evaluates.
+    "q_distinct_sketch" ->
+      s"""WITH hsk AS (
+         |  SELECT event_type,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT::INTEGER AS hll_b,
+         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14))::UBIGINT::BIGINT AS tail
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, hll_b,
+         |    CASE WHEN tail = 0 THEN 57 ELSE 57 - len(bin(tail)) END AS hll_r
+         |  FROM hsk),
+         |regs AS (SELECT event_type, hll_b, MAX(hll_r) AS hll_m FROM rk GROUP BY 1, 2),
+         |sfold AS (
+         |  SELECT event_type, COUNT(*) AS n_present,
+         |    SUM(CAST((1::BIGINT << (57 - hll_m)) AS DECIMAL(28,0))) AS s_present
+         |  FROM regs GROUP BY 1)
+         |SELECT event_type, CAST(n_present AS BIGINT) AS n_present,
+         |  CAST(256 - n_present AS BIGINT) AS v_zeros,
+         |  ${graft.functions.Sketches.hllEstSql(256, "s_present", "n_present")} AS hll_est
+         |FROM sfold""".stripMargin,
+
     "q_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,

@@ -756,6 +756,13 @@ object SparkEntry {
         F.countDistinct(F.col("user_id")).as("n_users"),
         F.count(F.lit(1)).as("n_events"))
 
+  /** Sketched distinct counting: the deterministic md5-register HLL
+    * (functions.Sketches) — the mergeable alternative to q_distinct's
+    * exact shuffle, with a bit-identical DuckDB oracle instead of a
+    * tolerance assertion. */
+  private def qDistinctSketch(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.hllCount(Tables.events(s, dir), Seq("event_type"), "user_id")
+
   /** Exact percentiles per group (continuous interpolation — identical
     * arithmetic to quantile_cont). */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -1163,6 +1170,7 @@ object SparkEntry {
     "q_pivot" -> (qPivot _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_distinct" -> (qDistinct _),
+    "q_distinct_sketch" -> (qDistinctSketch _),
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Deterministic, oracle-replicable HyperLogLog (Flajolet et al. 2007)
+  * built from md5-derived registers — the mergeable cardinality sketch for
+  * the 100 TB tier, as a plain two-stage aggregation.
+  *
+  * Spark's own `approx_count_distinct` is a production HLL++ but its
+  * xxhash64 seeding and bias tables are not replicable in a SQL oracle, so
+  * it can only ever be tolerance-spec'd (SketchSpec). This one derives
+  * bucket and rank from the md5 hex — both engines compute bit-identical
+  * registers, the harmonic sum is an exact integer in DECIMAL, and the
+  * estimate is the same double on both sides.
+  *
+  * Construction (p bucket bits, m = 2^p registers):
+  *  - bucket  = first p/4 hex chars of md5(value)          (0 .. m−1)
+  *  - tail    = next 14 hex chars as a 56-bit integer
+  *  - rank    = leading zeros of the 56-bit tail + 1 = 57 − len(bin(tail)),
+  *              57 when the tail is all zeros
+  *  - M[j]    = max rank per bucket; harmonic sum Σ 2^(−M[j]) carried as
+  *              the exact integer Σ 2^(57−M[j]) (≤ m·2^57, DECIMAL-summed,
+  *              order-free); empty registers contribute 2^57 (= 2^0 · 2^57)
+  *  - E       = α_m · m² / Σ 2^(−M[j]), linear counting below 2.5m with
+  *              empty registers present (the standard small-range switch)
+  *
+  * Scale shape: two map-side-combinable aggregations — (keys, bucket) max,
+  * then (keys) sum — shuffling at most keys × m tiny rows. Registers
+  * max-merge across shards/partials (associative + commutative +
+  * idempotent), which is the whole point of a sketch at 100 TB:
+  * SketchSpec proves merged-register equality and the gate query
+  * (q_distinct_sketch) proves the end number hash-exact vs DuckDB.
+  */
+object Sketches {
+
+  /** Per-(keys, bucket) max-rank register table — the mergeable state.
+    * Merge rule: union register tables, re-apply groupBy-max. */
+  def hllRegisters(df: DataFrame, keys: Seq[String], valueCol: String,
+                   p: Int = 8): DataFrame = {
+    require(p % 4 == 0 && p > 0 && p <= 16, "p must be 4, 8, 12 or 16 (hex-aligned)")
+    val hexChars = p / 4
+    val h = F.md5(F.col(valueCol).cast("string"))
+    val bucket = F.conv(F.substring(h, 1, hexChars), 16, 10).cast("int")
+    val tail = F.conv(F.substring(h, hexChars + 1, 14), 16, 10).cast("long")
+    val rank = F.when(tail === 0L, F.lit(57))
+      .otherwise(F.lit(57) - F.length(F.bin(tail)))
+    df.select(keys.map(F.col) :+ bucket.as("hll_b") :+ rank.as("hll_r"): _*)
+      .groupBy(keys.map(F.col) :+ F.col("hll_b"): _*)
+      .agg(F.max("hll_r").as("hll_m"))
+  }
+
+  /** Fold a register table to the HLL estimate per key group. */
+  def hllEstimate(registers: DataFrame, keys: Seq[String], p: Int = 8): DataFrame = {
+    val m = 1 << p
+    // Exact harmonic numerator: present registers contribute 2^(57−M[j])
+    // (an integer ≤ 2^56), absent ones 2^57 apiece — added afterwards from
+    // the present-count, so no join against a full register list is needed.
+    val folded = registers
+      .groupBy(keys.map(F.col): _*)
+      .agg(
+        F.count(F.lit(1)).as("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 57 - hll_m)").cast("decimal(28,0)"))
+          .as("s_present"))
+    // The estimate formula is spelled as ONE textual SQL expression that
+    // the DuckDB oracle repeats verbatim: identical literals, identical
+    // association order, so the doubles agree bit-for-bit (the final
+    // round(…, 4) absorbs any last-ulp libm difference in ln).
+    folded.select(
+      keys.map(F.col) :+
+        F.col("n_present").cast("long").as("n_present") :+
+        F.expr(s"CAST($m - n_present AS BIGINT)").as("v_zeros") :+
+        F.expr(hllEstSql(m, "s_present", "n_present")).as("hll_est"): _*)
+  }
+
+  /** The shared estimate SQL (Spark `expr` and DuckDB parse it alike). */
+  def hllEstSql(m: Int, sCol: String, nPresentCol: String): String = {
+    val alpha = s"0.7213 / (1.0 + 1.079 / $m.0)"
+    val sumInv = // Σ 2^(−M[j]) = (s_present + zeros · 2^57) / 2^57
+      s"(CAST($sCol AS DOUBLE) + CAST($m - $nPresentCol AS DOUBLE) * 144115188075855872.0) / 144115188075855872.0"
+    val raw = s"$alpha * $m.0 * $m.0 / ($sumInv)"
+    s"round(CASE WHEN ($raw) <= 2.5 * $m.0 AND $nPresentCol < $m " +
+      s"THEN $m.0 * ln($m.0 / CAST($m - $nPresentCol AS DOUBLE)) " +
+      s"ELSE ($raw) END, 4)"
+  }
+
+  /** End-to-end: distinct-count sketch of `valueCol` per `keys`. */
+  def hllCount(df: DataFrame, keys: Seq[String], valueCol: String,
+               p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, keys, valueCol, p), keys, p)
+}

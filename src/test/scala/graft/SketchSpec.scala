@@ -29,6 +29,35 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       s"approx=$approx exact=$exact")
   }
 
+  test("md5-register HLL: shard registers max-merge to the whole-corpus sketch") {
+    import graft.functions.Sketches
+    val ev = Tables.events(spark, sf001)
+    val whole = Sketches.hllRegisters(ev, Seq("event_type"), "user_id")
+    // Merge = union the shard register tables, re-apply groupBy-max —
+    // associative, commutative, idempotent, so ANY sharding of the corpus
+    // (here: by event id parity) folds to identical registers, which is
+    // what makes the sketch a one-pass 100 TB cardinality story.
+    val shardA = Sketches.hllRegisters(ev.filter(F.col("event_id") % 2 === 0),
+      Seq("event_type"), "user_id")
+    val shardB = Sketches.hllRegisters(ev.filter(F.col("event_id") % 2 === 1),
+      Seq("event_type"), "user_id")
+    val merged = shardA.union(shardB)
+      .groupBy("event_type", "hll_b").agg(F.max("hll_m").as("hll_m"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged shard registers differ from whole-corpus registers")
+    // and the estimate is within HLL's theoretical error of exact
+    // (1.04/sqrt(256) ≈ 6.5%; allow 3 sigma)
+    val est = Sketches.hllEstimate(merged, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val rel = math.abs(est(k) - n) / n.toDouble
+      info(f"$k exact=$n est=${est(k)}%.1f relErr=$rel%.3f")
+      assert(rel < 0.2, s"$k: est=${est(k)} exact=$n")
+    }
+  }
+
   test("stream-static broadcast enrichment joins a stream against a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
