@@ -270,6 +270,49 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(dec.durationSeconds(recs(2)).isEmpty)
   }
 
+  test("AviMjpegDecoder really decodes a generated MJPEG-AVI (frames, dims, luma, drops non-video)") {
+    import java.awt.image.BufferedImage
+    import graft.multimodal.{AviMjpegDecoder, Multimodal}
+    import spark.implicits._
+
+    // three 8x6 frames at distinct gray levels -> distinct per-frame lumas
+    def jpegFrame(gray: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val grays = Seq(32, 128, 224)
+    val frames = grays.map(jpegFrame)
+    val avi = AviMjpegDecoder.write(frames)
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, avi, "video/avi", 0, 0),
+      Multimodal.MediaRecord(2L, avi.take(40), "video/avi", 0, 0),  // truncated container
+      Multimodal.MediaRecord(3L, "definitely not a video".getBytes("UTF-8"), "text/plain", 0, 0))
+
+    val feats = Multimodal.extractFeatures(recs.toDF(),
+        decoderFactory = () => new AviMjpegDecoder()).collect().sortBy(_.doc_id)
+    assert(feats.map(_.doc_id).toSeq == Seq(1L), "undecodables must drop, the AVI must decode")
+    assert(feats(0).width == 8 && feats(0).height == 6)
+    // feature = mean over frames of mean luma; JPEG is lossy but flat
+    // gray compresses near-exactly, so a loose tolerance suffices
+    val expected = grays.map(_ / 255.0).sum / grays.length
+    assert(math.abs(feats(0).feature - expected) < 0.02,
+      s"mean frame luma ${feats(0).feature} != $expected")
+
+    val dec = new AviMjpegDecoder()
+    assert(dec.frameCount(recs.head).contains(3))
+    assert(dec.frameCount(recs(2)).isEmpty, "non-RIFF payload must not count frames")
+    // container order survives: per-frame lumas are monotone in gray level
+    val lumas = AviMjpegDecoder.framePayloads(avi).get.map { f =>
+      graft.multimodal.ImageIoDecoder.meanLuma(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+    }
+    assert(lumas == lumas.sorted && lumas.distinct.length == 3)
+  }
+
   test("multimodal resize and frame-sample stubs transform metadata and explode frames") {
     import graft.multimodal.Multimodal
     val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(10)
