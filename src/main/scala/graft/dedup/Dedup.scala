@@ -281,7 +281,10 @@ object Dedup {
     val within = candidatesFromSigs(newSigs, idCol, knownBucketBound = knownNewCount)
     val pairs = cross.union(within.toDF("doc_a", "doc_b")).distinct()
     if (updateIndex)
-      newSigs.write.mode(org.apache.spark.sql.SaveMode.Append)
+      // Same write-partitioning alignment as Bucketing.writeBucketedBy:
+      // one file per bucket per shard append, not one per task × bucket.
+      newSigs.repartition(buckets, F.col("band"), F.col("sig"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(buckets, "band", "sig").sortBy("band", "sig").saveAsTable(indexTable)
     // Scope exit checkpoints `pairs` AFTER the append above has run; the
     // index probe may therefore also see the shard's own signatures, but

@@ -23,7 +23,14 @@ object Bucketing {
     * on) rejects a partitioning on a strict subset of the join keys. */
   def writeBucketedBy(df: DataFrame, table: String, buckets: Int,
                       keyCols: Seq[String], sorted: Boolean = true): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+    // Pre-partition on the bucket key with numPartitions = numBuckets:
+    // HashPartitioning's partition-id expression IS Spark's bucket-id
+    // function (pmod(murmur3, n)), so each write task holds exactly one
+    // bucket and emits ONE file — without this, every input partition
+    // writes a file per bucket it touches (tasks × buckets files; 1024
+    // tiny files at 32×32, measured as idle-wait-dominated write stages).
+    val aligned = df.repartition(buckets, keyCols.map(org.apache.spark.sql.functions.col): _*)
+    val w = aligned.write.mode(SaveMode.Overwrite).bucketBy(buckets, keyCols.head, keyCols.tail: _*)
     (if (sorted) w.sortBy(keyCols.head, keyCols.tail: _*) else w).saveAsTable(table)
   }
 }
