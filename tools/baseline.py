@@ -23,7 +23,9 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_dedup_minhash", "q_ngram_jaccard", "q_dedup_components",
             "q_fingerprint_winnow",
             "q_ann_brute", "q_ann_ivf", "q_ann_lsh", "q_tokens", "q_tfidf",
-            "q_quality", "q_pipeline"]
+            "q_quality", "q_pipeline",
+            "q_dedup_minhash_pruned", "q_dedup_incremental",
+            "q_dedup_semantic", "q_distinct_sketch", "q_stream_join"]
 
 
 def main():
