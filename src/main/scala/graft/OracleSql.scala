@@ -728,6 +728,20 @@ object OracleSql {
         |  CASE event_type WHEN 'purchase' THEN 'ff' WHEN 'error' THEN '80'
         |    WHEN 'click' THEN '40' WHEN 'view' THEN '20' WHEN 'signup' THEN '10' END""".stripMargin,
 
+    // Temperature-scaled mixing weights: tempered powers summed in exact
+    // decimal (order-free), every double from the same expression text.
+    "q_mix_weights" ->
+      """WITH mt AS (
+        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |mw AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM mt),
+        |mtot AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,10))) AS DOUBLE) AS pw_total FROM mw)
+        |SELECT mw.source, mw.n_tokens,
+        |  round(pw / pw_total, 6) AS weight,
+        |  CAST(round(1000000.0 * pw / pw_total, 0) AS BIGINT) AS alloc_tokens,
+        |  round(1000000.0 * pw / pw_total / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM mw, mtot""".stripMargin,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -811,6 +811,12 @@ object SparkEntry {
       .select(F.col("event_id"), F.col("event_type"),
         F.unix_micros(F.col("ts")).as("ts_us"), F.col("value"))
 
+  /** Temperature-scaled data-mixing weights (α = 0.5, 1M-token budget):
+    * per-source token counts → tempered shares → allocated tokens and the
+    * implied repetition factor per source. */
+  private def qMixWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixWeights(T(s, dir, "documents"))
+
   /** Deterministic 5-fold split assignment over documents + per-fold
     * corpus stats — the train/val/test split audit. */
   private def qFolds(s: SparkSession, dir: String): DataFrame =
@@ -1154,6 +1160,7 @@ object SparkEntry {
     "q_dedup_components_dist" -> (qDedupComponentsDist _),
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_mix_weights" -> (qMixWeights _),
     "q_folds" -> (qFolds _),
     "q_rollup" -> (qRollup _),
     "q_chunk" -> (qChunk _),

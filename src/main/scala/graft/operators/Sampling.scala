@@ -37,6 +37,37 @@ object Sampling {
       .cast("long") % k
   }
 
+  /** Temperature-scaled mixture weights — the data-MIXING allocator every
+    * multi-source training run needs (cf. multilingual sampling p_s ∝
+    * n_s^α): per-source token counts, α-tempered shares (α < 1 upsamples
+    * small sources, α = 1 is proportional), and a global token budget
+    * allocated by share, with the implied epochs-per-source (alloc /
+    * available — the repetition factor a budget forces on each source).
+    *
+    * Scale shape: one map-side-combinable aggregation over the corpus to
+    * (source, n_tokens) — a handful of rows — then a one-row broadcast of
+    * the tempered total (the TfIdf crossJoin-of-N pattern). The tempered
+    * powers are summed as DECIMAL(28,10) so the total is order-free, and
+    * every output double is computed by the same expression text the
+    * DuckDB oracle runs — hash-exact. */
+  def mixWeights(docs: DataFrame, sourceCol: String = "source",
+                 textCol: String = "text", budgetTokens: Long = 1000000L,
+                 alpha: Double = 0.5): DataFrame = {
+    val t = graft.Spread(docs)
+      .groupBy(F.col(sourceCol))
+      .agg(F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))).as("n_tokens"))
+    val w = t.withColumn("pw", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+    val tot = w.agg(
+      F.sum(F.col("pw").cast("decimal(28,10)")).cast("double").as("pw_total"))
+    val alloc = F.lit(budgetTokens.toDouble) * F.col("pw") / F.col("pw_total")
+    w.crossJoin(F.broadcast(tot))
+      .select(
+        F.col(sourceCol), F.col("n_tokens"),
+        F.round(F.col("pw") / F.col("pw_total"), 6).as("weight"),
+        F.round(alloc, 0).cast("long").as("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens").cast("double"), 6).as("epochs"))
+  }
+
   /** Per-stratum deterministic sample: each stratum value keeps rows under
     * its own threshold; strata absent from `rates` are dropped. The whole
     * thing is one CASE filter — no shuffle, no per-stratum pass, and the

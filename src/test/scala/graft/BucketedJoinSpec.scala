@@ -62,4 +62,29 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS t_sig_idx")
     }
   }
+
+  test("incremental dedup: the appended index serves the NEXT shard") {
+    // Three shards arrive in sequence (doc_id mod 3). After indexInit(A)
+    // and incremental(B) — which appends B's signatures — shard C's probe
+    // must see BOTH A and B: its pair set equals the batch LSH pairs over
+    // the whole corpus restricted to pairs touching C. This is the
+    // contract that makes the index a continually-growing history rather
+    // than a one-shot snapshot.
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def shard(i: Int) = docs.filter(F.col("doc_id") % 3 === i)
+    spark.sql("DROP TABLE IF EXISTS t_sig_idx2")
+    try {
+      Dedup.indexInit(shard(0), "t_sig_idx2")
+      Dedup.incremental(shard(1), "t_sig_idx2").count() // appends shard 1
+      val got = Dedup.incremental(shard(2), "t_sig_idx2", updateIndex = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = Dedup.minhashCandidates(docs, knownDocCount = docs.count())
+        .filter(F.col("doc_a") % 3 === 2 || F.col("doc_b") % 3 === 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      assert(got.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS t_sig_idx2")
+  }
 }
