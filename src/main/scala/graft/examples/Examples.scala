@@ -245,3 +245,31 @@ object DataPipelinePack {
     spark.stop()
   }
 }
+
+/** Round-11 surface: sharded ingestion with a persistent signature index,
+  * semantic dedup over embeddings, sketched cardinality, and the mixing
+  * allocator — the continuous-corpus-maintenance workflow. */
+object IncrementalCorpusMaintenance {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // Day 0: index the existing corpus once. Day N: each arriving shard
+    // dedups against ALL history via the bucketed index, never re-reading
+    // old text, and appends itself for the next shard.
+    spark.sql("DROP TABLE IF EXISTS example_sig_index")
+    graft.dedup.Dedup.indexInit(docs.filter(F.col("doc_id") % 2 === 0), "example_sig_index")
+    val shardPairs = graft.dedup.Dedup.incremental(
+      docs.filter(F.col("doc_id") % 2 === 1), "example_sig_index")
+    println(s"new-shard duplicate candidate pairs: ${shardPairs.count()}")
+    // Semantic (embedding-space) dedup: survivors after cluster-then-dedup.
+    println(s"semantic survivors: ${graft.dedup.Dedup.semantic(emb).count()} / ${emb.count()}")
+    // Sketched cardinality + the mixture the next training run should use.
+    graft.functions.Sketches.hllCount(docs, Seq("lang"), "source").show(5, false)
+    graft.operators.Sampling.mixWeights(docs, budgetTokens = 500000L)
+      .orderBy(F.col("weight").desc).show(5, false)
+    spark.sql("DROP TABLE IF EXISTS example_sig_index")
+    spark.stop()
+  }
+}
