@@ -26,6 +26,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
       .array.map(_.asInstanceOf[Long]).toSet
 
+  test("AVI container round-trip: write(frames) parses back byte-identical") {
+    // Odd-length payloads are the interesting case — RIFF word alignment
+    // inserts a pad byte after them, the classic parser off-by-one.
+    import graft.multimodal.AviMjpegDecoder
+    val payload = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))).map(_.toArray)
+    val framesGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, payload))
+    forSamples(framesGen, n = 60) { frames =>
+      val parsed = AviMjpegDecoder.framePayloads(AviMjpegDecoder.write(frames))
+      assert(parsed.isDefined)
+      assert(parsed.get.length == frames.length)
+      parsed.get.zip(frames).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b), "frame bytes corrupted in round-trip")
+      }
+    }
+    assert(AviMjpegDecoder.framePayloads("RIFFxxxx".getBytes("UTF-8")).isEmpty)
+    assert(AviMjpegDecoder.framePayloads(Array[Byte]()).isEmpty)
+  }
+
+  test("HLL registers equal a local brute-force construction on random ids") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    val idsGen = Gen.chooseNum(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 5000L)))
+    // one sampled corpus is enough — the property is per-value determinism
+    val ids = idsGen.sample.get
+    val got = Sketches.hllRegisters(ids.toDF("v"), Seq.empty, "v")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val expected = ids.map { v =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex.substring(0, 2), 16)
+      val tail = java.lang.Long.parseLong(hex.substring(2, 16), 16)
+      val rank = if (tail == 0L) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(tail))
+      (b, rank)
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(got == expected)
+  }
+
   test("winnow guarantee: a shared substring of length >= w+k-1 yields a shared fingerprint") {
     val k = 8; val w = 12
     forSamples(Gen.zip(text, text, Gen.stringOfN(k + w - 1, Gen.alphaLowerChar))) {
