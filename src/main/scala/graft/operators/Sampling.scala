@@ -52,10 +52,13 @@ object Sampling {
     * DuckDB oracle runs — hash-exact. */
   def mixWeights(docs: DataFrame, sourceCol: String = "source",
                  textCol: String = "text", budgetTokens: Long = 1000000L,
-                 alpha: Double = 0.5): DataFrame = {
-    val t = graft.Spread(docs)
+                 alpha: Double = 0.5): DataFrame = graft.CacheScope.scoped {
+    // The per-source aggregate feeds BOTH the tempered total and the final
+    // projection; persist it (it is sources-count rows — tiny) so the
+    // corpus tokenize scan runs exactly once, not once per consumer.
+    val t = graft.CacheScope.materialize(graft.Spread(docs)
       .groupBy(F.col(sourceCol))
-      .agg(F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))).as("n_tokens"))
+      .agg(F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))).as("n_tokens")))
     val w = t.withColumn("pw", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
     val tot = w.agg(
       F.sum(F.col("pw").cast("decimal(28,10)")).cast("double").as("pw_total"))

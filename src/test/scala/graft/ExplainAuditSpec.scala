@@ -101,7 +101,14 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_late_data", maxExchange = 1),
     Audit("q_frontier", maxExchange = 1),
     Audit("q_distinct", maxExchange = 2),
-    Audit("q_bigrams", maxExchange = 2))
+    Audit("q_bigrams", maxExchange = 2),
+    // round-11 additions. The prune gate adds the heavy-hitter bucket
+    // count + broadcast anti-join on top of q_dedup_minhash's shape; the
+    // prune side must stay a BROADCAST (LeftAnti over a vanishing list).
+    Audit("q_dedup_minhash_pruned", maxExchange = 5),
+    // two map-side-combinable aggs (keys x bucket, then keys)
+    Audit("q_distinct_sketch", maxExchange = 2),
+    )
 
   private val nodeRe =
     """(?m)^\(\d+\) ([A-Za-z][A-Za-z0-9_ ]*?)\s*(?:\[codegen id : \d+\])?\s*$""".r
@@ -155,7 +162,21 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     InternalAudit("q_fingerprint_winnow", maxExchangeTotal = 4),
     InternalAudit("q_dedup_simhash", maxExchangeTotal = 4),
     // contamination's terminal frame is also a checkpoint scan
-    InternalAudit("q_contamination", maxExchangeTotal = 5))
+    InternalAudit("q_contamination", maxExchangeTotal = 5),
+    // round 11: newSigs materialize + the pairs frame (index probe join,
+    // within-shard buckets, distinct) — the bucketed index side must not
+    // add an exchange (BucketedJoinSpec pins that side separately)
+    InternalAudit("q_dedup_incremental", maxExchangeTotal = 7),
+    // assigned-cells materialize (broadcast-centroid scan: spread only)
+    // + survivors frame (cell self-join, components label agg, anti join)
+    InternalAudit("q_dedup_semantic", maxExchangeTotal = 7),
+    // per-source agg materialize (2) + the allocation frame (tempered-
+    // total one-row broadcast = the TfIdf N crossJoin shape): the scoped
+    // frame PRINTS the cached build plan (2 exchanges) under each of its
+    // two InMemoryTableScan consumers plus the total agg's exchange — the
+    // executed plan reads the cache, paying only that one
+    InternalAudit("q_mix_weights", maxExchangeTotal = 7,
+      allowedBnljPerFrame = 1))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
     val frames = scala.collection.mutable.ArrayBuffer[(String, String)]()
