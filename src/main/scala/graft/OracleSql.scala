@@ -462,6 +462,22 @@ object OracleSql {
       """SELECT doc_id, source, lang FROM documents
         |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))""".stripMargin,
 
+    // Quality-policy survivors: the same closure clusters, each keeping
+    // its highest-quality member (ties -> lowest id). Quality is the
+    // bit-identical q_quality expression, so the ordering matches Spark's.
+    "q_dedup_keep_best" ->
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + componentsClosureCtes +
+        s""", clus AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |bscored AS (
+           |  SELECT c.doc_id, c.cluster_id, $qualityExpr AS q
+           |  FROM clus c JOIN documents ON documents.doc_id = c.doc_id),
+           |blosers AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id ASC) AS rn
+           |    FROM bscored) WHERE rn > 1)
+           |SELECT d.doc_id, d.source, d.lang FROM documents d
+           |WHERE d.doc_id NOT IN (SELECT doc_id FROM blosers)""".stripMargin),
+
     // NEAR-dup survivors: the q_dedup_components closure, then keep every
     // doc that is not a non-minimal member of its cluster.
     "q_dedup_keep_near" ->

@@ -748,6 +748,23 @@ object SparkEntry {
     docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id", "source", "lang")
   }
 
+  /** Survivor selection by QUALITY: same clusters as q_dedup_keep_near,
+    * but each cluster keeps its highest-quality member (ties → lowest id)
+    * instead of the min id — the policy real cleaning pipelines ship.
+    * The quality join touches only CLUSTERED docs (a vanishing set). */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val edges = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("doc_a", "doc_b")
+    val clusters = graft.dedup.Components.connectedComponents(edges)
+    val scored = clusters.join(
+      docs.select(F.col("doc_id"), TF.qualityScore(F.col("text")).as("q")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(F.col("q").desc, F.col("doc_id").asc)
+    val losers = scored.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") > 1).select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti").select("doc_id", "source", "lang")
+  }
+
   /** Exact distinct counting per group (shuffle-heavy path). */
   private def qDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -1184,6 +1201,7 @@ object SparkEntry {
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
