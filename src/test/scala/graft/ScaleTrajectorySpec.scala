@@ -28,7 +28,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r10.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r11.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
@@ -42,7 +42,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
     test(s"every headline query grows sub-linearly across the $lo0 -> $hi0 step") {
       val lo = queries("spark", lo0)
       val hi = queries("spark", hi0)
-      assert(lo.keySet == hi.keySet && lo.size >= 20,
+      assert(lo.keySet == hi.keySet && lo.size >= 27,
         s"trajectory file incomplete: ${lo.size} vs ${hi.size} queries")
       val exponents = lo.keys.map { q =>
         q -> math.log10(hi(q) / lo(q))
