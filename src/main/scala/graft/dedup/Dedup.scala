@@ -268,12 +268,28 @@ object Dedup {
   def incremental(newDocs: DataFrame, indexTable: String, idCol: String = "doc_id",
                   textCol: String = "text", shingleN: Int = 3, bands: Int = 8,
                   buckets: Int = 32, knownNewCount: Long = -1L,
-                  updateIndex: Boolean = true): DataFrame = graft.CacheScope.scoped {
+                  updateIndex: Boolean = true,
+                  maxBucket: Int = 100000): DataFrame = graft.CacheScope.scoped {
     val newSigs = materialize(
       minhashSignaturesFromDocs(newDocs, idCol, textCol, shingleN, bands))
     val index = newDocs.sparkSession.table(indexTable)
+    // The probe needs the SAME degenerate-bucket guard as the batch path
+    // (candidatesFromSigs): one pathological signature accumulated in a
+    // 100 TB history would fan every matching new doc out to the whole
+    // bucket. An indexed doc count bounds every bucket (one row per doc
+    // per band), and the table row count is parquet-metadata cheap; below
+    // maxBucket the guard provably binds nothing and is skipped outright.
+    val indexBounded =
+      if (index.count() / bands.toLong.max(1L) <= maxBucket) index
+      else {
+        val big = index.groupBy(F.col("band"), F.col("sig"))
+          .agg(F.count(F.lit(1)).as("bn"))
+          .filter(F.col("bn") > maxBucket)
+          .select("band", "sig")
+        index.join(F.broadcast(big), Seq("band", "sig"), "left_anti")
+      }
     val cross = newSigs
-      .join(index.select(F.col("band"), F.col("sig"), F.col(idCol).as("_old_id")),
+      .join(indexBounded.select(F.col("band"), F.col("sig"), F.col(idCol).as("_old_id")),
         Seq("band", "sig"))
       .filter(F.col(idCol) =!= F.col("_old_id"))
       .select(F.least(F.col(idCol), F.col("_old_id")).as("doc_a"),

@@ -63,6 +63,28 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental dedup: the probe-side heavy-hitter guard drops big index buckets") {
+    // With maxBucket forced to 1, any (band, sig) bucket holding 2+
+    // indexed docs is degenerate and must not fan the probe out — the
+    // guard that keeps one pathological signature in a 100 TB history
+    // from exploding every shard's probe join.
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val old = docs.filter(F.col("doc_id") % 2 === 0)
+    val fresh = docs.filter(F.col("doc_id") % 2 === 1)
+    spark.sql("DROP TABLE IF EXISTS t_sig_idx3")
+    try {
+      Dedup.indexInit(old, "t_sig_idx3")
+      val full = Dedup.incremental(fresh, "t_sig_idx3", updateIndex = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pruned = Dedup.incremental(fresh, "t_sig_idx3", updateIndex = false, maxBucket = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pruned.subsetOf(full), "guard invented pairs")
+      assert(pruned.size < full.size,
+        "guard dropped nothing — no multi-doc index bucket at test scale?")
+    } finally spark.sql("DROP TABLE IF EXISTS t_sig_idx3")
+  }
+
   test("incremental dedup: the appended index serves the NEXT shard") {
     // Three shards arrive in sequence (doc_id mod 3). After indexInit(A)
     // and incremental(B) — which appends B's signatures — shard C's probe
