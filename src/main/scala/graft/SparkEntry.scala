@@ -402,7 +402,12 @@ object SparkEntry {
       F.expr("user_id = err_user AND ts >= t0 AND ts < t0 + INTERVAL 1 HOUR"))
     val qname = "graft_stream_join"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Stream-stream joins keep FOUR state stores per partition (left/
+    // right x keyToNumValues/keyWithIndex); at gate scale the per-batch
+    // store init+commit dominates, so the state partition count is the
+    // lever — 4 here where the single-store gates use 8. Results are
+    // partition-count invariant (q_rescale proves the general property).
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try joined.select(
           F.col("err_id"), F.col("user_id"), F.col("click_id"),
