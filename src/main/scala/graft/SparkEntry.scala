@@ -205,6 +205,32 @@ object SparkEntry {
     srcDir
   }
 
+  /** Fresh checkpoint dir for a gate streaming query, on tmpfs when the
+    * box has one. The gates' memory-sink queries are non-durable by
+    * construction (they ran on auto-deleted temp checkpoints before), so
+    * their offset/commit logs and state-store delta files are pure
+    * scratch — putting them on ext4 pays an fsync per microbatch per
+    * state store and buys nothing. Durability is a deployment choice,
+    * not an operator property: production jobs pass a durable location
+    * via [[graft.streaming.StreamingOps.startWithCheckpoint]], and
+    * StreamingSpec's restart-resume tests prove that path on real dirs. */
+  private def scratchCheckpoint(name: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base = if (java.nio.file.Files.isDirectory(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_${name}_").toString
+  }
+
+  private def rmTree(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      val st = java.nio.file.Files.walk(root)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
   /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong` set (the
     * streaming sources read the raw nanosecond BIGINT column), restoring
     * the previous session value afterwards so the setting cannot leak into
@@ -241,14 +267,18 @@ object SparkEntry {
     // the general property). Restore the session conf right after start.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream
-        .format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+    val ckpt = scratchCheckpoint(qname)
+    try {
+      val q =
+        try agg.writeStream
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    } finally rmTree(ckpt)
     s.table(qname).select(
       F.col("event_type"),
       F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -278,17 +308,22 @@ object SparkEntry {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val qname = "graft_stream_stateful"
+    val ckpt = scratchCheckpoint(qname)
     try {
       val q = StatefulExec.streamTws[Long, Ev, Long, RunningN](stream, _.user_id, logic)
         .toDF()
         .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally prevProvider match {
-      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      rmTree(ckpt)
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
     s.table(qname)
       .groupBy(F.col("user_id"))
@@ -326,14 +361,18 @@ object SparkEntry {
     val qname = "graft_stream_dedup"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try survivors.select("content_hash").writeStream
-        .format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+    val ckpt = scratchCheckpoint(qname)
+    try {
+      val q =
+        try survivors.select("content_hash").writeStream
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    } finally rmTree(ckpt)
     s.table(qname)
       .groupBy(F.col("content_hash"))
       .agg(F.count(F.lit(1)).as("n_out"))
@@ -362,14 +401,18 @@ object SparkEntry {
     val qname = "graft_stream_dedup_minhash"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try survivors.select(F.concat_ws("|", sigArr).as("band_vector")).writeStream
-        .format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+    val ckpt = scratchCheckpoint(qname)
+    try {
+      val q =
+        try survivors.select(F.concat_ws("|", sigArr).as("band_vector")).writeStream
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    } finally rmTree(ckpt)
     s.table(qname)
       .groupBy(F.col("band_vector"))
       .agg(F.count(F.lit(1)).as("n_out"))
@@ -408,17 +451,21 @@ object SparkEntry {
     // lever — 4 here where the single-store gates use 8. Results are
     // partition-count invariant (q_rescale proves the general property).
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try joined.select(
-          F.col("err_id"), F.col("user_id"), F.col("click_id"),
-          F.unix_micros(F.col("t0")).as("err_ts_us"),
-          F.unix_micros(F.col("ts")).as("click_ts_us"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+    val ckpt = scratchCheckpoint(qname)
+    try {
+      val q =
+        try joined.select(
+            F.col("err_id"), F.col("user_id"), F.col("click_id"),
+            F.unix_micros(F.col("t0")).as("err_ts_us"),
+            F.unix_micros(F.col("ts")).as("click_ts_us"))
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    } finally rmTree(ckpt)
     s.table(qname)
   }
 
