@@ -763,6 +763,39 @@ object OracleSql {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Latest-wins upsert: row_number over the union — an independent
+    // formulation of Corpus.upsert's max-over-(version, side) struct.
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source, 0 AS version, 0 AS side FROM documents),
+        |upd AS (
+        |  SELECT doc_id, text || ' v2' AS text, source, 1 AS version, 1 AS side
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text, source, 1 AS version, 1 AS side
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY doc_id ORDER BY version DESC, side DESC) AS rn FROM u)
+        |SELECT doc_id, version, CAST(length(text) AS BIGINT) AS n_len, source
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Snapshot diff: full outer join on the id, only non-unchanged rows.
+    "q_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 5 = 0),
+        |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.text <> b.text THEN 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

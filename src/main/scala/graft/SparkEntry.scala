@@ -887,6 +887,41 @@ object SparkEntry {
   private def qMixWeights(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.mixWeights(T(s, dir, "documents"))
 
+  /** Latest-wins upsert (Corpus.upsert): a refresh crawl re-fetches the
+    * odd-id docs (text gains a " v2" suffix, version 1) and discovers a
+    * batch of new ids (+1e9, version 1); the merge keeps exactly one row
+    * per id — updated text where re-fetched, the base row elsewhere, the
+    * insert for new ids. Oracle = row_number over the union (an
+    * independent formulation of the same latest-wins rule). */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val base = docs.withColumn("version", F.lit(0))
+    val refetched = docs.filter(F.col("doc_id") % 2 === 1)
+      .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+      .withColumn("version", F.lit(1))
+    val discovered = docs.filter(F.col("doc_id") % 5 === 0)
+      .withColumn("doc_id", F.col("doc_id") + F.lit(1000000000L))
+      .withColumn("version", F.lit(1))
+    graft.operators.Corpus.upsert(base, refetched.unionByName(discovered))
+      .select(F.col("doc_id"), F.col("version"),
+        F.length(F.col("text")).cast("long").as("n_len"), F.col("source"))
+  }
+
+  /** Snapshot diff (Corpus.diff): the new snapshot drops every 7th id,
+    * modifies the odd ids' text, and adds the +1e9 batch — the diff emits
+    * exactly the changed set (added / removed / changed), never the
+    * unchanged bulk. */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val newSnap = docs.filter(F.col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        F.when(F.col("doc_id") % 2 === 1, F.concat(F.col("text"), F.lit(" v2")))
+          .otherwise(F.col("text")))
+      .unionByName(docs.filter(F.col("doc_id") % 5 === 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1000000000L)))
+    graft.operators.Corpus.diff(docs, newSnap)
+  }
+
   /** Deterministic 5-fold split assignment over documents + per-fold
     * corpus stats — the train/val/test split audit. */
   private def qFolds(s: SparkSession, dir: String): DataFrame =
@@ -1258,6 +1293,8 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_mix_weights" -> (qMixWeights _),
+    "q_upsert" -> (qUpsert _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_folds" -> (qFolds _),
     "q_rollup" -> (qRollup _),
     "q_chunk" -> (qChunk _),

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{functions => F, DataFrame}
+
+/** Corpus-maintenance operators: latest-wins upsert (CDC merge / crawl
+  * refresh) and snapshot diff. Together with [[graft.dedup.Dedup.incremental]]
+  * these are the update path of a living training corpus: merge the
+  * refreshed shard, diff snapshots for the audit trail, incremental-dedup
+  * the arrivals against the persisted signature index.
+  *
+  * Reference scope note: the reference engine ships no corpus-versioning
+  * surface (its tables are unbounded streams); these are
+  * training-data-pipeline additions in the spirit of the LLM pack
+  * (SURVEY §2 rows 95–96).
+  */
+object Corpus {
+
+  /** Latest-wins merge of `updates` into `base` keyed on `idCol`, ordered
+    * by (`versionCol`, update-side-wins) — the refresh-crawl merge: a
+    * re-fetched document replaces its previous version, a new document
+    * inserts, an untouched document survives unchanged.
+    *
+    * Scale shape: exactly ONE hash exchange on the key and NO global
+    * window — the winner per key is a map-side-combinable max over a
+    * (version, side, payload) struct (lexicographic struct ordering is
+    * exactly the latest-wins rule), so partial aggregates collapse each
+    * key to one candidate per map task before the shuffle and the
+    * exchange carries ~|keys| candidate rows, not |base| + |updates|.
+    * The struct buffer is not codegen-mutable, so the planner picks
+    * SortAggregate — the sort is per-partition-local on the already
+    * collapsed runs, never a global order. A row_number window would
+    * shuffle and sort the full union instead. At 100 TB, `base` bucketed
+    * on the key (the [[graft.sources.Bucketing]] discipline) makes its
+    * side of the exchange free.
+    *
+    * Ties on (`versionCol`) fall to the update side; ties within the same
+    * side and version are resolved by the payload struct's ordering —
+    * callers wanting strict determinism keep (id, version) unique per
+    * side, which real ingest pipelines do by construction. */
+  def upsert(base: DataFrame, updates: DataFrame, idCol: String = "doc_id",
+             versionCol: String = "version"): DataFrame = {
+    val cols = base.columns.toSeq
+    require(cols.contains(idCol) && cols.contains(versionCol),
+      s"base must carry $idCol and $versionCol")
+    val rest = cols.filterNot(_ == idCol)
+    def tagged(df: DataFrame, side: Int) =
+      df.select(cols.map(F.col): _*).withColumn("_side", F.lit(side))
+    val ordered = F.struct(
+      (Seq(versionCol, "_side") ++ rest.filterNot(_ == versionCol)).map(F.col): _*)
+    tagged(base, 0).unionByName(tagged(updates, 1))
+      .groupBy(F.col(idCol))
+      .agg(F.max(ordered).as("_w"))
+      .select(F.col(idCol) +: rest.map(c => F.col(s"_w.$c").as(c)): _*)
+  }
+
+  /** Snapshot diff: which ids were added, removed, or changed between
+    * corpus snapshots `a` (old) and `b` (new), comparing `contentCol`
+    * (pass a content hash for wide rows — the comparison only needs
+    * equality). Emits ONLY the changed set — at corpus refresh rates a
+    * vanishing fraction, which is what an audit log stores.
+    *
+    * Scale shape: one full-outer sort-merge join on the id (both sides
+    * shuffle once; bucketed snapshots make it exchange-free), content
+    * comparison as a codegen'd projection — no aggregation, no window. */
+  def diff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+           contentCol: String = "text"): DataFrame = {
+    val l = a.select(F.col(idCol), F.col(contentCol).as("_ca"))
+    val r = b.select(F.col(idCol), F.col(contentCol).as("_cb"))
+    l.join(r, Seq(idCol), "full_outer")
+      .withColumn("status",
+        F.when(F.col("_ca").isNull, F.lit("added"))
+          .when(F.col("_cb").isNull, F.lit("removed"))
+          .when(F.col("_ca") =!= F.col("_cb"), F.lit("changed")))
+      .filter(F.col("status").isNotNull)
+      .select(F.col(idCol), F.col("status"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** Corpus-maintenance operators (round 11): latest-wins upsert and
+  * snapshot diff — the update path of a living training corpus. */
+class CorpusSpec extends AnyFunSuite with SparkFixture {
+
+  test("upsert keeps the highest version per id, update side wins ties") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a-v0", 0), (2L, "b-v0", 0), (3L, "c-v5", 5), (4L, "d-v0", 0)
+    ).toDF("doc_id", "text", "version")
+    val updates = Seq(
+      (1L, "a-v1", 1),  // plain update: higher version replaces
+      (3L, "c-v2", 2),  // stale update: base already at v5, base survives
+      (4L, "d-upd", 0), // version TIE: the update side wins
+      (9L, "new", 1)    // insert
+    ).toDF("doc_id", "text", "version")
+    val got = Corpus.upsert(base, updates).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got == Map(
+      1L -> ("a-v1", 1), 2L -> ("b-v0", 0), 3L -> ("c-v5", 5),
+      4L -> ("d-upd", 0), 9L -> ("new", 1)))
+  }
+
+  test("upsert preserves every base column through the merge") {
+    import spark.implicits._
+    val base = Seq((1L, "t", "en", 7L, 0)).toDF("doc_id", "text", "lang", "n_chars", "version")
+    val updates = Seq((1L, "t2", "de", 9L, 1)).toDF("doc_id", "text", "lang", "n_chars", "version")
+    val out = Corpus.upsert(base, updates)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang", "n_chars", "version"))
+    val r = out.collect().head
+    assert(r.getString(1) == "t2" && r.getString(2) == "de" && r.getLong(3) == 9L)
+  }
+
+  test("diff classifies added / removed / changed and drops the unchanged bulk") {
+    import spark.implicits._
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "born")).toDF("doc_id", "text")
+    val got = Corpus.diff(a, b).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("upsert then diff round-trip: the diff of base vs upserted equals the update set") {
+    import spark.implicits._
+    val base = (0L until 50L).map(i => (i, s"doc-$i", 0)).toDF("doc_id", "text", "version")
+    val updates = Seq((7L, "doc-7-v1", 1), (13L, "doc-13-v1", 1), (99L, "fresh", 1))
+      .toDF("doc_id", "text", "version")
+    val merged = Corpus.upsert(base, updates)
+    assert(merged.count() == 51L)
+    val got = Corpus.diff(base.drop("version"), merged.drop("version")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(7L -> "changed", 13L -> "changed", 99L -> "added"))
+  }
+}

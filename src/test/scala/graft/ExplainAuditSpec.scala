@@ -108,6 +108,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_dedup_minhash_pruned", maxExchange = 5),
     // two map-side-combinable aggs (keys x bucket, then keys)
     Audit("q_distinct_sketch", maxExchange = 2),
+    // latest-wins upsert: union -> partial sort-agg -> ONE exchange ->
+    // final sort-agg (no row_number window over the full union)
+    Audit("q_upsert", maxExchange = 1, requirePushdown = true),
+    // snapshot diff: one exchange per side into the full-outer SMJ
+    Audit("q_corpus_diff", maxExchange = 2, requirePushdown = true),
     )
 
   private val nodeRe =

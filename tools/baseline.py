@@ -25,7 +25,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_ann_brute", "q_ann_ivf", "q_ann_lsh", "q_tokens", "q_tfidf",
             "q_quality", "q_pipeline",
             "q_dedup_minhash_pruned", "q_dedup_incremental",
-            "q_dedup_semantic", "q_distinct_sketch", "q_stream_join"]
+            "q_dedup_semantic", "q_distinct_sketch", "q_stream_join",
+            "q_upsert", "q_corpus_diff"]
 
 
 def main():
