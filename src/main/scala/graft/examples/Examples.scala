@@ -263,6 +263,15 @@ object IncrementalCorpusMaintenance {
     val shardPairs = graft.dedup.Dedup.incremental(
       docs.filter(F.col("doc_id") % 2 === 1), "example_sig_index")
     println(s"new-shard duplicate candidate pairs: ${shardPairs.count()}")
+    // A refresh crawl re-fetches some documents: latest-wins merge, then
+    // the snapshot diff is the audit log of what the refresh changed.
+    val refreshed = docs.filter(F.col("doc_id") % 11 === 3)
+      .withColumn("text", F.concat(F.col("text"), F.lit(" (refreshed)")))
+    val merged = graft.operators.Corpus.upsert(
+      docs.withColumn("version", F.lit(0)),
+      refreshed.withColumn("version", F.lit(1)))
+    graft.operators.Corpus.diff(docs, merged.drop("version"))
+      .groupBy("status").count().show(false)
     // Semantic (embedding-space) dedup: survivors after cluster-then-dedup.
     println(s"semantic survivors: ${graft.dedup.Dedup.semantic(emb).count()} / ${emb.count()}")
     // Sketched cardinality + the mixture the next training run should use.
