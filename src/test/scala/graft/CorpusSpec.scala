@@ -46,6 +46,25 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("upsert algebra: empty updates = identity; re-applying the same updates is idempotent") {
+    import spark.implicits._
+    val base = (0L until 40L).map(i => (i, s"doc-$i", 0)).toDF("doc_id", "text", "version")
+    val none = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "version")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(canon(Corpus.upsert(base, none)) == canon(base))
+    val updates = Seq((3L, "doc-3-v1", 1), (41L, "new", 1)).toDF("doc_id", "text", "version")
+    val once = Corpus.upsert(base, updates)
+    val twice = Corpus.upsert(once, updates)
+    assert(canon(twice) == canon(once))
+  }
+
+  test("diff of identical snapshots is empty") {
+    import spark.implicits._
+    val a = (0L until 30L).map(i => (i, s"doc-$i")).toDF("doc_id", "text")
+    assert(Corpus.diff(a, a).count() == 0L)
+  }
+
   test("upsert then diff round-trip: the diff of base vs upserted equals the update set") {
     import spark.implicits._
     val base = (0L until 50L).map(i => (i, s"doc-$i", 0)).toDF("doc_id", "text", "version")
