@@ -109,4 +109,27 @@ class BucketedJoinSpec extends AnyFunSuite with SparkFixture {
       assert(got.nonEmpty)
     } finally spark.sql("DROP TABLE IF EXISTS t_sig_idx2")
   }
+
+  test("incremental dedup: re-probing after the shard's own append is result-identical") {
+    // The append-order-independence contract the bench's staged-index
+    // reuse relies on (qDedupIncremental): once incremental(B) has
+    // appended B's signatures, probing B again — updateIndex = false —
+    // must return the SAME pair set, because the index hits against B's
+    // own signatures reproduce exactly the within-shard pairs the
+    // distinct already merged.
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val old = docs.filter(F.col("doc_id") % 2 === 0)
+    val fresh = docs.filter(F.col("doc_id") % 2 === 1)
+    spark.sql("DROP TABLE IF EXISTS t_sig_idx4")
+    try {
+      Dedup.indexInit(old, "t_sig_idx4")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val first = pairs(Dedup.incremental(fresh, "t_sig_idx4")) // appends
+      val reprobe = pairs(Dedup.incremental(fresh, "t_sig_idx4", updateIndex = false))
+      assert(first == reprobe && first.nonEmpty,
+        s"missing=${(first -- reprobe).take(5)} extra=${(reprobe -- first).take(5)}")
+    } finally spark.sql("DROP TABLE IF EXISTS t_sig_idx4")
+  }
 }
