@@ -33,7 +33,11 @@ class SpreadSpec extends AnyFunSuite with SparkFixture {
       F.row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("k").orderBy("v")))
     val repart = df.repartition(2, F.col("k"))
-    for (d <- Seq(agg, joined, windowed, repart))
+    // a global orderBy plans a range exchange — the same double-execution
+    // trap as the others (ADVICE r10). Built WITHOUT the coalesce so the
+    // Sort node itself is the only guard trigger in the plan.
+    val sorted = (1 to 100).map(i => (i % 10, i)).toDF("k", "v").orderBy("v")
+    for (d <- Seq(agg, joined, windowed, repart, sorted))
       assert(Spread(d) eq d, s"guard must skip: ${d.queryExecution.optimizedPlan.nodeName}")
     // and the guarded frames still compute correctly through Spread
     assert(Spread(agg).count() == 10)
