@@ -518,6 +518,28 @@ object OracleSql {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
 
+    // Deterministic KMV quantile sketch (functions.Sketches): bottom-256
+    // rows by md5(event_id) per group — the identical sample in any
+    // engine — then nearest-rank selection with the SAME index
+    // expression text the Spark side evaluates.
+    "q_percentile_sketch" ->
+      s"""WITH qsr AS (
+         |  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS qs_key
+         |  FROM events),
+         |qrn AS (
+         |  SELECT event_type, value,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qs_key) AS rn
+         |  FROM qsr),
+         |qsamp AS (SELECT event_type, value FROM qrn WHERE rn <= 256),
+         |qg AS (
+         |  SELECT event_type, list_sort(list(value)) AS qs_vals,
+         |    COUNT(*) AS n_sample
+         |  FROM qsamp GROUP BY event_type)
+         |SELECT event_type, CAST(n_sample AS BIGINT) AS n_sample,
+         |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.5, "n_sample")}] AS p50_est,
+         |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.95, "n_sample")}] AS p95_est
+         |FROM qg""".stripMargin,
+
     // Chunking: same tokenizer; chunk i = tokens [i*stride+1, i*stride+size]
     // (inclusive list slice), k = ceil(max(n - overlap, 1) / stride).
     "q_chunk" ->

@@ -833,6 +833,15 @@ object SparkEntry {
   private def qDistinctSketch(s: SparkSession, dir: String): DataFrame =
     graft.functions.Sketches.hllCount(Tables.events(s, dir), Seq("event_type"), "user_id")
 
+  /** Sketched quantiles: deterministic bottom-k-by-md5 row sample
+    * (functions.Sketches.quantileSketch) with nearest-rank selection over
+    * the sorted sample — the mergeable alternative to q_percentiles'
+    * exact per-group sort, sampled identically in any engine so the
+    * estimate is hash-exact, not tolerance-checked. */
+  private def qPercentileSketch(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.quantileSketch(
+      Tables.events(s, dir), Seq("event_type"), "value", "event_id")
+
   /** Exact percentiles per group (continuous interpolation — identical
     * arithmetic to quantile_cont). */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -1312,6 +1321,7 @@ object SparkEntry {
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_distinct" -> (qDistinct _),
     "q_distinct_sketch" -> (qDistinctSketch _),
+    "q_percentile_sketch" -> (qPercentileSketch _),
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),

@@ -88,4 +88,70 @@ object Sketches {
   def hllCount(df: DataFrame, keys: Seq[String], valueCol: String,
                p: Int = 8): DataFrame =
     hllEstimate(hllRegisters(df, keys, valueCol, p), keys, p)
+
+  // ------------------------------------------------ quantile sketch (KMV)
+
+  /** Deterministic bottom-k uniform row sample per key group — the
+    * mergeable state of the quantile sketch. The sample key is
+    * md5(idCol): uniform over rows, identical in any engine, and
+    * distinct ids make the bottom-k unique, so the sample is a FUNCTION
+    * of the data, not of partitioning or arrival order. Merge rule:
+    * union sample tables, re-take the bottom k (associative, commutative,
+    * idempotent — SketchSpec proves shard-merge equality).
+    *
+    * Scale shape: the row_number window runs as a WindowGroupLimit —
+    * each map task keeps only its local bottom k per key BEFORE the
+    * exchange, so at most tasks × keys × k rows shuffle, and the
+    * downstream per-key aggregation reuses the window's hash
+    * partitioning (no second exchange). */
+  def bottomKSample(df: DataFrame, keys: Seq[String], valueCol: String,
+                    idCol: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val skey = F.md5(F.col(idCol).cast("string"))
+    df.select(keys.map(F.col) :+ F.col(valueCol) :+ skey.as("qs_key"): _*)
+      .withColumn("qs_rn", F.row_number().over(
+        Window.partitionBy(keys.map(F.col): _*).orderBy(F.col("qs_key"))))
+      .filter(F.col("qs_rn") <= k)
+      .drop("qs_rn")
+  }
+
+  /** Merge [[bottomKSample]] state tables: union, re-take the bottom k by
+    * the CARRIED `qs_key` (the sample rows keep their md5 rank key
+    * precisely so merging never needs the original id column). */
+  def mergeBottomK(samples: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    samples.withColumn("qs_rn", F.row_number().over(
+        Window.partitionBy(keys.map(F.col): _*).orderBy(F.col("qs_key"))))
+      .filter(F.col("qs_rn") <= k)
+      .drop("qs_rn")
+  }
+
+  /** Nearest-rank quantile estimates over a [[bottomKSample]]: the sorted
+    * sample array is indexed at ceil(q·n) — integer selection, no
+    * interpolation, so both engines pick the SAME sample element and the
+    * result is hash-exact (the one shared expression text rule, as in
+    * [[hllEstSql]]). Groups smaller than k degrade gracefully: the
+    * sample IS the group and the estimate is the exact nearest-rank
+    * percentile. */
+  def sampleQuantiles(sample: DataFrame, keys: Seq[String], valueCol: String,
+                      qs: Seq[(String, Double)]): DataFrame = {
+    val g = sample.groupBy(keys.map(F.col): _*)
+      .agg(F.sort_array(F.collect_list(F.col(valueCol))).as("qs_vals"),
+        F.count(F.lit(1)).as("n_sample"))
+    g.select(
+      (keys.map(F.col) :+ F.col("n_sample")) ++
+        qs.map { case (name, q) =>
+          F.element_at(F.col("qs_vals"), F.expr(quantileIdxSql(q, "n_sample"))).as(name)
+        }: _*)
+  }
+
+  /** The shared nearest-rank index SQL (Spark `expr` and DuckDB alike). */
+  def quantileIdxSql(q: Double, nCol: String): String =
+    s"CAST(ceil($q * $nCol) AS INT)"
+
+  /** End-to-end: mergeable quantile sketch of `valueCol` per `keys`. */
+  def quantileSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+                     idCol: String, k: Int = 256,
+                     qs: Seq[(String, Double)] = Seq("p50_est" -> 0.5, "p95_est" -> 0.95)): DataFrame =
+    sampleQuantiles(bottomKSample(df, keys, valueCol, idCol, k), keys, valueCol, qs)
 }

@@ -108,6 +108,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_dedup_minhash_pruned", maxExchange = 5),
     // two map-side-combinable aggs (keys x bucket, then keys)
     Audit("q_distinct_sketch", maxExchange = 2),
+    // KMV quantile sketch: map-side + reduce-side bottom-k cuts around
+    // ONE exchange; the sample agg reuses the window's partitioning
+    Audit("q_percentile_sketch", maxExchange = 1, minWgl = 2),
     // quality-policy survivors: per-cluster winner window over one
     // exchange; the loser set broadcasts into a LeftAnti (vanishing set)
     Audit("q_dedup_keep_best", maxExchange = 2, minBhj = 2),

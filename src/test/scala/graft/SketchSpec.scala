@@ -58,6 +58,36 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("KMV quantile sketch: shard bottom-k samples merge to the whole-corpus sample") {
+    import graft.functions.Sketches
+    val ev = Tables.events(spark, sf001)
+    val keys = Seq("event_type")
+    val whole = Sketches.bottomKSample(ev, keys, "value", "event_id", k = 64)
+    // Merge = union the shard samples, re-take the bottom k by the same
+    // deterministic md5 key — associative/commutative/idempotent, so any
+    // sharding folds to the identical sample (the mergeable-state law).
+    val shards = Seq(0, 1, 2).map(i =>
+      Sketches.bottomKSample(ev.filter(F.col("event_id") % 3 === i),
+        keys, "value", "event_id", k = 64))
+    val merged = Sketches.mergeBottomK(shards.reduce(_ union _), keys, k = 64)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged shard samples differ from the whole-corpus sample")
+    // and the nearest-rank estimate over a 64-row uniform sample lands
+    // near the exact percentile (binomial rank error; generous 3-sigma)
+    val est = Sketches.sampleQuantiles(whole, keys, "value", Seq("p50_est" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(F.percentile(F.col("value"), F.lit(0.5)).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val spread = ev.agg(F.max("value").cast("double") - F.min("value").cast("double"))
+      .head().getDouble(0)
+    exact.foreach { case (k, p) =>
+      val rel = math.abs(est(k) - p) / spread
+      info(f"$k exact=$p%.2f est=${est(k)}%.2f relSpread=$rel%.3f")
+      assert(rel < 0.25, s"$k: est=${est(k)} exact=$p spread=$spread")
+    }
+  }
+
   test("stream-static broadcast enrichment joins a stream against a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
