@@ -785,6 +785,30 @@ object OracleSql {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Mixture execution: the q_mix_weights allocation turned into a
+    // deterministic per-source md5 threshold. The keep rate divides the
+    // allocator's two LONG outputs (alloc_tokens / n_tokens) so the
+    // double is bit-identical cross-engine with no fresh pow surface.
+    "q_mix_sample" ->
+      """WITH mt AS (
+        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |mw AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM mt),
+        |mtot AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,10))) AS DOUBLE) AS pw_total FROM mw),
+        |mr AS (
+        |  SELECT mw.source, mw.n_tokens,
+        |    CAST(round(20000.0 * pw / pw_total, 0) AS BIGINT) AS alloc_tokens
+        |  FROM mw, mtot),
+        |mb AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0, CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |      * 4294967296.0) AS BIGINT) AS keep_bound
+        |  FROM mr)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN mb ON d.source = mb.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+        |  < mb.keep_bound""".stripMargin,
+
     // Latest-wins upsert: row_number over the union — an independent
     // formulation of Corpus.upsert's max-over-(version, side) struct.
     "q_upsert" ->

@@ -931,6 +931,14 @@ object SparkEntry {
     graft.operators.Corpus.diff(docs, newSnap)
   }
 
+  /** Mixture EXECUTION (Sampling.mixSample): the docs each source keeps
+    * under the mixWeights allocation — rate = min(1, alloc/available),
+    * deterministic md5 threshold, broadcast rate table, one corpus scan.
+    * Budget 20k tokens, BELOW the gate corpus's total, so the threshold
+    * provably binds (drops rows) at gate scale. */
+  private def qMixSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixSample(T(s, dir, "documents"), budgetTokens = 20000L)
+
   /** Deterministic 5-fold split assignment over documents + per-fold
     * corpus stats — the train/val/test split audit. */
   private def qFolds(s: SparkSession, dir: String): DataFrame =
@@ -1302,6 +1310,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_mix_weights" -> (qMixWeights _),
+    "q_mix_sample" -> (qMixSample _),
     "q_upsert" -> (qUpsert _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_folds" -> (qFolds _),

@@ -71,6 +71,34 @@ object Sampling {
         F.round(alloc / F.col("n_tokens").cast("double"), 6).as("epochs"))
   }
 
+  /** EXECUTE the mixture [[mixWeights]] plans: sample each source at its
+    * allocated rate, deterministically. The keep rate is
+    * min(1, alloc_tokens / n_tokens) — computed from the two LONG columns
+    * the allocator already emits hash-exactly, so the division is the
+    * same IEEE double in any engine (no fresh pow/rounding surface) —
+    * and a doc survives iff its 32-bit md5(id) prefix falls under
+    * floor(rate · 2^32). Sources at epochs ≥ 1 keep everything (their
+    * repetition factor is a training-loop concern, not a filter's).
+    *
+    * Scale shape: the allocator's tiny (sources × 1) rate table
+    * BROADCASTS onto one corpus scan — a pure filter, no shuffle of the
+    * corpus. Two corpus scans total (one to weigh, one to sample) —
+    * irreducible, since the rates are a global functional of the corpus. */
+  def mixSample(docs: DataFrame, sourceCol: String = "source",
+                textCol: String = "text", idCol: String = "doc_id",
+                budgetTokens: Long = 1000000L, alpha: Double = 0.5): DataFrame = {
+    val rate = F.least(F.lit(1.0),
+      F.col("alloc_tokens").cast("double") / F.col("n_tokens").cast("double"))
+    val bounds = mixWeights(docs, sourceCol, textCol, budgetTokens, alpha)
+      .select(F.col(sourceCol),
+        F.floor(rate * F.lit(4294967296.0)).cast("long").as("keep_bound"))
+    val hash32 = F.conv(F.substring(F.md5(F.col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs.join(F.broadcast(bounds), Seq(sourceCol))
+      .filter(hash32 < F.col("keep_bound"))
+      .select(F.col(idCol), F.col(sourceCol))
+  }
+
   /** Per-stratum deterministic sample: each stratum value keeps rows under
     * its own threshold; strata absent from `rates` are dropped. The whole
     * thing is one CASE filter — no shuffle, no per-stratum pass, and the

@@ -111,6 +111,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // KMV quantile sketch: map-side + reduce-side bottom-k cuts around
     // ONE exchange; the sample agg reuses the window's partitioning
     Audit("q_percentile_sketch", maxExchange = 1, minWgl = 2),
+    // mixture execution: checkpointed rate table broadcasts onto one
+    // filtered corpus scan — zero shuffles
+    Audit("q_mix_sample", maxExchange = 0, minBhj = 1, requirePushdown = true),
     // quality-policy survivors: per-cluster winner window over one
     // exchange; the loser set broadcasts into a LeftAnti (vanishing set)
     Audit("q_dedup_keep_best", maxExchange = 2, minBhj = 2),

@@ -90,6 +90,35 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(byType("view") < views / 2, "rate 20 should keep ~12.5% of views")
   }
 
+  test("mixSample keeps each source near its allocated rate, deterministically") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val budget = 20000L
+    val out = Sampling.mixSample(docs, budgetTokens = budget)
+    // deterministic: same call, same survivors, regardless of partitioning
+    val ids = out.collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixSample(docs.repartition(7), budgetTokens = budget)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == ids2 && ids.nonEmpty)
+    // each source's realized keep fraction tracks min(1, alloc/available)
+    val rates = Sampling.mixWeights(docs, budgetTokens = budget)
+      .collect().map(r => r.getString(0) ->
+        math.min(1.0, r.getLong(3).toDouble / r.getLong(1).toDouble)).toMap
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (src, r) =>
+      val realized = kept.getOrElse(src, 0L).toDouble / total(src)
+      // md5 sampling is binomial around r; gate corpora are small, so a
+      // loose 3-sigma band (p(1-p)/n) is the right assertion
+      val sigma = math.sqrt(r * (1 - r) / total(src))
+      assert(math.abs(realized - r) < 3 * sigma + 0.02,
+        s"$src: realized $realized vs allocated $r (n=${total(src)})")
+    }
+    // and the budget actually binds: at least one source is subsampled
+    assert(rates.values.exists(_ < 1.0) && ids.size < docs.count())
+  }
+
   test("chunk covers every token with the configured overlap") {
     import spark.implicits._
     import graft.operators.Packing

@@ -26,7 +26,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_quality", "q_pipeline",
             "q_dedup_minhash_pruned", "q_dedup_incremental",
             "q_dedup_semantic", "q_distinct_sketch", "q_stream_join",
-            "q_upsert", "q_corpus_diff", "q_percentile_sketch"]
+            "q_upsert", "q_corpus_diff", "q_percentile_sketch",
+            "q_mix_sample"]
 
 
 def main():
