@@ -274,10 +274,15 @@ object IncrementalCorpusMaintenance {
       .groupBy("status").count().show(false)
     // Semantic (embedding-space) dedup: survivors after cluster-then-dedup.
     println(s"semantic survivors: ${graft.dedup.Dedup.semantic(emb).count()} / ${emb.count()}")
-    // Sketched cardinality + the mixture the next training run should use.
+    // Sketched cardinality + quantiles (both mergeable, both hash-exact
+    // oracled), then the mixture the next training run should use —
+    // planned (weights) AND executed (the sampled corpus itself).
     graft.functions.Sketches.hllCount(docs, Seq("lang"), "source").show(5, false)
+    graft.functions.Sketches.quantileSketch(docs, Seq("lang"), "n_chars", "doc_id")
+      .show(5, false)
     graft.operators.Sampling.mixWeights(docs, budgetTokens = 500000L)
       .orderBy(F.col("weight").desc).show(5, false)
+    println(s"mixture sample: ${graft.operators.Sampling.mixSample(docs, budgetTokens = 20000L).count()} / ${docs.count()} docs")
     spark.sql("DROP TABLE IF EXISTS example_sig_index")
     spark.stop()
   }
