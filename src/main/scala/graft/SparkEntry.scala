@@ -1100,13 +1100,16 @@ object SparkEntry {
     Dedup.minhashCandidates(docs, knownDocCount = docs.count(), maxBucket = 3)
   }
 
-  /** Staged-index keys already built in THIS JVM by [[qDedupIncremental]]
-    * (dir + source stamp). Lets repeated bench shots measure the
-    * steady-state incremental probe instead of re-paying the one-time
-    * history index build each shot; a fresh JVM (the driver's Verify run)
-    * always takes the full build+append path. */
+  /** The (dir + source stamp) key the SINGLE shared index table was last
+    * built for in this JVM ([[qDedupIncremental]]). Lets repeated bench
+    * shots measure the steady-state incremental probe instead of
+    * re-paying the one-time history index build each shot; a fresh JVM
+    * (the driver's Verify run) always takes the full build+append path.
+    * One reference, not a set: the table name is shared, so only the
+    * LAST-built key may claim its contents (a set would let dir A reuse
+    * dir B's index after an A→B→A call sequence). */
   private val incrementalStaged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.atomic.AtomicReference[String](null)
 
   /** Incremental cross-shard dedup: even-id docs are the already-indexed
     * corpus (signatures persisted bucketed-by-sig, paid once), odd-id docs
@@ -1130,8 +1133,9 @@ object SparkEntry {
     val old = docs.filter(F.col("doc_id") % 2 === 0)
     val fresh = docs.filter(F.col("doc_id") % 2 === 1)
     val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
-    val reuse = incrementalStaged.contains(key) && s.catalog.tableExists("graft_sig_index")
+    val reuse = key == incrementalStaged.get() && s.catalog.tableExists("graft_sig_index")
     if (!reuse) {
+      incrementalStaged.set(null) // invalidate while the table is in flux
       s.sql("DROP TABLE IF EXISTS graft_sig_index")
       // A fresh session's catalog has no entry for a previous run's table,
       // so the DROP can no-op while the warehouse directory survives —
@@ -1143,7 +1147,7 @@ object SparkEntry {
     }
     val out = Dedup.incremental(fresh, "graft_sig_index",
       knownNewCount = fresh.count(), updateIndex = !reuse)
-    incrementalStaged.add(key)
+    incrementalStaged.set(key)
     out
   }
 
