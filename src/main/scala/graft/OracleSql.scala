@@ -785,6 +785,15 @@ object OracleSql {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
+    // Per-source cap: the 20 smallest md5(doc_id) per source.
+    "q_cap_per_source" ->
+      """WITH cr AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM cr WHERE rn <= 20""".stripMargin,
+
     // Mixture execution: the q_mix_weights allocation turned into a
     // deterministic per-source md5 threshold. The keep rate divides the
     // allocator's two LONG outputs (alloc_tokens / n_tokens) so the

@@ -939,6 +939,13 @@ object SparkEntry {
   private def qMixSample(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.mixSample(T(s, dir, "documents"), budgetTokens = 20000L)
 
+  /** Per-source cap (Sampling.capPerGroup): at most 20 docs per source —
+    * the anti-domination primitive; survivors = 20 smallest md5(doc_id)
+    * per source, map-side WindowGroupLimit cut before the one exchange. */
+  private def qCapPerSource(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(T(s, dir, "documents"), "source", "doc_id", 20)
+      .select(F.col("doc_id"), F.col("source"), F.col("n_chars"))
+
   /** Deterministic 5-fold split assignment over documents + per-fold
     * corpus stats — the train/val/test split audit. */
   private def qFolds(s: SparkSession, dir: String): DataFrame =
@@ -1315,6 +1322,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_mix_weights" -> (qMixWeights _),
     "q_mix_sample" -> (qMixSample _),
+    "q_cap_per_source" -> (qCapPerSource _),
     "q_upsert" -> (qUpsert _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_folds" -> (qFolds _),

@@ -99,6 +99,28 @@ object Sampling {
       .select(F.col(idCol), F.col(sourceCol))
   }
 
+  /** Cap each group at `n` rows — the anti-domination sampler ("at most
+    * N docs per domain/source"), deterministic: the survivors are the n
+    * smallest md5(id) in the group, a function of the data alone, so the
+    * cap is stable across partitionings, engines and reruns (unlike a
+    * LIMIT, whose pick is arrival order).
+    *
+    * Scale shape: the rank window runs as a WindowGroupLimit — each map
+    * task keeps at most n rows per group BEFORE the one exchange, so a
+    * group with a billion rows ships tasks × n of them, never the
+    * group. Same machinery as the KMV quantile sample
+    * ([[graft.functions.Sketches.bottomKSample]]); here the full row
+    * survives. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("cap_key", F.md5(F.col(idCol).cast("string")))
+      .withColumn("cap_rn", F.row_number().over(
+        Window.partitionBy(F.col(groupCol)).orderBy(F.col("cap_key"))))
+      .filter(F.col("cap_rn") <= n)
+      .drop("cap_key", "cap_rn")
+  }
+
   /** Per-stratum deterministic sample: each stratum value keeps rows under
     * its own threshold; strata absent from `rates` are dropped. The whole
     * thing is one CASE filter — no shuffle, no per-stratum pass, and the

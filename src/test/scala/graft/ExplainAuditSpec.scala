@@ -114,6 +114,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // mixture execution: checkpointed rate table broadcasts onto one
     // filtered corpus scan — zero shuffles
     Audit("q_mix_sample", maxExchange = 0, minBhj = 1, requirePushdown = true),
+    // per-source cap: map+reduce WindowGroupLimit around ONE exchange
+    Audit("q_cap_per_source", maxExchange = 1, minWgl = 2),
     // quality-policy survivors: per-cluster winner window over one
     // exchange; the loser set broadcasts into a LeftAnti (vanishing set)
     Audit("q_dedup_keep_best", maxExchange = 2, minBhj = 2),

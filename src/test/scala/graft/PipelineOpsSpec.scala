@@ -119,6 +119,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rates.values.exists(_ < 1.0) && ids.size < docs.count())
   }
 
+  test("capPerGroup keeps exactly min(n, group size) rows, stable across partitionings") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val capped = Sampling.capPerGroup(docs, "source", "doc_id", 7)
+    val sizes = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == full.keySet)
+    full.foreach { case (s, n) => assert(sizes(s) == math.min(7L, n)) }
+    // survivors are a function of the data, not the partitioning
+    val a = capped.collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerGroup(docs.repartition(11), "source", "doc_id", 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("chunk covers every token with the configured overlap") {
     import spark.implicits._
     import graft.operators.Packing
