@@ -30,4 +30,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // On a 32-core box HotSpot defaults to ~12 compiler threads, and the
+  // codegen-heavy query suite keeps them busy for minutes — measured
+  // >150 s of cumulative JIT time stealing cores from the 32 executor
+  // threads (wait_ms >> cpu_ms on otherwise-quiet shots, BENCH r11/r12
+  // bisect). Capping the compiler at 4 threads restored q_dedup_minhash
+  // 2.6 s -> 0.9 s with every other signature query improving too.
+  // C1-only (-XX:TieredStopAtLevel=1) was tried and rejected: it fixes
+  // the steal but deoptimizes the hot expression loops (q_dedup_
+  // incremental 1.6 s -> 4.3 s). Code-cache occupancy measured ~110 MB
+  // of 240 MB, so the reserve bump is headroom, not a fix.
+  "-XX:CICompilerCount=4",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -69,7 +69,9 @@ object Bench {
       }
       selected.foreach { name =>
         try { SparkEntry.queries(name)(spark, warmDir).count(); () }
-        catch { case _: Throwable => () } // warmup is best-effort
+        // Best-effort, but only for recoverable failures: an OOM here must
+        // surface now, not resurface later as a confusing timed-shot error.
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       spark.catalog.clearCache()
     }
@@ -91,7 +93,33 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+    /** Block until cumulative JIT compile time stops advancing. Fast path:
+      * one 150 ms probe — an already-quiet compiler costs each shot almost
+      * nothing. Busy path: wait for two consecutive quiet 250 ms windows
+      * or the cap. */
+    def jitQuiesce(maxWaitMs: Long): Unit = {
+      val t0 = System.nanoTime()
+      var last = graft.tools.StageMetricsListener.jitCompileMs()
+      Thread.sleep(150)
+      var now = graft.tools.StageMetricsListener.jitCompileMs()
+      if (now - last < 30) return
+      last = now
+      var stable = 0
+      while (stable < 2 && (System.nanoTime() - t0) / 1e6 < maxWaitMs) {
+        Thread.sleep(250)
+        now = graft.tools.StageMetricsListener.jitCompileMs()
+        if (now - last < 50) stable += 1 else stable = 0
+        last = now
+      }
+    }
+
     final case class Shot(sec: Double, load: Double, waitMs: Long, cpuMs: Long, gcMs: Long)
+
+    // Drain the warmup pass's JIT debt ONCE before any timed shot: the
+    // 31-query warmup queues minutes of compilation, and with the capped
+    // compiler (build.sbt CICompilerCount=4) that queue would otherwise
+    // persist deep into the timed suite.
+    jitQuiesce(maxWaitMs = 90000)
 
     val diags = scala.collection.mutable.LinkedHashMap[String, Seq[Shot]]()
     val results = selected.map { name =>
@@ -100,6 +128,12 @@ object Bench {
         spark.catalog.clearCache() // every shot cold: no warm index reuse
         org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext, 10000)
         listener.drain() // discard stages of prior work
+        // Let the JIT queue drain before timing: compilation triggered by
+        // the PREVIOUS execution otherwise steals cores from this shot
+        // (the r11 regression mechanism — wait_ms >> cpu_ms). Outside the
+        // timed region by construction; bounded so a busy compiler can
+        // never stall the suite.
+        jitQuiesce(maxWaitMs = 10000)
         val load0 = loadavg1()
         val gc0 = graft.tools.StageMetricsListener.jvmGcMs()
         val (blocks0, bytes0) = graft.tools.StageMetricsListener.storedRddBytes(spark.sparkContext)
@@ -119,6 +153,9 @@ object Bench {
           s"""{"query":"$name","shot":$shot,"sec":${f"$s%.3f"},"rows":$n,""" +
             s""""load_1m":${f"$load0%.2f"},"wait_ms":$waitMs,""" +
             s""""driver_gc_ms":$gcDelta,"heap_mb":${graft.tools.StageMetricsListener.heapUsedMb()},""" +
+            s""""code_cache_mb":${graft.tools.StageMetricsListener.codeCacheUsedMb()},""" +
+            s""""jit_ms":${graft.tools.StageMetricsListener.jitCompileMs()},""" +
+            s""""janino_n":${graft.tools.StageMetricsListener.janinoCompiles()},""" +
             s""""rdd_blocks_before":$blocks0,"rdd_bytes_before":$bytes0,""" +
             s""""stages":${listener.summarize(stages)}}""")
         stagesOut.flush()

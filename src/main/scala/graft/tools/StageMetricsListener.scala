@@ -98,6 +98,32 @@ object StageMetricsListener {
     (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
   }
 
+  /** Code-cache occupancy (used MB summed over the CodeHeap pools). When
+    * the reserved code cache (default 240 MB on JDK 17) fills,
+    * UseCodeCacheFlushing evicts cold nmethods and the JIT may stop
+    * compiling — hot generated code then runs interpreted/C1 at 3-10x
+    * CPU, which is invisible to every other metric here. */
+  def codeCacheUsedMb(): Long =
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / (1024 * 1024)
+
+  /** Cumulative JIT compilation time (ms) — a jump between shots means the
+    * compiler was (re)compiling during the measurement. */
+  def jitCompileMs(): Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime
+    else -1L
+  }
+
+  /** Cumulative count of Janino (whole-stage/expression codegen) class
+    * compilations. A delta on a REPEATED shot of the same query means the
+    * codegen cache missed and the class was recompiled — each fresh class
+    * then also re-enters the JIT queue, multiplying compile churn. */
+  def janinoCompiles(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
   /** Count + total size of RDD blocks still in the block manager (persisted
     * caches AND localCheckpoint blocks — the latter are invisible to
     * `spark.catalog.clearCache`). */
