@@ -525,7 +525,7 @@ object OracleSql {
     "q_percentile_sketch" ->
       s"""WITH qsr AS (
          |  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS qs_key
-         |  FROM events),
+         |  FROM events WHERE value IS NOT NULL),
          |qrn AS (
          |  SELECT event_type, value,
          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qs_key) AS rn
@@ -945,6 +945,15 @@ object OracleSql {
     },
 
     "q_ann_lsh" -> lshBucketSql,
+
+    // Densification: dense id = rank of the original id in ascending
+    // order, 0-based — Ann.densify's range-partition + zipWithIndex is
+    // exactly a distributed row_number() - 1.
+    "q_densify" ->
+      """WITH sparse AS (SELECT vec_id * 7 + 3 AS orig_id FROM embeddings)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY orig_id) - 1 AS BIGINT) AS vec_id,
+        |  orig_id
+        |FROM sparse""".stripMargin,
 
     // K-means corpus clustering: the shared Lloyd CTEs end in `cells`
     // (every vector → nearest final centroid) — exactly the operator's

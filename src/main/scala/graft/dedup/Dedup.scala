@@ -269,7 +269,8 @@ object Dedup {
                   textCol: String = "text", shingleN: Int = 3, bands: Int = 8,
                   buckets: Int = 32, knownNewCount: Long = -1L,
                   updateIndex: Boolean = true,
-                  maxBucket: Int = 100000): DataFrame = graft.CacheScope.scoped {
+                  maxBucket: Int = 100000,
+                  knownIndexCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
     val newSigs = materialize(
       minhashSignaturesFromDocs(newDocs, idCol, textCol, shingleN, bands))
     val index = newDocs.sparkSession.table(indexTable)
@@ -277,10 +278,14 @@ object Dedup {
     // (candidatesFromSigs): one pathological signature accumulated in a
     // 100 TB history would fan every matching new doc out to the whole
     // bucket. An indexed doc count bounds every bucket (one row per doc
-    // per band), and the table row count is parquet-metadata cheap; below
-    // maxBucket the guard provably binds nothing and is skipped outright.
+    // per band). Callers tracking the index size (every real ingest
+    // pipeline does; any UPPER bound on index rows is valid — the guard
+    // only ever compares against maxBucket) pass it as `knownIndexCount`
+    // so the steady-state probe runs ZERO count jobs; -1 falls back to
+    // the table count (parquet-metadata cheap, but still a job per call).
+    val indexRows = if (knownIndexCount >= 0L) knownIndexCount else index.count()
     val indexBounded =
-      if (index.count() / bands.toLong.max(1L) <= maxBucket) index
+      if (indexRows / bands.toLong.max(1L) <= maxBucket) index
       else {
         val big = index.groupBy(F.col("band"), F.col("sig"))
           .agg(F.count(F.lit(1)).as("bn"))
@@ -294,7 +299,10 @@ object Dedup {
       .filter(F.col(idCol) =!= F.col("_old_id"))
       .select(F.least(F.col(idCol), F.col("_old_id")).as("doc_a"),
         F.greatest(F.col(idCol), F.col("_old_id")).as("doc_b"))
-    val within = candidatesFromSigs(newSigs, idCol, knownBucketBound = knownNewCount)
+    // Same maxBucket as the probe side: a caller-tightened bound must
+    // guard (new, new) pairs too, not silently fall back to the default.
+    val within = candidatesFromSigs(newSigs, idCol, maxBucket = maxBucket,
+      knownBucketBound = knownNewCount)
     val pairs = cross.union(within.toDF("doc_a", "doc_b")).distinct()
     if (updateIndex)
       // Same write-partitioning alignment as Bucketing.writeBucketedBy:

@@ -108,7 +108,12 @@ object Sketches {
                     idCol: String, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val skey = F.md5(F.col(idCol).cast("string"))
-    df.select(keys.map(F.col) :+ F.col(valueCol) :+ skey.as("qs_key"): _*)
+    // NULL values are excluded up front: a NULL can neither be ranked by a
+    // quantile nor survive collect_list downstream, and letting it occupy
+    // a sample slot would bias the estimate (oracle SQL mirrors the
+    // filter). The sketch is over the non-null population by contract.
+    df.filter(F.col(valueCol).isNotNull)
+      .select(keys.map(F.col) :+ F.col(valueCol) :+ skey.as("qs_key"): _*)
       .withColumn("qs_rn", F.row_number().over(
         Window.partitionBy(keys.map(F.col): _*).orderBy(F.col("qs_key"))))
       .filter(F.col("qs_rn") <= k)
@@ -117,10 +122,24 @@ object Sketches {
 
   /** Merge [[bottomKSample]] state tables: union, re-take the bottom k by
     * the CARRIED `qs_key` (the sample rows keep their md5 rank key
-    * precisely so merging never needs the original id column). */
+    * precisely so merging never needs the original id column).
+    *
+    * Idempotent under replay: overlapping shard samples (retry, at-least-
+    * once delivery) are collapsed on (keys, qs_key) before the re-rank,
+    * so a duplicated row can never occupy two of the k slots. The extra
+    * exchange is on the SAMPLE table (≤ shards·keys·k rows), not data. */
   def mergeBottomK(samples: DataFrame, keys: Seq[String], k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    samples.withColumn("qs_rn", F.row_number().over(
+    // Collapse replayed rows with an explicit aggregate (duplicates carry
+    // identical payloads by construction — qs_key is md5(id)); a
+    // dropDuplicates here trips AT TRIBUTE_NOT_FOUND inside Spark 4.1's
+    // dedup→aggregate rewrite when a window follows it.
+    val others = samples.columns.filterNot(c => keys.contains(c) || c == "qs_key")
+    samples.groupBy((keys :+ "qs_key").map(F.col): _*)
+      .agg(F.first(others.head).as(others.head),
+        others.tail.map(c => F.first(c).as(c)): _*)
+      .select(samples.columns.map(F.col): _*)
+      .withColumn("qs_rn", F.row_number().over(
         Window.partitionBy(keys.map(F.col): _*).orderBy(F.col("qs_key"))))
       .filter(F.col("qs_rn") <= k)
       .drop("qs_rn")

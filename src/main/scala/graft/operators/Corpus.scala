@@ -61,16 +61,23 @@ object Corpus {
     *
     * Scale shape: one full-outer sort-merge join on the id (both sides
     * shuffle once; bucketed snapshots make it exchange-free), content
-    * comparison as a codegen'd projection — no aggregation, no window. */
+    * comparison as a codegen'd projection — no aggregation, no window.
+    *
+    * Row presence is tracked with explicit per-side markers, NOT nullness
+    * of the content column: a document present in both snapshots with
+    * NULL content must not read as added/removed, and a NULL-vs-text
+    * transition is a real change — hence the null-safe `<=>` compare. */
   def diff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
            contentCol: String = "text"): DataFrame = {
     val l = a.select(F.col(idCol), F.col(contentCol).as("_ca"))
+      .withColumn("_ina", F.lit(true))
     val r = b.select(F.col(idCol), F.col(contentCol).as("_cb"))
+      .withColumn("_inb", F.lit(true))
     l.join(r, Seq(idCol), "full_outer")
       .withColumn("status",
-        F.when(F.col("_ca").isNull, F.lit("added"))
-          .when(F.col("_cb").isNull, F.lit("removed"))
-          .when(F.col("_ca") =!= F.col("_cb"), F.lit("changed")))
+        F.when(F.col("_ina").isNull, F.lit("added"))
+          .when(F.col("_inb").isNull, F.lit("removed"))
+          .when(!(F.col("_ca") <=> F.col("_cb")), F.lit("changed")))
       .filter(F.col("status").isNotNull)
       .select(F.col(idCol), F.col("status"))
   }
