@@ -26,6 +26,43 @@ object Ann {
   private def dotX(a: Column, b: Column, native: Boolean): Column =
     if (native) VectorFunctions.dotF(a, b) else VectorFunctions.dot(a, b)
 
+  /** Re-key `idCol` densely as 0..N−1 in ascending order of the original
+    * ids — the pre-densification [[trainCentroids]]' dense-id precondition
+    * demands, as a real operator (a production corpus's vec_ids are never
+    * dense: they're snowflakes, hashes, or survivors of a dedup pass).
+    *
+    * Scale shape: range-repartition on the id + partition-local sort +
+    * `zipWithIndex` (one lightweight count job over partition sizes, then
+    * a map) — the global order comes from range partitioning, NOT from a
+    * single-partition row_number window, so the operator holds at corpus
+    * scale. Deterministic for the unique ids an id column has by
+    * contract. The row transit through RDD land costs one
+    * serialize/deserialize — an index-build prep step, not a hot path.
+    *
+    * SQL-oracle equivalent: `row_number() OVER (ORDER BY <id>) - 1`
+    * (q_densify gates the equality hash-exact). */
+  def densify(df: DataFrame, idCol: String = "vec_id",
+              origOut: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(F.col(idCol))
+      .sortWithinPartitions(F.col(idCol))
+    val idIdx = sorted.schema.fieldIndex(idCol)
+    val withDense = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(
+        row.toSeq.updated(idIdx, idx) :+ row.get(idIdx))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields.map(f =>
+        if (f.name == idCol) f.copy(dataType = org.apache.spark.sql.types.LongType,
+          nullable = false)
+        else f) :+
+        sorted.schema.fields(idIdx).copy(name = "_orig_id"))
+    val out = spark.createDataFrame(withDense, schema)
+    if (origOut.isEmpty) out.drop("_orig_id")
+    else out.withColumnRenamed("_orig_id", origOut)
+  }
+
   /** Deterministic ranking score: cosine rounded to 6 dp (absorbs ulp-level
     * accumulation noise), ties broken by neighbor id. Norms are computed
     * ONCE per side (not per pair) — bit-identical to the per-pair
