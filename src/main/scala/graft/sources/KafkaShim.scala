@@ -71,7 +71,10 @@ object KafkaShim {
       root: String,
       topic: String,
       startingOffsets: Map[Int, Long] = Map.empty): DataFrame = {
+    // Directory-partitioned parquet appends the partition column last;
+    // re-project to the canonical broker column order (drop-in contract).
     val df = spark.read.schema(schemaDDL).parquet(topicPath(root, topic))
+      .select("partition", "offset", "key", "value", "ts")
     if (startingOffsets.isEmpty) df
     else {
       val bounds = F.map(
@@ -117,19 +120,27 @@ object KafkaShim {
       bootstrapServers: Option[String] = None): DataFrame =
     bootstrapServers match {
       case Some(servers) if kafkaJarPresent =>
-        spark.read.format("kafka")
+        fromBrokerSchema(spark.read.format("kafka")
           .option("kafka.bootstrap.servers", servers)
           .option("subscribe", topic)
           .option("startingOffsets", brokerStartingOffsetsJson(topic, startingOffsets))
-          .load()
-          .select(
-            F.col("partition").cast("int").as("partition"),
-            F.col("offset").cast("long").as("offset"),
-            F.col("key").cast("string").as("key"),
-            F.col("value").cast("string").as("value"),
-            F.col("timestamp").cast("timestamp").as("ts"))
+          .load())
       case _ => read(spark, root, topic, startingOffsets)
     }
+
+  /** Project a DataFrame with spark-sql-kafka-0-10's documented source
+    * schema (key/value BINARY, topic STRING, partition INT, offset LONG,
+    * timestamp TIMESTAMP, timestampType INT) onto the shim's
+    * [[schemaDDL]]. Split out of [[readAuto]] so KafkaContractSpec can
+    * prove the swap-in mapping against the documented broker schema
+    * without a broker on the classpath. */
+  private[graft] def fromBrokerSchema(df: DataFrame): DataFrame =
+    df.select(
+      F.col("partition").cast("int").as("partition"),
+      F.col("offset").cast("long").as("offset"),
+      F.col("key").cast("string").as("key"),
+      F.col("value").cast("string").as("value"),
+      F.col("timestamp").cast("timestamp").as("ts"))
 
   /** Committed high-water mark per partition — the connector's offset
     * state (malstrom-kafka keeps this in snapshot state). */

@@ -12,7 +12,11 @@ trait SparkFixture { self: AnyFunSuite =>
 object SparkFixture {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, task maxFailures = 2 — a failed task is
+      // retried once before the job aborts, which is what a real cluster
+      // does and what FaultToleranceSpec exercises. For every other spec
+      // tasks never fail, so the retry budget changes nothing.
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
