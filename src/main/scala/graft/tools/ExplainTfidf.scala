@@ -11,8 +11,12 @@ object ExplainTfidf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // AQE wraps everything in AdaptiveSparkPlan, which reports zero
+    // codegen subtrees pre-execution — turn it off for codegen audits.
+    if (args.lift(2).contains("codegen"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val df = graft.SparkEntry.queries(name)(spark, dir)
-    df.explain("formatted")
+    df.explain(args.lift(2).getOrElse("formatted"))
     spark.stop()
   }
 }
