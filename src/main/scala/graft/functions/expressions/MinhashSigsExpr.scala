@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -35,6 +35,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the partial/final aggregation machinery, and the groupBy(id) SHUFFLE
   * entirely — at 100 TB the signature build becomes a pure scan.
   *
+  * Codegen (r12): `doGenCode` emits a direct static call (result null
+  * for empty shingle arrays, reflected into `ev.isNull`) so the
+  * signature-build stage stays inside whole-stage codegen.
+  *
   * Empty/short inputs: an empty shingle array yields NULL (the caller
   * filters those docs out — explode would have dropped them).
   * Min over duplicate shingles is idempotent, so the raw (non-distinct)
@@ -45,10 +49,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * band fold is the Spark-native HOW).
   */
 case class MinhashSigsExpr(child: Expression, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSigsExpr.sigs(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.expressions.MinhashSigsExpr$$.MODULE$$.sigs($c, $bands);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigsExpr =
+    copy(child = newChild)
+}
+
+object MinhashSigsExpr {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
@@ -62,11 +81,17 @@ case class MinhashSigsExpr(child: Expression, bands: Int)
     UTF8String.fromBytes(out)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  // One digest instance per executor thread, not per row: getInstance is
+  // a provider lookup + allocation, measurable on a per-document scan.
+  private val mdLocal = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** The shared fold — called per row from both interpreted eval and
+    * generated code. Returns null for an empty shingle array. */
+  def sigs(arr: ArrayData, bands: Int): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     // One digest per shingle into a reusable scratch buffer (md.digest()
     // would allocate 16 bytes per call), then 2 multiply-adds per band.
     // Java long overflow wraps = the mod-2^64 the oracle computes in
@@ -97,7 +122,4 @@ case class MinhashSigsExpr(child: Expression, bands: Int)
     while (b < bands) { out(b) = hex(mins(b)); b += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinhashSigsExpr =
-    copy(child = newChild)
 }

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -13,9 +13,14 @@ import org.apache.spark.sql.types._
   * float→double per element, centroid math is double — bit-identical to
   * the DuckDB formulation. Codebooks ship inside the expression (driver
   * literals, executor-local after serialization — an index-build
-  * constant, not data). */
+  * constant, not data).
+  *
+  * Codegen (r12): the codebooks are instance state, so generated code
+  * calls back into this expression object via `addReferenceObj` — still
+  * a single direct (non-reflective) call per row, and the stage stays in
+  * whole-stage codegen. */
 case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
@@ -26,8 +31,9 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
   @transient private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Shared per-row encode — called from interpreted eval and generated
+    * code. Null for vectors shorter than m·subDim. */
+  def encode(arr: ArrayData): GenericArrayData = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     if (arr.numElements() < m * subDim) return null
@@ -59,6 +65,17 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.encode($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
     copy(child = newChild)
 }
@@ -67,10 +84,12 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
   * first-stage ranking of a PQ scan — codes only, no corpus vectors.
   * Evaluation order (d ascending within a subspace, m ascending across)
   * mirrors the SQL oracle exactly for bit-stable ordering at the
-  * rerank cut. */
+  * rerank cut. Codegen mirrors [[PqEncodeExpr]]: an `addReferenceObj`
+  * callback returning a boxed Double (null for malformed codes),
+  * unboxed into the primitive slot. */
 case class PqAdcExpr(left: Expression, right: Expression,
                      codebooks: Array[Array[Array[Double]]])
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -78,9 +97,9 @@ case class PqAdcExpr(left: Expression, right: Expression,
   @transient private lazy val isFloat: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(q: Any, codesIn: Any): Any = {
-    val qa = q.asInstanceOf[ArrayData]
-    val codes = codesIn.asInstanceOf[ArrayData]
+  /** Shared per-row ADC score — called from interpreted eval and
+    * generated code. Null for short queries or out-of-range codes. */
+  def adc(qa: ArrayData, codes: ArrayData): java.lang.Double = {
     val m = codebooks.length
     val subDim = codebooks(0)(0).length
     if (qa.numElements() < m * subDim || codes.numElements() < m) return null
@@ -103,7 +122,22 @@ case class PqAdcExpr(left: Expression, right: Expression,
       acc += dot
       mi += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def nullSafeEval(q: Any, codesIn: Any): Any =
+    adc(q.asInstanceOf[ArrayData], codesIn.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val boxed = ctx.freshName("adcBoxed")
+      s"""
+        java.lang.Double $boxed = $ref.adc($q, $c);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.doubleValue(); }
+      """
+    })
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcExpr =

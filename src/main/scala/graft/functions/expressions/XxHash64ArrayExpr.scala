@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** xxhash64 (seed 42, Spark's `xxhash64` convention) of every element of a
@@ -23,13 +23,27 @@ import org.apache.spark.sql.types._
   * jaccard are unchanged while the cached index shrinks ~5x.
   */
 case class XxHash64ArrayExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    XxHash64ArrayExpr.hashSorted(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.XxHash64ArrayExpr$$.MODULE$$.hashSorted($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): XxHash64ArrayExpr =
+    copy(child = newChild)
+}
+
+object XxHash64ArrayExpr {
+
+  /** The shared fold — called per row from both interpreted eval and
+    * generated code (keeps the stage in whole-stage codegen). */
+  def hashSorted(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -45,7 +59,4 @@ case class XxHash64ArrayExpr(child: Expression)
     java.util.Arrays.sort(out)
     UnsafeArrayData.fromPrimitiveArray(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): XxHash64ArrayExpr =
-    copy(child = newChild)
 }
