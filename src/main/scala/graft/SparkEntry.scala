@@ -873,11 +873,13 @@ object SparkEntry {
     graft.dedup.Components.connectedComponentsStars(edges)
   }
 
-  /** Top-3 TF-IDF keywords per document (windowed, token tie-break).
-    * Single-pass shape: one corpus scan, df computed inline by a window
-    * over the tok exchange — no cache, no join (TfIdf.score scaladoc). */
+  /** Top-3 TF-IDF keywords per document (rank window with
+    * WindowGroupLimit, token tie-break). N rides as a literal from the
+    * memoized count — no scalar-subquery branch in the plan
+    * (TfIdf.score scaladoc). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
-    graft.functions.TfIdf.topKeywords(T(s, dir, "documents"), k = 3)
+    graft.functions.TfIdf.topKeywords(T(s, dir, "documents"), k = 3,
+      knownDocCount = Some(docCount(s, dir)))
 
   /** Deterministic stratified sample of events: per-type md5-threshold
     * rates (purchase ~100%, error 50%, click 25%, view 12.5%, signup

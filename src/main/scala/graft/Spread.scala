@@ -52,4 +52,22 @@ object Spread {
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     }
   }
+
+  /** Like [[apply]], but when a spread IS needed it hash-partitions on
+    * `key` instead of round-robin — same cost (one exchange of the same
+    * rows), but the resulting `HashPartitioning(key)` satisfies any
+    * downstream per-`key` window/aggregation's required distribution, so
+    * the planner drops THAT exchange (and its stage pair) from the plan.
+    * When the scan is already parallel enough no exchange is added and
+    * the downstream operator plans its own, exactly as without Spread —
+    * the optimization is opportunistic, never load-bearing. */
+  def byKey(df: DataFrame, key: String): DataFrame = {
+    if (!isScanChain(df.queryExecution.optimizedPlan)) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p)
+        df.repartition(p, org.apache.spark.sql.functions.col(key))
+      else df
+    }
+  }
 }

@@ -43,16 +43,14 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
   private val audits = Seq(
     // the star join: both dims broadcast, lineitem's single shuffle + agg
     Audit("q_join", maxExchange = 2, minBhj = 2, requirePushdown = true),
-    // window-free tfidf (r12): two spread consumers (ReusedExchange at
-    // matched projections; distinct pruned scans otherwise), ONE
-    // vocabulary-sized df aggregation exchange, ONE k-per-doc-cut typed
-    // top-k exchange; the n_docs scalar broadcast. NO analytic window —
-    // the former sort-under-window was the query's largest CPU line.
-    // exchanges: 2 conditional spreads + vocab df agg + the n_docs
-    // one-row count's SinglePartition + the k-per-doc-cut top-k = 5,
-    // none of them corpus-sorting and only the spreads corpus-SIZED
-    // (and those are no-ops at real file counts).
-    Audit("q_tfidf", maxExchange = 5, allowedBnlj = 1),
+    // tfidf (r12 final shape): the id-keyed spread (both consumers read
+    // the SAME exchange — identical subtrees since the key pins doc_id
+    // into both projections), ONE vocabulary-sized df aggregation
+    // exchange, a broadcast-hash join of the df table, and the top-k
+    // rank window rides the spread's HashPartitioning(doc_id) — NO
+    // window exchange, WindowGroupLimit cuts to k per doc pre-window.
+    // N is a caller literal: no scalar-subquery BNLJ branch either.
+    Audit("q_tfidf", maxExchange = 3, minBhj = 1, minWgl = 1),
     // cache-free LSH: spread + bucket agg + pair dedup
     Audit("q_dedup_minhash", maxExchange = 3),
     Audit("q_asof_join", maxExchange = 1, requirePushdown = true),
