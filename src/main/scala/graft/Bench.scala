@@ -121,9 +121,28 @@ object Bench {
     // persist deep into the timed suite.
     jitQuiesce(maxWaitMs = 90000)
 
+    // Warm-dir for the per-query re-warm below: smallest available SF.
+    val rewarmDir = {
+      val small = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(small)) small.toString else sfDir
+    }
+
     val diags = scala.collection.mutable.LinkedHashMap[String, Seq[Shot]]()
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
+      // Re-warm THIS query immediately before its timed shots (VERDICT
+      // r11 #1): the suite-start warmup compiles everything, but 30
+      // queries later this query's generated code has been deoptimized
+      // by profile pollution and its recompiles sit behind the whole
+      // suite's compile queue — mid-suite shots then run interpreted
+      // (r11: q_dedup_minhash 0.60->4.02s; r12 repro: q_ngram_jaccard
+      // 1.2->6.6s ONLY in full-suite position, cpu 30s for a 2s-CPU
+      // stage). A sf0.001 pass right here re-triggers exactly this
+      // query's compilations, and the quiesce in oneShot lets them
+      // finish before timing.
+      try { fn(spark, rewarmDir).count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.catalog.clearCache()
       def oneShot(shot: Int): Shot = {
         spark.catalog.clearCache() // every shot cold: no warm index reuse
         org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext, 10000)
