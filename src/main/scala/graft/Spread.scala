@@ -60,7 +60,13 @@ object Spread {
     * the planner drops THAT exchange (and its stage pair) from the plan.
     * When the scan is already parallel enough no exchange is added and
     * the downstream operator plans its own, exactly as without Spread —
-    * the optimization is opportunistic, never load-bearing. */
+    * the optimization is opportunistic, never load-bearing.
+    *
+    * `key` must be high-cardinality (a row id, not a category): hash
+    * partitioning spreads only as well as the key's distinct count, so
+    * a low-cardinality key would concentrate the very parallelism this
+    * exists to provide. Callers with categorical keys should use
+    * [[apply]] (round-robin) and let the downstream op exchange. */
   def byKey(df: DataFrame, key: String): DataFrame = {
     if (!isScanChain(df.queryExecution.optimizedPlan)) df
     else {
