@@ -246,16 +246,33 @@ object SparkEntry {
     }
   }
 
+  /** Schema-adaptive streaming read of the staged events dir: the driver
+    * has shipped `events.ts` both as TIMESTAMP(NANOS) (a BIGINT under
+    * nanosAsLong) and as plain TIMESTAMP_NTZ micros (see Tables.events);
+    * declare whichever the file actually has and normalize to
+    * micro-precision TimestampType under the UTC session timezone. */
+  private def eventsStream(s: SparkSession, srcDir: java.nio.file.Path): DataFrame = {
+    val tsIsLong = s.read.parquet(srcDir.toString).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (tsIsLong)
+      s.readStream
+        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(srcDir.toString)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else
+      s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(srcDir.toString)
+        .withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
+
   /** The SAME epoch-window aggregation, executed as a real Structured
     * Streaming job (file stream → watermark → windowed agg → memory sink,
     * AvailableNow trigger) — proving the streaming path produces the
     * batch-identical answer the oracle checks. */
   private def qStreamEpochs(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     val srcDir = stageEventsDir(dir)
-    val stream = s.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(srcDir.toString)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    val stream = eventsStream(s, srcDir)
     val agg = EventTime.generateEpochs(stream, "ts", "10 minutes")
       .groupBy(F.col("event_type"), F.window(F.col("ts"), "1 hour"))
       .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value"))
@@ -294,10 +311,8 @@ object SparkEntry {
   private def qStreamStateful(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     import s.implicits._
     val srcDir = stageEventsDir(dir)
-    val stream = s.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(srcDir.toString)
-      .select(F.col("event_id"), F.col("user_id"), F.expr("ts DIV 1000").as("ts_us"))
+    val stream = eventsStream(s, srcDir)
+      .select(F.col("event_id"), F.col("user_id"), F.unix_micros(F.col("ts")).as("ts_us"))
       .as[Ev]
     val logic = new StatefulLogic[Long, Ev, Long, RunningN] {
       def zero: Long = 0L
@@ -430,10 +445,7 @@ object SparkEntry {
     * arrival order. */
   private def qStreamJoin(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     val srcDir = stageEventsDir(dir)
-    def readEv() = s.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(srcDir.toString)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    def readEv() = eventsStream(s, srcDir)
     val errors = readEv().filter(F.col("event_type") === "error")
       .select(F.col("user_id").as("err_user"), F.col("event_id").as("err_id"),
         F.col("ts").as("t0"))

@@ -5,10 +5,13 @@ import org.apache.spark.sql.{functions => F}
 
 /** Canonical loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * All tables are plain parquet; `events.ts` is written as parquet
-  * TIMESTAMP(NANOS) which Spark rejects by default, so we read it with
-  * `spark.sql.legacy.parquet.nanosAsLong` and convert to a micro-precision
-  * timestamp (truncation — matches DuckDB's `CAST(ts AS TIMESTAMP)`).
+  * All tables are plain parquet. The driver has shipped `events.ts` in two
+  * physical shapes across rounds: parquet TIMESTAMP(NANOS) (which Spark
+  * rejects by default — read with `spark.sql.legacy.parquet.nanosAsLong`
+  * and truncate nanos→micros) and plain TIMESTAMP(MICROS) with
+  * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both normalize to the
+  * same micro-precision TimestampType under the UTC session timezone,
+  * matching DuckDB's `CAST(ts AS TIMESTAMP)` bit-for-bit.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,12 +24,18 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** events with `ts` converted nanos→micros TimestampType. */
+  /** events with `ts` normalized to micro-precision TimestampType,
+    * whichever physical shape the driver generated (see class doc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: UTC session tz makes the cast value-preserving
+        raw.withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
