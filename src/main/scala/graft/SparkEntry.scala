@@ -1149,15 +1149,17 @@ object SparkEntry {
     *
     * Index-build amortization mirrors the operator's production shape: the
     * history index is one-time persisted state, so only the FIRST call per
-    * (dir, source stamp) in a JVM pays `indexInit` + the shard append;
-    * later calls (bench shots 2+) probe the existing index with
-    * `updateIndex = false`. The result is hash-identical either way —
-    * after the first call's append the index holds old+shard signatures,
-    * and the extra (new, new) probe hits are exactly `within`'s pairs,
-    * absorbed by `incremental`'s distinct (the documented
-    * append-order-independence). What best-of-N then measures is the
-    * steady-state incremental read path: shard signatures + the
-    * exchange-free bucketed probe + within-shard buckets. */
+    * (dir, source stamp) in a JVM pays `indexInit`; every call probes with
+    * `updateIndex = false`, so the index the steady state measures holds
+    * EXACTLY the old corpus's signatures. (An appended shard would be
+    * hash-identical output — the extra (new, new) probe hits are `within`'s
+    * own pairs, absorbed by `incremental`'s distinct, the spec-pinned
+    * append-order-independence — but it would also double the probe-side
+    * bucket rows, so shots 2+ would time a polluted index, not the claimed
+    * "new shard vs existing corpus" operation. The append path itself is
+    * exercised by BucketedJoinSpec's staged-append test.) What best-of-N
+    * measures is the steady-state incremental read path: shard signatures +
+    * the exchange-free bucketed probe + within-shard buckets. */
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val old = docs.filter(F.col("doc_id") % 2 === 0)
@@ -1180,7 +1182,7 @@ object SparkEntry {
     // no column scan, on any shot — the steady state measures the probe.
     val nDocs = docCount(s, dir)
     val out = Dedup.incremental(fresh, "graft_sig_index",
-      knownNewCount = nDocs, updateIndex = !reuse,
+      knownNewCount = nDocs, updateIndex = false,
       knownIndexCount = nDocs * 8L) // 8 bands ⇒ ≤ 8 sig rows per doc
     incrementalStaged.set(key)
     out
