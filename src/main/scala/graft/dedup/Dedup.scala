@@ -180,7 +180,8 @@ object Dedup {
     * ≈ dup-cluster size ≈ 5), so small-sf results are unchanged. */
   private def candidatesFromSigs(sigs: DataFrame, idCol: String,
                                  maxBucket: Int = 100000,
-                                 knownBucketBound: Long = -1L): DataFrame = {
+                                 knownBucketBound: Long = -1L,
+                                 dedup: Boolean = true): DataFrame = {
     // Adaptive: a (band, sig) bucket holds at most one row per DOCUMENT
     // (each doc contributes exactly one signature per band), so any proven
     // bound on the document count bounds every bucket — callers pass
@@ -218,14 +219,17 @@ object Dedup {
     // its fan-out equals the self-join's output (Σ bucket²/2), so the
     // shape is no worse at scale, and bucket lists are bounded by the
     // prune above.
-    pruned.groupBy(F.col("band"), F.col("sig"))
+    val expanded = pruned.groupBy(F.col("band"), F.col("sig"))
       .agg(F.collect_list(F.col(idCol)).as("ids"))
       .filter(F.size(F.col("ids")) > 1)
       .select(F.explode(F.col("ids")).as("doc_a"), F.col("ids"))
       .select(F.col("doc_a"), F.explode(F.col("ids")).as("doc_b"))
       .filter(F.col("doc_a") < F.col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
+    // `dedup = false` lets a caller that distincts a UNION containing
+    // these pairs anyway (incremental) skip the extra exchange here —
+    // band-duplicate pairs merge in the caller's single distinct.
+    if (dedup) expanded.distinct() else expanded
   }
 
   // -------------------------------------------------- incremental dedup
@@ -302,7 +306,7 @@ object Dedup {
     // Same maxBucket as the probe side: a caller-tightened bound must
     // guard (new, new) pairs too, not silently fall back to the default.
     val within = candidatesFromSigs(newSigs, idCol, maxBucket = maxBucket,
-      knownBucketBound = knownNewCount)
+      knownBucketBound = knownNewCount, dedup = false)
     val pairs = cross.union(within.toDF("doc_a", "doc_b")).distinct()
     if (updateIndex)
       // Same write-partitioning alignment as Bucketing.writeBucketedBy:
