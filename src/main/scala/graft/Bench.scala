@@ -153,6 +153,10 @@ object Bench {
         // timed region by construction; bounded so a busy compiler can
         // never stall the suite.
         jitQuiesce(maxWaitMs = 10000)
+        // Collect the PREVIOUS execution's garbage outside the timed
+        // region: a full GC here is ~100-300 ms untimed, where letting it
+        // land mid-shot shows up as driver_gc_ms noise on this query.
+        System.gc()
         val load0 = loadavg1()
         val gc0 = graft.tools.StageMetricsListener.jvmGcMs()
         val (blocks0, bytes0) = graft.tools.StageMetricsListener.storedRddBytes(spark.sparkContext)
@@ -183,7 +187,10 @@ object Bench {
       }
       val base = (0 until runs).map(oneShot)
       val shots = scala.collection.mutable.ArrayBuffer(base: _*)
-      while (shots.length < math.max(3, runs) &&
+      // Disagreeing shots mean at least one was contended; take up to two
+      // extra so the minimum has a fair chance of landing on a quiet one
+      // (every shot is recorded in bench_stages.jsonl either way).
+      while (shots.length < math.max(4, runs) &&
              shots.map(_.sec).max / shots.map(_.sec).min > varianceBound)
         shots += oneShot(shots.length)
       diags(name) = shots.toSeq
