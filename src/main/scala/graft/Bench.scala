@@ -62,11 +62,14 @@ object Bench {
     // every timed shot still starts with clearCache(), and the warmup
     // runs on sf0.001-sized inputs where available (falling back to the
     // bench dir only if no smaller set exists).
-    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ == "1")) {
-      val warmDir = {
-        val small = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
-        if (java.nio.file.Files.isDirectory(small)) small.toString else sfDir
-      }
+    // Smallest-SF dir, shared by the suite warmup and the per-query
+    // re-warm below — ONE resolution so the two can't drift apart.
+    val warmDir = {
+      val small = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+      if (java.nio.file.Files.isDirectory(small)) small.toString else sfDir
+    }
+    val warmupOn = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ == "1")
+    if (warmupOn) {
       selected.foreach { name =>
         try { SparkEntry.queries(name)(spark, warmDir).count(); () }
         // Best-effort, but only for recoverable failures: an OOM here must
@@ -81,7 +84,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     // When the base shots disagree by more than this factor, the box was
     // noisy during at least one of them — take extra shots (up to
-    // best-of-max(3, runs)) so the minimum has a fair chance of landing
+    // best-of-max(4, runs)) so the minimum has a fair chance of landing
     // in a quiet window. (VERDICT r9: the regression cluster was
     // wait-not-work; the bench must make contention self-evident.)
     val varianceBound = 1.4
@@ -121,12 +124,6 @@ object Bench {
     // persist deep into the timed suite.
     jitQuiesce(maxWaitMs = 90000)
 
-    // Warm-dir for the per-query re-warm below: smallest available SF.
-    val rewarmDir = {
-      val small = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
-      if (java.nio.file.Files.isDirectory(small)) small.toString else sfDir
-    }
-
     val diags = scala.collection.mutable.LinkedHashMap[String, Seq[Shot]]()
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
@@ -139,10 +136,14 @@ object Bench {
       // 1.2->6.6s ONLY in full-suite position, cpu 30s for a 2s-CPU
       // stage). A sf0.001 pass right here re-triggers exactly this
       // query's compilations, and the quiesce in oneShot lets them
-      // finish before timing.
-      try { fn(spark, rewarmDir).count(); () }
-      catch { case scala.util.control.NonFatal(_) => () }
-      spark.catalog.clearCache()
+      // finish before timing. Honors the same SPARK_GRAFT_WARMUP=0
+      // opt-out as the suite warmup — cold/JIT-inclusive measurement
+      // must actually be cold.
+      if (warmupOn) {
+        try { fn(spark, warmDir).count(); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        spark.catalog.clearCache()
+      }
       def oneShot(shot: Int): Shot = {
         spark.catalog.clearCache() // every shot cold: no warm index reuse
         org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext, 10000)

@@ -847,7 +847,7 @@ object OracleSql {
         |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
         |    CASE WHEN a.doc_id IS NULL THEN 'added'
         |         WHEN b.doc_id IS NULL THEN 'removed'
-        |         WHEN a.text <> b.text THEN 'changed' END AS status
+        |         WHEN a.text IS DISTINCT FROM b.text THEN 'changed' END AS status
         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
         |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
 

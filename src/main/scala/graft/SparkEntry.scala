@@ -246,24 +246,24 @@ object SparkEntry {
     }
   }
 
-  /** Schema-adaptive streaming read of the staged events dir: the driver
-    * has shipped `events.ts` both as TIMESTAMP(NANOS) (a BIGINT under
-    * nanosAsLong) and as plain TIMESTAMP_NTZ micros (see Tables.events);
-    * declare whichever the file actually has and normalize to
-    * micro-precision TimestampType under the UTC session timezone. */
+  /** Schema-adaptive streaming read of the staged events dir: declare
+    * whichever physical ts shape the file actually has (the SAME
+    * Tables.tsShape dispatch the batch loader uses — a separate
+    * hand-rolled sniff here once lacked the adjusted-to-UTC branch, so a
+    * generator flip to TIMESTAMP(MICROS, adjusted) would have crashed only
+    * the stream gates) and normalize to micro-precision TimestampType. */
   private def eventsStream(s: SparkSession, srcDir: java.nio.file.Path): DataFrame = {
-    val tsIsLong = s.read.parquet(srcDir.toString).schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
-    if (tsIsLong)
-      s.readStream
-        .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(srcDir.toString)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    else
-      s.readStream
-        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-        .parquet(srcDir.toString)
-        .withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    // srcDir is the staged dir holding the events.parquet symlink, so the
+    // batch sniff reads the same footer the stream will.
+    val shape = Tables.tsShape(s, srcDir.toString)
+    val tsDdl = shape match {
+      case Tables.TsShape.NanosAsLong => "BIGINT"
+      case Tables.TsShape.Micros      => "TIMESTAMP"
+      case Tables.TsShape.Ntz         => "TIMESTAMP_NTZ"
+    }
+    Tables.normalizeTs(shape, s.readStream
+      .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir.toString))
   }
 
   /** The SAME epoch-window aggregation, executed as a real Structured
@@ -1183,7 +1183,9 @@ object SparkEntry {
     val nDocs = docCount(s, dir)
     val out = Dedup.incremental(fresh, "graft_sig_index",
       knownNewCount = nDocs, updateIndex = false,
-      knownIndexCount = nDocs * 8L) // 8 bands ⇒ ≤ 8 sig rows per doc
+      // ≤ bands sig rows per doc; DefaultBands (not a literal) so the
+      // bound tracks the operator default it derives from.
+      knownIndexCount = nDocs * Dedup.DefaultBands.toLong)
     incrementalStaged.set(key)
     out
   }

@@ -24,18 +24,47 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
+  /** The physical shape `events.ts` was generated with. ONE dispatch point
+    * shared by the batch loader below and the streaming reader
+    * (SparkEntry.eventsStream) — two hand-rolled copies of this sniff
+    * diverged once already (the streaming copy lacked the adjusted-to-UTC
+    * branch, so a generator flip would have crashed only the stream gates). */
+  sealed trait TsShape
+  object TsShape {
+    case object NanosAsLong extends TsShape // TIMESTAMP(NANOS), BIGINT under nanosAsLong
+    case object Micros extends TsShape      // TIMESTAMP(MICROS), isAdjustedToUTC=true
+    case object Ntz extends TsShape         // TIMESTAMP(MICROS), isAdjustedToUTC=false
+  }
+
+  /** Sniff the on-disk ts type of `<dir>/events.parquet` (footer-only read;
+    * requires nanosAsLong already set, as [[events]] and the streaming
+    * reader both do). */
+  def tsShape(spark: SparkSession, dir: String): TsShape = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType      => TsShape.NanosAsLong
+      case org.apache.spark.sql.types.TimestampType => TsShape.Micros
+      case _                                        => TsShape.Ntz
+    }
+  }
+
+  /** Normalize a frame's `ts` column of the given shape to micro-precision
+    * TimestampType (integral `DIV` for the nanos truncation — a double
+    * division would lose precision on large nano epochs; UTC session tz
+    * makes the NTZ cast value-preserving). */
+  def normalizeTs(shape: TsShape, df: DataFrame): DataFrame = shape match {
+    case TsShape.NanosAsLong =>
+      df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    case TsShape.Micros => df
+    case TsShape.Ntz =>
+      df.withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
+
   /** events with `ts` normalized to micro-precision TimestampType,
     * whichever physical shape the driver generated (see class doc). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ: UTC session tz makes the cast value-preserving
-        raw.withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
-    }
+    val shape = tsShape(spark, dir)
+    normalizeTs(shape, spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")

@@ -19,6 +19,14 @@ import graft.functions.expressions.ShingleExpr
   */
 object Dedup {
 
+  /** Default MinHash band count, shared by every `bands: Int = DefaultBands`
+    * parameter below. Callers deriving index-size bounds (rows = docs ×
+    * bands) must use THIS constant, not a literal 8 — a literal silently
+    * stops being an upper bound if the default ever changes, and an
+    * under-bound skips the degenerate-bucket guard exactly when it
+    * matters. */
+  val DefaultBands = 8
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest doc id (the canonical survivor) + the duplicate count.
     * sha256 group keys are uniform → no skew; fully map-side combinable. */
@@ -125,7 +133,7 @@ object Dedup {
     * only near-identical docs collide), so the within-bucket pair blow-up is
     * quadratic only in true-duplicate cluster size. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        shingleN: Int = 3, bands: Int = 8,
+                        shingleN: Int = 3, bands: Int = DefaultBands,
                         knownDocCount: Long = -1L,
                         maxBucket: Int = 100000): DataFrame = {
     // Cache-free single-consumer pipeline (round 9): with the bucket
@@ -247,7 +255,7 @@ object Dedup {
     * the documents it summarizes, and the only thing 100 TB of history
     * needs to keep hot). */
   def indexInit(docs: DataFrame, table: String, idCol: String = "doc_id",
-                textCol: String = "text", shingleN: Int = 3, bands: Int = 8,
+                textCol: String = "text", shingleN: Int = 3, bands: Int = DefaultBands,
                 buckets: Int = 32): Unit =
     graft.sources.Bucketing.writeBucketedBy(
       minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands),
@@ -270,7 +278,7 @@ object Dedup {
     * union restricted to pairs with a new member — q_dedup_incremental
     * gates exactly that equality hash-exact. */
   def incremental(newDocs: DataFrame, indexTable: String, idCol: String = "doc_id",
-                  textCol: String = "text", shingleN: Int = 3, bands: Int = 8,
+                  textCol: String = "text", shingleN: Int = 3, bands: Int = DefaultBands,
                   buckets: Int = 32, knownNewCount: Long = -1L,
                   updateIndex: Boolean = true,
                   maxBucket: Int = 100000,
@@ -344,7 +352,7 @@ object Dedup {
     *     the SQL oracle has no cap, so a binding cap at oracle scale
     *     would be a correctness bug, not a tuning choice.) */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 3, bands: Int = 8, minJaccard: Double = 0.0,
+                   shingleN: Int = 3, bands: Int = DefaultBands, minJaccard: Double = 0.0,
                    dfCap: Int = 100000): DataFrame = graft.CacheScope.scoped {
     // ONE per-doc table (id, arr, n, sigs) drives everything — df cap,
     // counts, signatures, intersections. Built with ZERO shuffles beyond

@@ -135,10 +135,17 @@ object Sketches {
     // dropDuplicates here trips AT TRIBUTE_NOT_FOUND inside Spark 4.1's
     // dedup→aggregate rewrite when a window follows it.
     val others = samples.columns.filterNot(c => keys.contains(c) || c == "qs_key")
-    samples.groupBy((keys :+ "qs_key").map(F.col): _*)
-      .agg(F.first(others.head).as(others.head),
-        others.tail.map(c => F.first(c).as(c)): _*)
-      .select(samples.columns.map(F.col): _*)
+    // A sample table projected down to (keys..., qs_key) has no payload to
+    // F.first over — collapse replays with a bare groupBy instead of
+    // crashing on others.head.
+    val collapsed =
+      if (others.isEmpty)
+        samples.groupBy((keys :+ "qs_key").map(F.col): _*)
+          .agg(F.count(F.lit(1)).as("_qs_merge_n")).drop("_qs_merge_n")
+      else samples.groupBy((keys :+ "qs_key").map(F.col): _*)
+        .agg(F.first(others.head).as(others.head),
+          others.tail.map(c => F.first(c).as(c)): _*)
+    collapsed.select(samples.columns.map(F.col): _*)
       .withColumn("qs_rn", F.row_number().over(
         Window.partitionBy(keys.map(F.col): _*).orderBy(F.col("qs_key"))))
       .filter(F.col("qs_rn") <= k)

@@ -60,8 +60,12 @@ object TokenTfExpr {
 
   /** Eval-count probe (local mode shares the JVM): the fold must run once
     * per DOCUMENT — tools/EvalCount detects per-output-row re-evaluation.
-    * One uncontended atomic add per document, noise at any scale. */
-  val evals = new java.util.concurrent.atomic.AtomicLong
+    * LongAdder, not AtomicLong: 32 executor threads increment per document
+    * in the hot path, and a single CAS cache line is real cross-core
+    * contention in exactly the stage this expression was tuned for.
+    * (Executor-side statics never reach the driver on a real cluster —
+    * the probe is meaningful in local mode only, which is where it runs.) */
+  val evals = new java.util.concurrent.atomic.LongAdder
 
   // exactly RE2 \s = [ \t\n\f\r], the delimiter class of the oracle's
   // string_split_regex. NOT Java \s: Java adds \x0B (vertical tab), which
@@ -73,7 +77,7 @@ object TokenTfExpr {
   /** The shared fold — called per DOCUMENT from both interpreted eval and
     * generated code. */
   def tokenTf(input: UTF8String): GenericArrayData = {
-    evals.incrementAndGet()
+    evals.increment()
     val text = input.toLowerCase.toString
     // insertion-ordered counts: LinkedHashMap keeps first-occurrence order
     val counts = mutable.LinkedHashMap.empty[String, Long]

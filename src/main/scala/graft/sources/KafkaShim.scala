@@ -84,9 +84,13 @@ object KafkaShim {
     }
   }
 
-  /** Streaming read (file-stream over the topic directory). */
+  /** Streaming read (file-stream over the topic directory). Same
+    * partition-column re-projection as [[read]]: directory discovery moves
+    * `partition` to the end of the schema, and the drop-in contract is the
+    * canonical broker column ORDER, not just the column set. */
   def readStream(spark: SparkSession, root: String, topic: String): DataFrame =
     spark.readStream.schema(schemaDDL).parquet(topicPath(root, topic))
+      .select("partition", "offset", "key", "value", "ts")
 
   /** True when Spark's real Kafka connector is on the classpath (the
     * spark-sql-kafka-0-10 jar does not ship in this container). */

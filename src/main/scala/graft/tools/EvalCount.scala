@@ -16,10 +16,10 @@ object EvalCount {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables(spark, dir, "documents").count()
-    graft.functions.expressions.TokenTfExpr.evals.set(0L)
+    graft.functions.expressions.TokenTfExpr.evals.reset()
     val rows = graft.SparkEntry.queries(name)(spark, dir).count()
     println(s"RESULT docs=$docs out_rows=$rows " +
-      s"tokentf_evals=${graft.functions.expressions.TokenTfExpr.evals.get()}")
+      s"tokentf_evals=${graft.functions.expressions.TokenTfExpr.evals.sum()}")
     spark.stop()
   }
 }
