@@ -85,6 +85,24 @@ class KafkaContractSpec extends AnyFunSuite with SparkFixture {
     assert(hwm == Seq((0, 3L), (1, 0L)), s"append broke the offset log: $hwm")
   }
 
+  test("readStream keeps the canonical broker column ORDER, not just the set") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_kafka_stream_").toString
+    KafkaShim.write(
+      Seq((0, "k", "v", Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("partition", "key", "value", "ts"),
+      root, "t", orderCols = Seq("ts"))
+    // Directory-partition discovery moves the `partition` column to the
+    // END of an inferred schema; the shim must re-project so positional
+    // consumers (r.getInt(0)) and a format("kafka") swap read identically.
+    val streamed = KafkaShim.readStream(spark, root, "t")
+    assert(streamed.isStreaming, "readStream must return a streaming frame")
+    assert(streamed.schema.map(f => (f.name, f.dataType)) ==
+      org.apache.spark.sql.types.StructType.fromDDL(KafkaShim.schemaDDL)
+        .map(f => (f.name, f.dataType)),
+      s"streaming column order drifted: ${streamed.schema.toDDL}")
+  }
+
   test("readAuto without a broker address falls back to the file shim") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_kafka_auto_").toString

@@ -55,6 +55,46 @@ class TablesSpec extends AnyFunSuite with SparkFixture {
     assert(readMicros(dir) == microsUtc.sorted)
   }
 
+  test("a stream gate runs on every ts shape, batch-identical") {
+    // The streaming reader once hand-rolled its own shape sniff and lacked
+    // the adjusted-to-UTC branch — a generator flip would have crashed
+    // only the stream gates. Drive q_stream_epochs over a micros-TIMESTAMP
+    // events dir and pin it row-identical to the batch epoch aggregation.
+    val dir = stage("gate") { d =>
+      import spark.implicits._
+      // The generator ships events.parquet as a single FILE (the staged
+      // stream dir symlinks it); write to a scratch dir and move the one
+      // part-file into place.
+      val scratch = s"$d/_scratch"
+      microsUtc.toDF("us")
+        .select(
+          F.monotonically_increasing_id().as("event_id"),
+          F.timestamp_micros(F.col("us")).as("ts"),
+          F.lit(7L).as("user_id"),
+          F.lit("click").as("event_type"),
+          F.lit(1.5).as("value"),
+          F.lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+    }
+    val got = SparkEntry.queries("q_stream_epochs")(spark, dir)
+      .select("event_type", "window_start", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "stream gate returned no rows on micros-TIMESTAMP events")
+    val batch = Tables.events(spark, dir)
+      .groupBy(F.col("event_type"), F.window(F.col("ts"), "1 hour"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(
+        F.col("event_type"),
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        F.col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch, s"stream/batch divergence: $got vs $batch")
+  }
+
   test("events.ts as nano-epoch BIGINT truncates nanos to micros") {
     // The legacy generator shape: parquet TIMESTAMP(NANOS), which Spark
     // surfaces as LongType under nanosAsLong. Writing a plain BIGINT
