@@ -285,14 +285,20 @@ object OracleSql {
     // Same invariant for the NEAR-dup stream: one row per distinct FULL
     // minhash band vector (the state key of dedupMinhashStream), the
     // vector being the concat of the 8 per-doc KM band signatures the
-    // minhash CTE computes. Docs with <3 tokens have no vector and are
-    // filtered by the operator — mirrored by the mh CTE's len(w) >= 3.
+    // minhash CTE computes. Docs with <3 tokens have no vector and dedup
+    // EXACTLY on 'short:' + sha256(text) — the operator's fallback key.
     "q_stream_dedup_minhash" ->
       (minhashCtes +
         """, sel AS (
           |  SELECT DISTINCT string_agg(sig, '|' ORDER BY b) AS band_vector
-          |  FROM mh GROUP BY doc_id)
-          |SELECT band_vector, CAST(1 AS BIGINT) AS n_out FROM sel""".stripMargin),
+          |  FROM mh GROUP BY doc_id),
+          |shorts AS (
+          |  SELECT DISTINCT 'short:' || sha256(text) AS band_vector
+          |  FROM tok JOIN documents USING (doc_id)
+          |  WHERE len(w) < 3 AND text IS NOT NULL)
+          |SELECT band_vector, CAST(1 AS BIGINT) AS n_out FROM sel
+          |UNION ALL
+          |SELECT band_vector, CAST(1 AS BIGINT) AS n_out FROM shorts""".stripMargin),
 
     "q_stream_epochs" ->
       s"""SELECT event_type,

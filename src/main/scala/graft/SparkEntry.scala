@@ -419,7 +419,10 @@ object SparkEntry {
     val ckpt = scratchCheckpoint(qname)
     try {
       val q =
-        try survivors.select(F.concat_ws("|", sigArr).as("band_vector")).writeStream
+        try survivors.select(F.coalesce(
+            F.nullif(F.concat_ws("|", sigArr), F.lit("")),
+            F.concat(F.lit("short:"), F.sha2(F.col("text"), 256))).as("band_vector"))
+          .writeStream
           .format("memory").queryName(qname)
           .option("checkpointLocation", ckpt)
           .outputMode("append")

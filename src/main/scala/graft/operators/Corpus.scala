@@ -34,9 +34,12 @@ object Corpus {
     * side of the exchange free.
     *
     * Ties on (`versionCol`) fall to the update side; ties within the same
-    * side and version are resolved by the payload struct's ordering —
+    * side and version are resolved by the ORDERABLE payload columns —
     * callers wanting strict determinism keep (id, version) unique per
-    * side, which real ingest pipelines do by construction. */
+    * side, which real ingest pipelines do by construction. Unorderable
+    * payload types (maps, or structs containing them) ride along as
+    * max_by VALUES without participating in the ordering, so a
+    * metadata MAP column doesn't fail analysis. */
   def upsert(base: DataFrame, updates: DataFrame, idCol: String = "doc_id",
              versionCol: String = "version"): DataFrame = {
     val cols = base.columns.toSeq
@@ -45,11 +48,17 @@ object Corpus {
     val rest = cols.filterNot(_ == idCol)
     def tagged(df: DataFrame, side: Int) =
       df.select(cols.map(F.col): _*).withColumn("_side", F.lit(side))
+    val schema = base.schema
+    val orderableRest = rest.filterNot(_ == versionCol).filter { c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(schema(c).dataType)
+    }
     val ordered = F.struct(
-      (Seq(versionCol, "_side") ++ rest.filterNot(_ == versionCol)).map(F.col): _*)
+      (Seq(versionCol, "_side") ++ orderableRest).map(F.col): _*)
+    val payload = F.struct(rest.map(F.col): _*)
     tagged(base, 0).unionByName(tagged(updates, 1))
       .groupBy(F.col(idCol))
-      .agg(F.max(ordered).as("_w"))
+      .agg(F.max_by(payload, ordered).as("_w"))
       .select(F.col(idCol) +: rest.map(c => F.col(s"_w.$c").as(c)): _*)
   }
 

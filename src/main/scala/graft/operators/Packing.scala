@@ -47,13 +47,19 @@ object Packing {
   }
 
   /** Greedy sequential packing: within each `groupCol` stratum, documents
-    * (in `idCol` order) accumulate into bins of at most `budget` tokens —
+    * (in `idCol` order) accumulate into bins of `budget` tokens —
     * bin id = floor(exclusive-prefix-sum / budget) over the running token
-    * count, the streaming-friendly approximation of first-fit packing
-    * (a document longer than `budget` gets a bin of its own and overflows
-    * it; chunk first if that matters). One window pass per stratum: the
-    * shuffle key is `groupCol`, state is a running sum — the same shape at
-    * 100 TB with a date/shard column as the stratum.
+    * count, the streaming-friendly approximation of first-fit packing.
+    * Bins are budget-SIZED, not budget-CAPPED: a document whose tokens
+    * straddle a budget boundary stays in the bin it started in (bin_pos +
+    * n_tokens may exceed `budget` by up to one document's length — true
+    * capped first-fit needs sequential state per stratum, not a prefix
+    * sum). Fixed-context consumers should [[chunk]] first so no document
+    * exceeds the overflow they can absorb, or read contiguously by
+    * (bin, bin_pos) where the boundary doc simply spills into the next
+    * window. One window pass per stratum: the shuffle key is `groupCol`,
+    * state is a running sum — the same shape at 100 TB with a date/shard
+    * column as the stratum.
     *
     * Output: (group, id, n_tokens, bin, bin_pos). */
   def pack(docs: DataFrame, budget: Long, groupCol: String = "source",

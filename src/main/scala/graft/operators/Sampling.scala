@@ -103,7 +103,10 @@ object Sampling {
     * N docs per domain/source"), deterministic: the survivors are the n
     * smallest md5(id) in the group, a function of the data alone, so the
     * cap is stable across partitionings, engines and reruns (unlike a
-    * LIMIT, whose pick is arrival order).
+    * LIMIT, whose pick is arrival order). Determinism requires `idCol`
+    * unique within each group: rows SHARING an id share a rank key, and
+    * which physical row survives a cut between them is arrival order —
+    * exact-dedup first if ids can repeat.
     *
     * Scale shape: the rank window runs as a WindowGroupLimit — each map
     * task keeps at most n rows per group BEFORE the one exchange, so a

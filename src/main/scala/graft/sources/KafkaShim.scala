@@ -47,7 +47,11 @@ object KafkaShim {
       F.col("key").cast("string").as("key"),
       F.col("value").cast("string").as("value"),
       F.col("ts").cast("timestamp").as("ts"))
-    val exists = new java.io.File(topicPath(root, topic)).exists()
+    // Hadoop FS, not java.io.File: on hdfs:// or s3a:// roots a local-FS
+    // existence probe is always false, which would silently skip the
+    // high-water-mark shift and hand appended records duplicate offsets.
+    val tp = new org.apache.hadoop.fs.Path(topicPath(root, topic))
+    val exists = tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp)
     val shifted =
       if (mode == SaveMode.Append && exists) {
         val base = endOffsets(spark, root, topic)
@@ -101,12 +105,24 @@ object KafkaShim {
     } catch { case _: ClassNotFoundException => false }
 
   /** Kafka `startingOffsets` JSON for a topic (inclusive per-partition
-    * offsets — identical contract to [[read]]'s map). */
+    * offsets — identical contract to [[read]]'s map).
+    *
+    * `allPartitions`: the topic's full partition set when known. Spark's
+    * Kafka source REQUIRES every TopicPartition to appear once any
+    * specific offset is given, while the file shim defaults absent
+    * partitions to "from 0" — so unlisted partitions are filled with -2
+    * (the connector's `earliest` sentinel) to keep the two paths
+    * behaviorally identical. Without `allPartitions` a partial map is
+    * emitted as-is, and the broker will reject it — callers resuming a
+    * subset of partitions against a real broker must pass the set. */
   private[graft] def brokerStartingOffsetsJson(
-      topic: String, startingOffsets: Map[Int, Long]): String =
+      topic: String, startingOffsets: Map[Int, Long],
+      allPartitions: Set[Int] = Set.empty): String =
     if (startingOffsets.isEmpty) "earliest"
     else {
-      val parts = startingOffsets.toSeq.sortBy(_._1)
+      val filled = startingOffsets ++
+        (allPartitions -- startingOffsets.keySet).map(_ -> -2L)
+      val parts = filled.toSeq.sortBy(_._1)
         .map { case (p, o) => s""""$p": $o""" }.mkString(", ")
       s"""{"$topic": {$parts}}"""
     }
@@ -121,13 +137,15 @@ object KafkaShim {
       root: String,
       topic: String,
       startingOffsets: Map[Int, Long] = Map.empty,
-      bootstrapServers: Option[String] = None): DataFrame =
+      bootstrapServers: Option[String] = None,
+      allPartitions: Set[Int] = Set.empty): DataFrame =
     bootstrapServers match {
       case Some(servers) if kafkaJarPresent =>
         fromBrokerSchema(spark.read.format("kafka")
           .option("kafka.bootstrap.servers", servers)
           .option("subscribe", topic)
-          .option("startingOffsets", brokerStartingOffsetsJson(topic, startingOffsets))
+          .option("startingOffsets",
+            brokerStartingOffsetsJson(topic, startingOffsets, allPartitions))
           .load())
       case _ => read(spark, root, topic, startingOffsets)
     }

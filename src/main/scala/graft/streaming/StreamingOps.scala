@@ -32,7 +32,12 @@ object StreamingOps {
     * — the state store holds one sha-256 entry per distinct document seen
     * within the watermark horizon, then evicts, so a continuous 100 TB/day
     * ingest dedups with bounded state instead of an ever-growing hash set
-    * (the streaming face of [[graft.dedup.Dedup.exact]]). */
+    * (the streaming face of [[graft.dedup.Dedup.exact]]).
+    *
+    * The `content_hash` column stays in the output DELIBERATELY (unlike
+    * [[dedupMinhashStream]]'s internal key): it is the exact-dedup
+    * fingerprint downstream consumers key survivor bookkeeping on, and
+    * recomputing sha-256 over 100 TB to recover it would be pure waste. */
   def dedupExactStream(docs: DataFrame, tsCol: String, delay: String,
                        textCol: String = "text"): DataFrame =
     docs
@@ -51,7 +56,9 @@ object StreamingOps {
     * each cluster's FIRST representative. Candidacy here uses the full
     * band vector (all bands must be new), the conservative variant that
     * never drops a non-duplicate: docs agreeing on every band are
-    * near-identical by construction. */
+    * near-identical by construction. Docs with fewer than `shingleN`
+    * tokens have no band vector and dedup EXACTLY (keyed on
+    * `short:` + sha-256 of the text) rather than being dropped. */
   def dedupMinhashStream(docs: DataFrame, tsCol: String, delay: String,
                          textCol: String = "text", shingleN: Int = 3,
                          bands: Int = 8): DataFrame = {
@@ -61,8 +68,14 @@ object StreamingOps {
       ColumnBridge.expression(ColumnBridge.column(
         ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))), bands))
     docs
-      .withColumn("mh_sig", F.concat_ws("|", sigArr))
-      .filter(F.col("mh_sig").isNotNull && F.length(F.col("mh_sig")) > 0)
+      // Docs too short to shingle (< shingleN tokens) have no band vector;
+      // they fall back to an EXACT-dedup key instead of being dropped —
+      // a streaming corpus of tweets must not lose every short document.
+      // (NULL text still filters out: sha2(NULL) is NULL on both engines.)
+      .withColumn("mh_sig", F.coalesce(
+        F.nullif(F.concat_ws("|", sigArr), F.lit("")),
+        F.concat(F.lit("short:"), F.sha2(F.col(textCol), 256))))
+      .filter(F.col("mh_sig").isNotNull)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("mh_sig")
       .drop("mh_sig")

@@ -25,8 +25,11 @@ object EventTime {
 
   /** Tumbling event-time window aggregation (the epoch-aligned agg of
     * examples/event_time.rs). Works for batch and streaming alike. */
-  def tumblingAgg(df: DataFrame, ts: Column, width: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+  def tumblingAgg(df: DataFrame, ts: Column, width: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    require(aggs.nonEmpty,
+      "tumblingAgg needs at least one aggregate; for a bare windowed grouping pass count(lit(1))")
     df.groupBy(keys :+ F.window(ts, width): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** inspect_frontier.rs — the maximum event time observed, per key (or
     * globally with `keys = Nil`). */

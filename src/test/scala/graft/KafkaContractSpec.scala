@@ -54,6 +54,11 @@ class KafkaContractSpec extends AnyFunSuite with SparkFixture {
     // so the option string is deterministic.
     assert(KafkaShim.brokerStartingOffsetsJson("events", Map(1 -> 7L, 0 -> 3L)) ==
       """{"events": {"0": 3, "1": 7}}""")
+    // Partial map + known partition set: the broker REQUIRES every
+    // TopicPartition once any offset is specific; unlisted partitions get
+    // -2 (earliest), matching the file shim's "absent = from 0" default.
+    assert(KafkaShim.brokerStartingOffsetsJson("events", Map(0 -> 3L), Set(0, 1, 2)) ==
+      """{"events": {"0": 3, "1": -2, "2": -2}}""")
   }
 
   test("file shim honors the inclusive startingOffsets contract like the broker") {

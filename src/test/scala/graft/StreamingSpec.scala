@@ -137,13 +137,17 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       input.toDS().toDF("ts", "text"), "ts", "10 seconds")
     val q = out.writeStream.format("memory").queryName("mh_stream")
       .outputMode("append").start()
-    input.addData(ts(0) -> a, ts(1) -> b)
+    input.addData(ts(0) -> a, ts(1) -> b, ts(1) -> "hi")
     q.processAllAvailable()
-    input.addData(ts(2) -> a) // identical doc → same band vector → dropped
+    input.addData(ts(2) -> a)    // identical doc → same band vector → dropped
+    input.addData(ts(3) -> "hi") // short doc re-send → exact-key fallback → dropped
     q.processAllAvailable()
     val texts = spark.table("mh_stream").select("text").as[String].collect().toSeq
     q.stop()
-    assert(texts.sorted == Seq(a, b).sorted, s"expected one survivor per doc: $texts")
+    // A doc too short to shingle (< 3 tokens) must SURVIVE (exact-dedup
+    // fallback), not vanish from the corpus.
+    assert(texts.sorted == Seq(a, b, "hi").sorted,
+      s"expected one survivor per doc incl. the short one: $texts")
   }
 
   test("checkpointed query resumes state after a restart") {
