@@ -193,7 +193,16 @@ object Ann {
     * to [[graft.ann.Pq.train]] / [[graft.ann.Pq.topK]]. */
   def trainCentroids(corpus: DataFrame, idCol: String = "vec_id",
                      embCol: String = "embedding", cells: Int = 16,
-                     sampleN: Int = 512, iters: Int = 2): Array[Array[Double]] = {
+                     sampleN: Int = 512, iters: Int = 2): Array[Array[Double]] =
+    trainCentroidsFromSample(
+      collectDenseSample(corpus, idCol, embCol, sampleN, cells), cells, iters)
+
+  /** The bounded training collect shared by every trainer: the first
+    * `sampleN` vectors by id, dense-id `require`-checked. ONE job — PQ
+    * slices this per subspace on the driver instead of re-collecting. */
+  private[ann] def collectDenseSample(corpus: DataFrame, idCol: String,
+                                      embCol: String, sampleN: Int,
+                                      cells: Int): Array[Array[Double]] = {
     val sampled = corpus
       .filter(F.col(idCol) < sampleN)
       .orderBy(F.col(idCol))
@@ -209,6 +218,14 @@ object Ann {
       require(sampled(j).getLong(0) == j.toLong,
         s"IVF training requires dense ids 0..${cells - 1}; position $j has id ${sampled(j).getLong(0)}")
     }
+    sample
+  }
+
+  /** Driver-side deterministic Lloyd over an in-memory sample (the
+    * corpus-size-independent half of [[trainCentroids]]). */
+  private[ann] def trainCentroidsFromSample(sample: Array[Array[Double]],
+                                            cells: Int,
+                                            iters: Int): Array[Array[Double]] = {
     val dim = sample(0).length
     var cent: Array[Array[Double]] = Array.tabulate(cells)(j => sample(j).clone())
     def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -303,15 +320,20 @@ object Ann {
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     def cellScores(e: Column): Column = centroidScores(centroids, e, native)
     def bestCell(e: Column): Column = nearestCentroid(centroids, e, native)
-    // top-`probes` cell ids per query: sort (score, idx) pairs descending
+    // top-`probes` cell ids per query: sort (score, idx) pairs descending.
+    // The idx is NEGATED inside the sort struct so the reversed ascending
+    // sort yields (score DESC, idx ASC) — the same lowest-id tie-break as
+    // nearestCentroid and the oracle's `ORDER BY sc DESC, cid ASC`; a raw
+    // reverse would tie-break HIGHEST-id and could probe a different cell
+    // set than the one a tied corpus vector was assigned to.
     def probeCells(e: Column): Column = {
       val sc = cellScores(e)
       val zipped = F.zip_with(
         sc, F.sequence(F.lit(0), F.lit(cells - 1)),
-        (s, i) => F.struct(s.as("s"), i.as("i")))
+        (s, i) => F.struct(s.as("s"), (-i).as("ni")))
       F.transform(
         F.slice(F.reverse(F.array_sort(zipped)), 1, probes),
-        p => p.getField("i"))
+        p => -p.getField("ni"))
     }
     // Spread the corpus scan: cell assignment is `cells` dot products per
     // row (~0.75s CPU single-task on the one-split sf0.1 scan, measured
@@ -347,12 +369,22 @@ object Ann {
   * Spark runs it with partial aggregation → map-side combine, which is what
   * makes the brute scan viable at corpus scale. */
 class TopKAgg(k: Int) extends Aggregator[(Long, (Double, Long)), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  // NaN scores rank FIRST (as the largest double), matching the window
+  // formulation's `orderBy(cosine.desc)` — a plain Ordering.by(-s) would
+  // sort NaN last and the two documented-identical paths would disagree
+  // on any zero-norm (NaN-cosine) vector.
+  private def sortKey(s: Double): Double =
+    if (s.isNaN) Double.NegativeInfinity else -s
   private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (sortKey(s), id) }
 
   override def zero: Seq[(Double, Long)] = Seq.empty
+  // The buffer is kept sorted (trim's postcondition), so the common case —
+  // a row no better than the current worst of a full buffer — is a single
+  // comparison, not a k+1-element sort per corpus row.
   override def reduce(buf: Seq[(Double, Long)], in: (Long, (Double, Long))): Seq[(Double, Long)] =
-    trim(buf :+ in._2)
+    if (buf.size == k && ord.gteq(in._2, buf.last)) buf
+    else trim(buf :+ in._2)
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
   override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)

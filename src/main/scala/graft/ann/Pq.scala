@@ -41,11 +41,15 @@ object Pq {
             sampleN: Int = 512, iters: Int = 2): PqModel = {
     require(dim % subspaces == 0, s"subspaces must divide dim: $subspaces / $dim")
     val subDim = dim / subspaces
+    // ONE training collect, sliced per subspace on the driver — the
+    // previous per-subspace trainCentroids calls ran `subspaces` identical
+    // sample-collect jobs over the same rows (slicing before or after the
+    // collect commutes, so results are bit-identical).
+    val sample = Ann.collectDenseSample(corpus, idCol, embCol, sampleN, codebookSize)
     val books = (0 until subspaces).map { m =>
-      val sliced = corpus.select(
-        F.col(idCol),
-        F.slice(F.col(embCol), m * subDim + 1, subDim).as(embCol))
-      Ann.trainCentroids(sliced, idCol, embCol, codebookSize, sampleN, iters)
+      val sliced = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
+      Ann.trainCentroidsFromSample(sliced, codebookSize, iters)
     }.toArray
     PqModel(subspaces, subDim, books)
   }
@@ -68,7 +72,7 @@ object Pq {
            sampleN: Int = 512, iters: Int = 2): DataFrame = {
     val model = train(corpus, idCol, embCol, dim, subspaces, codebookSize, sampleN, iters)
     val codes = encode(corpus, model, idCol, embCol)
-      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"), F.col("codes"))
+      .select(F.col(idCol).as("neighbor_id"), F.col("codes"))
     val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"))
     val adc = ColumnBridge.column(PqAdcExpr(
       ColumnBridge.expression(F.col("q_emb")),
@@ -80,12 +84,22 @@ object Pq {
       .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
     def dot(a: Column, b: Column) = graft.functions.VectorFunctions.dotF(a, b)
     def nrm(e: Column) = F.sqrt(dot(e, e))
-    codes.join(F.broadcast(q))
+    // First stage carries (query_id, neighbor_id, adc) ONLY: the window
+    // exchange over |corpus| x |queries| candidate rows must ship ~24
+    // bytes/row, not two full embeddings — "scores codes, not vectors" has
+    // to hold for the shuffle too, or PQ's whole memory story is fiction.
+    val survivors = codes.join(F.broadcast(q.select(F.col("query_id"), F.col("q_emb"))))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
-      .select(F.col("query_id"), F.col("neighbor_id"), F.col("q_emb"), F.col("c_emb"),
-        adc.as("adc"))
+      .select(F.col("query_id"), F.col("neighbor_id"), adc.as("adc"))
       .withColumn("arn", F.row_number().over(wAdc))
       .filter(F.col("arn") <= rerank)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+    // Only the <= queries x rerank survivors touch real vectors: broadcast
+    // them against the corpus (corpus-driven BHJ, no corpus shuffle), then
+    // broadcast the query vectors back for the exact-cosine rerank.
+    corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"))
+      .join(F.broadcast(survivors), Seq("neighbor_id"))
+      .join(F.broadcast(q), Seq("query_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         F.round(dot(F.col("q_emb"), F.col("c_emb")) /
           (nrm(F.col("q_emb")) * nrm(F.col("c_emb"))), 6).as("cosine"))

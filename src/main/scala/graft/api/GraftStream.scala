@@ -190,12 +190,24 @@ final class KeyedGraftStream private[api] (
   }
 
   /** Keyed equi-join (examples/joining_streams.rs). Broadcasts the build
-    * side when `broadcastRight` — the 100 TB path for dimension joins. */
+    * side when `broadcastRight` — the 100 TB path for dimension joins.
+    *
+    * Each side's key expressions are materialized as aliased columns on
+    * THAT side before the join: a raw `l === r` condition with same-named
+    * keys (`keyLocal(col("k"))` on both) is an unresolvable ambiguous
+    * reference, since either unresolved attribute matches both sides. */
   def join(other: KeyedGraftStream, how: String = "inner", broadcastRight: Boolean = false): GraftStream = {
     require(keys.size == other.keys.size, "key arity mismatch")
-    val rightDF = if (broadcastRight) F.broadcast(other.toDF) else other.toDF
-    val cond = keys.zip(other.keys).map { case (l, r) => l === r }.reduce(_ && _)
-    GraftStream(toDF.join(rightDF, cond, how))
+    val lNames = keys.indices.map(i => s"__graft_jl_$i")
+    val rNames = keys.indices.map(i => s"__graft_jr_$i")
+    val left = toDF.select(
+      F.col("*") +: keys.zip(lNames).map { case (k, n) => k.as(n) }: _*)
+    val right = other.toDF.select(
+      F.col("*") +: other.keys.zip(rNames).map { case (k, n) => k.as(n) }: _*)
+    val rightDF = if (broadcastRight) F.broadcast(right) else right
+    val cond = lNames.zip(rNames)
+      .map { case (l, r) => F.col(l) === F.col(r) }.reduce(_ && _)
+    GraftStream(left.join(rightDF, cond, how).drop((lNames ++ rNames): _*))
   }
 
   def toStream: GraftStream = GraftStream(toDF)

@@ -78,12 +78,22 @@ object VectorFunctions {
     * array<float> embedding of dimension `dim`:
     * bit p = (emb · w(p+offset)) >= 0. The weight vectors are plan-time
     * constant arrays, so each bit is one codegen'd [[DotProductF]] — no
-    * per-row hashing. `offset` selects an independent plane family. */
+    * per-row hashing. `offset` selects an independent plane family.
+    *
+    * A `dim` that mismatches the real embedding width yields a NULL
+    * signature (the dot product is NULL on length mismatch, and the
+    * NULL propagates through concat), so such rows match NOTHING in the
+    * bucket join. The old `otherwise("0")` turned every mismatched row
+    * into the SAME all-zeros signature — one bucket holding the whole
+    * corpus, silently degenerating "never all-pairs" LSH into a full
+    * cross product. Empty results are a visible misconfiguration;
+    * a quadratic blow-up at 100 TB is an outage. */
   def lshSignature(emb: Column, planes: Int, dim: Int, offset: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val w = (0 until dim).map(d => planeWeightValue(p + offset, d))
       val contrib = dotF(emb, F.typedlit(w))
-      F.when(contrib >= 0, F.lit("1")).otherwise(F.lit("0"))
+      F.when(contrib >= 0, F.lit("1")).when(contrib < 0, F.lit("0"))
+      // no otherwise: NULL dot (length mismatch / null emb) → NULL bit
     }
     F.concat(bits: _*)
   }

@@ -85,9 +85,15 @@ object Multimodal {
     * the decode left to [[StubDecoder]]. */
   def frameSampleStub(media: DataFrame, frameBytes: Int = 1024, everyN: Int = 2): DataFrame = {
     val maxIdx = F.floor((F.length(F.col("media")) - 1) / F.lit(frameBytes)).cast("int")
+    // A zero-length payload has no frames: maxIdx is -1 there, and
+    // sequence(0, -1, +step) THROWS rather than returning empty — guard to
+    // an empty array so one empty blob can't fail the whole query (the
+    // explode then drops the row, which is the right "no frames" answer).
+    val idxs = F.when(maxIdx >= 0, F.sequence(F.lit(0), maxIdx, F.lit(everyN)))
+      .otherwise(F.array().cast("array<int>"))
     media.select(
       F.col("doc_id"),
-      F.explode(F.sequence(F.lit(0), maxIdx, F.lit(everyN))).as("frame_idx"))
+      F.explode(idxs).as("frame_idx"))
       .select(
         F.col("doc_id"),
         F.col("frame_idx").cast("long").as("frame_idx"),

@@ -1,6 +1,5 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 
@@ -39,21 +38,40 @@ final case class FileSink(path: String, format: String = "parquet") extends Graf
   * `batchId` (see graft.streaming.StreamingOps.exactlyOnceSink).
   */
 final case class StatefulParquetSink(path: String) extends GraftSink {
-  private def manifest = Paths.get(path, "_graft_commit.json")
+  // Manifest I/O through the Hadoop FS API so the commit lives NEXT TO the
+  // data on hdfs://-style paths too — a java.nio probe on such a path
+  // reads the driver's LOCAL filesystem, where the manifest never exists,
+  // and every replay would silently re-write (idempotence gone).
+  private def fsAndPath(): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_commit.json")
+    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+  }
 
-  def committedEpoch: Option[Long] =
-    if (Files.exists(manifest))
-      Some(new String(Files.readAllBytes(manifest)).replaceAll("[^0-9]", "").toLong)
-    else None
+  def committedEpoch: Option[Long] = {
+    val (fs, p) = fsAndPath()
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
+      finally in.close()
+      // Tolerate a torn/empty manifest (crash mid-write): treat as
+      // uncommitted rather than NumberFormatException-ing every write.
+      val digits = raw.replaceAll("[^0-9-]", "")
+      if (digits.isEmpty || digits == "-") None else Some(digits.toLong)
+    }
+  }
 
-  override def write(df: DataFrame): Unit = write(df, epoch = 0L)
+  /** Epoch-less [[GraftSink]] interface: each call is the NEXT epoch (a
+    * pinned epoch here would make every write after the first a silent
+    * replay no-op — new data lost while the job reports success). */
+  override def write(df: DataFrame): Unit =
+    write(df, epoch = committedEpoch.map(_ + 1L).getOrElse(0L))
 
   def write(df: DataFrame, epoch: Long): Unit = {
-    if (committedEpoch.contains(epoch)) return // replay → no-op
+    if (committedEpoch.exists(_ >= epoch)) return // replay → no-op
     df.write.mode(SaveMode.Overwrite).parquet(path)
-    Files.write(
-      manifest,
-      s"""{"epoch": $epoch}""".getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val (fs, p) = fsAndPath()
+    val out = fs.create(p, true)
+    try out.write(s"""{"epoch": $epoch}""".getBytes) finally out.close()
   }
 }

@@ -58,7 +58,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_range_join", maxExchange = 0, minBhj = 1, requirePushdown = true),
     Audit("q_dedup_exact", maxExchange = 1),
     Audit("q_filter", maxExchange = 0, requirePushdown = true),
-    Audit("q_ann_pq", maxExchange = 2, minWgl = 3, allowedBnlj = 1,
+    // 3 exchanges: spread + the slim (query_id, neighbor_id, adc) ADC
+    // window + the final rerank window over <= queries x rerank rows —
+    // that last TINY exchange bought the big one's rows down from two
+    // embedded vectors (~1 KB) to ~24 bytes each.
+    Audit("q_ann_pq", maxExchange = 3, minWgl = 3, allowedBnlj = 1,
       requirePushdown = true),
     Audit("q_ann_brute", maxExchange = 1, minWgl = 2, allowedBnlj = 1,
       requirePushdown = true),
