@@ -174,11 +174,11 @@ object OracleSql {
   private val lenD = "CAST(length(text) AS DOUBLE)"
   private val alphaExpr = s"${cnt("[A-Za-z]")} / greatest($lenD, 1.0)"
   private val digitExpr = s"${cnt("[0-9]")} / greatest($lenD, 1.0)"
-  private val punctExpr = s"${cnt("[^A-Za-z0-9\\s]")} / greatest($lenD, 1.0)"
+  private val punctExpr = s"${cnt("[^A-Za-z0-9 \\t\\n\\f\\r]")} / greatest($lenD, 1.0)"
 
   /** Composite quality score (mirrors TextFunctions.qualityScore). */
   private val qualityExpr: String = {
-    val nTokD = s"CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
+    val nTokD = s"CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS DOUBLE)"
     val stopRatio = s"CAST(${hitsExpr(TextFunctions.stopwords.head._2)} AS DOUBLE) / greatest($nTokD, 1.0)"
     val lenScore = s"least($lenD / 500.0, 1.0)"
     val stop = s"least($stopRatio * 4.0, 1.0)"
@@ -187,7 +187,7 @@ object OracleSql {
 
   private val qualityCtes: String =
     s"""SELECT doc_id,
-       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+       |  CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS BIGINT) AS n_tok,
        |  $alphaExpr AS alpha_ratio,
        |  $digitExpr AS digit_ratio,
        |  $punctExpr AS punct_ratio,
@@ -243,7 +243,7 @@ object OracleSql {
 
     "q_stateless_op" ->
       """SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS n_tok
         |FROM documents""".stripMargin,
 
     "q_ttl_map" ->
@@ -505,7 +505,7 @@ object OracleSql {
          |  SELECT event_type,
          |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT::INTEGER AS hll_b,
          |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14))::UBIGINT::BIGINT AS tail
-         |  FROM events),
+         |  FROM events WHERE user_id IS NOT NULL),
          |rk AS (
          |  SELECT event_type, hll_b,
          |    CASE WHEN tail = 0 THEN 57 ELSE 57 - len(bin(tail)) END AS hll_r
@@ -564,7 +564,7 @@ object OracleSql {
     // Packing: exclusive running token sum per source, floor-div binning.
     "q_pack" ->
       """WITH t AS (SELECT source, doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT source, doc_id, n_tokens,
         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -776,7 +776,7 @@ object OracleSql {
     // decimal (order-free), every double from the same expression text.
     "q_mix_weights" ->
       """WITH mt AS (
-        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |mw AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM mt),
         |mtot AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,10))) AS DOUBLE) AS pw_total FROM mw)
@@ -806,7 +806,7 @@ object OracleSql {
     // double is bit-identical cross-engine with no fresh pow surface.
     "q_mix_sample" ->
       """WITH mt AS (
-        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |mw AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM mt),
         |mtot AS (SELECT CAST(SUM(CAST(pw AS DECIMAL(28,10))) AS DOUBLE) AS pw_total FROM mw),
@@ -1126,14 +1126,14 @@ object OracleSql {
          |  WHERE $qualityExpr >= 0.3),
          |${langCtes("kept", Seq("text", "quality"))}
          |SELECT pred_lang, COUNT(*) AS n_docs,
-         |  CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'))) AS BIGINT) AS ws_tokens,
          |  CAST(SUM(CAST(quality AS DECIMAL(18,10))) AS DOUBLE) AS sum_quality
          |FROM langed GROUP BY pred_lang""".stripMargin
     },
 
     "q_tokens" ->
       """SELECT source,
-        |  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS ws_tokens,
         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_tokens
         |FROM documents GROUP BY source""".stripMargin,
 

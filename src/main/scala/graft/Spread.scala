@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, RepartitionOperation, Sort, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Offset, RepartitionOperation, Sort, Window}
 
 /** Conditional scan spread (round 9; VERDICT r8 "what's wrong" #3).
   *
@@ -43,6 +43,13 @@ object Spread {
       case w: Window => w
       case r: RepartitionOperation => r
       case s: Sort if s.global => s // orderBy plans a range exchange too
+      // limit/offset plans insert a SinglePartition exchange under AQE, so
+      // the rdd partition probe would materialize that stage as a REAL job
+      // (a full pre-limit scan) that re-runs at execution — the exact
+      // doubled pass this guard exists to prevent.
+      case l: GlobalLimit => l
+      case l: LocalLimit => l
+      case o: Offset => o
     }.isEmpty
 
   def apply(df: DataFrame): DataFrame = {

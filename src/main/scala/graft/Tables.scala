@@ -36,15 +36,23 @@ object Tables {
     case object Ntz extends TsShape         // TIMESTAMP(MICROS), isAdjustedToUTC=false
   }
 
-  /** Sniff the on-disk ts type of `<dir>/events.parquet` (footer-only read;
-    * requires nanosAsLong already set, as [[events]] and the streaming
-    * reader both do). */
+  private val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Sniff the on-disk ts type of `<dir>/events.parquet` (footer-only
+    * read). The legacy nanosAsLong flag is set only for the sniff and
+    * RESTORED after — leaking a schema-changing flag into the session
+    * would make later unrelated TIMESTAMP(NANOS) reads silently return
+    * BIGINT instead of the default unsupported-type error. */
   def tsShape(spark: SparkSession, dir: String): TsShape = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+    val prev = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType      => TsShape.NanosAsLong
       case org.apache.spark.sql.types.TimestampType => TsShape.Micros
       case _                                        => TsShape.Ntz
+    } finally prev match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None    => spark.conf.unset(nanosKey)
     }
   }
 
@@ -61,9 +69,14 @@ object Tables {
   }
 
   /** events with `ts` normalized to micro-precision TimestampType,
-    * whichever physical shape the driver generated (see class doc). */
+    * whichever physical shape the driver generated (see class doc). For
+    * the legacy nanos shape the flag must stay set through EXECUTION of
+    * the returned frame (the scan consults it again), so only that shape
+    * leaves it on — callers in that regime wrap execution in
+    * SparkEntry.withNanosAsLong anyway. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val shape = tsShape(spark, dir)
+    if (shape == TsShape.NanosAsLong) spark.conf.set(nanosKey, "true")
     normalizeTs(shape, spark.read.parquet(s"$dir/events.parquet"))
   }
 

@@ -35,7 +35,11 @@ import org.apache.spark.sql.{functions => F}
 object Sketches {
 
   /** Per-(keys, bucket) max-rank register table — the mergeable state.
-    * Merge rule: union register tables, re-apply groupBy-max. */
+    * Merge rule: union register tables, re-apply groupBy-max. NULL values
+    * are excluded (a NULL hashes to a NULL bucket with a NULL rank — a
+    * phantom register that inflates the present-count without
+    * contributing to the harmonic sum, biasing the estimate upward); the
+    * sketch counts distinct NON-NULL values, as count(DISTINCT x) does. */
   def hllRegisters(df: DataFrame, keys: Seq[String], valueCol: String,
                    p: Int = 8): DataFrame = {
     require(p % 4 == 0 && p > 0 && p <= 16, "p must be 4, 8, 12 or 16 (hex-aligned)")
@@ -45,7 +49,8 @@ object Sketches {
     val tail = F.conv(F.substring(h, hexChars + 1, 14), 16, 10).cast("long")
     val rank = F.when(tail === 0L, F.lit(57))
       .otherwise(F.lit(57) - F.length(F.bin(tail)))
-    df.select(keys.map(F.col) :+ bucket.as("hll_b") :+ rank.as("hll_r"): _*)
+    df.filter(F.col(valueCol).isNotNull)
+      .select(keys.map(F.col) :+ bucket.as("hll_b") :+ rank.as("hll_r"): _*)
       .groupBy(keys.map(F.col) :+ F.col("hll_b"): _*)
       .agg(F.max("hll_r").as("hll_m"))
   }

@@ -11,9 +11,12 @@ import org.apache.spark.sql.{functions => F}
   */
 object TextFunctions {
 
-  /** Whitespace-delimited token count (`\S+` runs). */
+  /** Whitespace-delimited token count — the delimiter class is the
+    * EXPLICIT `[ \t\n\f\r]` (= RE2's `\s`), never Java's `\S`: Java adds
+    * `\x0B` to whitespace, so a bare `\S+` here and `\S+` in the DuckDB
+    * oracle count a vertical-tab-bearing document differently. */
   def tokenCount(text: Column): Column =
-    F.regexp_count(text, F.lit("\\S+")).cast("long")
+    F.regexp_count(text, F.lit("[^ \\t\\n\\f\\r]+")).cast("long")
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
     * marks each count as one token — a cheap deterministic proxy for a BPE
@@ -26,22 +29,28 @@ object TextFunctions {
     F.filter(F.split(F.lower(text), "[ \\t\\n\\f\\r]+"), t => F.length(t) > 0)
 
   /** Word n-gram shingles over the token array; empty when fewer than `n`
-    * tokens (strict semantics so any engine replicates it exactly).
+    * tokens, NULL for a NULL array (strict semantics so any engine — and
+    * the native [[graft.functions.expressions.ShingleExpr]], which
+    * null-propagates — replicates it exactly; without the explicit NULL
+    * branch, size(NULL) >= n is NULL and falls into the empty-array
+    * otherwise, silently diverging from the native path on NULL text).
     * Uses O(1) element_at lookups per gram (a slice per position would be
     * O(tokens²) per document). */
   def wordShingles(toks: Column, n: Int): Column =
-    F.when(F.size(toks) >= n,
-      F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        i => F.concat_ws(" ", (0 until n).map(j => F.element_at(toks, i + j)): _*)))
+    F.when(toks.isNull, F.lit(null).cast("array<string>"))
+      .when(F.size(toks) >= n,
+        F.transform(
+          F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+          i => F.concat_ws(" ", (0 until n).map(j => F.element_at(toks, i + j)): _*)))
       .otherwise(F.array().cast("array<string>"))
 
   private def countMatches(text: Column, re: String): Column =
     F.regexp_count(text, F.lit(re)).cast("double")
 
-  /** Ratio of punctuation characters to total characters. */
+  /** Ratio of punctuation characters to total characters (explicit
+    * whitespace class — see [[tokenCount]] on the Java-vs-RE2 `\s` trap). */
   def punctRatio(text: Column): Column =
-    countMatches(text, "[^A-Za-z0-9\\s]") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    countMatches(text, "[^A-Za-z0-9 \\t\\n\\f\\r]") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
 
   /** Ratio of digit characters to total characters. */
   def digitRatio(text: Column): Column =

@@ -78,7 +78,11 @@ object TokenTfExpr {
     * generated code. */
   def tokenTf(input: UTF8String): GenericArrayData = {
     evals.increment()
-    val text = input.toLowerCase.toString
+    // Locale.ROOT, matching ShingleExpr and DuckDB's locale-independent
+    // lower(): UTF8String.toLowerCase falls back to the JVM DEFAULT locale
+    // for non-ASCII text, where e.g. tr-TR maps 'I' to dotless 'ı' and the
+    // tf/df tables silently diverge from the oracle.
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     // insertion-ordered counts: LinkedHashMap keeps first-occurrence order
     val counts = mutable.LinkedHashMap.empty[String, Long]
     var i = 0

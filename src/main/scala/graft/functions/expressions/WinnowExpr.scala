@@ -20,6 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
 
+  // Fail fast on the driver: w <= 0 would walk the min-deque head past its
+  // tail into zero-initialized slots (out-of-bounds reads / garbage
+  // fingerprints deep in an executor), k <= 0 hashes nothing meaningful.
+  require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
