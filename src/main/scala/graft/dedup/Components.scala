@@ -40,15 +40,19 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 50,
                           smallGraphEdges: Long = 1000000L): DataFrame = {
+    // Drop null-id edges up front so BOTH paths see the same graph: the
+    // driver union-find would crash decoding null into a primitive Long
+    // while the distributed joins would silently drop the rows — same
+    // input, crash vs divergent clustering depending only on edge count.
     val pairs = edges
       .select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+      .filter(F.col("src").isNotNull && F.col("dst").isNotNull)
       .persist()
-    val edgeCount = pairs.count()
-    val out =
+    try {
+      val edgeCount = pairs.count()
       if (edgeCount <= smallGraphEdges) unionFindLocal(pairs)
       else propagateDistributed(pairs, maxIter)
-    pairs.unpersist()
-    out
+    } finally pairs.unpersist() // incl. the non-convergence require path
   }
 
   /** Bounded driver union-find (path compression + union by min label):
@@ -167,6 +171,11 @@ object Components {
       .union(edges.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .persist()
     sym.count()
+    try propagateLoop(sym, maxIter)
+    finally sym.unpersist() // incl. the non-convergence require path
+  }
+
+  private def propagateLoop(sym: DataFrame, maxIter: Int): DataFrame = {
 
     def labelSum(labels: DataFrame): java.math.BigDecimal =
       labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0)
@@ -197,7 +206,6 @@ object Components {
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    sym.unpersist()
     labels.select(F.col("id").as("doc_id"), F.col("lbl").as("cluster_id"))
   }
 }

@@ -45,7 +45,12 @@ object UnigramLm {
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    graft.Spread(docs)
+    // byKey, not round-robin: when the spread fires, its
+    // HashPartitioning(id) already satisfies the per-doc aggregation
+    // below, so that exchange (and its stage pair) drops out of the plan
+    // — the TfIdf.score trick; `score` keeps round-robin because its
+    // downstream exchanges are tok-keyed, which doc-id keying can't help.
+    graft.Spread.byKey(docs, idCol)
       .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
       .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
       .filter(F.col("tok").isNotNull)

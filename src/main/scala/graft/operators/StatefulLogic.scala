@@ -104,6 +104,9 @@ object StatefulExec {
       eventTimeMs: V => Long,
       ttlMs: Long,
       logic: StatefulLogic[K, V, S, O]): Dataset[O] = {
+    // ttlMs = 0 would arm a deadline AT the watermark for late-data-only
+    // keys, which setTimeoutTimestamp rejects at runtime — fail fast here.
+    require(ttlMs > 0, s"streamEventTime needs ttlMs > 0, got $ttlMs")
     implicit val stateEnc: Encoder[(S, Long)] =
       Encoders.tuple(implicitly[Encoder[S]], Encoders.scalaLong)
     ds.groupByKey(key)
@@ -189,11 +192,20 @@ object StatefulExec {
     val stateEnc = implicitly[Encoder[S]]
     val processor = new StatefulProcessor[K, V, O] {
       @transient private var state: ValueState[S] = _
-      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      @transient private var maxTsState: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
         state = getHandle.getValueState[S]("graft_state", stateEnc, TTLConfig.NONE)
+        maxTsState = getHandle.getValueState[Long](
+          "graft_max_ts", Encoders.scalaLong, TTLConfig.NONE)
+      }
       override def handleInputRows(k: K, rows: Iterator[V], tv: TimerValues): Iterator[O] = {
         var s = if (state.exists()) state.get() else logic.zero
-        var maxTs = Long.MinValue
+        // The per-key max event time PERSISTS in state: seeded from this
+        // batch alone, one late-but-valid record would re-arm the deadline
+        // BACKWARD (e.g. last activity 10:00, ttl 1h, then a 9:05 record →
+        // timer 10:10 instead of 11:00) and expire state ~50 min early —
+        // the doc contract is last-SEEN-event-time + ttl, monotone.
+        var maxTs = if (maxTsState.exists()) maxTsState.get() else Long.MinValue
         val out = Vector.newBuilder[O]
         rows.foreach { v =>
           eventTimeMs.foreach(f => maxTs = math.max(maxTs, f(v)))
@@ -202,6 +214,7 @@ object StatefulExec {
           out ++= os
         }
         state.update(s)
+        maxTsState.update(maxTs)
         ttlMs.foreach { t =>
           // one live deadline per key, re-armed to last-seen-event-time +
           // ttl (ttl_map.rs semantics: expiry when the frontier passes the
@@ -217,6 +230,7 @@ object StatefulExec {
         if (state.exists()) {
           val s = state.get()
           state.clear()
+          maxTsState.clear() // a reborn key starts a fresh activity clock
           logic.onExpiry(k, s).iterator
         } else Iterator.empty
     }

@@ -22,8 +22,13 @@ trait GraftSource extends Serializable {
 final case class ParquetSource(path: String, schemaDDL: Option[String] = None) extends GraftSource {
   override def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
   override def loadStream(spark: SparkSession): DataFrame = {
-    val r = spark.readStream
-    schemaDDL.fold(r)(s => r.schema(s)).parquet(path)
+    // Same explicit precondition as FileSource: streaming file sources
+    // refuse schema inference, and Spark's generic runtime error (or a
+    // cluster that happens to set streaming.schemaInference) is a worse
+    // failure mode than failing fast here.
+    require(schemaDDL.nonEmpty,
+      s"ParquetSource($path).loadStream needs schemaDDL — streaming sources cannot infer schemas")
+    spark.readStream.schema(schemaDDL.get).parquet(path)
   }
 }
 
