@@ -331,6 +331,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("transformWithState TTL deadline is monotone under late-but-valid records") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ttlLogic = new StatefulLogic[Long, WmEvent, Long, STotal] {
+        def zero = 0L
+        def update(k: Long, v: WmEvent, s: Long): (Long, IterableOnce[STotal]) =
+          (s + v.v, Iterator.empty)
+        override def onExpiry(k: Long, s: Long): IterableOnce[STotal] =
+          Iterator.single(STotal(k, s))
+      }
+      val input = MemoryStream[SEvent]
+      val ds = input.toDF()
+        .withColumn("ts", F.timestamp_seconds($"v" * 60))
+        .withWatermark("ts", "10 minutes")
+        .as[WmEvent]
+      val out = StatefulExec.streamTws[Long, WmEvent, Long, STotal](
+        ds, _.k, ttlLogic, ttlMs = Some(30 * 60000L),
+        eventTimeMs = Some(_.ts.getTime))
+      val q = out.writeStream.format("memory").queryName("ttl_tws_mono")
+        .outputMode("append").start()
+      // Key 1's LAST activity is min 100 → deadline 130. A later batch
+      // delivers an older-but-valid record (min 95, above the min-90
+      // watermark): a deadline recomputed from that batch alone would
+      // re-arm BACKWARD to 125 and the min-126 watermark would expire the
+      // key ~early; the persisted activity clock must keep 130.
+      input.addData(SEvent(1, 100))
+      q.processAllAvailable()
+      input.addData(SEvent(1, 95))
+      q.processAllAvailable()
+      input.addData(SEvent(3, 136)) // watermark → min 126: < 130, > 125
+      q.processAllAvailable()
+      val rows = spark.table("ttl_tws_mono").as[STotal].collect().toSeq
+      q.stop()
+      assert(!rows.exists(_.k == 1),
+        s"late-but-valid record moved the TTL deadline backward (premature expiry): $rows")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream equi-join with watermarks joins within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
