@@ -40,6 +40,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the steal but deoptimizes the hot expression loops (q_dedup_
   // incremental 1.6 s -> 4.3 s). Code-cache occupancy measured ~110 MB
   // of 240 MB, so the reserve bump is headroom, not a fix.
-  "-XX:CICompilerCount=4",
+  // Round-13 A/B on the r12 regression family (quiet box, 16-query
+  // fixed-cost subset + signature queries, best-of-2, identical Bench):
+  // count=4 total 6.66 s vs count=8 total 7.48 s — count=4 won 12 of 16
+  // queries (q_join 0.68 vs 0.81, q_distinct_sketch 0.22 vs 0.39,
+  // q_dedup_minhash 0.57 vs 0.76). The r12 regression was NOT the thread
+  // cap but the QUIESCE WINDOWS being too short for it: jit_ms was still
+  // advancing 3.2 s across q_join's timed shots (90 s pre-suite cap ran
+  // out) and mid-suite shot-0 wait_ms hit 40 s (10 s post-re-warm cap).
+  // Bench.scala now sizes those windows to the queue (240 s / 45 s), and
+  // with compilation actually finishing untimed, fewer compiler threads
+  // strictly means fewer stolen cores. Env-overridable for future A/Bs.
+  s"-XX:CICompilerCount=${sys.env.getOrElse("SPARK_GRAFT_CI_COUNT", "4")}",
   "-XX:ReservedCodeCacheSize=512m",
 )

@@ -69,6 +69,9 @@ object Bench {
       if (java.nio.file.Files.isDirectory(small)) small.toString else sfDir
     }
     val warmupOn = sys.env.get("SPARK_GRAFT_WARMUP").forall(_ == "1")
+    // A/B lever for the per-query re-warm alone (suite warmup unaffected):
+    // SPARK_GRAFT_REWARM=0 disables just the immediately-before-shots pass.
+    val rewarmOn = sys.env.get("SPARK_GRAFT_REWARM").forall(_ == "1")
     if (warmupOn) {
       selected.foreach { name =>
         try { SparkEntry.queries(name)(spark, warmDir).count(); () }
@@ -120,9 +123,12 @@ object Bench {
 
     // Drain the warmup pass's JIT debt ONCE before any timed shot: the
     // 31-query warmup queues minutes of compilation, and with the capped
-    // compiler (build.sbt CICompilerCount=4) that queue would otherwise
-    // persist deep into the timed suite.
-    jitQuiesce(maxWaitMs = 90000)
+    // compiler (build.sbt CICompilerCount) that queue would otherwise
+    // persist deep into the timed suite. r12's 90 s cap was measured to
+    // run out — jit_ms was still advancing 3.2 s across q_join's timed
+    // shots (bench_stages.jsonl) — so the cap is now sized to the whole
+    // queue: untimed, and it only spends what the queue actually needs.
+    jitQuiesce(maxWaitMs = 240000)
 
     val diags = scala.collection.mutable.LinkedHashMap[String, Seq[Shot]]()
     val results = selected.map { name =>
@@ -139,10 +145,16 @@ object Bench {
       // finish before timing. Honors the same SPARK_GRAFT_WARMUP=0
       // opt-out as the suite warmup — cold/JIT-inclusive measurement
       // must actually be cold.
-      if (warmupOn) {
+      if (warmupOn && rewarmOn) {
         try { fn(spark, warmDir).count(); () }
         catch { case scala.util.control.NonFatal(_) => () }
         spark.catalog.clearCache()
+        // The re-warm itself queues compilations; give them a longer
+        // drain window than the per-shot quiesce so they finish HERE
+        // (untimed) instead of stealing cores from the timed shots —
+        // the r12 regression mechanism (wait_ms up to 40 s on shot 0
+        // of mid-suite queries, bench_stages.jsonl).
+        jitQuiesce(maxWaitMs = 45000)
       }
       def oneShot(shot: Int): Shot = {
         spark.catalog.clearCache() // every shot cold: no warm index reuse

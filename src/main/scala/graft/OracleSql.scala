@@ -998,7 +998,7 @@ object OracleSql {
     // of the top-`rerank` cut. Mirrors Pq.topK / PqEncodeExpr / PqAdcExpr
     // evaluation order exactly.
     "q_ann_pq" -> {
-      val (m, subDim, books, sampleN, iters, rerank, k) = (8, 8, 16, 512, 2, 50, 5)
+      val (m, subDim, books, sampleN, iters, rerank, k) = (8, 8, 16, 512, 2, 200, 5)
       def slice(col: String, s: Int) = s"$col[${s * subDim + 1}:${(s + 1) * subDim}]"
       val perSub = (0 until m).flatMap { s =>
         val steps = (1 to iters).flatMap { it =>

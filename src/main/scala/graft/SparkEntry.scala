@@ -1240,7 +1240,7 @@ object SparkEntry {
   /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    graft.ann.Pq.topK(emb, emb.filter(F.col("vec_id") < 20), k = 5, rerank = 50)
+    graft.ann.Pq.topK(emb, emb.filter(F.col("vec_id") < 20), k = 5, rerank = 200)
   }
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =

@@ -47,9 +47,14 @@ object Tables {
     val prev = spark.conf.getOption(nanosKey)
     spark.conf.set(nanosKey, "true")
     try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType      => TsShape.NanosAsLong
-      case org.apache.spark.sql.types.TimestampType => TsShape.Micros
-      case _                                        => TsShape.Ntz
+      case org.apache.spark.sql.types.LongType         => TsShape.NanosAsLong
+      case org.apache.spark.sql.types.TimestampType    => TsShape.Micros
+      case org.apache.spark.sql.types.TimestampNTZType => TsShape.Ntz
+      // Fail fast on a generator shape the loader doesn't support (INT96,
+      // string, date): a wildcard→Ntz here would silently cast garbage.
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other; " +
+          "expected TIMESTAMP(NANOS|MICROS) or TIMESTAMP_NTZ")
     } finally prev match {
       case Some(v) => spark.conf.set(nanosKey, v)
       case None    => spark.conf.unset(nanosKey)

@@ -37,9 +37,14 @@ object Corpus {
     * side and version are resolved by the ORDERABLE payload columns —
     * callers wanting strict determinism keep (id, version) unique per
     * side, which real ingest pipelines do by construction. Unorderable
-    * payload types (maps, or structs containing them) ride along as
-    * max_by VALUES without participating in the ordering, so a
-    * metadata MAP column doesn't fail analysis. */
+    * payload types (maps, or structs containing them) can't join the
+    * ordering directly, so their canonical JSON serialization does
+    * instead (final tie-break component): two rows tying on every
+    * orderable column still pick a data-determined winner, not an
+    * arrival-order-dependent one. (Residual caveat: JSON map-entry order
+    * follows the map's internal entry order, so two maps with identical
+    * entries in different insertion order compare unequal — a stable but
+    * representation-sensitive ordering.) */
   def upsert(base: DataFrame, updates: DataFrame, idCol: String = "doc_id",
              versionCol: String = "version"): DataFrame = {
     val cols = base.columns.toSeq
@@ -53,8 +58,13 @@ object Corpus {
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(schema(c).dataType)
     }
+    val unorderableRest = rest.filterNot(_ == versionCol)
+      .filterNot(orderableRest.contains)
     val ordered = F.struct(
-      (Seq(versionCol, "_side") ++ orderableRest).map(F.col): _*)
+      (Seq(versionCol, "_side") ++ orderableRest).map(F.col) ++
+        (if (unorderableRest.isEmpty) Nil
+         else Seq(F.to_json(F.struct(unorderableRest.map(F.col): _*))
+           .as("_canon"))): _*)
     val payload = F.struct(rest.map(F.col): _*)
     tagged(base, 0).unionByName(tagged(updates, 1))
       .groupBy(F.col(idCol))

@@ -140,32 +140,46 @@ object StatefulExec {
   /** Streaming execution under flatMapGroupsWithState with optional
     * processing-time TTL (state untouched for `ttlMs` of WALL-CLOCK time
     * expires and `onExpiry` fires — the operational-cleanup variant;
-    * [[streamEventTime]] is the reference-faithful epoch-driven one). */
+    * [[streamEventTime]] is the reference-faithful epoch-driven one).
+    *
+    * `initialState` seeds fresh keys' state instead of [[StatefulLogic.zero]]
+    * — the landing half of an offline state RESCALE
+    * ([[graft.streaming.StateRescale]]): state read from a stopped
+    * checkpoint re-enters here under a new shuffle-partition count, which
+    * is Spark's form of the reference's key-range migration
+    * (keyed/distributed/message_router/normal.rs). */
   def stream[K: Encoder, V, S: Encoder, O: Encoder](
       ds: Dataset[V],
       key: V => K,
       logic: StatefulLogic[K, V, S, O],
-      ttlMs: Option[Long] = None): Dataset[O] = {
+      ttlMs: Option[Long] = None,
+      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[K, S]] = None)
+      : Dataset[O] = {
     val timeout =
       if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    ds.groupByKey(key).flatMapGroupsWithState[S, O](OutputMode.Append, timeout) {
-      (k: K, values: Iterator[V], gs: GroupState[S]) =>
-        if (gs.hasTimedOut) {
-          val out = logic.onExpiry(k, gs.get)
-          gs.remove()
-          out.iterator
-        } else {
-          var state = gs.getOption.getOrElse(logic.zero)
-          val out = values.flatMap { v =>
-            val (s2, o) = logic.update(k, v, state)
-            state = s2
-            o.iterator
-          }.toVector
-          gs.update(state)
-          ttlMs.foreach(gs.setTimeoutDuration)
-          out.iterator
-        }
+    val fn = (k: K, values: Iterator[V], gs: GroupState[S]) =>
+      if (gs.hasTimedOut) {
+        val out = logic.onExpiry(k, gs.get)
+        gs.remove()
+        out.iterator
+      } else {
+        var state = gs.getOption.getOrElse(logic.zero)
+        val out = values.flatMap { v =>
+          val (s2, o) = logic.update(k, v, state)
+          state = s2
+          o.iterator
+        }.toVector
+        gs.update(state)
+        ttlMs.foreach(gs.setTimeoutDuration)
+        out.iterator
+      }
+    val grouped = ds.groupByKey(key)
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState[S, O](OutputMode.Append, timeout, init)(fn)
+      case None =>
+        grouped.flatMapGroupsWithState[S, O](OutputMode.Append, timeout)(fn)
     }
   }
 

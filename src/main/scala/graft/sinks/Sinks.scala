@@ -42,13 +42,26 @@ final case class StatefulParquetSink(path: String) extends GraftSink {
   // data on hdfs://-style paths too — a java.nio probe on such a path
   // reads the driver's LOCAL filesystem, where the manifest never exists,
   // and every replay would silently re-write (idempotence gone).
-  private def fsAndPath(): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+  // The FS is resolved with the SESSION's hadoopConfiguration, not a bare
+  // `new Configuration()`: spark.hadoop.* overrides (fs.defaultFS, s3a
+  // credentials) only live in the session conf, and the data write below
+  // goes through Spark — a scheme-less path with fs.defaultFS set would
+  // otherwise put data on HDFS while the manifest probe hit local disk,
+  // so committedEpoch would never be found and every replay re-writes.
+  private def fsAndPath(conf: org.apache.hadoop.conf.Configuration)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_commit.json")
-    (p.getFileSystem(new org.apache.hadoop.conf.Configuration()), p)
+    (p.getFileSystem(conf), p)
   }
 
+  private def sessionHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   def committedEpoch: Option[Long] = {
-    val (fs, p) = fsAndPath()
+    val (fs, p) = fsAndPath(sessionHadoopConf())
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -70,7 +83,9 @@ final case class StatefulParquetSink(path: String) extends GraftSink {
   def write(df: DataFrame, epoch: Long): Unit = {
     if (committedEpoch.exists(_ >= epoch)) return // replay → no-op
     df.write.mode(SaveMode.Overwrite).parquet(path)
-    val (fs, p) = fsAndPath()
+    // Same conf the data write just used — manifest and data must resolve
+    // to the same filesystem or the idempotence check above is fiction.
+    val (fs, p) = fsAndPath(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(s"""{"epoch": $epoch}""".getBytes) finally out.close()
   }

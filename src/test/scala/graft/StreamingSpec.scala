@@ -251,40 +251,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   test("event-time TTL expires state when the WATERMARK passes, not the clock") {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val ttlLogic = new StatefulLogic[Long, WmEvent, Long, STotal] {
+    // MIGRATED to the public graft.testing.OperatorTester harness (the
+    // reference's operator_tester.rs equivalent) — this test doubles as
+    // its usage proof: same scenario and assertions as before the
+    // migration, driven through sendLocal/step instead of a hand-rolled
+    // MemoryStream + memory-sink rig.
+    val ttlLogic = new StatefulLogic[Long, SEvent, Long, STotal] {
       def zero = 0L
-      def update(k: Long, v: WmEvent, s: Long): (Long, IterableOnce[STotal]) =
+      def update(k: Long, v: SEvent, s: Long): (Long, IterableOnce[STotal]) =
         (s + v.v, Iterator.empty)
       override def onExpiry(k: Long, s: Long): IterableOnce[STotal] =
         Iterator.single(STotal(k, s)) // final state, delivered on expiry
     }
     // (k, v) pairs where v doubles as the event time in minutes.
-    val input = MemoryStream[SEvent]
-    val ds = input.toDF()
-      .withColumn("ts", F.timestamp_seconds($"v" * 60))
-      .withWatermark("ts", "0 seconds")
-      .as[WmEvent]
-    val out = StatefulExec.streamEventTime[Long, WmEvent, Long, STotal](
-      ds, _.k, _.ts.getTime, ttlMs = 30 * 60000L, ttlLogic)
-    val q = out.writeStream.format("memory").queryName("ttl_et")
-      .outputMode("append").start()
-    // batch 1: keys 1 and 2 at t=10min → both armed to expire at t+30min
-    input.addData(SEvent(1, 10), SEvent(2, 10))
-    q.processAllAvailable()
-    // batch 2: key 1 refreshed at t=60min → watermark advances to 60min,
-    // putting key 2's deadline (40min) behind the frontier
-    input.addData(SEvent(1, 60))
-    q.processAllAvailable()
-    // batch 3: timeouts fire against the batch-2 watermark
-    input.addData(SEvent(3, 61))
-    q.processAllAvailable()
-    val rows = spark.table("ttl_et").as[STotal].collect().toSeq
-    q.stop()
+    val t = graft.testing.OperatorTester.eventTime[Long, SEvent, Long, STotal](
+      ttlLogic, _.k, v => v.v * 60000L, ttlMs = 30 * 60000L)(spark)
+    // epoch 1: keys 1 and 2 at t=10min → both armed to expire at t+30min
+    val e1 = t.stepWith(SEvent(1, 10), SEvent(2, 10))
+    assert(e1.isEmpty, s"nothing expires in epoch 1: $e1")
+    // epoch 2: key 1 refreshed at t=60min → frontier advances to 60min,
+    // putting key 2's deadline (40min) behind it
+    t.stepWith(SEvent(1, 60))
+    // epoch 3: timeouts fire against the epoch-2 frontier
+    t.stepWith(SEvent(3, 61))
+    val rows = t.outputs
+    t.close()
     assert(rows.contains(STotal(2, 10)),
       s"advancing the watermark did not expire idle key 2: $rows")
     assert(!rows.exists(_.k == 1),
       s"key 1 was refreshed past the frontier and must NOT expire: $rows")
+    // recvLocal drains the same emissions in order (reference recv_local).
+    assert(t.recvLocal().contains(STotal(2, 10)) && t.recvLocal().isEmpty)
   }
 
   test("transformWithState timers expire on the WATERMARK, sparing refreshed keys") {
@@ -425,6 +422,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       run()
       val rows = spark.read.parquet(outDir).as[STotal].collect().toSeq
       assert(rows.contains(STotal(1, 17)), s"state lost across rescale-restart: $rows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
+  test("offline state rescale: migrated checkpoint adopts the NEW partition count with no state loss") {
+    import spark.implicits._
+    import graft.streaming.StateRescale
+    val dir = Files.createTempDirectory("graft_migrate_").toString
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def runPhase(src: String, ckpt: String, outDir: String,
+                 init: Option[org.apache.spark.sql.KeyValueGroupedDataset[Long, Long]]): Unit = {
+      val stream = spark.readStream.schema("k LONG, v LONG").parquet(src).as[SEvent]
+      val q = StatefulExec.stream[Long, SEvent, Long, STotal](
+        stream, _.k, runningSum, initialState = init)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .outputMode("append").start()
+      q.awaitTermination()
+    }
+    try {
+      // Phase A: state laid out at the fixture's 4 shuffle partitions.
+      Seq(SEvent(1, 10), SEvent(2, 5)).toDS()
+        .write.mode(SaveMode.Append).parquet(s"$dir/inA")
+      runPhase(s"$dir/inA", s"$dir/ckptA", s"$dir/outA", None)
+      val oldLayout = StateRescale.statePartitionCount(s"$dir/ckptA")
+      assert(oldLayout == 4, s"phase A should pin 4 state partitions, got $oldLayout")
+
+      // Migrate: read every (key, state) pair out of the stopped
+      // checkpoint, then seed a FRESH checkpoint under partitions = 9.
+      val migrated = StateRescale.keyedState[Long, Long](spark, s"$dir/ckptA")
+        .collect().toMap
+      assert(migrated == Map(1L -> 10L, 2L -> 5L),
+        s"state reader lost pairs: $migrated")
+      spark.conf.set("spark.sql.shuffle.partitions", "9")
+      val init = StateRescale.initialStateFrom[Long, Long](spark, s"$dir/ckptA")
+
+      // Phase B: same logic, new checkpoint, migrated initial state. Key 1
+      // continues from its carried total; key 3 is brand new.
+      Seq(SEvent(1, 7), SEvent(3, 2)).toDS()
+        .write.mode(SaveMode.Append).parquet(s"$dir/inB")
+      runPhase(s"$dir/inB", s"$dir/ckptB", s"$dir/outB", Some(init))
+
+      val rows = spark.read.parquet(s"$dir/outB").as[STotal].collect().toSeq
+      assert(rows.contains(STotal(1, 17)),
+        s"migrated state was not carried into the rescaled query: $rows")
+      assert(rows.contains(STotal(3, 2)), s"fresh key mishandled: $rows")
+      // The genuinely-changed layout: the new checkpoint is pinned to 9.
+      val newLayout = StateRescale.statePartitionCount(s"$dir/ckptB")
+      assert(newLayout == 9,
+        s"migration did not change the state layout: $newLayout partitions")
+      // And the old checkpoint still resumes its sources where it stopped.
+      assert(StateRescale.lastCommittedOffsets(s"$dir/ckptA").nonEmpty,
+        "old checkpoint's committed offsets should be readable for source resume")
     } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 

@@ -1,0 +1,41 @@
+#!/bin/sh
+# Pre-commit leak guard: refuse to commit raw build logs or any staged
+# content that embeds build-box resolver/classpath internals. Round-12
+# LEAKCHECK's 48 hits were all historical committed sbt debug logs whose
+# classpaths named the container's local coursier mirror — this hook makes
+# that class of leak impossible to repeat.
+#
+# Install: ln -sf ../../tools/leakguard.sh .git/hooks/pre-commit
+# (done by tools/install_hooks.sh; the repo's own round setup runs it).
+#
+# Driver-authored round artifacts are exempt: LEAKCHECK.json quotes the
+# strings it flags, and VERDICT/ADVICE may cite them when discussing hits.
+set -e
+
+exempt='^(LEAKCHECK\.json|VERDICT\.md|ADVICE\.md|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|tools/leakguard\.sh)$'
+
+staged=$(git diff --cached --name-only --diff-filter=ACM)
+[ -z "$staged" ] && exit 0
+
+fail=0
+for f in $staged; do
+  echo "$f" | grep -Eq "$exempt" && continue
+  # Block raw log files outright, whatever they contain.
+  case "$f" in
+    *.log|sbt-debug*|*.hprof)
+      echo "leakguard: refusing to commit raw log/dump file: $f" >&2
+      fail=1; continue;;
+  esac
+  # Block staged content carrying resolver-mirror or sbt-debug classpaths.
+  if git show ":$f" | grep -Eq 'artifactory\.|\.cache/coursier/v1/https/|^\[debug\] '; then
+    echo "leakguard: $f contains build-internal resolver/classpath lines" >&2
+    fail=1
+  fi
+done
+
+if [ "$fail" -ne 0 ]; then
+  echo "leakguard: commit blocked (see above). Raw build logs and resolver" >&2
+  echo "paths must not enter history — see .gitignore header." >&2
+  exit 1
+fi
+exit 0
