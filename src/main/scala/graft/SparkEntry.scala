@@ -1285,6 +1285,19 @@ object SparkEntry {
       .toDF()
       .select(F.col("doc_id"), F.col("n_bytes"), F.col("width"), F.col("height"), F.col("feature"))
 
+  /** REAL-codec gate (rows-only, like q_fingerprint_winnow): encode an
+    * actual PNG per document, decode it with the actual JDK codec
+    * ([[graft.multimodal.ImageIoDecoder]]), with a real bilinear resize in
+    * the decode path. No SQL oracle can replicate PNG bytes — semantics
+    * are spec-proven (SourcesSinksSpec round-trip) — but the driver
+    * harness now executes the real decoder, not just ScalaTest. */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.attachPngMedia(T(s, dir, "documents")),
+        decoderFactory = () => new graft.multimodal.ImageIoDecoder(resizeTo = Some((4, 4))))
+      .toDF()
+      .select(F.col("doc_id"), F.col("n_bytes"), F.col("width"), F.col("height"), F.col("feature"))
+
   /** End-to-end LLM-data cleaning pipeline in one dataflow: exact-dedup
     * survivors → quality gate → language ID → per-language corpus stats.
     * The composition every operator above exists to serve. */
@@ -1410,6 +1423,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),
     "q_multimodal" -> (qMultimodal _),
+    "q_multimodal_decode" -> (qMultimodalDecode _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_json_extract" -> (qJsonExtract _),
     "q_pipeline" -> (qPipeline _))

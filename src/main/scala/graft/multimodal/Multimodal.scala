@@ -67,6 +67,47 @@ object Multimodal {
     }
   }
 
+  /** Attach REAL PNG payloads: each document renders to a small image
+    * whose pixels are a deterministic function of (doc_id, text length),
+    * encoded through the JDK's actual PNG writer executor-side. This is
+    * the generator behind the real-decode gate query (q_multimodal_decode)
+    * — [[ImageIoDecoder]] then performs a genuine decode of a genuine
+    * encode, so the full codec path faces the driver harness, not just
+    * ScalaTest. Rows-only at the gate: PNG bytes are not replicable in
+    * SQL, which is exactly why [[StubDecoder]] remains the oracle default.
+    *
+    * Scale shape: pure mapPartitions over the scan — no shuffle, no
+    * driver involvement; the codec work distributes like any decode. */
+  def attachPngMedia(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(F.col(idCol).cast("long"), F.length(F.col(textCol)).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        ImageIoDecoder.init() // process-global ImageIO cache setting
+        it.map { case (id, len0) =>
+          val len = math.max(len0, 0)
+          val w = 8 + (id % 8).toInt
+          val h = 8 + len % 8
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + x * 7 + y * 13 + len) & 0xFF).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, bos.toByteArray, "image/png", w, h)
+        }
+      }.toDF()
+  }
+
   /** Resize stub: deterministic payload transform + metadata update — the
     * plumbing of an image resize without the codec (truncate/pad bytes to
     * the target pixel budget). */

@@ -229,6 +229,26 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(tf.map(_.doc_id).toSeq == Seq(11L)) // corrupt dropped, good kept
   }
 
+  test("attachPngMedia encodes real PNGs that the real decoder round-trips (gate-query path)") {
+    import graft.multimodal.{ImageIoDecoder, Multimodal}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val media = Multimodal.attachPngMedia(docs)
+    val n = docs.count()
+    // Every generated payload is a genuine PNG: a real decode keeps ALL
+    // rows (the decoder drops undecodables) and reads back the generated
+    // dimensions from the pixels, not the metadata columns.
+    val feats = Multimodal.extractFeatures(media,
+        decoderFactory = () => new ImageIoDecoder()).collect()
+    assert(feats.length == n, s"real decode dropped ${n - feats.length} of $n generated PNGs")
+    val gen = media.collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(feats.forall(f => gen(f.doc_id) == ((f.width, f.height))),
+      "decoded dimensions diverge from the encoded image")
+    assert(feats.forall(f => f.feature >= 0.0 && f.feature <= 1.0))
+    // The registered gate query (rows-only at the driver) resizes to 4x4.
+    val q = SparkEntry.queries("q_multimodal_decode")(spark, sf001).collect()
+    assert(q.length == n && q.forall(r => r.getInt(2) == 4 && r.getInt(3) == 4))
+  }
+
   test("WavDecoder really decodes a generated WAV (rate, channels, RMS, duration, drops non-audio)") {
     import java.io.ByteArrayOutputStream
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
