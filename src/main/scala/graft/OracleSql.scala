@@ -640,6 +640,37 @@ object OracleSql {
         |FROM sh8 s JOIN b USING (shingle)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Bloom decontamination (Dedup.bloomContamination): identical probe
+    // positions — 8 md5 hex chars per hash -> integer mod 2^17, the same
+    // hex convention as the minhash/HLL oracles — so the bench bit-position
+    // SET here equals the Spark side's literal bitset and even Bloom false
+    // positives match bit-for-bit. A shingle hits iff ALL 4 positions are
+    // set (SUM over the 4 unnested probes = 4; duplicate positions from a
+    // within-shingle collision count per-occurrence on both engines).
+    "q_contamination_bloom" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh8 AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([list_aggregate(w[i:i+7], 'string_agg', ' ') for i in generate_series(1, len(w)-7)]) AS shingle
+        |  FROM tok WHERE len(w) >= 8),
+        |pos AS (
+        |  SELECT doc_id, shingle, unnest([
+        |    ('0x' || substr(md5(shingle), 1, 8))::UBIGINT % 131072,
+        |    ('0x' || substr(md5(shingle), 9, 8))::UBIGINT % 131072,
+        |    ('0x' || substr(md5(shingle), 17, 8))::UBIGINT % 131072,
+        |    ('0x' || substr(md5(shingle), 25, 8))::UBIGINT % 131072]) AS p
+        |  FROM sh8),
+        |bp AS (SELECT DISTINCT p FROM pos WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, shingle
+        |  FROM pos
+        |  GROUP BY doc_id, shingle
+        |  HAVING SUM(CASE WHEN p IN (SELECT p FROM bp) THEN 1 ELSE 0 END) = 4)
+        |SELECT doc_id, COUNT(*) AS n_flagged
+        |FROM hits GROUP BY 1""".stripMargin,
+
     // Within-doc Shannon entropy H = ln(n) - (sum tf*ln(tf))/n; same
     // exact-decimal summation discipline as q_lm_score.
     "q_entropy" ->

@@ -1043,6 +1043,16 @@ object SparkEntry {
       shingleN = 8, minShared = 1)
   }
 
+  /** Bloom-bitset decontamination — the zero-join scale path
+    * ([[Dedup.bloomContamination]]): bench n-grams compile into a literal
+    * bitset, the corpus side is one scan with no exchange. Deterministic
+    * md5 probe positions make even the false positives oracle-exact. */
+  private def qContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.bloomContamination(docs, docs.filter(F.col("doc_id") % 50 === 0),
+      shingleN = 8, mBits = 1 << 17, kHashes = 4, minHits = 1)
+  }
+
   /** Corpus-level duplicated-5-gram fraction per document
     * ([[Dedup.dupNgramFraction]]) — the cross-document boilerplate signal
     * (within-doc repetition is [[qRepetition]]). */
@@ -1390,6 +1400,7 @@ object SparkEntry {
     "q_scrub" -> (qScrub _),
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
+    "q_contamination_bloom" -> (qContaminationBloom _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),

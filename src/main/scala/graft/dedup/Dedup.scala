@@ -504,6 +504,66 @@ object Dedup {
       .filter(F.col("n_shared") >= minShared)
   }
 
+  /** Benchmark decontamination, BLOOM-FILTER scale path: the zero-shuffle
+    * companion to [[contamination]]. The benchmark side (small by
+    * definition) compiles into an `mBits`-bit Bloom bitset with `kHashes`
+    * md5-derived probe positions per shingle; the bitset rides into the
+    * corpus scan as a plan LITERAL (array<long>), so the 100 TB side is a
+    * pure map + filter — NO exchange, NO join, no state. A document is
+    * flagged when at least `minHits` of its distinct shingles test
+    * positive; false positives are the usual Bloom trade (rate set by
+    * mBits/kHashes vs bench shingle count) and — because the probe
+    * positions are md5-derived, not seed-random — fully DETERMINISTIC,
+    * which is what lets DuckDB replicate this operator bit-for-bit,
+    * false positives included.
+    *
+    * This is the shape a pre-training pipeline actually ships: the exact
+    * [[contamination]] join prices every corpus shingle through a shuffle,
+    * while the bloom pass reduces 100 TB to the (vanishing) flagged
+    * subset first; the exact join then runs on survivors only.
+    *
+    * Driver-side bound: the collected bench position set is
+    * |bench distinct shingles| x kHashes longs, `require`-guarded — the
+    * same bounded-collect class as the ANN training sample (SURVEY §5). */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         shingleN: Int = 8, mBits: Int = 1 << 17,
+                         kHashes: Int = 4, minHits: Int = 1): DataFrame = {
+    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+    require(kHashes >= 1 && kHashes * 8 <= 32, s"kHashes in 1..4, got $kHashes")
+    def shingles(c: Column) = F.array_distinct(ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(c), shingleN)))
+    // Probe positions: 8 md5 hex chars per hash -> long -> mod mBits. The
+    // same md5-hex-to-integer convention as the minhash/HLL oracles, so
+    // DuckDB computes the IDENTICAL positions.
+    def positions(s: Column): Seq[Column] = (0 until kHashes).map { i =>
+      F.conv(F.substring(F.md5(s), i * 8 + 1, 8), 16, 10).cast("long") % mBits
+    }
+    // Benchmark -> bitset. The collect is bounded and guarded; a benchmark
+    // big enough to trip the guard should use the exact join instead.
+    val benchPos = benchmark
+      .select(F.explode(shingles(F.col(textCol))).as("s"))
+      .select(F.explode(F.array(positions(F.col("s")): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    require(benchPos.length <= (mBits / 2),
+      s"benchmark sets ${benchPos.length} of $mBits bloom bits (> 50% load); " +
+        "raise mBits or use Dedup.contamination")
+    val words = new Array[Long](mBits / 64)
+    benchPos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    val bitsLit = F.lit(words) // array<long> literal: broadcast with the plan
+    val powLit = F.lit(Array.tabulate(64)(i => 1L << i))
+    def mayContain(s: Column): Column =
+      positions(s).map { p =>
+        val word = F.element_at(bitsLit, (p / 64).cast("int") + 1)
+        val mask = F.element_at(powLit, (p % 64).cast("int") + 1)
+        word.bitwiseAND(mask) =!= 0L
+      }.reduce(_ && _)
+    graft.Spread(corpus)
+      .select(F.col(idCol),
+        F.size(F.filter(shingles(F.col(textCol)), mayContain(_))).cast("long").as("n_flagged"))
+      .filter(F.col("n_flagged") >= minHits)
+  }
+
   /** Duplicated n-gram fraction per document: of a document's DISTINCT
     * word `shingleN`-grams, the fraction that also occur in at least one
     * OTHER document (corpus df >= 2) — the standard corpus-level

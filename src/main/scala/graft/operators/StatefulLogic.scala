@@ -201,10 +201,16 @@ object StatefulExec {
       key: V => K,
       logic: StatefulLogic[K, V, S, O],
       ttlMs: Option[Long] = None,
-      eventTimeMs: Option[V => Long] = None): Dataset[O] = {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+      eventTimeMs: Option[V => Long] = None,
+      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[K, S]] = None)
+      : Dataset[O] = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
     val stateEnc = implicitly[Encoder[S]]
-    val processor = new StatefulProcessor[K, V, O] {
+    // WithInitialState extends the plain processor contract, so ONE class
+    // serves both paths; handleInitialState is the state-v2 landing hook
+    // of the offline rescale (graft.streaming.StateRescale) — seeded keys
+    // start from migrated state instead of logic.zero.
+    val processor = new StatefulProcessorWithInitialState[K, V, O, S] {
       @transient private var state: ValueState[S] = _
       @transient private var maxTsState: ValueState[Long] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -247,8 +253,25 @@ object StatefulExec {
           maxTsState.clear() // a reborn key starts a fresh activity clock
           logic.onExpiry(k, s).iterator
         } else Iterator.empty
+      override def handleInitialState(k: K, s: S, tv: TimerValues): Unit = {
+        state.update(s)
+        // The migrated state's activity clock is unknown (fMGWS state or a
+        // bare (key, state) seed carries no max-ts); arm from the current
+        // watermark so a seeded-then-idle key still expires one TTL after
+        // the migration point rather than living forever.
+        ttlMs.foreach { t =>
+          maxTsState.update(tv.getCurrentWatermarkInMs())
+          getHandle.registerTimer(tv.getCurrentWatermarkInMs() + t)
+        }
+      }
     }
     val mode = if (ttlMs.isDefined) TimeMode.EventTime() else TimeMode.None()
-    ds.groupByKey(key).transformWithState(processor, mode, OutputMode.Append())
+    val grouped = ds.groupByKey(key)
+    initialState match {
+      case Some(init) =>
+        grouped.transformWithState(processor, mode, OutputMode.Append(), init)
+      case None =>
+        grouped.transformWithState(processor, mode, OutputMode.Append())
+    }
   }
 }

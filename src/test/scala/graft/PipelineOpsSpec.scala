@@ -202,6 +202,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(hits.forall(h => h._2 == 100L && h._3 >= 1L))
   }
 
+  test("bloomContamination: superset of exact contamination, planted leak flagged, no join in the plan") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // Planted scenario — the bloom pass must flag every exactly-
+    // contaminated doc (Bloom has false positives, never false negatives).
+    val secret = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"intro words here $secret trailing text tokens"),
+      (2L, "completely unrelated document with other content entirely"),
+      (3L, s"another leak $secret appears again here too")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"eval question: $secret answer")).toDF("doc_id", "text")
+    val flagged = Dedup.bloomContamination(corpus, bench, shingleN = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 3L).subsetOf(flagged), s"planted leak missed: $flagged")
+
+    // Real-corpus invariant at sf0.001: bloom flags ⊇ exact-join flags.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val b = docs.filter(F.col("doc_id") % 50 === 0)
+    val exact = Dedup.contamination(docs, b, shingleN = 8, minShared = 1)
+      .select("train_id").distinct().collect().map(_.getLong(0)).toSet
+    val bloomDf = Dedup.bloomContamination(docs, b, shingleN = 8)
+    val bloom = bloomDf.collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom),
+      s"bloom false NEGATIVES (impossible for a correct bloom): ${exact -- bloom}")
+
+    // The scale claim, pinned: the corpus side never joins — the bitset is
+    // a plan literal, so the physical plan must contain no join operator.
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom path grew a join:\n$plan")
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(

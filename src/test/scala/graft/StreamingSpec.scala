@@ -479,6 +479,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
   }
 
+  test("engine upgrade: fMGWS checkpoint state seeds a transformWithState query") {
+    import spark.implicits._
+    import graft.streaming.StateRescale
+    val dir = Files.createTempDirectory("graft_upgrade_").toString
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      // Phase A on the v1 engine (flatMapGroupsWithState).
+      Seq(SEvent(1, 10), SEvent(2, 5)).toDS()
+        .write.mode(SaveMode.Append).parquet(s"$dir/inA")
+      val qa = StatefulExec.stream[Long, SEvent, Long, STotal](
+        spark.readStream.schema("k LONG, v LONG").parquet(s"$dir/inA").as[SEvent],
+        _.k, runningSum)
+        .writeStream.option("checkpointLocation", s"$dir/ckptA")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/outA")
+        .outputMode("append").start()
+      qa.awaitTermination()
+
+      // Migrate the v1 state into a v2 (transformWithState) query — the
+      // offline engine-upgrade path: same StateRescale read, landed via
+      // StatefulProcessorWithInitialState.handleInitialState.
+      val init = StateRescale.initialStateFrom[Long, Long](spark, s"$dir/ckptA")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      Seq(SEvent(1, 7), SEvent(3, 2)).toDS()
+        .write.mode(SaveMode.Append).parquet(s"$dir/inB")
+      val qb = StatefulExec.streamTws[Long, SEvent, Long, STotal](
+        spark.readStream.schema("k LONG, v LONG").parquet(s"$dir/inB").as[SEvent],
+        _.k, runningSum, initialState = Some(init))
+        .writeStream.option("checkpointLocation", s"$dir/ckptB")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/outB")
+        .outputMode("append").start()
+      qb.awaitTermination()
+
+      val rows = spark.read.parquet(s"$dir/outB").as[STotal].collect().toSeq
+      assert(rows.contains(STotal(1, 17)),
+        s"v1 state not carried into the v2 engine: $rows")
+      assert(rows.contains(STotal(3, 2)), s"fresh key mishandled: $rows")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("exactly-once sink skips replayed batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_e1_").toString
