@@ -20,7 +20,8 @@ object Bench {
     "q_ann_lsh", "q_tokens", "q_tfidf", "q_quality", "q_pipeline",
     "q_dedup_minhash_pruned", "q_dedup_incremental", "q_dedup_semantic",
     "q_distinct_sketch", "q_stream_join", "q_upsert", "q_corpus_diff",
-    "q_percentile_sketch", "q_mix_sample", "q_cap_per_source")
+    "q_percentile_sketch", "q_mix_sample", "q_cap_per_source",
+    "q_contamination_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

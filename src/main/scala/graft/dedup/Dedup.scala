@@ -533,34 +533,61 @@ object Dedup {
     require(kHashes >= 1 && kHashes * 8 <= 32, s"kHashes in 1..4, got $kHashes")
     def shingles(c: Column) = F.array_distinct(ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(c), shingleN)))
-    // Probe positions: 8 md5 hex chars per hash -> long -> mod mBits. The
-    // same md5-hex-to-integer convention as the minhash/HLL oracles, so
-    // DuckDB computes the IDENTICAL positions.
-    def positions(s: Column): Seq[Column] = (0 until kHashes).map { i =>
-      F.conv(F.substring(F.md5(s), i * 8 + 1, 8), 16, 10).cast("long") % mBits
+    // Benchmark -> bitset, built DRIVER-SIDE from the collected bench
+    // texts (bounded and guarded; a benchmark big enough to matter should
+    // use the exact join instead): the same ShingleExpr fold and the same
+    // md5-hex positions as the executor side, with no Spark job — the
+    // build is ~ms where a shingle-explode + distinct + collect plan paid
+    // two stages and an exchange of fixed cost inside the timed query.
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(32)
+      b.foreach(x => sb.append(f"$x%02x"))
+      sb.toString
     }
-    // Benchmark -> bitset. The collect is bounded and guarded; a benchmark
-    // big enough to trip the guard should use the exact join instead.
-    val benchPos = benchmark
-      .select(F.explode(shingles(F.col(textCol))).as("s"))
-      .select(F.explode(F.array(positions(F.col("s")): _*)).as("pos"))
-      .distinct().collect().map(_.getLong(0))
-    require(benchPos.length <= (mBits / 2),
-      s"benchmark sets ${benchPos.length} of $mBits bloom bits (> 50% load); " +
-        "raise mBits or use Dedup.contamination")
     val words = new Array[Long](mBits / 64)
-    benchPos.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    benchmark.select(F.col(textCol)).collect().foreach { r =>
+      if (!r.isNullAt(0)) {
+        val arr = graft.functions.expressions.ShingleExpr.shingles(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), shingleN)
+        var i = 0
+        while (i < arr.numElements()) {
+          // Probe positions: 8 md5 hex chars per hash -> long -> mod
+          // mBits; the same md5-hex-to-integer convention as the
+          // minhash/HLL oracles, so DuckDB computes IDENTICAL positions.
+          val h = hex(md5.digest(arr.getUTF8String(i).getBytes))
+          var j = 0
+          while (j < kHashes) {
+            val p = (java.lang.Long.parseLong(h.substring(j * 8, j * 8 + 8), 16) % mBits).toInt
+            words(p / 64) |= (1L << (p % 64))
+            j += 1
+          }
+          md5.reset()
+          i += 1
+        }
+      }
+    }
+    val loaded = words.map(java.lang.Long.bitCount).sum
+    require(loaded <= mBits / 2,
+      s"benchmark sets $loaded of $mBits bloom bits (> 50% load); " +
+        "raise mBits or use Dedup.contamination")
     val bitsLit = F.lit(words) // array<long> literal: broadcast with the plan
     val powLit = F.lit(Array.tabulate(64)(i => 1L << i))
-    def mayContain(s: Column): Column =
-      positions(s).map { p =>
+    // Executor side: ONE md5 per shingle (transform binds the hex digest;
+    // the 4 probes are substrings of it), then pure bit tests against the
+    // literal bitset — no exchange, no join, scan-bound.
+    def hitTest(h: Column): Column =
+      (0 until kHashes).map { i =>
+        val p = F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long") % mBits
         val word = F.element_at(bitsLit, (p / 64).cast("int") + 1)
         val mask = F.element_at(powLit, (p % 64).cast("int") + 1)
         word.bitwiseAND(mask) =!= 0L
       }.reduce(_ && _)
     graft.Spread(corpus)
       .select(F.col(idCol),
-        F.size(F.filter(shingles(F.col(textCol)), mayContain(_))).cast("long").as("n_flagged"))
+        F.size(F.filter(
+          F.transform(shingles(F.col(textCol)), s => F.md5(s)),
+          hitTest(_))).cast("long").as("n_flagged"))
       .filter(F.col("n_flagged") >= minHits)
   }
 
