@@ -133,6 +133,13 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_upsert", maxExchange = 1, requirePushdown = true),
     // snapshot diff: one exchange per side into the full-outer SMJ
     Audit("q_corpus_diff", maxExchange = 2, requirePushdown = true),
+    // round-13: bloom decontamination — bitset is a plan literal, the
+    // corpus side is ONE scan: Spread's conditional repartition is the
+    // only exchange allowed, and there must be no join of any kind
+    // (PipelineOpsSpec additionally pins the no-join property by name)
+    Audit("q_contamination_bloom", maxExchange = 1),
+    // real-codec decode gate: pure mapPartitions over the scan
+    Audit("q_multimodal_decode", maxExchange = 0),
     )
 
   private val nodeRe =
