@@ -287,3 +287,52 @@ object IncrementalCorpusMaintenance {
     spark.stop()
   }
 }
+
+/** Round-13 surface — the operator development loop: unit-test a custom
+  * StatefulLogic with the public harness (reference
+  * testing/operator_tester.rs: send_local/step/recv_local), then migrate
+  * its running state to a different partition count offline
+  * (reference keyed/distributed/ rescale choreography, done the Spark
+  * way: checkpoint read → initialState re-seed). */
+object OperatorTestingAndRescale {
+  final case class Click(user: Long, ts: Long)
+  final case class Sessions(user: Long, clicks: Long)
+
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    import spark.implicits._
+
+    // A user-written operator: count clicks per user, emit the total only
+    // when the user goes idle past the TTL (classic sessionization).
+    val sessionize = new graft.operators.StatefulLogic[Long, Click, Long, Sessions] {
+      def zero = 0L
+      def update(k: Long, v: Click, s: Long): (Long, IterableOnce[Sessions]) =
+        (s + 1, Iterator.empty)
+      override def onExpiry(k: Long, s: Long): IterableOnce[Sessions] =
+        Iterator.single(Sessions(k, s))
+    }
+
+    // 1. Drive it through epochs with the harness — no Spark test
+    //    scaffolding, real state store, watermark = the frontier. (Event
+    //    times must sit ABOVE the frontier: the initial frontier is 0, so
+    //    a record at t=0 is already late and drops, exactly as it would
+    //    in production.)
+    val t = graft.testing.OperatorTester.eventTime[Long, Click, Long, Sessions](
+      sessionize, _.user, _.ts, ttlMs = 30 * 60000L)(spark)
+    t.stepWith(Click(1, min(10)), Click(2, min(10))) // epoch 1: two sessions open
+    // epoch 2: user 1 stays active, pushing the frontier to 60min — past
+    // user 2's 10min+30min deadline, so user 2's session flushes HERE.
+    val emitted = t.stepWith(Click(1, min(60)))
+    println(s"flushed sessions: $emitted")           // Sessions(2, 1)
+    t.close()
+
+    // 2. The same logic's production checkpoint can later be migrated to
+    //    a different partition count (or the state-v2 engine) offline:
+    //    see graft.streaming.StateRescale and the StreamingSpec
+    //    offline-rescale / engine-upgrade tests for the full round trip.
+    println("rescale: StateRescale.keyedState -> initialState re-seed (see docs/DEPLOY.md §4)")
+    spark.stop()
+  }
+
+  private def min(m: Long): Long = m * 60000L
+}

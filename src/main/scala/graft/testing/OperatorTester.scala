@@ -24,10 +24,14 @@ import graft.operators.{StatefulExec, StatefulLogic}
   *  - the FRONTIER is the event-time watermark: it advances to the max
   *    event time of each processed batch, and TTL expiry
   *    ([[StatefulLogic.onExpiry]]) fires once the frontier passes
-  *    last-seen-event-time + ttl — in the FOLLOWING step, because
-  *    Structured Streaming evaluates timeouts against the previous
-  *    batch's watermark (send any record to drive that step, as a real
-  *    stream would);
+  *    last-seen-event-time + ttl. A [[OperatorTester.step]] whose data
+  *    advances the frontier DELIVERS the expiries it causes in its own
+  *    return value (processAllAvailable runs the engine's follow-up
+  *    no-data batch, where timeouts are evaluated against the new
+  *    frontier). Records at or below the current frontier are LATE and
+  *    silently dropped, production-faithfully — which includes event
+  *    time 0 against the INITIAL frontier (also 0): start test
+  *    timelines strictly above zero;
   *  - the snapshot backend is the real one: state lives in the streaming
   *    state store exactly as in production, not in a test double — what
   *    the reference fakes with `NoPersistence`, Spark lets us run for
