@@ -12,7 +12,7 @@
 # strings it flags, and VERDICT/ADVICE may cite them when discussing hits.
 set -e
 
-exempt='^(LEAKCHECK\.json|VERDICT\.md|ADVICE\.md|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|tools/leakguard\.sh)$'
+exempt='^(LEAKCHECK\.json|COPYCHECK\.json|VERDICT\.md|ADVICE\.md|BASELINE\.(md|json)|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|bench_stages\.jsonl|baseline_times\.json|tools/leakguard\.sh)$'
 
 staged=$(git diff --cached --name-only --diff-filter=ACM)
 [ -z "$staged" ] && exit 0

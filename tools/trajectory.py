@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Assemble docs/scale_trajectory_r{N}.json from three Bench runs + DuckDB.
+
+The Spark side expects one graft_bench.json per scale factor, produced by:
+    for sf in 0.001 0.01 0.1:
+        SPARK_GRAFT_SF_DIR=/root/testdata/sf$sf sbt "runMain graft.Bench"
+        cp graft_bench.json /tmp/traj_sf$sf.json
+(run them SEQUENTIALLY on a quiet box — the bench self-reports per-shot
+load_1m so contaminated shots are auditable).
+
+The DuckDB side is timed here, best-of-3 per query per sf, using the
+oracle SQL dumped by Verify (oracle_sql.json).
+
+Usage: trajectory.py <round> <sparkJsonDir> <oracleSqlJson>
+Writes docs/scale_trajectory_r<round>.json.
+"""
+import sys, json, time, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def duck_times(sf_dir, oracle, names, repeat=3):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    out = {}
+    for q in names:
+        sql = oracle.get(q)
+        if not sql:
+            out[q] = None
+            continue
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[q] = round(best, 3)
+    con.close()
+    return out
+
+
+def main():
+    rnd, spark_dir, oracle_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    oracle = json.load(open(oracle_path))
+    doc = {"note": "Spark best-of-N cold-cache after JIT warmup (Bench.scala); "
+                   "DuckDB best-of-3 on the same box. Same code and "
+                   "methodology at every sf; per-shot load recorded in the "
+                   "bench diag.",
+           "spark": {}, "duckdb": {}}
+    names = None
+    for sf in SFS:
+        b = json.load(open(f"{spark_dir}/traj_sf{sf}.json"))
+        names = list(b["queries"].keys())
+        doc["spark"][f"sf{sf}"] = {
+            "total": round(sum(b["queries"].values()), 3),
+            "queries": {k: round(v, 3) for k, v in b["queries"].items()}}
+    for sf in SFS:
+        dt = duck_times(f"/root/testdata/sf{sf}", oracle, names)
+        covered = [v for v in dt.values() if v is not None]
+        doc["duckdb"][f"sf{sf}"] = {"total": round(sum(covered), 3), "queries": dt}
+    for eng in ("spark", "duckdb"):
+        doc[f"{eng}_growth_10x"] = round(
+            doc[eng]["sf0.1"]["total"] / doc[eng]["sf0.01"]["total"], 2)
+        doc[f"{eng}_growth_10x_step1"] = round(
+            doc[eng]["sf0.01"]["total"] / doc[eng]["sf0.001"]["total"], 2)
+    out = f"docs/scale_trajectory_r{rnd}.json"
+    json.dump(doc, open(out, "w"), indent=1)
+    print(f"wrote {out}: spark 10x growth "
+          f"{doc['spark_growth_10x_step1']} / {doc['spark_growth_10x']}, "
+          f"duckdb {doc['duckdb_growth_10x_step1']} / {doc['duckdb_growth_10x']}")
+
+
+if __name__ == "__main__":
+    main()
