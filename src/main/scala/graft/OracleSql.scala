@@ -640,6 +640,44 @@ object OracleSql {
         |FROM sh8 s JOIN b USING (shingle)
         |GROUP BY 1, 2""".stripMargin,
 
+    // Duplicated-span trimming (Dedup.trimDuplicateSpans, k=10): same
+    // tokenize/gram conventions as the other shingle oracles, with
+    // POSITIONS carried via struct comprehensions; corpus occurrence
+    // count as a window (the single-pass df pattern); removal = union of
+    // [pos, pos+9] for duplicated starts; rebuild orders by token index.
+    "q_trim_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['s'] AS s FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 's': list_aggregate(w[i:i+9], 'string_agg', ' ')}
+        |              for i in generate_series(1, len(w) - 9)]) AS u
+        |    FROM tok WHERE len(w) >= 10)),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY s) AS occ FROM sh)
+        |  WHERE occ >= 2),
+        |rem AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 9)) AS idx FROM dup),
+        |toki AS (
+        |  SELECT doc_id, u['idx'] AS idx, u['t'] AS t FROM (
+        |    SELECT doc_id, unnest([{'idx': i - 1, 't': w[i]} for i in generate_series(1, len(w))]) AS u
+        |    FROM tok)),
+        |kept AS (
+        |  SELECT toki.doc_id, idx, t FROM toki
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem
+        |                    WHERE rem.doc_id = toki.doc_id AND rem.idx = toki.idx)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(t, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT tok.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(clean_text, '') AS clean_text
+        |FROM tok LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     // Bloom decontamination (Dedup.bloomContamination): identical probe
     // positions — 8 md5 hex chars per hash -> integer mod 2^17, the same
     // hex convention as the minhash/HLL oracles — so the bench bit-position

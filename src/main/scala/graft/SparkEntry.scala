@@ -1053,6 +1053,12 @@ object SparkEntry {
       shingleN = 8, mBits = 1 << 17, kHashes = 4, minHits = 1)
   }
 
+  /** Exact duplicated-span TRIMMING ([[Dedup.trimDuplicateSpans]]) — the
+    * text surgery that removes corpus-duplicated k-token spans while
+    * keeping the documents. */
+  private def qTrimSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.trimDuplicateSpans(T(s, dir, "documents"), k = 10)
+
   /** Corpus-level duplicated-5-gram fraction per document
     * ([[Dedup.dupNgramFraction]]) — the cross-document boilerplate signal
     * (within-doc repetition is [[qRepetition]]). */
@@ -1401,6 +1407,7 @@ object SparkEntry {
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),
+    "q_trim_spans" -> (qTrimSpans _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),

@@ -591,6 +591,68 @@ object Dedup {
       .filter(F.col("n_flagged") >= minHits)
   }
 
+  /** Duplicated-SPAN trimming — the text-surgery form of exact substring
+    * dedup from published training-data practice (remove any token span
+    * occurring more than once in the corpus, then keep the rest of the
+    * document): every position whose `k`-token gram has a corpus-wide
+    * occurrence count >= 2 (WITHIN-doc repeats included) marks its k
+    * tokens for removal; overlapping marks union; the cleaned text is the
+    * surviving tokens rejoined. Where [[dupNgramFraction]] SCORES
+    * boilerplate, this REMOVES it — the operator a pipeline runs when a
+    * document is worth keeping but its duplicated boilerplate is not.
+    *
+    * Token/shingle conventions match the rest of the pack (lowercased
+    * whitespace tokens, space-joined grams), so the reconstruction is
+    * whitespace-normalizing — deterministic and oracle-replicable, which
+    * is the contract here (the original-byte-preserving variant is a
+    * tokenizer detail away, not a different dataflow).
+    *
+    * Shape: one scan -> positional gram explode -> the single-pass
+    * corpus-frequency pattern (count(*) over the gram-keyed exchange — no
+    * cache, no self-join) -> duplicated starts widen to token indices ->
+    * anti-join back onto the positional token explode -> per-doc ordered
+    * rebuild. Exchanges are all on (gram) or (doc, idx) keys; nothing
+    * quadratic, no driver state; hot grams stream through the spillable
+    * window buffer like every df computation in this pack.
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text); docs with no
+    * duplicated span pass through with n_removed = 0. */
+  def trimDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Spread(docs).select(
+      F.col(idCol),
+      F.coalesce(graft.functions.TextFunctions.tokens(F.col(textCol)),
+        F.array().cast("array<string>")).as("toks"))
+    val grams = base.select(
+      F.col(idCol), F.posexplode(
+        graft.functions.TextFunctions.wordShingles(F.col("toks"), k)))
+      .toDF(idCol, "pos", "gram")
+    val dupStarts = grams
+      .withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+      .filter(F.col("occ") >= 2)
+      .select(F.col(idCol), F.col("pos"))
+    val removal = dupStarts
+      .select(F.col(idCol),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).as("idx"))
+      .distinct()
+    val kept = base
+      .select(F.col(idCol), F.posexplode(F.col("toks"))).toDF(idCol, "idx", "tok")
+      .join(removal, Seq(idCol, "idx"), "left_anti")
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_kept"),
+        F.concat_ws(" ", F.transform(
+          F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    base.select(F.col(idCol), F.size(F.col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        F.col(idCol), F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0L))).as("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"))
+  }
+
   /** Duplicated n-gram fraction per document: of a document's DISTINCT
     * word `shingleN`-grams, the fraction that also occur in at least one
     * OTHER document (corpus df >= 2) — the standard corpus-level

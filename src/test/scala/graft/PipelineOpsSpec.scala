@@ -234,6 +234,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Join"), s"bloom path grew a join:\n$plan")
   }
 
+  test("trimDuplicateSpans removes the shared boilerplate, keeps unique content") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // 10-token boilerplate shared by docs 1 and 2; doc 3 is clean.
+    val boiler = "subscribe to our newsletter for the latest updates and offers"
+    val corpus = Seq(
+      (1L, s"unique alpha content one two three $boiler"),
+      (2L, s"$boiler distinct bravo words four five six"),
+      (3L, "entirely original charlie text with no duplication anywhere at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDuplicateSpans(corpus, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // Docs 1/2: every position whose 10-gram repeats marks 10 tokens; the
+    // shared tail/head IS the boilerplate, unique words survive.
+    assert(out(1L)._3 == "unique alpha content one two three",
+      s"doc 1 surgery wrong: ${out(1L)}")
+    assert(out(2L)._3 == "distinct bravo words four five six",
+      s"doc 2 surgery wrong: ${out(2L)}")
+    assert(out(1L)._2 == 10 && out(2L)._2 == 10, s"expected 10 removed: $out")
+    // Doc 3 passes through whitespace-normalized, nothing removed.
+    assert(out(3L) == ((10L, 0L,
+      "entirely original charlie text with no duplication anywhere at all")))
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
