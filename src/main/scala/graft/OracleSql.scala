@@ -610,6 +610,20 @@ object OracleSql {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM f GROUP BY 1""".stripMargin,
 
+    // Deterministic shuffle + shard (Sampling.shuffleShard): position =
+    // rank in md5('graft_' || id) order (id tie-break), shard =
+    // round-robin over the permutation. The oracle's global row_number
+    // replicates the distributed range-sort + zipWithIndex exactly.
+    "q_shuffle_shard" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('graft_' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS shuffle_pos,
+        |  CAST((ROW_NUMBER() OVER (
+        |    ORDER BY md5('graft_' || CAST(doc_id AS VARCHAR)), doc_id) - 1) % 8
+        |    AS BIGINT) AS shard
+        |FROM documents""".stripMargin,
+
     // Repetition: duplicated-trigram fraction per doc, all in-row.
     "q_repetition" ->
       """WITH tok AS (

@@ -973,6 +973,14 @@ object SparkEntry {
       .agg(F.count(F.lit(1)).as("n_docs"),
         F.sum(F.col("n_chars")).cast("long").as("total_chars"))
 
+  /** Deterministic global shuffle + round-robin shard assignment
+    * ([[graft.operators.Sampling.shuffleShard]]) — the reproducible
+    * training-order permutation, emitted per doc. */
+  private def qShuffleShard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffleShard(
+        T(s, dir, "documents").select("doc_id", "source"), nShards = 8)
+      .select(F.col("doc_id"), F.col("shuffle_pos"), F.col("shard"))
+
   /** Hierarchical aggregate: ROLLUP over (returnflag, linestatus) —
     * grand-total and per-flag subtotals in one pass (built-in grouping
     * sets; partial aggregation still map-side). */
@@ -1400,6 +1408,7 @@ object SparkEntry {
     "q_upsert" -> (qUpsert _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_folds" -> (qFolds _),
+    "q_shuffle_shard" -> (qShuffleShard _),
     "q_rollup" -> (qRollup _),
     "q_chunk" -> (qChunk _),
     "q_pack" -> (qPack _),

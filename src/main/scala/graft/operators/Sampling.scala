@@ -37,6 +37,43 @@ object Sampling {
       .cast("long") % k
   }
 
+  /** Deterministic global training-order SHUFFLE + shard assignment — the
+    * "shuffle the corpus, then cut it into N equal shards" step every
+    * training run performs before writing tokenized data. The permutation
+    * is keyed by md5(seed || id): reproducible across reruns, partition
+    * counts, and engines (same stability contract as the samplers above —
+    * Spark's orderBy(rand(seed)) has none of these properties), and a new
+    * seed is a completely fresh permutation. Shards cut the shuffled
+    * order ROUND-ROBIN (`pos % nShards`): equal sizes ±1, every shard a
+    * uniform sample, and no corpus count needed (a contiguous-range cut
+    * would cost an extra pass just to learn N).
+    *
+    * Scale shape: one range exchange on the shuffle key + an in-partition
+    * sort, then a per-partition-offset zipWithIndex (the [[graft.ann.Ann.densify]]
+    * machinery — a distributed row_number with NO single-partition global
+    * window); the only driver state is one partition-count array.
+    *
+    * Output: original columns + `shuffle_pos` (0..N-1) + `shard`. */
+  def shuffleShard(docs: DataFrame, idCol: String = "doc_id",
+                   nShards: Int = 8, seed: String = "graft"): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val spark = docs.sparkSession
+    val keyed = docs.withColumn("_shuf_key",
+      F.md5(F.concat(F.lit(seed + "_"), F.col(idCol).cast("string"))))
+    val sorted = keyed
+      .repartitionByRange(F.col("_shuf_key"), F.col(idCol))
+      .sortWithinPartitions(F.col("_shuf_key"), F.col(idCol)) // id = total tie-break
+    val withPos = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(withPos, schema)
+      .withColumn("shard", F.col("shuffle_pos") % nShards)
+      .drop("_shuf_key")
+  }
+
   /** Temperature-scaled mixture weights — the data-MIXING allocator every
     * multi-source training run needs (cf. multilingual sampling p_s ∝
     * n_s^α): per-source token counts, α-tempered shares (α < 1 upsamples

@@ -258,6 +258,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       "entirely original charlie text with no duplication anywhere at all")))
   }
 
+  test("shuffleShard: bijective reproducible permutation, balanced shards, partition-invariant") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id")
+    val n = docs.count()
+    def run(parts: String): Map[Long, (Long, Long)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Sampling.shuffleShard(docs, nShards = 8).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run("4")
+    // bijection: every position 0..N-1 exactly once
+    assert(a.values.map(_._1).toSet == (0L until n).toSet)
+    // balanced round-robin shards (±1)
+    val sizes = a.values.groupBy(_._2).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // the permutation is a property of the DATA, not the parallelism
+    assert(run("7") == a, "shuffle order changed with partition count")
+    // a different seed is a genuinely different permutation
+    val b = Sampling.shuffleShard(docs, nShards = 8, seed = "other").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.exists { case (id, (pos, _)) => b(id) != pos })
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
