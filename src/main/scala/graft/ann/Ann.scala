@@ -43,22 +43,15 @@ object Ann {
     * (q_densify gates the equality hash-exact). */
   def densify(df: DataFrame, idCol: String = "vec_id",
               origOut: String = ""): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df
-      .repartitionByRange(F.col(idCol))
-      .sortWithinPartitions(F.col(idCol))
-    val idIdx = sorted.schema.fieldIndex(idCol)
-    val withDense = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(
-        row.toSeq.updated(idIdx, idx) :+ row.get(idIdx))
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields.map(f =>
-        if (f.name == idCol) f.copy(dataType = org.apache.spark.sql.types.LongType,
-          nullable = false)
-        else f) :+
-        sorted.schema.fields(idIdx).copy(name = "_orig_id"))
-    val out = spark.createDataFrame(withDense, schema)
+    // The distributed row_number lives in ONE place
+    // (operators.GlobalIndex); densify is that index swapped into the id
+    // column's position, with the original id optionally kept alongside.
+    val withIdx = graft.operators.GlobalIndex.appendIndex(
+      df, Seq(F.col(idCol)), "_dense_id")
+    val out = withIdx.select(
+      df.columns.toSeq.map { c =>
+        if (c == idCol) F.col("_dense_id").as(idCol) else F.col(c)
+      } :+ F.col(idCol).as("_orig_id"): _*)
     if (origOut.isEmpty) out.drop("_orig_id")
     else out.withColumnRenamed("_orig_id", origOut)
   }

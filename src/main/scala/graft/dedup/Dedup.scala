@@ -522,13 +522,16 @@ object Dedup {
     * while the bloom pass reduces 100 TB to the (vanishing) flagged
     * subset first; the exact join then runs on survivors only.
     *
-    * Driver-side bound: the collected bench position set is
-    * |bench distinct shingles| x kHashes longs, `require`-guarded — the
-    * same bounded-collect class as the ANN training sample (SURVEY §5). */
+    * Driver-side bound: the bitset builds from the collected benchmark
+    * TEXTS, capped BEFORE the collect at `maxBenchDocs` rows (limit + 1
+    * probe, so oversize fails fast instead of OOMing the driver) and
+    * `require`-guarded again at 50% bitset load — the same
+    * bounded-collect class as the ANN training sample (SURVEY §5). */
   def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
                          shingleN: Int = 8, mBits: Int = 1 << 17,
-                         kHashes: Int = 4, minHits: Int = 1): DataFrame = {
+                         kHashes: Int = 4, minHits: Int = 1,
+                         maxBenchDocs: Int = 100000): DataFrame = {
     require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
     require(kHashes >= 1 && kHashes * 8 <= 32, s"kHashes in 1..4, got $kHashes")
     def shingles(c: Column) = F.array_distinct(ColumnBridge.column(
@@ -546,7 +549,16 @@ object Dedup {
       sb.toString
     }
     val words = new Array[Long](mBits / 64)
-    benchmark.select(F.col(textCol)).collect().foreach { r =>
+    // The collect is BOUNDED BEFORE it happens: limit(max+1) ships at most
+    // max+1 text rows to the driver whatever size `benchmark` is, and the
+    // require turns "too big" into an error instead of an OOM (a guard
+    // that runs after a full collect protects nothing) — with no separate
+    // count job inside the timed query.
+    val benchRows = benchmark.select(F.col(textCol)).limit(maxBenchDocs + 1).collect()
+    require(benchRows.length <= maxBenchDocs,
+      s"benchmark exceeds $maxBenchDocs docs — too large for the bitset " +
+        "build; raise maxBenchDocs deliberately or use Dedup.contamination")
+    benchRows.foreach { r =>
       if (!r.isNullAt(0)) {
         val arr = graft.functions.expressions.ShingleExpr.shingles(
           org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), shingleN)

@@ -57,19 +57,10 @@ object Sampling {
   def shuffleShard(docs: DataFrame, idCol: String = "doc_id",
                    nShards: Int = 8, seed: String = "graft"): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")
-    val spark = docs.sparkSession
     val keyed = docs.withColumn("_shuf_key",
       F.md5(F.concat(F.lit(seed + "_"), F.col(idCol).cast("string"))))
-    val sorted = keyed
-      .repartitionByRange(F.col("_shuf_key"), F.col(idCol))
-      .sortWithinPartitions(F.col("_shuf_key"), F.col(idCol)) // id = total tie-break
-    val withPos = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-    }
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "shuffle_pos", org.apache.spark.sql.types.LongType, nullable = false))
-    spark.createDataFrame(withPos, schema)
+    GlobalIndex.appendIndex(
+        keyed, Seq(F.col("_shuf_key"), F.col(idCol)), "shuffle_pos") // id = tie-break
       .withColumn("shard", F.col("shuffle_pos") % nShards)
       .drop("_shuf_key")
   }

@@ -147,7 +147,16 @@ object StatefulExec {
     * ([[graft.streaming.StateRescale]]): state read from a stopped
     * checkpoint re-enters here under a new shuffle-partition count, which
     * is Spark's form of the reference's key-range migration
-    * (keyed/distributed/message_router/normal.rs). */
+    * (keyed/distributed/message_router/normal.rs).
+    *
+    * CAVEAT — `initialState` + `ttlMs` together: Spark's fMGWS stores
+    * initial state WITHOUT invoking the user function for keys that get
+    * no input rows (verified against the 4.1.2 engine), and the timeout
+    * is only armed inside that function — so a seeded key that never
+    * receives another event keeps its state forever and `onExpiry` never
+    * fires for it. A TTL'd migration should land on [[streamTws]]
+    * instead, whose `handleInitialState` hook arms a timer for every
+    * seeded key at seed time. */
   def stream[K: Encoder, V, S: Encoder, O: Encoder](
       ds: Dataset[V],
       key: V => K,

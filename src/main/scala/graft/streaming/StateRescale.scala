@@ -90,30 +90,57 @@ object StateRescale {
     keyedState[K, S](spark, checkpointDir, operatorId)
       .groupByKey(_._1).mapValues(_._2)
 
+  // Checkpoint-dir listings go through the Hadoop FS API with the
+  // SESSION's configuration — a java.io.File probe on an hdfs://-or-s3a
+  // checkpoint (the scale this tool exists for) silently returns null
+  // and would report "0 partitions / no offsets" instead of failing.
+  // The same class of bug this round fixed in sinks.StatefulParquetSink.
+  private def fs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  private def listNames(path: String): Seq[String] = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
   /** The number of state partitions a checkpoint is pinned to — `state/
     * <operatorId>/<partitionId>/` directory fan-out. The before/after
     * witness that a migration actually changed the layout. */
-  def statePartitionCount(checkpointDir: String, operatorId: Int = 0): Int = {
-    val d = new java.io.File(s"$checkpointDir/state/$operatorId")
-    Option(d.listFiles()).map(_.count { f =>
-      f.isDirectory && f.getName.forall(_.isDigit)
-    }).getOrElse(0)
-  }
+  def statePartitionCount(checkpointDir: String, operatorId: Int = 0): Int =
+    listNames(s"$checkpointDir/state/$operatorId")
+      .count(_.forall(_.isDigit))
 
-  /** The source offsets the old checkpoint had committed — what a caller
+  /** The source offsets of the last COMMITTED batch — what a caller
     * resumes a replayable source from after migrating state to the new
-    * checkpoint. Returns the raw JSON lines of the newest entry in the
-    * `offsets/` log (one per source). */
+    * checkpoint. Returns the raw per-source JSON lines of that batch's
+    * `offsets/` entry.
+    *
+    * Committed, not newest: Structured Streaming writes `offsets/N`
+    * BEFORE running batch N and `commits/N` only after it completes, so
+    * after a crash the newest offsets file can be one batch AHEAD of the
+    * state the checkpoint actually holds — resuming from it would skip
+    * that batch's input range entirely (in neither the migrated state
+    * nor the replayed stream). The commits/ log is the truth the state
+    * reader itself reflects. */
   def lastCommittedOffsets(checkpointDir: String): Seq[String] = {
-    val dir = new java.io.File(s"$checkpointDir/offsets")
-    val newest = Option(dir.listFiles()).toSeq.flatten
-      .filter(_.getName.forall(_.isDigit))
-      .sortBy(_.getName.toLong).lastOption
-    newest.toSeq.flatMap { f =>
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-      // line 0 is the version header ("v1"), line 1 the metadata JSON;
-      // the per-source offset JSONs follow.
-      lines.toArray(Array.empty[String]).drop(2).toSeq
-    }
+    val committed = listNames(s"$checkpointDir/commits")
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+    if (committed.isEmpty) return Seq.empty
+    val (f, p) = fs(s"$checkpointDir/offsets/${committed.max}")
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val raw = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    // line 0 is the version header ("v1"), line 1 the metadata JSON;
+    // the per-source offset JSONs follow.
+    raw.split("\n").toSeq.drop(2).filter(_.nonEmpty)
   }
 }

@@ -14,11 +14,16 @@ set -e
 
 exempt='^(LEAKCHECK\.json|COPYCHECK\.json|VERDICT\.md|ADVICE\.md|BASELINE\.(md|json)|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|bench_stages\.jsonl|baseline_times\.json|tools/leakguard\.sh)$'
 
-staged=$(git diff --cached --name-only --diff-filter=ACM)
-[ -z "$staged" ] && exit 0
-
+# Line-wise read loop (IFS= read -r): a path with spaces must not
+# word-split its way past the scan as `for f in $list` would.
+# --diff-filter includes renames (R): a rename+edit of a log file into
+# the tree is still a new leak vector.
+staged_list=$(mktemp)
+trap 'rm -f "$staged_list"' EXIT
+git diff --cached --name-only --diff-filter=ACMR > "$staged_list"
 fail=0
-for f in $staged; do
+while IFS= read -r f; do
+  [ -z "$f" ] && continue
   echo "$f" | grep -Eq "$exempt" && continue
   # Block raw log files outright, whatever they contain.
   case "$f" in
@@ -31,7 +36,7 @@ for f in $staged; do
     echo "leakguard: $f contains build-internal resolver/classpath lines" >&2
     fail=1
   fi
-done
+done < "$staged_list"
 
 if [ "$fail" -ne 0 ]; then
   echo "leakguard: commit blocked (see above). Raw build logs and resolver" >&2

@@ -45,6 +45,10 @@ def duck_times(sf_dir, oracle, names, repeat=3):
     return out
 
 
+def q_covered(q, oracle):
+    return bool(oracle.get(q))
+
+
 def main():
     rnd, spark_dir, oracle_path = sys.argv[1], sys.argv[2], sys.argv[3]
     oracle = json.load(open(oracle_path))
@@ -60,6 +64,15 @@ def main():
         doc["spark"][f"sf{sf}"] = {
             "total": round(sum(b["queries"].values()), 3),
             "queries": {k: round(v, 3) for k, v in b["queries"].items()}}
+    # Totals must compare the SAME query set or cross-engine growth is
+    # apples-to-oranges: restrict BOTH engines' totals to oracle-covered
+    # queries and record what was excluded (no silent caps).
+    uncovered = [q for q in names if not oracle.get(q)]
+    doc["total_excludes"] = uncovered
+    for sf in SFS:
+        cov = {k: v for k, v in doc["spark"][f"sf{sf}"]["queries"].items()
+               if q_covered(k, oracle)}
+        doc["spark"][f"sf{sf}"]["total"] = round(sum(cov.values()), 3)
     for sf in SFS:
         dt = duck_times(f"/root/testdata/sf{sf}", oracle, names)
         covered = [v for v in dt.values() if v is not None]
