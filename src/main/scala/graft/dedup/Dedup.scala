@@ -583,23 +583,18 @@ object Dedup {
     require(loaded <= mBits / 2,
       s"benchmark sets $loaded of $mBits bloom bits (> 50% load); " +
         "raise mBits or use Dedup.contamination")
-    val bitsLit = F.lit(words) // array<long> literal: broadcast with the plan
-    val powLit = F.lit(Array.tabulate(64)(i => 1L << i))
-    // Executor side: ONE md5 per shingle (transform binds the hex digest;
-    // the 4 probes are substrings of it), then pure bit tests against the
-    // literal bitset — no exchange, no join, scan-bound.
-    def hitTest(h: Column): Column =
-      (0 until kHashes).map { i =>
-        val p = F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long") % mBits
-        val word = F.element_at(bitsLit, (p / 64).cast("int") + 1)
-        val mask = F.element_at(powLit, (p % 64).cast("int") + 1)
-        word.bitwiseAND(mask) =!= 0L
-      }.reduce(_ && _)
+    // Executor side: ONE native expression — one md5 per shingle, probes
+    // sliced from the one digest, bit tests against the bitset carried as
+    // a codegen reference object. The earlier filter/transform-lambda
+    // form was CodegenFallback (all Catalyst higher-order functions are)
+    // and dropped the whole scan stage to the interpreted path; the
+    // expression keeps it inside whole-stage codegen. No exchange, no
+    // join, scan-bound.
     graft.Spread(corpus)
       .select(F.col(idCol),
-        F.size(F.filter(
-          F.transform(shingles(F.col(textCol)), s => F.md5(s)),
-          hitTest(_))).cast("long").as("n_flagged"))
+        ColumnBridge.column(graft.functions.expressions.BloomHitsExpr(
+          ColumnBridge.expression(shingles(F.col(textCol))),
+          words, mBits, kHashes)).cast("long").as("n_flagged"))
       .filter(F.col("n_flagged") >= minHits)
   }
 

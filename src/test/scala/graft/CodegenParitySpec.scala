@@ -25,7 +25,8 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_ngram_jaccard", // XxHash64ArrayExpr + SortedIntersectCountExpr
     "q_fingerprint_winnow", // WinnowExpr
     "q_tfidf", // TokenTfExpr
-    "q_ann_pq" // PqEncodeExpr + PqAdcExpr (addReferenceObj path)
+    "q_ann_pq", // PqEncodeExpr + PqAdcExpr (addReferenceObj path)
+    "q_contamination_bloom" // BloomHitsExpr (r13; addReferenceObj bitset)
   )
 
   private def rows(df: DataFrame): Seq[String] =
