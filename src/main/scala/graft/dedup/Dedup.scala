@@ -628,12 +628,16 @@ object Dedup {
                          textCol: String = "text", k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.Spread(docs).select(
-      F.col(idCol),
+      F.col(idCol), F.col(textCol),
       F.coalesce(graft.functions.TextFunctions.tokens(F.col(textCol)),
         F.array().cast("array<string>")).as("toks"))
+    // Grams come from the native ShingleExpr over the TEXT (same
+    // tokenizer fold as `toks`), not a wordShingles lambda over the token
+    // array — higher-order functions are CodegenFallback and would drop
+    // this per-row-heaviest scan to the interpreted path.
     val grams = base.select(
-      F.col(idCol), F.posexplode(
-        graft.functions.TextFunctions.wordShingles(F.col("toks"), k)))
+      F.col(idCol), F.posexplode(ColumnBridge.column(
+        ShingleExpr(ColumnBridge.expression(F.col(textCol)), k))))
       .toDF(idCol, "pos", "gram")
     val dupStarts = grams
       .withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("gram")))
@@ -750,20 +754,13 @@ object Dedup {
                            blockTokens: Int = 10): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
     val p = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = F.filter(
-      F.split(F.lower(F.col(textCol)), "\\s+"), t => F.length(t) > 0)
-    // ceil(n/K) block starts; sequence(1, 0) would count DOWN, so empty
-    // token arrays short-circuit to null and drop at the outer explode.
-    val nBlocks = ((F.size(F.col("__w")) - 1) / blockTokens + 1).cast("int")
-    val blocks = F.when(F.size(F.col("__w")) > 0,
-      F.transform(
-        F.sequence(F.lit(1), nBlocks),
-        i => F.array_join(
-          F.slice(F.col("__w"), (i - 1) * blockTokens + 1, F.lit(blockTokens)), " ")))
+    // Native block split (TokenBlocksExpr): the former when/transform/
+    // slice lambda chain was CodegenFallback and ran this corpus scan
+    // interpreted; NULL (token-less docs) drops at the explode.
     val paras = graft.Spread(docs)
-      .select(F.col(idCol), toks.as("__w"))
-      .select(F.col(idCol), F.explode_outer(blocks).as("__para"))
-      .filter(F.col("__para").isNotNull)
+      .select(F.col(idCol), F.explode(ColumnBridge.column(
+        graft.functions.expressions.TokenBlocksExpr(
+          ColumnBridge.expression(F.col(textCol)), blockTokens))).as("__para"))
       .select(F.col(idCol), F.xxhash64(F.col("__para")).as("__h"))
     val wMark = Window.partitionBy(F.col("__h"), F.col(idCol))
       .orderBy(F.col(idCol))

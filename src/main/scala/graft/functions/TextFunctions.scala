@@ -24,9 +24,19 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("long")
 
-  /** Whitespace-split tokens (lowercased), as an array column. */
+  /** Whitespace-split tokens (lowercased), as an array column.
+    *
+    * Evaluated as [[graft.functions.expressions.ShingleExpr]] with n = 1
+    * (a 1-gram IS the token stream, same tokenizer fold): the previous
+    * `filter(split(lower(...)))` lambda was a Catalyst higher-order
+    * function, which is CodegenFallback and drops the WHOLE stage using
+    * it onto the interpreted path (measured 2x on the bloom scan,
+    * round 13) — the native form keeps token-consuming scans in
+    * whole-stage codegen. */
   def tokens(text: Column): Column =
-    F.filter(F.split(F.lower(text), "[ \\t\\n\\f\\r]+"), t => F.length(t) > 0)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.ShingleExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 1))
 
   /** Word n-gram shingles over the token array; empty when fewer than `n`
     * tokens, NULL for a NULL array (strict semantics so any engine — and

@@ -26,7 +26,9 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_fingerprint_winnow", // WinnowExpr
     "q_tfidf", // TokenTfExpr
     "q_ann_pq", // PqEncodeExpr + PqAdcExpr (addReferenceObj path)
-    "q_contamination_bloom" // BloomHitsExpr (r13; addReferenceObj bitset)
+    "q_contamination_bloom", // BloomHitsExpr (r13; addReferenceObj bitset)
+    "q_dup_paragraphs", // TokenBlocksExpr (r13; null on token-less docs)
+    "q_trim_spans" // ShingleExpr-positional + native tokens() (r13)
   )
 
   private def rows(df: DataFrame): Seq[String] =
