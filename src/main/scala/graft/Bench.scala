@@ -207,6 +207,15 @@ object Bench {
       while (shots.length < math.max(4, runs) &&
              shots.map(_.sec).max / shots.map(_.sec).min > varianceBound)
         shots += oneShot(shots.length)
+      // Sub-second queries are FIXED-COST-dominated and their shot-to-shot
+      // jitter (GC pause, a stray compile, scheduler hiccup) is the same
+      // order as the floor itself — two agreeing-but-inflated shots pass
+      // the variance gate yet overstate the query by 30-50% (r13:
+      // q_distinct_sketch best-of-2 read 0.31 s on one run, 0.20 s on the
+      // next, identical code). Extra shots are cheap at this size: always
+      // give the minimum four chances to land on the floor.
+      while (shots.length < 4 && shots.map(_.sec).min < 0.8)
+        shots += oneShot(shots.length)
       diags(name) = shots.toSeq
       name -> shots.map(_.sec).min
     }
