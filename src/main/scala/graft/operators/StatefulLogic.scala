@@ -211,7 +211,8 @@ object StatefulExec {
       logic: StatefulLogic[K, V, S, O],
       ttlMs: Option[Long] = None,
       eventTimeMs: Option[V => Long] = None,
-      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[K, S]] = None)
+      initialState: Option[org.apache.spark.sql.KeyValueGroupedDataset[K, S]] = None,
+      initialStateTimeMs: Option[Long] = None)
       : Dataset[O] = {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
     val stateEnc = implicitly[Encoder[S]]
@@ -243,8 +244,11 @@ object StatefulExec {
           out ++= os
         }
         state.update(s)
-        maxTsState.update(maxTs)
         ttlMs.foreach { t =>
+          // The activity clock is only read on the TTL path — maintaining
+          // it for a no-TTL query would be a RocksDB write + changelog
+          // entry per key per batch with no reader.
+          maxTsState.update(maxTs)
           // one live deadline per key, re-armed to last-seen-event-time +
           // ttl (ttl_map.rs semantics: expiry when the frontier passes the
           // last activity). Floor at the current watermark so a key fed
@@ -264,13 +268,23 @@ object StatefulExec {
         } else Iterator.empty
       override def handleInitialState(k: K, s: S, tv: TimerValues): Unit = {
         state.update(s)
-        // The migrated state's activity clock is unknown (fMGWS state or a
-        // bare (key, state) seed carries no max-ts); arm from the current
-        // watermark so a seeded-then-idle key still expires one TTL after
-        // the migration point rather than living forever.
+        // The migrated state's activity clock is unknown (fMGWS state or
+        // a bare (key, state) seed carries no max-ts). The seeding batch's
+        // own watermark is USELESS as a stand-in — on a fresh checkpoint
+        // it is 0, so arming wm+ttl would set every seeded key's deadline
+        // to epoch-1970+ttl and the first real watermark advance would
+        // expire the whole migrated corpus at once (an onExpiry storm +
+        // total state loss). Only the CALLER knows the migration-point
+        // clock: `initialStateTimeMs` (for a checkpoint migration, the
+        // old checkpoint's StateRescale.lastWatermarkMs). With it, seeded
+        // keys expire one TTL after that point; without it they arm on
+        // their first post-migration event and a seeded-then-idle key
+        // persists (the documented fMGWS-parity fallback).
         ttlMs.foreach { t =>
-          maxTsState.update(tv.getCurrentWatermarkInMs())
-          getHandle.registerTimer(tv.getCurrentWatermarkInMs() + t)
+          initialStateTimeMs.foreach { seedMs =>
+            maxTsState.update(seedMs)
+            getHandle.registerTimer(seedMs + t)
+          }
         }
       }
     }

@@ -54,14 +54,8 @@ final case class StatefulParquetSink(path: String) extends GraftSink {
     (p.getFileSystem(conf), p)
   }
 
-  private def sessionHadoopConf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
   def committedEpoch: Option[Long] = {
-    val (fs, p) = fsAndPath(sessionHadoopConf())
+    val (fs, p) = fsAndPath(graft.HadoopFs.sessionConf())
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

@@ -90,22 +90,12 @@ object StateRescale {
     keyedState[K, S](spark, checkpointDir, operatorId)
       .groupByKey(_._1).mapValues(_._2)
 
-  // Checkpoint-dir listings go through the Hadoop FS API with the
-  // SESSION's configuration — a java.io.File probe on an hdfs://-or-s3a
-  // checkpoint (the scale this tool exists for) silently returns null
-  // and would report "0 partitions / no offsets" instead of failing.
-  // The same class of bug this round fixed in sinks.StatefulParquetSink.
-  private def fs(path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    (p.getFileSystem(conf), p)
-  }
-
+  // Checkpoint-dir listings go through graft.HadoopFs (session conf) — a
+  // java.io.File probe on an hdfs://-or-s3a checkpoint (the scale this
+  // tool exists for) silently returns null and would report
+  // "0 partitions / no offsets" instead of failing.
   private def listNames(path: String): Seq[String] = {
-    val (f, p) = fs(path)
+    val (f, p) = graft.HadoopFs.get(path)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath.getName)
   }
@@ -133,14 +123,46 @@ object StateRescale {
     val committed = listNames(s"$checkpointDir/commits")
       .filter(_.forall(_.isDigit)).map(_.toLong)
     if (committed.isEmpty) return Seq.empty
-    val (f, p) = fs(s"$checkpointDir/offsets/${committed.max}")
-    if (!f.exists(p)) return Seq.empty
+    raw(offsetsFile(checkpointDir, committed.max))
+      // line 0 is the version header ("v1"), line 1 the metadata JSON;
+      // the per-source offset JSONs follow.
+      .split("\n").toSeq.drop(2).filter(_.nonEmpty)
+  }
+
+  /** The event-time watermark the last committed batch had reached
+    * (`batchWatermarkMs` of its offsets metadata; 0 when the query had no
+    * watermark). This is the MIGRATION-POINT clock a TTL'd re-seed arms
+    * expiry from — [[graft.operators.StatefulExec.streamTws]]'s
+    * `initialStateTimeMs`. None when nothing was ever committed. */
+  def lastWatermarkMs(checkpointDir: String): Option[Long] = {
+    val committed = listNames(s"$checkpointDir/commits")
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+    if (committed.isEmpty) return None
+    val meta = raw(offsetsFile(checkpointDir, committed.max)).split("\n")
+    // meta(1) is the batch-metadata JSON: {"batchWatermarkMs":N,...}
+    "\"batchWatermarkMs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(
+      meta.lift(1).getOrElse("")).map(_.group(1).toLong)
+  }
+
+  private def offsetsFile(checkpointDir: String, batch: Long): String = {
+    val path = s"$checkpointDir/offsets/$batch"
+    val (f, p) = graft.HadoopFs.get(path)
+    // A commit whose offsets entry is gone is a CORRUPT checkpoint
+    // (partial copy, manual cleanup) — returning empty here would be
+    // indistinguishable from "nothing to resume" and send the caller
+    // back to earliest, double-applying everything already in the
+    // migrated state. Fail loudly instead.
+    if (!f.exists(p)) throw new IllegalStateException(
+      s"checkpoint has commits/$batch but no offsets/$batch — corrupt " +
+        "checkpoint; refusing to guess resume offsets")
+    path
+  }
+
+  private def raw(path: String): String = {
+    val (f, p) = graft.HadoopFs.get(path)
     val in = f.open(p)
-    val raw = try new String(
+    try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     finally in.close()
-    // line 0 is the version header ("v1"), line 1 the metadata JSON;
-    // the per-source offset JSONs follow.
-    raw.split("\n").toSeq.drop(2).filter(_.nonEmpty)
   }
 }

@@ -90,15 +90,20 @@ object StreamingOps {
       .start()
 
   /** Exactly-once file sink: foreachBatch + idempotent per-batch commit —
-    * replayed batch ids are skipped, matching sinks/stateful.rs semantics. */
+    * replayed batch ids are skipped, matching sinks/stateful.rs semantics.
+    * The `_SUCCESS` probe resolves through the session's Hadoop FS
+    * ([[graft.HadoopFs]]): a java.io.File check on an hdfs://-or-s3a
+    * outDir answers against the driver's local disk, is always false,
+    * and would re-Overwrite every committed batch on replay — the exact
+    * idempotence this sink exists to provide. */
   def exactlyOnceParquetSink(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val target = s"$outDir/batch=$batchId"
-        val done = new java.io.File(s"$target/_SUCCESS")
-        if (!done.exists()) { // replay of a committed batch → no-op
+        val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
+        if (!fs.exists(done)) { // replay of a committed batch → no-op
           batch.write.mode(SaveMode.Overwrite).parquet(target)
         }
       }

@@ -98,6 +98,9 @@ final class OperatorTester[V, O] private[testing] (
 
   def close(): Unit = {
     query.stop()
+    // The memory sink pins every row it ever received and registers a
+    // temp view; a suite creating many testers would otherwise leak both.
+    spark.catalog.dropTempView(sinkTable)
     restoreConf()
   }
 }
@@ -159,22 +162,28 @@ object OperatorTester {
 
   /** Tester over [[StatefulExec.streamTws]] (transformWithState): same
     * contract on the state-v2 engine. Sets the RocksDB state-store
-    * provider for the query and restores the previous conf on `close()`. */
+    * provider for the query and restores the previous conf on `close()`
+    * — or immediately if the query fails to start, so a bad logic/encoder
+    * can't leak the provider onto unrelated queries. NOT re-entrant: two
+    * overlapping `tws` testers on one session would capture each other's
+    * provider setting as "previous". */
   def tws[K: Encoder, V: Encoder, S: Encoder, O: Encoder](
       logic: StatefulLogic[K, V, S, O], key: V => K,
       eventTimeMs: V => Long, ttlMs: Option[Long] = None)(
       spark: SparkSession): OperatorTester[V, O] = {
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
+    val restore = () => prev match {
+      case Some(p) => spark.conf.set(confKey, p)
+      case None    => spark.conf.unset(confKey)
+    }
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    start[K, V, S, O](spark, eventTimeMs,
+    try start[K, V, S, O](spark, eventTimeMs,
       ds => StatefulExec.streamTws[K, (Timestamp, V), S, O](
         ds, tv => key(tv._2), lift(logic), ttlMs, Some(_._1.getTime)),
-      restoreConf = () => prev match {
-        case Some(p) => spark.conf.set(confKey, p)
-        case None    => spark.conf.unset(confKey)
-      })
+      restoreConf = restore)
+    catch { case e: Throwable => restore(); throw e }
   }
 
   /** One-shot check of the BATCH execution path ([[StatefulExec.batch]]):

@@ -524,6 +524,60 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("TTL'd migration: seeded keys expire one TTL after the migration point, not at epoch 1970") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ttlLogic = new StatefulLogic[Long, WmEvent, Long, STotal] {
+        def zero = 0L
+        def update(k: Long, v: WmEvent, s: Long): (Long, IterableOnce[STotal]) =
+          (s + v.v, Iterator.empty)
+        override def onExpiry(k: Long, s: Long): IterableOnce[STotal] =
+          Iterator.single(STotal(k, s))
+      }
+      // Migrated state for keys 1 (10) and 2 (5); the OLD checkpoint's
+      // frontier stood at 60 min — the migration-point clock
+      // (StateRescale.lastWatermarkMs in a real migration).
+      val init = Seq((1L, 10L), (2L, 5L)).toDS().groupByKey(_._1).mapValues(_._2)
+      val input = MemoryStream[SEvent]
+      val ds = input.toDF()
+        .withColumn("ts", F.timestamp_seconds($"v" * 60))
+        .withWatermark("ts", "0 seconds")
+        .as[WmEvent]
+      val out = StatefulExec.streamTws[Long, WmEvent, Long, STotal](
+        ds, _.k, ttlLogic, ttlMs = Some(30 * 60000L),
+        eventTimeMs = Some(_.ts.getTime),
+        initialState = Some(init), initialStateTimeMs = Some(60 * 60000L))
+      val q = out.writeStream.format("memory").queryName("ttl_mig")
+        .outputMode("append").start()
+      // Batch 1: key 1 refreshed at t=70min (frontier -> 70min). With the
+      // watermark-0 arming bug this step would expire EVERY seeded key
+      // (deadlines at 1970+30min << 70min) — the storm this test pins.
+      input.addData(SEvent(1, 70))
+      q.processAllAvailable()
+      val afterB1 = spark.table("ttl_mig").as[STotal].collect().toSeq
+      assert(afterB1.isEmpty,
+        s"seeded keys expired before migration-point + TTL (the epoch-1970 storm): $afterB1")
+      // Batch 2: frontier -> 101min, past BOTH deadlines — key 2 (seeded,
+      // idle: 60+30=90min) flushes its MIGRATED state; key 1 (refreshed:
+      // 70+30=100min) flushes seed+event.
+      input.addData(SEvent(9, 101))
+      q.processAllAvailable()
+      val rows = spark.table("ttl_mig").as[STotal].collect().toSeq
+      q.stop()
+      assert(rows.contains(STotal(2, 5)),
+        s"seeded-then-idle key must expire one TTL after the migration point: $rows")
+      assert(rows.contains(STotal(1, 80)),
+        s"refreshed key must carry seed+event through expiry: $rows")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("exactly-once sink skips replayed batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_e1_").toString
