@@ -142,16 +142,45 @@ final class KeyedGraftStream private[api] (
     * aggregates (each [[SaltedAgg]] carries its combine step); results are
     * identical to [[agg]] by associativity. */
   def aggSalted(buckets: Int, aggs: SaltedAgg*): GraftStream = {
-    val salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets.toLong)).as("__salt")
-    val partial = toDF
-      .groupBy(keys :+ (salt: Column): _*)
+    // Salt must be a DETERMINISTIC function of row content:
+    // monotonically_increasing_id depends on partition layout, so a
+    // shuffle-retry recompute could re-salt rows into different
+    // (key, salt) groups while other reducers keep already-fetched data
+    // — the SPARK-23207 silent-wrong-aggregate class. Hashing every
+    // hashable column re-salts identically on recompute; rows identical
+    // in every column share a bucket (harmless unless the hot key is
+    // made of literal duplicate rows).
+    val hashable = toDF.schema.fields
+      .filterNot(f => hasMapType(f.dataType)).map(f => F.col(f.name))
+    val salt = (if (hashable.isEmpty) F.lit(0L)
+                else F.pmod(F.xxhash64(hashable: _*), F.lit(buckets.toLong))).as("__salt")
+    // Key expressions are materialized under stable aliases FIRST: the
+    // combine-stage groupBy below re-resolves against the PARTIAL output,
+    // where a computed key ("a + 1") no longer exposes "a" and would fail
+    // analysis (the same reason join() aliases its key columns).
+    val keyNames = keys.indices.map(i => s"__gk$i")
+    val origNames = toDF.select(keys: _*).columns.toSeq
+    val keyed = toDF.select(
+      F.col("*") +: keys.zip(keyNames).map { case (k, n) => k.as(n) }: _*)
+    val partial = keyed
+      .groupBy(keyNames.map(F.col) :+ (salt: Column): _*)
       .agg(aggs.head.partial.as(aggs.head.name), aggs.tail.map(a => a.partial.as(a.name)): _*)
     val combined = partial
-      .groupBy(keys: _*)
+      .groupBy(keyNames.map(F.col): _*)
       .agg(
         aggs.head.combine(F.col(aggs.head.name)).as(aggs.head.name),
         aggs.tail.map(a => a.combine(F.col(a.name)).as(a.name)): _*)
+      // Surface the caller's key names, not the internal aliases.
+      .select(keyNames.zip(origNames).map { case (kn, on) => F.col(kn).as(on) } ++
+        aggs.map(a => F.col(a.name)): _*)
     GraftStream(combined)
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
   }
 
   /** Running (prefix) stateful transform — batch analogue of

@@ -36,18 +36,30 @@ class AviMjpegDecoder extends MediaDecoder {
     batch.flatMap(decode)
 
   /** None when the payload is not an AVI with at least one decodable
-    * MJPEG frame. */
+    * MJPEG frame. Frames decode ONE AT A TIME into a running
+    * (count, lumaSum, firstDims) fold — a strict Seq[BufferedImage] of
+    * every decoded raster would hold minutes of uncompressed video on
+    * the heap at once (a 1080p frame is ~8 MB decoded; thousands of
+    * frames × batch concurrency = executor OOM, which breaks the
+    * never-a-task-failure contract this decoder exists to honor). */
   def decode(r: Multimodal.MediaRecord): Option[Multimodal.MediaFeatures] = {
-    val frames = AviMjpegDecoder.framePayloads(r.media).getOrElse(Seq.empty)
-      .flatMap { bytes =>
+    var n = 0
+    var lumaSum = 0.0
+    var w = 0
+    var h = 0
+    AviMjpegDecoder.framePayloads(r.media).getOrElse(Seq.empty).foreach { bytes =>
+      val img =
         try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
         catch { case scala.util.control.NonFatal(_) => None }
+      img.foreach { f =>
+        if (n == 0) { w = f.getWidth; h = f.getHeight }
+        lumaSum += ImageIoDecoder.meanLuma(f)
+        n += 1
       }
-    if (frames.isEmpty) None
+    }
+    if (n == 0) None
     else Some(Multimodal.MediaFeatures(
-      r.doc_id, r.media.length.toLong, r.media_type,
-      frames.head.getWidth, frames.head.getHeight,
-      frames.map(ImageIoDecoder.meanLuma).sum / frames.length))
+      r.doc_id, r.media.length.toLong, r.media_type, w, h, lumaSum / n))
   }
 
   /** Video-stream chunk count (frames in container, decodable or not);

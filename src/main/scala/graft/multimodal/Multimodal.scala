@@ -59,12 +59,20 @@ object Multimodal {
                       decoderFactory: () => MediaDecoder = () => StubDecoder)
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.as[MediaRecord].mapPartitions { records =>
-      val decoder = decoderFactory() // per-partition init
-      records.grouped(batchSize).flatMap { batch =>
-        decoder.decodeBatch(batch)
+    media
+      // Null payload or metadata (a NULL-text doc upstream null-propagates
+      // through attachMedia) is undecodable media: DROP it here — the
+      // package-wide contract — rather than letting the non-nullable
+      // MediaRecord deserialization throw and fail the task (and, after
+      // retries, the job) on one bad row.
+      .filter(F.col("media").isNotNull && F.col("media_type").isNotNull &&
+        F.col("width").isNotNull && F.col("height").isNotNull)
+      .as[MediaRecord].mapPartitions { records =>
+        val decoder = decoderFactory() // per-partition init
+        records.grouped(batchSize).flatMap { batch =>
+          decoder.decodeBatch(batch)
+        }
       }
-    }
   }
 
   /** Attach REAL PNG payloads: each document renders to a small image
@@ -125,6 +133,10 @@ object Multimodal {
     * its byte offset — the explode shape of real frame extraction, with
     * the decode left to [[StubDecoder]]. */
   def frameSampleStub(media: DataFrame, frameBytes: Int = 1024, everyN: Int = 2): DataFrame = {
+    // Fail at plan time, not per row mid-query: sequence() throws on a
+    // zero step, and non-positive frameBytes corrupts every index.
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
     val maxIdx = F.floor((F.length(F.col("media")) - 1) / F.lit(frameBytes)).cast("int")
     // A zero-length payload has no frames: maxIdx is -1 there, and
     // sequence(0, -1, +step) THROWS rather than returning empty — guard to

@@ -54,8 +54,16 @@ final case class StatefulParquetSink(path: String) extends GraftSink {
     (p.getFileSystem(conf), p)
   }
 
-  def committedEpoch: Option[Long] = {
-    val (fs, p) = fsAndPath(graft.HadoopFs.sessionConf())
+  /** Session-conf convenience form; the write paths use the DF-specific
+    * overload so probe and write can never resolve different filesystems
+    * (getActiveSession is thread-local — with two sessions, a probe via
+    * the "wrong" one would never find the manifest the write created and
+    * every replay would silently re-write). */
+  def committedEpoch: Option[Long] =
+    committedEpoch(graft.HadoopFs.sessionConf())
+
+  private def committedEpoch(conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val (fs, p) = fsAndPath(conf)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -70,16 +78,29 @@ final case class StatefulParquetSink(path: String) extends GraftSink {
 
   /** Epoch-less [[GraftSink]] interface: each call is the NEXT epoch (a
     * pinned epoch here would make every write after the first a silent
-    * replay no-op — new data lost while the job reports success). */
-  override def write(df: DataFrame): Unit =
-    write(df, epoch = committedEpoch.map(_ + 1L).getOrElse(0L))
+    * replay no-op — new data lost while the job reports success). One
+    * manifest probe total: the next epoch is computed and written under
+    * df's OWN Hadoop conf, and the guard in the delegate is satisfied
+    * locally rather than re-reading the manifest (each probe is a remote
+    * open+read on object stores). */
+  override def write(df: DataFrame): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    writeGuarded(df, committedEpoch(conf).map(_ + 1L).getOrElse(0L), conf,
+      alreadyChecked = true)
+  }
 
-  def write(df: DataFrame, epoch: Long): Unit = {
-    if (committedEpoch.exists(_ >= epoch)) return // replay → no-op
+  def write(df: DataFrame, epoch: Long): Unit =
+    writeGuarded(df, epoch, df.sparkSession.sparkContext.hadoopConfiguration,
+      alreadyChecked = false)
+
+  private def writeGuarded(df: DataFrame, epoch: Long,
+                           conf: org.apache.hadoop.conf.Configuration,
+                           alreadyChecked: Boolean): Unit = {
+    if (!alreadyChecked && committedEpoch(conf).exists(_ >= epoch)) return // replay → no-op
     df.write.mode(SaveMode.Overwrite).parquet(path)
     // Same conf the data write just used — manifest and data must resolve
     // to the same filesystem or the idempotence check above is fiction.
-    val (fs, p) = fsAndPath(df.sparkSession.sparkContext.hadoopConfiguration)
+    val (fs, p) = fsAndPath(conf)
     val out = fs.create(p, true)
     try out.write(s"""{"epoch": $epoch}""".getBytes) finally out.close()
   }
