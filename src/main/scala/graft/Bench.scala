@@ -24,6 +24,12 @@ object Bench {
     "q_contamination_bloom", "q_trim_spans")
 
   def main(args: Array[String]): Unit = {
+    // Every number below is formatted with the f interpolator, which uses
+    // the JVM default locale — a comma-decimal locale (de_DE, fr_FR)
+    // would make the JSON line, graft_bench.json, and bench_stages.jsonl
+    // unparseable. This is a standalone measurement main, so pinning the
+    // process default is the one-line fix for every %f site at once.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -32,7 +38,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // NOTE: no spark.driver.memory here — in local mode the JVM is
+      // already running, so a builder conf would be a silent no-op; the
+      // heap actually comes from build.sbt's -Xmx (same SPARK_DRIVER_MEM
+      // env), and a conf that pretends otherwise misattributes heap_mb.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -85,7 +94,7 @@ object Bench {
     // Best-of-N per query (default 2): this box is shared, and a single
     // shot can be 2-4x inflated by ambient load; the minimum measures the
     // query, not the neighbors.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt)
     // When the base shots disagree by more than this factor, the box was
     // noisy during at least one of them — take extra shots (up to
     // best-of-max(4, runs)) so the minimum has a fair chance of landing

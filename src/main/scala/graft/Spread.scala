@@ -50,10 +50,22 @@ object Spread {
       case l: GlobalLimit => l
       case l: LocalLimit => l
       case o: Offset => o
+      // Subquery expressions hide WHOLE PLANS inside expression trees that
+      // collectFirst never descends into: a scan filtered by a scalar/IN
+      // subquery would pass the node checks above, yet the rdd probe
+      // submits the subquery's job, which re-runs at execution — the same
+      // doubled pass through a side door.
+      case p: LogicalPlan if p.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+        case _ => false
+      }) => p
     }.isEmpty
 
   def apply(df: DataFrame): DataFrame = {
-    if (!isScanChain(df.queryExecution.optimizedPlan)) df
+    // Streaming frames have no rdd to probe (AnalysisException) and their
+    // micro-batch scans are partitioned by the engine — pass through.
+    if (df.isStreaming) df
+    else if (!isScanChain(df.queryExecution.optimizedPlan)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
@@ -75,7 +87,8 @@ object Spread {
     * exists to provide. Callers with categorical keys should use
     * [[apply]] (round-robin) and let the downstream op exchange. */
   def byKey(df: DataFrame, key: String): DataFrame = {
-    if (!isScanChain(df.queryExecution.optimizedPlan)) df
+    if (df.isStreaming) df
+    else if (!isScanChain(df.queryExecution.optimizedPlan)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p)

