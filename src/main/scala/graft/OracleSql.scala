@@ -740,6 +740,39 @@ object OracleSql {
         |FROM tf
         |GROUP BY 1""".stripMargin,
 
+    // DSIR hashed-n-gram importance weights: unigram+bigram buckets via
+    // the md5-hex convention (identical ids to Spark's conv(substr(md5)));
+    // per-bucket log-ratio computed in double with the same IEEE op order
+    // as Dsir.importanceWeights, per-occurrence terms cast to
+    // DECIMAL(38,18) so the per-doc SUM is exact and order-free.
+    // Target slice = doc_id % 50 = 0, the decontamination convention.
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(w) AS g FROM tok WHERE len(w) >= 1
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest([list_aggregate(w[i:i+1], 'string_agg', ' ') for i in generate_series(1, len(w)-1)]) AS g
+        |  FROM tok WHERE len(w) >= 2),
+        |gb AS (
+        |  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT % 8192 AS bkt
+        |  FROM grams),
+        |rawp AS (SELECT bkt, COUNT(*) AS rc FROM gb GROUP BY 1),
+        |tgtp AS (SELECT bkt, COUNT(*) AS tc FROM gb WHERE doc_id % 50 = 0 GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS n FROM gb WHERE doc_id % 50 = 0),
+        |tr AS (SELECT COUNT(*) AS n FROM gb),
+        |ratio AS (
+        |  SELECT r.bkt,
+        |    ln((COALESCE(t.tc, 0) + 1.0) / (tt.n + 8192.0)) -
+        |    ln((r.rc + 1.0) / (tr.n + 8192.0)) AS lr
+        |  FROM rawp r LEFT JOIN tgtp t USING (bkt) CROSS JOIN tt CROSS JOIN tr)
+        |SELECT gb.doc_id, COUNT(*) AS n_grams,
+        |  ROUND(CAST(SUM(CAST(ratio.lr AS DECIMAL(38,18))) AS DOUBLE), 6) AS dsir_logw
+        |FROM gb JOIN ratio USING (bkt)
+        |GROUP BY 1""".stripMargin,
+
     // Per-(doc,token) term computed in double (identical IEEE ops to the
     // Spark side), cast to DECIMAL(38,18) so the SUM is exact and
     // order-free on both engines; DuckDB SUM(BIGINT) is HUGEINT -> cast.

@@ -1093,6 +1093,17 @@ object SparkEntry {
   private def qEntropy(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLm.tokenEntropy(T(s, dir, "documents"))
 
+  /** DSIR importance weights ([[graft.functions.Dsir.importanceWeights]]):
+    * hashed-n-gram log importance of every document against the
+    * deterministic `doc_id % 50 = 0` target slice (the decontamination
+    * benchmark convention). Broadcast ratio join over one cached corpus
+    * scan; the per-doc sum reuses the scan's doc partitioning. */
+  private def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.Dsir.importanceWeights(
+      docs, docs.filter(F.col("doc_id") % 50 === 0))
+  }
+
   /** Within-document repetition: the duplicated-trigram fraction
     * (1 - distinct/total word 3-grams) — the classic repetitive-text
     * quality signal, computed entirely inside the row (zero shuffle). */
@@ -1421,6 +1432,7 @@ object SparkEntry {
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_entropy" -> (qEntropy _),
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** DSIR-style importance weighting: score every corpus document by how
+  * target-like its hashed n-gram distribution is — the published Data
+  * Selection via Importance Resampling recipe (Xie et al., NeurIPS 2023)
+  * that large-scale pretraining pipelines use to pick in-domain data out
+  * of a raw crawl.
+  *
+  * Model: unigrams + bigrams hash into `buckets` buckets; the target set
+  * and the raw corpus each induce an add-1-smoothed categorical
+  * distribution p / q over buckets; a document's log importance weight is
+  *
+  *   logw(d) = Σ_{gram occurrences g ∈ d} [ ln p(b(g)) − ln q(b(g)) ]
+  *
+  * High logw = the document's n-grams look drawn from the target domain;
+  * resample ∝ exp(logw) (e.g. seed [[graft.operators.Sampling]]'s
+  * deterministic samplers with it) to build the selected corpus.
+  *
+  * Scale shape (the Spark-first part):
+  * - gram → bucket is the repo's md5-hex convention — bucket =
+  *   `conv(substr(md5(gram), 1, 8), 16, 10) % buckets` — so the oracle
+  *   computes IDENTICAL bucket ids and the whole operator is
+  *   cross-engine reproducible.
+  * - Both profiles are map-side-combinable groupBy(bucket) aggregations
+  *   whose results are ≤ `buckets` rows — corpus-size-independent, tiny.
+  * - The per-bucket log-ratio table broadcast-joins into the corpus gram
+  *   stream: the 100 TB side is ONE cached scan consumed by the raw
+  *   profile and the scoring pass ([[graft.CacheScope]]), pre-keyed by
+  *   document ([[graft.Spread.byKey]]) so the final per-doc aggregation
+  *   reuses that partitioning and the broadcast join adds NO exchange.
+  * - Totals (Tt, Tr) fold on as one-row lazy broadcasts onto the
+  *   BUCKET-sized profile table — the TfIdf.scala scalar-subquery shape,
+  *   never a corpus-sized side.
+  * - Per-occurrence ln-ratio terms are identical doubles on any engine
+  *   (same IEEE division + ln operands) CAST TO DECIMAL(38,18) before
+  *   the per-doc sum, so the distributed sum is exact and order-free —
+  *   the UnigramLm determinism discipline; rounded to 6 dp on output.
+  *
+  * Reference: data-selection semantics follow the published DSIR method;
+  * the reference engine has no equivalent (beyond-reference, LLM-pack).
+  */
+object Dsir {
+
+  /** (idCol, n_grams, dsir_logw) for every corpus document with at least
+    * one token. `target` is the in-domain exemplar set (typically small:
+    * a benchmark, a curated corpus); both frames need (idCol, textCol).
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        buckets: Int = 8192): DataFrame = graft.CacheScope.scoped {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    def grams(c: Column): Column = {
+      def sh(n: Int) = ColumnBridge.column(
+        graft.functions.expressions.ShingleExpr(ColumnBridge.expression(c), n))
+      // ShingleExpr yields an EMPTY array (not null) below n tokens, so
+      // the concat is null only for null text — explode then drops both
+      // token-less and null docs, matching the oracle's len(w) >= 1 gate.
+      F.concat(sh(1), sh(2))
+    }
+    def bucket(g: Column): Column =
+      F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % buckets
+
+    // The corpus-sized stream: ONE scan, cached, two consumers (raw
+    // profile + scoring). byKey, not round-robin: its
+    // HashPartitioning(id) already satisfies the per-doc aggregation at
+    // the end — the broadcast ratio join in between preserves it, so the
+    // scoring pass has NO exchange of gram rows at all. EAGER
+    // materialize, not lazy: the profile consumers run inside broadcast-
+    // subquery preparation concurrently with the scoring scan, exactly
+    // the racing-double-fold regime CacheScope.materializeLazy documents
+    // against.
+    val corpusGrams = graft.CacheScope.materialize(
+      graft.Spread.byKey(corpus, idCol)
+        .select(F.col(idCol), F.explode(grams(F.col(textCol))).as("g"))
+        .select(F.col(idCol), bucket(F.col("g")).as("bkt")))
+
+    // Profiles are ≤`buckets` rows — cached so their multiple consumers
+    // (the ratio join AND the one-row totals) re-read B rows instead of
+    // re-folding the corpus-sized gram stream per consumer.
+    val rawProf = graft.CacheScope.materialize(
+      corpusGrams.groupBy(F.col("bkt"))
+        .agg(F.count(F.lit(1)).as("rc")))
+    val tgtProf = graft.CacheScope.materialize(
+      graft.Spread(target)
+        .select(F.explode(grams(F.col(textCol))).as("g"))
+        .select(bucket(F.col("g")).as("bkt"))
+        .groupBy(F.col("bkt")).agg(F.count(F.lit(1)).as("tc")))
+
+    // Smoothed log-ratio per bucket, on the ≤`buckets`-row profile table.
+    // Totals are one-row lazy broadcasts (BroadcastNestedLoopJoin over a
+    // single-row aggregate — the documented TfIdf/Sampling scalar shape)
+    // folded onto the BUCKET-sized side, never the corpus side. A bucket
+    // never hit by the target keeps tc = 0 (add-1 smoothing covers it);
+    // a bucket never hit by the corpus cannot appear in scoring, so the
+    // raw profile is the complete key set. Empty-target totals coalesce
+    // to 0 and the weights degrade to a uniform-target model — defined,
+    // not a crash.
+    val b = buckets.toDouble
+    val ratio = rawProf
+      .join(tgtProf, Seq("bkt"), "left")
+      .crossJoin(F.broadcast(
+        tgtProf.groupBy().agg(F.coalesce(F.sum("tc"), F.lit(0L)).as("t_tot"))))
+      .crossJoin(F.broadcast(
+        rawProf.groupBy().agg(F.coalesce(F.sum("rc"), F.lit(0L)).as("r_tot"))))
+      .select(
+        F.col("bkt"),
+        // identical IEEE op order on both engines: (cnt+1)/(tot+B) then
+        // ln, then the subtract — see OracleSql.q_dsir_weights.
+        (F.log((F.coalesce(F.col("tc"), F.lit(0L)).cast("double") + F.lit(1.0)) /
+            (F.col("t_tot").cast("double") + F.lit(b))) -
+          F.log((F.col("rc").cast("double") + F.lit(1.0)) /
+            (F.col("r_tot").cast("double") + F.lit(b)))).as("lr"))
+
+    corpusGrams.join(F.broadcast(ratio), Seq("bkt"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_grams"),
+        // per-occurrence double term → exact decimal sum: order-free,
+        // bit-reproducible cross-engine (UnigramLm discipline).
+        F.sum(F.col("lr").cast("decimal(38,18)")).as("s"))
+      .select(
+        F.col(idCol), F.col("n_grams"),
+        F.round(F.col("s").cast("double"), 6).as("dsir_logw"))
+  }
+}

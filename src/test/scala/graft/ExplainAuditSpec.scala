@@ -208,7 +208,18 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // two InMemoryTableScan consumers plus the total agg's exchange — the
     // executed plan reads the cache, paying only that one
     InternalAudit("q_mix_weights", maxExchangeTotal = 7,
-      allowedBnljPerFrame = 1))
+      allowedBnljPerFrame = 1),
+    // gram cache build (byKey, 1) + two B-row profile materializes (each
+    // prints its upstream cache build under the InMemoryTableScan: 2 + 2)
+    // + the terminal frame, which re-prints the gram-cache and both
+    // profile-cache build plans under its consumers (ratio join + the two
+    // one-row totals = the TfIdf scalar-subquery shape, 2 BNLJ) — the
+    // EXECUTED plan pays each cached exchange once; the print total is
+    // the sum over consumer re-prints, same caveat as q_mix_weights.
+    // Scoring side itself adds NO exchange: the per-doc agg reuses the
+    // byKey partitioning through the broadcast ratio join.
+    InternalAudit("q_dsir_weights", maxExchangeTotal = 16,
+      allowedBnljPerFrame = 2, minFrames = 4))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
     val frames = scala.collection.mutable.ArrayBuffer[(String, String)]()

@@ -234,6 +234,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("Join"), s"bloom path grew a join:\n$plan")
   }
 
+  test("dsir importanceWeights ranks target-domain docs above out-of-domain ones") {
+    import spark.implicits._
+    import graft.functions.Dsir
+    // Two disjoint vocabularies: "medical" (target domain) vs "legal".
+    // Every medical doc must outscore every legal doc — the defining
+    // property of an importance weight toward the target distribution.
+    val med = Seq(
+      "patient dosage clinical trial symptom diagnosis therapy",
+      "clinical symptom relapse dosage patient outcome measure",
+      "therapy outcome patient trial diagnosis baseline cohort",
+      "cohort baseline relapse measure dosage clinical patient")
+    val leg = Seq(
+      "plaintiff defendant motion court statute appeal verdict",
+      "statute verdict court ruling defendant filing plaintiff",
+      "appeal ruling filing motion statute court defendant")
+    val corpus = (med ++ leg).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val target = corpus.filter(F.col("doc_id") < 2) // two medical exemplars
+    val w = Dsir.importanceWeights(corpus, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == med.size + leg.size)
+    val worstMed = (0 until med.size).map(i => w(i.toLong)).min
+    val bestLeg = (med.size until med.size + leg.size).map(i => w(i.toLong)).max
+    assert(worstMed > bestLeg,
+      s"target-domain doc scored below out-of-domain: med>=$worstMed leg<=$bestLeg\n$w")
+
+    // Deterministic under repartitioning: the decimal per-doc sum is
+    // order-free, so a different physical layout must not move a bit.
+    val w2 = Dsir.importanceWeights(corpus.repartition(7), target.coalesce(1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w2 == w, "weights changed under repartitioning")
+  }
+
   test("trimDuplicateSpans removes the shared boilerplate, keeps unique content") {
     import spark.implicits._
     import graft.dedup.Dedup
