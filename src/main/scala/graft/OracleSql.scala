@@ -1231,6 +1231,60 @@ object OracleSql {
 
     "q_quality" -> qualityCtes,
 
+    // Gopher rule suite: every counter mirrors GopherStatsExpr verbatim —
+    // lowercased RE2-\s words (code-point lengths), a-z alpha test, the 8
+    // required-stopword presence set, chr(10) lines with space/tab
+    // ltrim/rtrim for bullets/ellipses, '#' + non-overlapping '...'
+    // symbols via replace() arithmetic. Flags compare the UNROUNDED
+    // single-division ratios (identical IEEE operands both engines);
+    // displayed ratios round to 6 dp.
+    "q_gopher_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_chars,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                    s -> list_contains(w, s))) AS n_stop,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)), l ->
+        |      starts_with(ltrim(l, ' ' || chr(9)), '-') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '*') OR
+        |      starts_with(ltrim(l, ' ' || chr(9)), '•'))) AS n_bullet,
+        |    len(list_filter(string_split(text, chr(10)), l ->
+        |      ends_with(rtrim(l, ' ' || chr(9)), '...'))) AS n_ellipsis,
+        |    (len(text) - len(replace(text, '#', ''))) +
+        |      (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols
+        |  FROM tok WHERE len(w) >= 1)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  ROUND(n_chars::DOUBLE / n_words::DOUBLE, 6) AS mean_word_len,
+        |  ROUND(n_symbols::DOUBLE / n_words::DOUBLE, 6) AS symbol_ratio,
+        |  ROUND(n_bullet::DOUBLE / n_lines::DOUBLE, 6) AS bullet_ratio,
+        |  ROUND(n_ellipsis::DOUBLE / n_lines::DOUBLE, 6) AS ellipsis_ratio,
+        |  ROUND(n_alpha::DOUBLE / n_words::DOUBLE, 6) AS alpha_ratio,
+        |  CAST(n_stop AS INT) AS n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (n_chars::DOUBLE / n_words::DOUBLE >= 3.0 AND
+        |   n_chars::DOUBLE / n_words::DOUBLE <= 10.0) AS ok_word_len,
+        |  (n_symbols::DOUBLE / n_words::DOUBLE <= 0.1) AS ok_symbols,
+        |  (n_bullet::DOUBLE / n_lines::DOUBLE <= 0.9) AS ok_bullets,
+        |  (n_ellipsis::DOUBLE / n_lines::DOUBLE <= 0.3) AS ok_ellipsis,
+        |  (n_alpha::DOUBLE / n_words::DOUBLE >= 0.8) AS ok_alpha,
+        |  (n_stop >= 2) AS ok_stopwords,
+        |  ((n_words >= 50 AND n_words <= 100000) AND
+        |   (n_chars::DOUBLE / n_words::DOUBLE >= 3.0 AND
+        |    n_chars::DOUBLE / n_words::DOUBLE <= 10.0) AND
+        |   (n_symbols::DOUBLE / n_words::DOUBLE <= 0.1) AND
+        |   (n_bullet::DOUBLE / n_lines::DOUBLE <= 0.9) AND
+        |   (n_ellipsis::DOUBLE / n_lines::DOUBLE <= 0.3) AND
+        |   (n_alpha::DOUBLE / n_words::DOUBLE >= 0.8) AND
+        |   (n_stop >= 2)) AS passes
+        |FROM st""".stripMargin,
+
     // end-to-end cleaning pipeline: exact-dedup survivors → quality gate →
     // language ID → per-language corpus stats
     "q_pipeline" -> {

@@ -1290,6 +1290,12 @@ object SparkEntry {
       TF.punctRatio(F.col("text")).as("punct_ratio"),
       TF.qualityScore(F.col("text")).as("quality"))
 
+  /** Gopher quality-rule suite ([[graft.functions.TextFunctions.gopherRules]])
+    * — published heuristic pre-filter thresholds, eight counters from one
+    * single-pass native expression, scan-only. */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TF.gopherRules(T(s, dir, "documents"))
+
   private def qTokens(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .groupBy(F.col("source"))
@@ -1458,6 +1464,7 @@ object SparkEntry {
     "q_ann_pq" -> (qAnnPq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_tokens" -> (qTokens _),
     "q_fingerprint" -> (qFingerprint _),
     "q_fingerprint_winnow" -> (qFingerprintWinnow _),

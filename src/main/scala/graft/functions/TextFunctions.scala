@@ -155,4 +155,65 @@ object TextFunctions {
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.expressions.WinnowExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, w))
+
+  /** The Gopher quality-rule suite (Rae et al. 2021 §A1.1): per-document
+    * rule stats plus a pass/fail flag per rule and overall — the standard
+    * heuristic pre-filter every web-scale pretraining pipeline runs
+    * before the model-based ones. Defaults are the published thresholds.
+    *
+    * All eight counters come from ONE single-pass native expression
+    * ([[graft.functions.expressions.GopherStatsExpr]] — eight separate
+    * higher-order-function folds would drop the scan to the interpreted
+    * path); the flags are plain Column comparisons on exact integer
+    * ratios (single IEEE divisions, bit-identical in the SQL oracle).
+    * Scan-only: no exchange, no join — at 100 TB this is a pure map.
+    *
+    * Emits every document with >= 1 token (the tokenizer contract's
+    * dropped-doc convention); ratios are rounded to 6 dp for display,
+    * flags are computed on the UNROUNDED values in both engines. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+                  maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+                  minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
+    val st = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.GopherStatsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(F.col(textCol))))
+    def ratio(n: Column, d: Column): Column = n.cast("double") / d.cast("double")
+    graft.Spread(docs)
+      .select(F.col(idCol), st.as("st"))
+      .filter(F.col("st.n_words") >= 1)
+      .select(
+        F.col(idCol),
+        F.col("st.n_words").as("n_words"),
+        ratio(F.col("st.n_chars"), F.col("st.n_words")).as("mwl"),
+        ratio(F.col("st.n_symbols"), F.col("st.n_words")).as("symr"),
+        ratio(F.col("st.n_bullet"), F.col("st.n_lines")).as("bulr"),
+        ratio(F.col("st.n_ellipsis"), F.col("st.n_lines")).as("ellr"),
+        ratio(F.col("st.n_alpha"), F.col("st.n_words")).as("alpr"),
+        F.col("st.n_stop").as("n_stop"))
+      .select(
+        F.col(idCol), F.col("n_words"),
+        F.round(F.col("mwl"), 6).as("mean_word_len"),
+        F.round(F.col("symr"), 6).as("symbol_ratio"),
+        F.round(F.col("bulr"), 6).as("bullet_ratio"),
+        F.round(F.col("ellr"), 6).as("ellipsis_ratio"),
+        F.round(F.col("alpr"), 6).as("alpha_ratio"),
+        F.col("n_stop"),
+        (F.col("n_words") >= minWords && F.col("n_words") <= maxWords)
+          .as("ok_words"),
+        (F.col("mwl") >= minMeanWordLen && F.col("mwl") <= maxMeanWordLen)
+          .as("ok_word_len"),
+        (F.col("symr") <= maxSymbolRatio).as("ok_symbols"),
+        (F.col("bulr") <= maxBulletRatio).as("ok_bullets"),
+        (F.col("ellr") <= maxEllipsisRatio).as("ok_ellipsis"),
+        (F.col("alpr") >= minAlphaRatio).as("ok_alpha"),
+        (F.col("n_stop") >= minStopwords).as("ok_stopwords"))
+      .withColumn("passes",
+        F.col("ok_words") && F.col("ok_word_len") && F.col("ok_symbols") &&
+          F.col("ok_bullets") && F.col("ok_ellipsis") && F.col("ok_alpha") &&
+          F.col("ok_stopwords"))
+  }
 }

@@ -28,7 +28,8 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_ann_pq", // PqEncodeExpr + PqAdcExpr (addReferenceObj path)
     "q_contamination_bloom", // BloomHitsExpr (r13; addReferenceObj bitset)
     "q_dup_paragraphs", // TokenBlocksExpr (r13; null on token-less docs)
-    "q_trim_spans" // ShingleExpr-positional + native tokens() (r13)
+    "q_trim_spans", // ShingleExpr-positional + native tokens() (r13)
+    "q_gopher_rules" // GopherStatsExpr (r13; struct-valued single pass)
   )
 
   private def rows(df: DataFrame): Seq[String] =

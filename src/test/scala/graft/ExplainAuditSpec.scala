@@ -71,6 +71,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_pipeline", maxExchange = 3, minBhj = 1, requirePushdown = true),
     Audit("q_tokens", maxExchange = 1),
     Audit("q_quality", maxExchange = 0),
+    // Gopher rule suite: one native-expression scan, flags are projections
+    Audit("q_gopher_rules", maxExchange = 1),
     Audit("q_entropy", maxExchange = 2),
     Audit("q_asof_join_skewed", maxExchange = 3, minBhj = 1,
       requirePushdown = true),

@@ -267,6 +267,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(w2 == w, "weights changed under repartitioning")
   }
 
+  test("gopherRules: each rule trips on its crafted violator and only there") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val longText = Seq.fill(60)("the quick brown fox and that dog have fun with it").mkString(" ")
+    val docs = Seq(
+      (1L, longText), // clean: passes everything
+      (2L, "the of and to be short"), // too few words
+      (3L, longText + " " + Seq.fill(60)("### ### ...").mkString(" ")), // symbol-heavy
+      (4L, (1 to 60).map(i => s"- the bullet item $i of that list with have be").mkString("\n")), // all bullet lines
+      (5L, (1 to 60).map(i => s"the line $i of that tail with have be trails ...").mkString("\n")), // all ellipsis lines
+      (6L, Seq.fill(60)("12345 67890 11111 22222 the of").mkString(" ")), // numeric: low alpha ratio
+      (7L, Seq.fill(60)("zephyr quixotic marble lantern crimson").mkString(" ")) // no required stopwords
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("passes"), s"clean doc failed: ${r(1L)}")
+    def failsOnly(id: Long, flag: String): Unit = {
+      assert(!r(id).getAs[Boolean](flag), s"doc $id should fail $flag: ${r(id)}")
+      assert(!r(id).getAs[Boolean]("passes"))
+    }
+    failsOnly(2L, "ok_words")
+    failsOnly(3L, "ok_symbols")
+    failsOnly(4L, "ok_bullets")
+    failsOnly(5L, "ok_ellipsis")
+    failsOnly(6L, "ok_alpha")
+    failsOnly(7L, "ok_stopwords")
+    // word-length bounds: single-char words (mean < 3) and a wall of
+    // 20-char tokens (mean > 10) both trip ok_word_len
+    val wl = TextFunctions.gopherRules(Seq(
+      (10L, Seq.fill(80)("a b c d").mkString(" ")),
+      (11L, Seq.fill(80)("pneumonoultramicroscopics").mkString(" "))
+    ).toDF("doc_id", "text")).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("ok_word_len")).toMap
+    assert(wl == Map(10L -> false, 11L -> false), s"word-len bounds: $wl")
+  }
+
   test("trimDuplicateSpans removes the shared boilerplate, keeps unique content") {
     import spark.implicits._
     import graft.dedup.Dedup
