@@ -21,7 +21,8 @@ object Bench {
     "q_dedup_minhash_pruned", "q_dedup_incremental", "q_dedup_semantic",
     "q_distinct_sketch", "q_stream_join", "q_upsert", "q_corpus_diff",
     "q_percentile_sketch", "q_mix_sample", "q_cap_per_source",
-    "q_contamination_bloom", "q_trim_spans", "q_dsir_weights")
+    "q_contamination_bloom", "q_trim_spans", "q_dsir_weights",
+    "q_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses
