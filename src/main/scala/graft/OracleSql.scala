@@ -740,6 +740,50 @@ object OracleSql {
         |FROM tf
         |GROUP BY 1""".stripMargin,
 
+    // CCNet perplexity buckets: the q_lm_score CTEs (rounded 6-dp score)
+    // joined with the langId CASE chain, ranked per language on
+    // (lm_score DESC, doc_id), then EXPLICIT ntile arithmetic on
+    // (rank, group size) — same integer ops as the Spark side instead of
+    // trusting two window implementations to tie-break alike.
+    "q_ccnet_buckets" -> {
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, t AS tok, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM tf),
+         |cnt AS (SELECT tok, CAST(SUM(tf) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+         |lm AS (
+         |  SELECT tf.doc_id,
+         |    ROUND(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * ln(cnt.cnt / tot.total)
+         |                        AS DECIMAL(38,18))) AS DOUBLE)
+         |          / CAST(SUM(tf.tf) AS DOUBLE), 6) AS lm_score
+         |  FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+         |  GROUP BY 1),
+         |${langCtes("documents", Seq())},
+         |j AS (
+         |  SELECT lm.doc_id, langed.pred_lang, lm.lm_score
+         |  FROM lm JOIN langed USING (doc_id)),
+         |g AS (
+         |  SELECT doc_id, pred_lang, lm_score,
+         |    ROW_NUMBER() OVER (PARTITION BY pred_lang
+         |                       ORDER BY lm_score DESC, doc_id) - 1 AS rnk,
+         |    COUNT(*) OVER (PARTITION BY pred_lang) AS gn
+         |  FROM j),
+         |ix AS (
+         |  SELECT doc_id, pred_lang, lm_score,
+         |    CASE WHEN rnk < (gn % 3) * (gn // 3 + 1)
+         |         THEN rnk // (gn // 3 + 1)
+         |         ELSE (gn % 3) + (rnk - (gn % 3) * (gn // 3 + 1)) // greatest(gn // 3, 1)
+         |    END AS idx
+         |  FROM g)
+         |SELECT doc_id, pred_lang, lm_score,
+         |  CASE WHEN idx = 0 THEN 'head' WHEN idx = 1 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM ix""".stripMargin
+    },
+
     // DSIR hashed-n-gram importance weights: unigram+bigram buckets via
     // the md5-hex convention (identical ids to Spark's conv(substr(md5)));
     // per-bucket log-ratio computed in double with the same IEEE op order

@@ -1093,6 +1093,13 @@ object SparkEntry {
   private def qEntropy(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLm.tokenEntropy(T(s, dir, "documents"))
 
+  /** CCNet perplexity buckets
+    * ([[graft.functions.UnigramLm.perplexityBuckets]]): head/middle/tail
+    * thirds per language by unigram-LM score — distributed GlobalIndex
+    * ranks, no per-language single-partition window. */
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLm.perplexityBuckets(T(s, dir, "documents"))
+
   /** DSIR importance weights ([[graft.functions.Dsir.importanceWeights]]):
     * hashed-n-gram log importance of every document against the
     * deterministic `doc_id % 50 = 0` target slice (the decontamination
@@ -1439,6 +1446,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Unigram language-model scoring: each document's mean token
@@ -68,6 +68,56 @@ object UnigramLm {
           F.log(F.col("n_tokens").cast("double")) -
             F.col("tl").cast("double") / F.col("n_tokens").cast("double"),
           6).as("entropy"))
+  }
+
+  /** CCNet-style perplexity bucketing: every document labeled
+    * head / middle / tail by its [[score]] rank WITHIN ITS LANGUAGE —
+    * the published CCNet recipe (Wenzek et al. 2020) that pretraining
+    * pipelines use to keep the fluent third of a crawl and downweight
+    * the rest. `k` buckets of NTILE semantics (first `n mod k` buckets
+    * get the extra row), head = best lm_score (lowest perplexity).
+    *
+    * Scale shape — NO per-language single-partition window: ranks come
+    * from [[graft.operators.GlobalIndex]] over the total order
+    * (pred_lang, lm_score DESC, id) — range partition + in-partition
+    * sort + zipWithIndex — so a language 100× bigger than the rest
+    * spreads across partitions instead of serializing one task; the
+    * per-language rank is the global index minus the language's min
+    * index (one ≤|langs|-row aggregate, broadcast back). The NTILE
+    * arithmetic is explicit integer math on (rank, group size) —
+    * identical on both engines rather than trusting two window-function
+    * implementations to tie-break alike.
+    *
+    * Determinism: ranks order on the ROUNDED 6-dp lm_score (the same
+    * column both engines emit) with the id as total-order tie-break. */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 3): DataFrame = {
+    require(k >= 2, s"need k >= 2 buckets, got $k")
+    val lm = score(docs, idCol, textCol).select(F.col(idCol), F.col("lm_score"))
+    val lang = docs.select(
+      F.col(idCol), TextFunctions.langId(F.col(textCol)).as("pred_lang"))
+    val g = graft.operators.GlobalIndex.appendIndex(
+      lm.join(lang, Seq(idCol)),
+      Seq(F.col("pred_lang"), F.col("lm_score").desc, F.col(idCol)), "gpos")
+    val groups = g.groupBy(F.col("pred_lang"))
+      .agg(F.min(F.col("gpos")).as("gstart"), F.count(F.lit(1)).as("gn"))
+    // non-negative long division: double divide + truncating cast == floor
+    // == both engines' integer `//` for these operand ranges (< 2^53)
+    def ldiv(a: Column, b: Column): Column = (a / b).cast("long")
+    val rank = F.col("gpos") - F.col("gstart")
+    val base = ldiv(F.col("gn"), F.lit(k))
+    val rem = F.col("gn") % k
+    val cut = rem * (base + F.lit(1))
+    val idx = F.when(rank < cut, ldiv(rank, base + F.lit(1)))
+      .otherwise(rem + ldiv(rank - cut, F.greatest(base, F.lit(1L))))
+    val label =
+      if (k == 3)
+        F.when(idx === 0, F.lit("head"))
+          .when(idx === 1, F.lit("middle")).otherwise(F.lit("tail"))
+      else F.concat(F.lit("b"), idx.cast("string"))
+    g.join(F.broadcast(groups), Seq("pred_lang"))
+      .select(F.col(idCol), F.col("pred_lang"), F.col("lm_score"),
+        label.as("ppl_bucket"))
   }
 
   /** (idCol, n_tokens, lm_score) per document with at least one token;

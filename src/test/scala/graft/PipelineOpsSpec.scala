@@ -267,6 +267,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(w2 == w, "weights changed under repartitioning")
   }
 
+  test("perplexityBuckets: per-language thirds balanced, head holds the best scores") {
+    import spark.implicits._
+    import graft.functions.UnigramLm
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val r = UnigramLm.perplexityBuckets(docs).collect()
+      .map(x => (x.getString(1), x.getDouble(2), x.getString(3)))
+    // NTILE balance: per language, bucket sizes differ by at most 1
+    r.groupBy(_._1).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._3).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang buckets unbalanced: ${rows.groupBy(_._3).view.mapValues(_.length).toMap}")
+      // ordering: every head score >= every middle score >= every tail score
+      def scores(b: String) = rows.filter(_._3 == b).map(_._2)
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail")))
+        if (scores(hi).nonEmpty && scores(lo).nonEmpty)
+          assert(scores(hi).min >= scores(lo).max,
+            s"$lang: $hi/$lo overlap beyond the tie boundary")
+    }
+    // tiny-group edge: 2 docs in one language -> head + middle, no tail
+    val tiny = Seq(
+      (1L, "le la les et dans pour sur avec est sont"),
+      (2L, "le la les le la les le la les le")).toDF("doc_id", "text")
+    val tb = UnigramLm.perplexityBuckets(tiny).collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(tb.values.toSet == Set("head", "middle"), s"2-doc buckets: $tb")
+  }
+
   test("gopherRules: each rule trips on its crafted violator and only there") {
     import spark.implicits._
     import graft.functions.TextFunctions
