@@ -946,6 +946,43 @@ object OracleSql {
         |  round(1000000.0 * pw / pw_total / CAST(n_tokens AS DOUBLE), 6) AS epochs
         |FROM mw, mtot""".stripMargin,
 
+    // UniMax water-filling: the capped set is decided in pure BIGINT
+    // arithmetic (cap*(L-i+1) <= B - prefix), so it is exact on both
+    // engines; the only double is the uncapped share division, mirrored
+    // operand-for-operand. DuckDB window SUM(BIGINT) is HUGEINT -> cast.
+    "q_unimax" ->
+      """WITH mt AS (
+        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |capd AS (
+        |  SELECT source, n_tokens, n_tokens * 4 AS cap_tokens FROM mt),
+        |rk AS (
+        |  SELECT source, n_tokens, cap_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS i,
+        |    CAST(COALESCE(SUM(cap_tokens) OVER (
+        |      ORDER BY cap_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx,
+        |    COUNT(*) OVER () AS l
+        |  FROM capd),
+        |fl AS (
+        |  SELECT *, (cap_tokens * (l - i + 1) <= 1000000 - pfx) AS is_capped FROM rk),
+        |ag AS (
+        |  SELECT *,
+        |    CAST(SUM(CASE WHEN is_capped THEN cap_tokens ELSE 0 END) OVER () AS BIGINT) AS sum_capped,
+        |    CAST(SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_capped
+        |  FROM fl),
+        |al AS (
+        |  SELECT source, n_tokens, cap_tokens,
+        |    CASE WHEN is_capped THEN CAST(cap_tokens AS DOUBLE)
+        |         ELSE CAST(1000000 - sum_capped AS DOUBLE) /
+        |              CAST(greatest(1, l - n_capped) AS DOUBLE) END AS alloc
+        |  FROM ag)
+        |SELECT source, n_tokens, cap_tokens,
+        |  CAST(round(alloc, 0) AS BIGINT) AS alloc_tokens,
+        |  round(alloc / 1000000.0, 6) AS weight,
+        |  round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |FROM al""".stripMargin,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

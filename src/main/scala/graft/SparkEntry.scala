@@ -913,6 +913,12 @@ object SparkEntry {
   private def qMixWeights(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.mixWeights(T(s, dir, "documents"))
 
+  /** UniMax epoch-capped budget allocation
+    * ([[graft.operators.Sampling.unimaxWeights]]) — water-filling in
+    * exact long arithmetic, the cap-aware companion of q_mix_weights. */
+  private def qUnimax(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.unimaxWeights(T(s, dir, "documents"))
+
   /** Latest-wins upsert (Corpus.upsert): a refresh crawl re-fetches the
     * odd-id docs (text gains a " v2" suffix, version 1) and discovers a
     * batch of new ids (+1e9, version 1); the merge keeps exactly one row
@@ -1427,6 +1433,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_mix_weights" -> (qMixWeights _),
+    "q_unimax" -> (qUnimax _),
     "q_mix_sample" -> (qMixSample _),
     "q_cap_per_source" -> (qCapPerSource _),
     "q_upsert" -> (qUpsert _),

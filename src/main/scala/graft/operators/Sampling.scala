@@ -99,6 +99,61 @@ object Sampling {
         F.round(alloc / F.col("n_tokens").cast("double"), 6).as("epochs"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023): distribute a token
+    * budget across sources as UNIFORMLY as possible subject to a
+    * per-source repetition cap — never take more than `maxEpochs` passes
+    * over any source. Where [[mixWeights]] tempers by size (p ∝ n^α),
+    * UniMax water-fills: sources too small to absorb an equal share are
+    * capped at `n_tokens · maxEpochs` and the leftover re-spreads evenly
+    * over the rest — the allocator behind the UniMax multilingual
+    * sampling recipe.
+    *
+    * Closed form, no iteration: sort sources by cap ascending; source i
+    * (of L) is capped iff `cap_i · (L − i + 1) <= B − Σ_{j<i} cap_j` —
+    * the standard water-filling prefix condition, monotone in i, and ALL
+    * LONG ARITHMETIC, so the capped set is exact on any engine (no
+    * floating-point waterline). Uncapped sources share
+    * `(B − Σ capped) / n_uncapped`, the only double in the computation.
+    *
+    * Scale shape: one map-side-combinable corpus aggregation to
+    * (source, n_tokens) — a handful of rows — then windows OVER THAT
+    * HANDFUL (single-partition by construction, the same bounded-small
+    * exception class as [[mixWeights]]'s one-row crossJoin; the corpus
+    * itself never enters a window). */
+  def unimaxWeights(docs: DataFrame, sourceCol: String = "source",
+                    textCol: String = "text", budgetTokens: Long = 1000000L,
+                    maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, s"need maxEpochs >= 1, got $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.Spread(docs)
+      .groupBy(F.col(sourceCol))
+      .agg(F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))).as("n_tokens"))
+      .withColumn("cap_tokens", F.col("n_tokens") * maxEpochs)
+    val byCap = Window.orderBy(F.col("cap_tokens"), F.col(sourceCol))
+    val all = Window.partitionBy()
+    val ranked = t
+      .withColumn("_i", F.row_number().over(byCap))
+      .withColumn("_pfx", F.coalesce(
+        F.sum(F.col("cap_tokens")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0L)))
+      .withColumn("_l", F.count(F.lit(1)).over(all))
+      .withColumn("_capped",
+        F.col("cap_tokens") * (F.col("_l") - F.col("_i") + 1) <=
+          F.lit(budgetTokens) - F.col("_pfx"))
+    val share =
+      (F.lit(budgetTokens) - F.sum(F.when(F.col("_capped"), F.col("cap_tokens"))
+        .otherwise(F.lit(0L))).over(all)).cast("double") /
+        F.greatest(F.lit(1L),
+          F.col("_l") - F.sum(F.col("_capped").cast("long")).over(all)).cast("double")
+    val alloc = F.when(F.col("_capped"), F.col("cap_tokens").cast("double"))
+      .otherwise(share)
+    ranked.select(
+      F.col(sourceCol), F.col("n_tokens"), F.col("cap_tokens"),
+      F.round(alloc, 0).cast("long").as("alloc_tokens"),
+      F.round(alloc / F.lit(budgetTokens.toDouble), 6).as("weight"),
+      F.round(alloc / F.col("n_tokens").cast("double"), 6).as("epochs"))
+  }
+
   /** EXECUTE the mixture [[mixWeights]] plans: sample each source at its
     * allocated rate, deterministically. The keep rate is
     * min(1, alloc_tokens / n_tokens) — computed from the two LONG columns

@@ -267,6 +267,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(w2 == w, "weights changed under repartitioning")
   }
 
+  test("unimaxWeights: water-filling invariants on crafted and real sources") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // crafted: tiny sources get capped at maxEpochs, big ones split the rest
+    val docs = Seq(
+      ("s_tiny", "a b c"), // 3 tokens, cap 12
+      ("s_small", "a b c d e f g h i j"), // 10 tokens, cap 40
+      ("s_big", Seq.fill(300)("tok").mkString(" ")), // 300 tokens, cap 1200
+      ("s_huge", Seq.fill(900)("tok").mkString(" ")) // 900 tokens, cap 3600
+    ).toDF("source", "text").withColumn("doc_id", F.monotonically_increasing_id())
+    val budget = 2000L
+    val r = Sampling.unimaxWeights(docs, budgetTokens = budget, maxEpochs = 4)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toList
+    val m = r.map(x => x._1 -> x).toMap
+    // capped sources take exactly their cap
+    assert(m("s_tiny")._4 == 12 && m("s_small")._4 == 40, s"caps wrong: $r")
+    // uncapped split the remainder evenly: (2000-52)/2 = 974
+    assert(m("s_big")._4 == 974 && m("s_huge")._4 == 974, s"shares wrong: $r")
+    // never exceed a cap, and the budget is exactly spent (sum caps > B)
+    r.foreach { case (s, _, cap, alloc) => assert(alloc <= cap, s"$s over cap") }
+    assert(r.map(_._4).sum == budget, s"budget not exactly spent: $r")
+
+    // degenerate: budget above total capacity -> everyone capped
+    val all = Sampling.unimaxWeights(docs, budgetTokens = 100000L, maxEpochs = 4)
+      .collect().map(x => x.getLong(2) -> x.getLong(3))
+    all.foreach { case (cap, alloc) => assert(alloc == cap, s"cap!=alloc: $cap $alloc") }
+
+    // real corpus: allocations within caps, order-invariant under repartition
+    val real = spark.read.parquet(s"$sf001/documents.parquet")
+    val w1 = Sampling.unimaxWeights(real).collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    val w2 = Sampling.unimaxWeights(real.repartition(7)).collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(w1 == w2, "allocation changed under repartitioning")
+  }
+
   test("perplexityBuckets: per-language thirds balanced, head holds the best scores") {
     import spark.implicits._
     import graft.functions.UnigramLm
