@@ -14,6 +14,38 @@ object OracleSql {
 
   private val dec4sum = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** DSIR CTE chain through the per-doc weights (`dw`), shared by
+    * q_dsir_weights and q_dsir_select — Dsir.importanceWeights mirrored:
+    * unigram+bigram md5-hex buckets, add-1-smoothed target/raw
+    * distributions, decimal-exact per-doc term sums. */
+  private val dsirCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(w) AS g FROM tok WHERE len(w) >= 1
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    unnest([list_aggregate(w[i:i+1], 'string_agg', ' ') for i in generate_series(1, len(w)-1)]) AS g
+      |  FROM tok WHERE len(w) >= 2),
+      |gb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT % 8192 AS bkt
+      |  FROM grams),
+      |rawp AS (SELECT bkt, COUNT(*) AS rc FROM gb GROUP BY 1),
+      |tgtp AS (SELECT bkt, COUNT(*) AS tc FROM gb WHERE doc_id % 50 = 0 GROUP BY 1),
+      |tt AS (SELECT COUNT(*) AS n FROM gb WHERE doc_id % 50 = 0),
+      |tr AS (SELECT COUNT(*) AS n FROM gb),
+      |ratio AS (
+      |  SELECT r.bkt,
+      |    ln((COALESCE(t.tc, 0) + 1.0) / (tt.n + 8192.0)) -
+      |    ln((r.rc + 1.0) / (tr.n + 8192.0)) AS lr
+      |  FROM rawp r LEFT JOIN tgtp t USING (bkt) CROSS JOIN tt CROSS JOIN tr),
+      |dw AS (
+      |  SELECT gb.doc_id, COUNT(*) AS n_grams,
+      |    ROUND(CAST(SUM(CAST(ratio.lr AS DECIMAL(38,18))) AS DOUBLE), 6) AS dsir_logw
+      |  FROM gb JOIN ratio USING (bkt)
+      |  GROUP BY 1)""".stripMargin
+
   /** Word-shingle + per-band minhash CTE prefix shared by the dedup oracles
     * (mirrors Dedup.shingles / Dedup.minhashSignatures /
     * functions.expressions.MinhashSigsExpr): ONE md5 per shingle split into
@@ -791,31 +823,23 @@ object OracleSql {
     // DECIMAL(38,18) so the per-doc SUM is exact and order-free.
     // Target slice = doc_id % 50 = 0, the decontamination convention.
     "q_dsir_weights" ->
-      """WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest(w) AS g FROM tok WHERE len(w) >= 1
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    unnest([list_aggregate(w[i:i+1], 'string_agg', ' ') for i in generate_series(1, len(w)-1)]) AS g
-        |  FROM tok WHERE len(w) >= 2),
-        |gb AS (
-        |  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::UBIGINT % 8192 AS bkt
-        |  FROM grams),
-        |rawp AS (SELECT bkt, COUNT(*) AS rc FROM gb GROUP BY 1),
-        |tgtp AS (SELECT bkt, COUNT(*) AS tc FROM gb WHERE doc_id % 50 = 0 GROUP BY 1),
-        |tt AS (SELECT COUNT(*) AS n FROM gb WHERE doc_id % 50 = 0),
-        |tr AS (SELECT COUNT(*) AS n FROM gb),
-        |ratio AS (
-        |  SELECT r.bkt,
-        |    ln((COALESCE(t.tc, 0) + 1.0) / (tt.n + 8192.0)) -
-        |    ln((r.rc + 1.0) / (tr.n + 8192.0)) AS lr
-        |  FROM rawp r LEFT JOIN tgtp t USING (bkt) CROSS JOIN tt CROSS JOIN tr)
-        |SELECT gb.doc_id, COUNT(*) AS n_grams,
-        |  ROUND(CAST(SUM(CAST(ratio.lr AS DECIMAL(38,18))) AS DOUBLE), 6) AS dsir_logw
-        |FROM gb JOIN ratio USING (bkt)
-        |GROUP BY 1""".stripMargin,
+      s"""$dsirCtes
+        |SELECT doc_id, n_grams, dsir_logw FROM dw""".stripMargin,
+
+    // DSIR selection executed: Gumbel-top-k over the same weights CTE —
+    // u = (md5_32('graft_'||id) + 0.5)/2^32, g = logw − ln(−ln u), ranked
+    // on the 6-dp ROUNDED key with id tie-break so both engines cut the
+    // identical top-k set.
+    "q_dsir_select" ->
+      s"""$dsirCtes,
+        |gum AS (
+        |  SELECT doc_id, dsir_logw,
+        |    ROUND(dsir_logw - ln(-ln(
+        |      (('0x' || substr(md5('graft_' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+        |        / 4294967296.0)), 6) AS gumbel_key
+        |  FROM dw)
+        |SELECT doc_id, dsir_logw, gumbel_key FROM gum
+        |ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
     // Per-(doc,token) term computed in double (identical IEEE ops to the
     // Spark side), cast to DECIMAL(38,18) so the SUM is exact and

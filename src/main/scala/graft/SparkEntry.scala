@@ -1106,6 +1106,15 @@ object SparkEntry {
   private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLm.perplexityBuckets(T(s, dir, "documents"))
 
+  /** DSIR selection executed ([[graft.functions.Dsir.select]]): Gumbel
+    * top-100 over the importance weights — deterministic md5-seeded
+    * Gumbel keys, TakeOrderedAndProject global cut. */
+  private def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.Dsir.select(
+      docs, docs.filter(F.col("doc_id") % 50 === 0), k = 100)
+  }
+
   /** DSIR importance weights ([[graft.functions.Dsir.importanceWeights]]):
     * hashed-n-gram log importance of every document against the
     * deterministic `doc_id % 50 = 0` target slice (the decontamination
@@ -1454,6 +1463,7 @@ object SparkEntry {
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_dsir_select" -> (qDsirSelect _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

@@ -126,4 +126,40 @@ object Dsir {
         F.col(idCol), F.col("n_grams"),
         F.round(F.col("s").cast("double"), 6).as("dsir_logw"))
   }
+
+  /** DSIR selection EXECUTED: the top-`k` documents by Gumbel-perturbed
+    * log importance weight — exactly sampling-without-replacement with
+    * probability ∝ exp(logw) (the Gumbel-top-k trick, the paper's
+    * importance-RESAMPLING step), made deterministic by deriving the
+    * Gumbel from md5(seed ‖ id) instead of an RNG:
+    *
+    *   u = (md5_32(seed‖id) + 0.5) / 2^32,  g = logw − ln(−ln u)
+    *
+    * — the repo's seeded-uniform convention (Sampling.shuffleShard), so
+    * the selected SET is reproducible run-to-run, partition-layout-free,
+    * and cross-engine checkable. Ordering uses the 6-dp ROUNDED key with
+    * the id as total-order tie-break, so both engines cut the same top-k
+    * (the usual 1-ulp-inside-ln risk class collapses to the rounding
+    * boundary).
+    *
+    * Scale shape: [[importanceWeights]]'s scan + one global top-k —
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k·partitions rows), NOT a full sort exchange.
+    */
+  def select(corpus: DataFrame, target: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             buckets: Int = 8192, k: Int = 100,
+             seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = importanceWeights(corpus, target, idCol, textCol, buckets)
+    val h32 = F.conv(F.substring(
+      F.md5(F.concat(F.lit(seed + "_"), F.col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    // identical IEEE op order to the oracle: (h + 0.5) / 2^32, ln, ln, −
+    val u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    val g = F.round(F.col("dsir_logw") - F.log(-F.log(u)), 6)
+    w.select(F.col(idCol), F.col("dsir_logw"), g.as("gumbel_key"))
+      .orderBy(F.col("gumbel_key").desc, F.col(idCol))
+      .limit(k)
+  }
 }

@@ -265,6 +265,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     val w2 = Dsir.importanceWeights(corpus.repartition(7), target.coalesce(1))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w2 == w, "weights changed under repartitioning")
+
+    // Selection executed: with disjoint vocabularies the logw gap dwarfs
+    // the Gumbel noise, so the top-3 must all be medical docs — and the
+    // selected SET must be identical under a different partitioning.
+    val selDf = Dsir.select(corpus, target, k = 3)
+    val sel = selDf.collect().map(_.getLong(0)).toSet
+    assert(sel.forall(_ < med.size), s"out-of-domain doc selected: $sel")
+    val sel2 = Dsir.select(corpus.repartition(5), target, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel2 == sel, "selected set changed under repartitioning")
+    // the global cut is a top-k, not a full sort: TakeOrderedAndProject
+    val plan = selDf.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k lost its TakeOrderedAndProject plan:\n$plan")
   }
 
   test("unimaxWeights: water-filling invariants on crafted and real sources") {
