@@ -14,6 +14,45 @@ object OracleSql {
 
   private val dec4sum = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** Unrolled full-batch logistic-GD CTE chain (mirrors
+    * Classifier.trainScore step for step): hashed presence features with
+    * the target-slice label, `iters` iterations of
+    * forward → residual → per-bucket gradient → weight/bias update, all
+    * distributed sums DECIMAL(38,18)-exact, then the final scoring pass.
+    * The GD twin of [[kmeansCtes]]. No leading WITH. */
+  private def clfCtes(buckets: Int, iters: Int, lr: Double): String = {
+    val steps = (1 to iters).map { t =>
+      val (pw, pb) = (s"w${t - 1}", s"b${t - 1}")
+      val nCte = if (t == 1) ",\nn AS (SELECT COUNT(*) AS n FROM z1)" else ""
+      s"""z$t AS (
+         |  SELECT f.doc_id, f.y,
+         |    1.0/(1.0 + exp(-(CAST(SUM(CAST(w.w AS DECIMAL(38,18))) AS DOUBLE) + b.bv))) - f.y AS r
+         |  FROM feats f JOIN $pw w USING (bkt) CROSS JOIN $pb b
+         |  GROUP BY f.doc_id, f.y, b.bv)$nCte,
+         |g$t AS (
+         |  SELECT f.bkt, CAST(SUM(CAST(z.r AS DECIMAL(38,18))) AS DOUBLE) AS g
+         |  FROM feats f JOIN z$t z USING (doc_id) GROUP BY 1),
+         |w$t AS (
+         |  SELECT w.bkt, w.w - $lr * (COALESCE(g.g, 0.0) / CAST(n.n AS DOUBLE)) AS w
+         |  FROM $pw w LEFT JOIN g$t g USING (bkt) CROSS JOIN n),
+         |b$t AS (
+         |  SELECT b.bv - $lr * (COALESCE(bg.bg, 0.0) / CAST(n.n AS DOUBLE)) AS bv
+         |  FROM $pb b CROSS JOIN n CROSS JOIN
+         |    (SELECT CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE) AS bg FROM z$t) bg)""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |feats AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN doc_id % 50 = 0 THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % $buckets AS BIGINT) AS bkt
+       |  FROM (SELECT doc_id, unnest(w) AS t FROM tok WHERE len(w) >= 1)),
+       |w0 AS (SELECT CAST(gs.g AS BIGINT) AS bkt, 0.0 AS w FROM generate_series(0, ${buckets - 1}) gs(g)),
+       |b0 AS (SELECT 0.0 AS bv),
+       |$steps""".stripMargin
+  }
+
   /** DSIR CTE chain through the per-doc weights (`dw`), shared by
     * q_dsir_weights and q_dsir_select — Dsir.importanceWeights mirrored:
     * unigram+bigram md5-hex buckets, add-1-smoothed target/raw
@@ -771,6 +810,19 @@ object OracleSql {
         |          / CAST(SUM(tf) AS DOUBLE), 6) AS entropy
         |FROM tf
         |GROUP BY 1""".stripMargin,
+
+    // Trained quality classifier: the clfCtes GD chain (4 iterations,
+    // 64 hashed buckets, lr 0.5, target-slice labels), final scoring
+    // pass under w4/b4; pred compares the UNROUNDED sigma to 0.5 exactly
+    // as the Spark side does.
+    "q_clf_quality" -> {
+      s"""WITH ${clfCtes(64, 4, 0.5)}
+         |SELECT f.doc_id, CAST(f.y AS INT) AS label,
+         |  ROUND(1.0/(1.0 + exp(-(CAST(SUM(CAST(w.w AS DECIMAL(38,18))) AS DOUBLE) + b.bv))), 6) AS clf_score,
+         |  (1.0/(1.0 + exp(-(CAST(SUM(CAST(w.w AS DECIMAL(38,18))) AS DOUBLE) + b.bv))) >= 0.5) AS pred
+         |FROM feats f JOIN w4 w USING (bkt) CROSS JOIN b4 b
+         |GROUP BY f.doc_id, f.y, b.bv""".stripMargin
+    },
 
     // CCNet perplexity buckets: the q_lm_score CTEs (rounded 6-dp score)
     // joined with the langId CASE chain, ranked per language on

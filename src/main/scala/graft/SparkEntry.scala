@@ -1099,6 +1099,15 @@ object SparkEntry {
   private def qEntropy(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLm.tokenEntropy(T(s, dir, "documents"))
 
+  /** Trained quality classifier ([[graft.functions.Classifier.trainScore]]):
+    * hashed-feature logistic regression fit by 4 full-batch GD steps on
+    * the target-slice labels, then scored over the whole corpus —
+    * training and inference both oracle-replicated. */
+  private def qClfQuality(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Classifier.trainScore(
+      T(s, dir, "documents"),
+      F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+
   /** CCNet perplexity buckets
     * ([[graft.functions.UnigramLm.perplexityBuckets]]): head/middle/tail
     * thirds per language by unigram-LM score — distributed GlobalIndex
@@ -1464,6 +1473,7 @@ object SparkEntry {
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dsir_select" -> (qDsirSelect _),
+    "q_clf_quality" -> (qClfQuality _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

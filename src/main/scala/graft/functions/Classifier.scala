@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Model-based quality classification TRAINED IN THE ENGINE: a logistic
+  * regression over hashed bag-of-words features, fit by full-batch
+  * gradient descent as a sequence of Spark aggregations — the
+  * fastText/FineWeb-style "train a small classifier on exemplar labels,
+  * score the whole corpus" step of a pretraining pipeline, expressed so
+  * that training AND inference are bit-reproducible and cross-engine
+  * checkable (the Lloyd-k-means-in-the-oracle precedent, applied to GD).
+  *
+  * Model: binary PRESENCE features over `buckets` hashed token buckets
+  * (the md5-hex convention — bucket ids identical in the oracle) plus a
+  * bias; `iters` full-batch GD steps of
+  *
+  *   w ← w − lr · (Σ_d (σ(z_d) − y_d) · x_d) / n,   z_d = Σ_{b∈d} w_b + bias
+  *
+  * Determinism (the interesting part): every distributed sum in both the
+  * forward pass (z per doc) and the gradient (per bucket) casts its
+  * per-row double term to DECIMAL(38,18) first, so the sums are exact
+  * and order-free; σ's exp() is evaluated on identical operands with
+  * identical op order on both engines. The oracle unrolls the same
+  * `iters` steps as CTEs (OracleSql.clfCtes) and reproduces every
+  * weight, score, and prediction bit-for-bit.
+  *
+  * Scale shape: ONE cached feature build (byKey corpus scan → distinct
+  * (doc, bucket) rows — the per-doc aggregations reuse its
+  * partitioning), then per GD step: one broadcast join of the B-row
+  * weight table + one doc-keyed aggregation (no exchange — byKey) + one
+  * bucket-keyed gradient aggregation (map-combinable, ≤B+1 result
+  * rows). Driver state is the weight vector itself — `buckets`+1
+  * doubles, corpus-size-independent (the documented bounded-collect
+  * class, SURVEY §5). Training cost: `iters` passes over the slim
+  * feature cache, never over text.
+  */
+object Classifier {
+
+  /** Train on `label` (0/1 per document) and score every document:
+    * (idCol, label, clf_score, pred) for every doc with ≥ 1 token.
+    * clf_score is σ(z) rounded to 6 dp; pred compares the UNROUNDED
+    * score to 0.5 (mirrored in the oracle). */
+  def trainScore(docs: DataFrame, label: Column, idCol: String = "doc_id",
+                 textCol: String = "text", buckets: Int = 64,
+                 iters: Int = 4, lr: Double = 0.5): DataFrame = graft.CacheScope.scoped {
+    require(buckets >= 2 && iters >= 1 && lr > 0,
+      s"need buckets >= 2, iters >= 1, lr > 0; got ($buckets, $iters, $lr)")
+    val spark = docs.sparkSession
+    def toks(c: Column) = ColumnBridge.column(
+      graft.functions.expressions.ShingleExpr(ColumnBridge.expression(c), 1))
+    def bucket(t: Column): Column =
+      F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % buckets
+
+    // Distinct (doc, bucket) presence rows + the label, byKey so every
+    // per-doc aggregation below runs exchange-free. The groupBy(id, bkt)
+    // dedup is itself satisfied by the id partitioning (subset rule).
+    val feats = graft.CacheScope.materialize(
+      graft.Spread.byKey(docs, idCol)
+        .select(F.col(idCol), label.cast("double").as("y"),
+          F.explode(toks(F.col(textCol))).as("tok"))
+        .select(F.col(idCol), F.col("y"), bucket(F.col("tok")).as("bkt"))
+        .groupBy(F.col(idCol), F.col("bkt"))
+        .agg(F.first(F.col("y")).as("y")))
+
+    import scala.jdk.CollectionConverters._
+    def wDf(w: Array[Double]): DataFrame = spark.createDataFrame(
+      w.toSeq.zipWithIndex.map { case (v, b) =>
+        org.apache.spark.sql.Row(b.toLong, v) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bkt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+
+    /** Per-doc forward pass under weights (w, bias): (id, y, r) with
+      * r = σ(z) − y. Identical expression text to the oracle's z/r CTEs. */
+    def residuals(w: Array[Double], bias: Double): DataFrame =
+      feats.join(F.broadcast(wDf(w)), Seq("bkt"))
+        .groupBy(F.col(idCol))
+        .agg(F.first(F.col("y")).as("y"),
+          F.sum(F.col("w").cast("decimal(38,18)")).cast("double").as("s"))
+        .select(F.col(idCol), F.col("y"),
+          (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("s") + F.lit(bias)))) -
+            F.col("y")).as("r"))
+
+    val w = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    var nDocs = -1L
+    for (_ <- 1 to iters) {
+      // slim (id, y, r) cache: consumed by the bucket gradient, the bias
+      // gradient, and (first iteration) the doc count
+      val z = graft.CacheScope.materialize(residuals(w, bias))
+      if (nDocs < 0) nDocs = z.count()
+      val grads = feats.join(z.select(F.col(idCol), F.col("r")), Seq(idCol))
+        .groupBy(F.col("bkt"))
+        .agg(F.sum(F.col("r").cast("decimal(38,18)")).cast("double").as("g"))
+        .collect().map(r0 => r0.getLong(0).toInt -> r0.getDouble(1)).toMap
+      val biasG = {
+        val row = z.agg(
+          F.sum(F.col("r").cast("decimal(38,18)")).cast("double")).first()
+        if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      }
+      // token-less corpus: no feature rows, nothing to fit (0/0 would
+      // NaN the weights); the final scoring pass is empty anyway
+      if (nDocs > 0) {
+        var b = 0
+        while (b < buckets) {
+          w(b) = w(b) - lr * (grads.getOrElse(b, 0.0) / nDocs.toDouble)
+          b += 1
+        }
+        bias = bias - lr * (biasG / nDocs.toDouble)
+      }
+    }
+
+    // Final scoring pass under the trained weights — same forward text.
+    feats.join(F.broadcast(wDf(w)), Seq("bkt"))
+      .groupBy(F.col(idCol))
+      .agg(F.first(F.col("y")).as("y"),
+        F.sum(F.col("w").cast("decimal(38,18)")).cast("double").as("s"))
+      .select(F.col(idCol), F.col("y").cast("int").as("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("s") + F.lit(bias)))), 6)
+          .as("clf_score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("s") + F.lit(bias)))) >= 0.5)
+          .as("pred"))
+  }
+}

@@ -281,6 +281,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       s"global top-k lost its TakeOrderedAndProject plan:\n$plan")
   }
 
+  test("classifier trainScore separates disjoint vocabularies and is repartition-exact") {
+    import spark.implicits._
+    import graft.functions.Classifier
+    // balanced positive/negative sets with disjoint vocabularies: four
+    // GD steps must push every positive above 0.5 and every negative
+    // below (bias gradient cancels by construction)
+    val pos = Seq(
+      "patient dosage clinical trial symptom diagnosis",
+      "clinical symptom relapse dosage patient outcome",
+      "therapy outcome patient trial diagnosis baseline",
+      "cohort baseline relapse symptom dosage clinical")
+    val neg = Seq(
+      "plaintiff defendant motion court statute appeal",
+      "statute verdict court ruling defendant filing",
+      "appeal ruling filing motion statute court",
+      "verdict motion plaintiff ruling appeal filing")
+    val docs = (pos.map((_, 1.0)) ++ neg.map((_, 0.0))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }.toDF("doc_id", "text", "y0")
+    val scored = Classifier.trainScore(docs, F.col("y0"))
+    val r = scored.collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getDouble(2), x.getBoolean(3))).toMap
+    assert(r.size == 8)
+    r.foreach { case (id, (label, score, pred)) =>
+      assert(pred == (label == 1), s"doc $id mispredicted: label=$label score=$score")
+      if (label == 1) assert(score > 0.5) else assert(score < 0.5)
+    }
+    // bit-exact under a different partitioning: decimal sums are
+    // order-free, so training must land on the identical weights
+    val r2 = Classifier.trainScore(docs.repartition(5), F.col("y0")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r2 == r.map { case (k, v) => k -> v._2 }, "scores moved under repartitioning")
+  }
+
   test("unimaxWeights: water-filling invariants on crafted and real sources") {
     import spark.implicits._
     import graft.operators.Sampling
