@@ -1388,6 +1388,22 @@ object OracleSql {
 
     "q_quality" -> qualityCtes,
 
+    // LangId evaluation vs ground truth: the langId CASE chain with the
+    // truth column carried through, confusion counts + per-class share.
+    // SUM(n) over a window of COUNT(*) is HUGEINT in DuckDB -> cast.
+    "q_langid_eval" -> {
+      s"""WITH ${langCtes("documents", Seq("lang"))},
+         |cm AS (
+         |  SELECT lang, pred_lang, COUNT(*) AS n FROM langed GROUP BY 1, 2),
+         |cw AS (
+         |  SELECT lang, pred_lang, n,
+         |    CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS class_n
+         |  FROM cm)
+         |SELECT lang, pred_lang, n, class_n,
+         |  ROUND(CAST(n AS DOUBLE) / CAST(class_n AS DOUBLE), 6) AS share
+         |FROM cw""".stripMargin
+    },
+
     // Gopher rule suite: every counter mirrors GopherStatsExpr verbatim —
     // lowercased RE2-\s words (code-point lengths), a-z alpha test, the 8
     // required-stopword presence set, chr(10) lines with space/tab

@@ -1312,6 +1312,24 @@ object SparkEntry {
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(F.col("doc_id"), TF.langId(F.col("text")).as("pred_lang"))
 
+  /** Language-ID EVALUATION against the generator's ground-truth `lang`
+    * column: the full confusion matrix plus per-truth-class recall — the
+    * measure-your-own-heuristics harness a pipeline needs before trusting
+    * a filter. One scan + one tiny (langs²) aggregation; the recall
+    * window runs over that handful of rows, never the corpus. */
+  private def qLangIdEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    T(s, dir, "documents")
+      .select(F.col("lang"), TF.langId(F.col("text")).as("pred_lang"))
+      .groupBy(F.col("lang"), F.col("pred_lang"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .withColumn("class_n",
+        F.sum(F.col("n")).over(Window.partitionBy(F.col("lang"))))
+      .select(F.col("lang"), F.col("pred_lang"), F.col("n"), F.col("class_n"),
+        F.round(F.col("n").cast("double") / F.col("class_n").cast("double"), 6)
+          .as("share"))
+  }
+
   private def qQuality(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(
       F.col("doc_id"),
@@ -1474,6 +1492,7 @@ object SparkEntry {
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_clf_quality" -> (qClfQuality _),
+    "q_langid_eval" -> (qLangIdEval _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),
