@@ -224,7 +224,10 @@ object Bench {
       // q_distinct_sketch best-of-2 read 0.31 s on one run, 0.20 s on the
       // next, identical code). Extra shots are cheap at this size: always
       // give the minimum four chances to land on the floor.
-      while (shots.length < 4 && shots.map(_.sec).min < 0.8)
+      // …but never in cold-measurement mode (SPARK_GRAFT_WARMUP=0):
+      // forced extra shots reuse the first shot's JIT output and would
+      // silently replace the cold time the flags were set to capture.
+      while (warmupOn && shots.length < 4 && shots.map(_.sec).min < 0.8)
         shots += oneShot(shots.length)
       diags(name) = shots.toSeq
       name -> shots.map(_.sec).min

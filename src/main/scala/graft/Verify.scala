@@ -33,8 +33,12 @@ object Verify {
         val stale = Paths.get(s"$outDir/$name")
         if (Files.exists(stale)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(stale).iterator().asScala.toSeq.reverse
+          // Files.walk holds directory handles until closed — leaking
+          // one per failed query lasts the whole driver process.
+          val walk = Files.walk(stale)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
     }

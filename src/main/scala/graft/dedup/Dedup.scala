@@ -532,7 +532,8 @@ object Dedup {
                          shingleN: Int = 8, mBits: Int = 1 << 17,
                          kHashes: Int = 4, minHits: Int = 1,
                          maxBenchDocs: Int = 100000): DataFrame = {
-    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of two, got $mBits")
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      s"mBits must be a power of two >= 64 (one bitset word), got $mBits")
     require(kHashes >= 1 && kHashes * 8 <= 32, s"kHashes in 1..4, got $kHashes")
     def shingles(c: Column) = F.array_distinct(ColumnBridge.column(
       ShingleExpr(ColumnBridge.expression(c), shingleN)))
@@ -614,13 +615,20 @@ object Dedup {
     * is the contract here (the original-byte-preserving variant is a
     * tokenizer detail away, not a different dataflow).
     *
-    * Shape: one scan -> positional gram explode -> the single-pass
-    * corpus-frequency pattern (count(*) over the gram-keyed exchange — no
-    * cache, no self-join) -> duplicated starts widen to token indices ->
-    * anti-join back onto the positional token explode -> per-doc ordered
-    * rebuild. Exchanges are all on (gram) or (doc, idx) keys; nothing
-    * quadratic, no driver state; hot grams stream through the spillable
-    * window buffer like every df computation in this pack.
+    * Shape: the `base` scan feeds THREE consumers (grams, the kept-token
+    * explode, the n_tokens projection) and is deliberately NOT cached:
+    * the (id, tokens) projection is data-sized, and three column-pruned
+    * parallel passes over compressed parquet are measurably cheaper than
+    * writing that projection through the cache once (A/B at sf0.1: 0.27 s
+    * re-scanned vs 1.17 s cached — the cache write serializes what the
+    * scans parallelize; at 100 TB the same trade holds because the cache
+    * must spill to disk at data size). Then: positional gram explode ->
+    * the single-pass corpus-frequency pattern (count(*) over the
+    * gram-keyed exchange — no self-join) -> duplicated starts widen to
+    * token indices -> anti-join back onto the positional token explode ->
+    * per-doc ordered rebuild. Exchanges are all on (gram) or (doc, idx)
+    * keys; nothing quadratic, no driver state; hot grams stream through
+    * the spillable window buffer like every df computation in this pack.
     *
     * Output: (idCol, n_tokens, n_removed, clean_text); docs with no
     * duplicated span pass through with n_removed = 0. */

@@ -81,15 +81,14 @@ object Sketches {
   /** The shared estimate SQL (Spark `expr` and DuckDB parse it alike). */
   def hllEstSql(m: Int, sCol: String, nPresentCol: String): String = {
     // The 0.7213/(1+1.079/m) closed form is the LARGE-m approximation;
-    // the original paper's small-register constants apply below m=128
-    // (the p=4/16-register and p≈6 regimes our require() permits) —
-    // without them the estimate carries a systematic ~7% bias at m=16.
-    // Both engines evaluate this same generated text, so parity holds
-    // for any choice; the point of the table is accuracy, not parity.
+    // the original paper's small-register constant applies at m=16 (the
+    // p=4 case — the only sub-128 register count the hllRegisters
+    // require(), p % 4 == 0 && p <= 16, can produce) — without it the
+    // estimate carries a systematic ~7% bias at m=16. Both engines
+    // evaluate this same generated text, so parity holds for any
+    // choice; the point of the constant is accuracy, not parity.
     val alpha = m match {
       case 16 => "0.673"
-      case 32 => "0.697"
-      case 64 => "0.709"
       case _  => s"0.7213 / (1.0 + 1.079 / $m.0)"
     }
     val sumInv = // Σ 2^(−M[j]) = (s_present + zeros · 2^57) / 2^57

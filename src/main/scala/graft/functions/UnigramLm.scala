@@ -91,14 +91,18 @@ object UnigramLm {
     * Determinism: ranks order on the ROUNDED 6-dp lm_score (the same
     * column both engines emit) with the id as total-order tie-break. */
   def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", k: Int = 3): DataFrame = {
+                        textCol: String = "text", k: Int = 3): DataFrame = graft.CacheScope.scoped {
     require(k >= 2, s"need k >= 2 buckets, got $k")
     val lm = score(docs, idCol, textCol).select(F.col(idCol), F.col("lm_score"))
     val lang = docs.select(
       F.col(idCol), TextFunctions.langId(F.col(textCol)).as("pred_lang"))
-    val g = graft.operators.GlobalIndex.appendIndex(
-      lm.join(lang, Seq(idCol)),
-      Seq(F.col("pred_lang"), F.col("lm_score").desc, F.col(idCol)), "gpos")
+    // The indexed frame has TWO consumers (the per-language min/count
+    // aggregate and the final join) — cache it, or the range sort, the
+    // LM scoring join, and langId all run twice.
+    val g = graft.CacheScope.materialize(
+      graft.operators.GlobalIndex.appendIndex(
+        lm.join(lang, Seq(idCol)),
+        Seq(F.col("pred_lang"), F.col("lm_score").desc, F.col(idCol)), "gpos"))
     val groups = g.groupBy(F.col("pred_lang"))
       .agg(F.min(F.col("gpos")).as("gstart"), F.count(F.lit(1)).as("gn"))
     // non-negative long division: double divide + truncating cast == floor

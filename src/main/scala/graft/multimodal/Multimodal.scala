@@ -89,7 +89,12 @@ object Multimodal {
   def attachPngMedia(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(F.col(idCol).cast("long"), F.length(F.col(textCol)).cast("int"))
+    docs
+      // NULL id/text would throw in the non-nullable tuple deserializer
+      // and fail the job on one bad row — drop, the package contract
+      // (same reason as extractFeatures' undecodable filter above).
+      .filter(F.col(idCol).isNotNull && F.col(textCol).isNotNull)
+      .select(F.col(idCol).cast("long"), F.length(F.col(textCol)).cast("int"))
       .as[(Long, Int)]
       .mapPartitions { it =>
         ImageIoDecoder.init() // process-global ImageIO cache setting
