@@ -336,3 +336,69 @@ object OperatorTestingAndRescale {
 
   private def min(m: Long): Long = m * 60000L
 }
+
+/** The round-13 DATA-SELECTION pipeline, end to end on the bundled
+  * sf0.001 tables — the training-data curation flow the LLM pack exists
+  * for, each stage one operator:
+  *
+  *   heuristic gate (Gopher rules) → trained model gate (in-engine
+  *   logistic classifier) → target-domain importance weights + Gumbel
+  *   resampling (DSIR) → per-language fluency thirds (CCNet) →
+  *   epoch-capped per-source budget (UniMax) → deterministic training
+  *   order + shards.
+  *
+  * Every stage is deterministic and oracle-checked individually (SURVEY
+  * rows 105–113); this main shows them composing. Run:
+  *   sbt "runMain graft.examples.DataSelectionPipeline"
+  */
+object DataSelectionPipeline {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val docs = graft.Tables(spark, dir, "documents")
+
+    // 1. Heuristic pre-filter: the Gopher rule suite (single-pass native
+    //    expression). Thresholds relaxed for the synthetic corpus: the
+    //    generator's word salad is short and — correctly — fails the
+    //    required-stopword rule that real English passes, so that rule
+    //    is disabled here (on sf0.001, 0/500 docs carry >= 2 of the 8
+    //    Gopher stopwords; a production corpus keeps the default).
+    val rules = graft.functions.TextFunctions.gopherRules(
+      docs, minWords = 20, minStopwords = 0)
+    val heurKeep = docs.join(
+      rules.filter(F.col("passes")).select("doc_id"), Seq("doc_id"), "left_semi")
+    println(s"gopher survivors: ${heurKeep.count()} of ${docs.count()}")
+
+    // 2. Model gate: logistic classifier trained in-engine on the
+    //    exemplar slice (doc_id % 50 = 0 stands in for "curated docs").
+    val scored = graft.functions.Classifier.trainScore(
+      heurKeep, F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    // With a ~2% positive class, four GD steps keep every score under
+    // 0.5 (the prior dominates) — the learned SIGNAL shows in the mean
+    // score by true label; rank-based selection (quantile cut) is how a
+    // pipeline consumes it.
+    scored.groupBy("label")
+      .agg(F.round(F.avg("clf_score"), 4).as("mean_clf_score")).show()
+
+    // 3. DSIR: importance-weight against the same target, then resample.
+    val target = docs.filter(F.col("doc_id") % 50 === 0)
+    val picked = graft.functions.Dsir.select(heurKeep, target, k = 200)
+    println(s"dsir-selected: ${picked.count()}")
+
+    // 4. CCNet fluency thirds per language (head = keep, tail = audit).
+    val buckets = graft.functions.UnigramLm.perplexityBuckets(heurKeep)
+    buckets.groupBy("pred_lang", "ppl_bucket").count()
+      .orderBy("pred_lang", "ppl_bucket").show(9)
+
+    // 5. UniMax: spread a token budget over sources, ≤ 2 epochs each.
+    graft.operators.Sampling.unimaxWeights(
+      heurKeep, budgetTokens = 20000L, maxEpochs = 2).show()
+
+    // 6. Deterministic training order + shards for the selected corpus.
+    val sharded = graft.operators.Sampling.shuffleShard(
+      heurKeep.join(picked.select("doc_id"), Seq("doc_id"), "left_semi"),
+      nShards = 4)
+    sharded.groupBy("shard").count().orderBy("shard").show()
+    spark.stop()
+  }
+}
