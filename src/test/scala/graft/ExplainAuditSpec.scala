@@ -221,7 +221,16 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // Scoring side itself adds NO exchange: the per-doc agg reuses the
     // byKey partitioning through the broadcast ratio join.
     InternalAudit("q_dsir_weights", maxExchangeTotal = 16,
-      allowedBnljPerFrame = 2, minFrames = 4))
+      allowedBnljPerFrame = 2, minFrames = 4),
+    // logistic GD: feature-cache build + one slim residual materialize
+    // per iteration + the terminal scoring frame; broadcast weight joins
+    // add no exchange, and cached builds re-print under consumers (the
+    // q_mix_weights print-total caveat)
+    InternalAudit("q_clf_quality", maxExchangeTotal = 12, minFrames = 6),
+    // ccnet: the nested lm-score scope's frames + the cached GlobalIndex
+    // frame + the terminal join; the RDD hop hides the range exchange
+    // from the printed plans, so the total counts the lm/langId side
+    InternalAudit("q_ccnet_buckets", maxExchangeTotal = 7, minFrames = 4))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
     val frames = scala.collection.mutable.ArrayBuffer[(String, String)]()
