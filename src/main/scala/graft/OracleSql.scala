@@ -14,6 +14,29 @@ object OracleSql {
 
   private val dec4sum = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** The IVF top-k oracle, shared verbatim by q_ann_ivf (in-memory) and
+    * q_ann_ivf_indexed (persisted cell-partitioned index): the two Spark
+    * paths share one scoring tail and must serve identical answers. */
+  private lazy val annIvfSql: String =
+    s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) AS rn
+       |    FROM scores WHERE vec_id < 20) WHERE rn <= 6),
+       |cand AS (
+       |  SELECT q.query_id, cl.vec_id AS neighbor_id
+       |  FROM qprobes q JOIN cells cl ON cl.cell = q.cell
+       |  WHERE cl.vec_id <> q.query_id),
+       |p AS (
+       |  SELECT cand.query_id, cand.neighbor_id, ${cosSql("qv.embedding", "cv.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings qv ON qv.vec_id = cand.query_id
+       |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+
   /** Unrolled full-batch logistic-GD CTE chain (mirrors
     * Classifier.trainScore step for step): hashed presence features with
     * the target-slice label, `iters` iterations of
@@ -1363,26 +1386,13 @@ object OracleSql {
     // Cell assignment ties → lowest centroid id (mirrors array_position on
     // the first max); probe-list ties → HIGHEST centroid id (mirrors the
     // reverse of an ascending (score, idx) struct sort).
-    "q_ann_ivf" -> {
-      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
-         |qprobes AS (
-         |  SELECT vec_id AS query_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) AS rn
-         |    FROM scores WHERE vec_id < 20) WHERE rn <= 6),
-         |cand AS (
-         |  SELECT q.query_id, cl.vec_id AS neighbor_id
-         |  FROM qprobes q JOIN cells cl ON cl.cell = q.cell
-         |  WHERE cl.vec_id <> q.query_id),
-         |p AS (
-         |  SELECT cand.query_id, cand.neighbor_id, ${cosSql("qv.embedding", "cv.embedding")} AS cosine
-         |  FROM cand
-         |  JOIN embeddings qv ON qv.vec_id = cand.query_id
-         |  JOIN embeddings cv ON cv.vec_id = cand.neighbor_id),
-         |r AS (
-         |  SELECT query_id, neighbor_id, cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
-         |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
-    },
+    "q_ann_ivf" -> annIvfSql,
+
+    // Persisted-index IVF: same training params, same probe/score text —
+    // the gate asserts the cell-partitioned on-disk index serves the
+    // IDENTICAL answer the in-memory path computes, so the oracle IS the
+    // q_ann_ivf oracle.
+    "q_ann_ivf_indexed" -> annIvfSql,
 
     "q_lang_id" -> langIdSql,
 

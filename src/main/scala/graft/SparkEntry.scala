@@ -1288,6 +1288,34 @@ object SparkEntry {
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     Ann.lshBuckets(T(s, dir, "embeddings"), planes = 8)
 
+  /** Last-built key of the staged IVF index (the incrementalStaged
+    * pattern): one reference so only the latest (dir, stamp) may claim
+    * the on-disk index. */
+  private val ivfIndexStaged =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** IVF served from the PERSISTED cell-partitioned index
+    * ([[graft.ann.Ann.ivfIndexInit]]/[[graft.ann.Ann.ivfTopKIndexed]]):
+    * same training params as q_ann_ivf, shared scoring tail, so the
+    * on-disk index must produce the IDENTICAL answer — the oracle is
+    * q_ann_ivf's. The index build (train + assign + partitioned write)
+    * is one-time persisted state, paid once per (dir, stamp) per JVM;
+    * what best-of-N measures is the serving path: probe-cell selection +
+    * the partition-pruned read of only the probed cells. */
+  private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "embeddings.parquet")}%016x"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
+    val reuse = key == ivfIndexStaged.get() &&
+      new java.io.File(path, "_SUCCESS").isFile
+    if (!reuse) {
+      ivfIndexStaged.set(null) // invalidate while the index is in flux
+      Ann.ivfIndexInit(emb, path, cells = 16)
+      ivfIndexStaged.set(key)
+    }
+    Ann.ivfTopKIndexed(s, path, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
+  }
+
   /** Dense-id pre-densification (VERDICT r11 #8): a corpus whose vec_ids
     * are sparse (here 7·id+3 — snowflake-shaped) re-keyed 0..N−1 so the
     * IVF/PQ/k-means trainers' dense-seed precondition holds. The gate
@@ -1493,6 +1521,7 @@ object SparkEntry {
     "q_dsir_select" -> (qDsirSelect _),
     "q_clf_quality" -> (qClfQuality _),
     "q_langid_eval" -> (qLangIdEval _),
+    "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

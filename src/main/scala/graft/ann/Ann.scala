@@ -304,38 +304,29 @@ object Ann {
         nearestCentroid(centroids, F.col(embCol), native).as("cluster_id"): _*)
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
-              embCol: String = "embedding", k: Int = 5, cells: Int = 16,
-              probes: Int = 4, native: Boolean = true,
-              sampleN: Int = 512, iters: Int = 2): DataFrame = {
-    val centroids: Array[(Int, Seq[Double])] =
-      trainCentroids(corpus, idCol, embCol, cells, sampleN, iters)
-        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    def cellScores(e: Column): Column = centroidScores(centroids, e, native)
-    def bestCell(e: Column): Column = nearestCentroid(centroids, e, native)
-    // top-`probes` cell ids per query: sort (score, idx) pairs descending.
-    // The idx is NEGATED inside the sort struct so the reversed ascending
-    // sort yields (score DESC, idx ASC) — the same lowest-id tie-break as
-    // nearestCentroid and the oracle's `ORDER BY sc DESC, cid ASC`; a raw
-    // reverse would tie-break HIGHEST-id and could probe a different cell
-    // set than the one a tied corpus vector was assigned to.
-    def probeCells(e: Column): Column = {
-      val sc = cellScores(e)
-      val zipped = F.zip_with(
-        sc, F.sequence(F.lit(0), F.lit(cells - 1)),
-        (s, i) => F.struct(s.as("s"), (-i).as("ni")))
-      F.transform(
-        F.slice(F.reverse(F.array_sort(zipped)), 1, probes),
-        p => -p.getField("ni"))
-    }
-    // Spread the corpus scan: cell assignment is `cells` dot products per
-    // row (~0.75s CPU single-task on the one-split sf0.1 scan, measured
-    // round 9); a no-op at scale where splits >> cores.
-    val c = graft.Spread(corpus)
-      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
-        bestCell(F.col(embCol)).as("cell"))
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
-      F.explode(probeCells(F.col(embCol))).as("cell"))
+  // top-`probes` cell ids per query: sort (score, idx) pairs descending.
+  // The idx is NEGATED inside the sort struct so the reversed ascending
+  // sort yields (score DESC, idx ASC) — the same lowest-id tie-break as
+  // nearestCentroid and the oracle's `ORDER BY sc DESC, cid ASC`; a raw
+  // reverse would tie-break HIGHEST-id and could probe a different cell
+  // set than the one a tied corpus vector was assigned to.
+  private def probeCellsCol(centroids: Array[(Int, Seq[Double])], e: Column,
+                            probes: Int, native: Boolean): Column = {
+    val sc = centroidScores(centroids, e, native)
+    val zipped = F.zip_with(
+      sc, F.sequence(F.lit(0), F.lit(centroids.length - 1)),
+      (s, i) => F.struct(s.as("s"), (-i).as("ni")))
+    F.transform(
+      F.slice(F.reverse(F.array_sort(zipped)), 1, probes),
+      p => -p.getField("ni"))
+  }
+
+  /** The shared IVF scoring tail: cell-equi-join the corpus side against
+    * the broadcast probe set, exact cosine, per-query top-k — ONE
+    * implementation so the in-memory and persisted-index paths are
+    * expression-identical (and therefore bit-identical). */
+  private def ivfScore(c: DataFrame, q: DataFrame, k: Int,
+                       native: Boolean): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
     def nrm(e: Column) = F.sqrt(dotX(e, e, native))
     c.join(F.broadcast(q), Seq("cell"))
@@ -347,6 +338,72 @@ object Ann {
       .filter(F.col("rank") <= k)
       .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
         F.col("neighbor_id"), F.col("cosine"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+              embCol: String = "embedding", k: Int = 5, cells: Int = 16,
+              probes: Int = 4, native: Boolean = true,
+              sampleN: Int = 512, iters: Int = 2): DataFrame = {
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, idCol, embCol, cells, sampleN, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    // Spread the corpus scan: cell assignment is `cells` dot products per
+    // row (~0.75s CPU single-task on the one-split sf0.1 scan, measured
+    // round 9); a no-op at scale where splits >> cores.
+    val c = graft.Spread(corpus)
+      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+        nearestCentroid(centroids, F.col(embCol), native).as("cell"))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+      F.explode(probeCellsCol(centroids, F.col(embCol), probes, native)).as("cell"))
+    ivfScore(c, q, k, native)
+  }
+
+  /** PERSIST an IVF index: train the coarse quantizer, assign every
+    * vector to its cell, and write the corpus PARTITIONED BY cell (one
+    * directory per cell) with the centroid table alongside — the index
+    * lifecycle step a serving deployment needs (the [[graft.dedup.Dedup.indexInit]]
+    * analogue for vectors). Probes then read ONLY the probed cells'
+    * files via partition pruning: at 100 TB, a `probes`/`cells` fraction
+    * of the index per query batch, not a full scan. */
+  def ivfIndexInit(corpus: DataFrame, path: String, idCol: String = "vec_id",
+                   embCol: String = "embedding", cells: Int = 16,
+                   sampleN: Int = 512, iters: Int = 2,
+                   native: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, idCol, embCol, cells, sampleN, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    import spark.implicits._
+    centroids.toSeq.toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    graft.Spread(corpus)
+      .select(F.col(idCol), F.col(embCol),
+        nearestCentroid(centroids, F.col(embCol), native).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** Probe a persisted [[ivfIndexInit]] index: same probe-cell selection
+    * and scoring tail as [[ivfTopK]] (bit-identical results for the same
+    * training parameters), but the corpus side is the partitioned index
+    * READ WITH A PARTITION FILTER on the probed cell set — the scan
+    * touches only those cells' files (spec-pinned on PartitionFilters).
+    * The probed-cell collect is bounded by `cells` ints; `queries` is
+    * small by the same contract as [[ivfTopK]] (it broadcasts). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String = "vec_id",
+                     embCol: String = "embedding", k: Int = 5,
+                     probes: Int = 4, native: Boolean = true): DataFrame = {
+    val centroids: Array[(Int, Seq[Double])] =
+      spark.read.parquet(path + "_centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+      F.explode(probeCellsCol(centroids, F.col(embCol), probes, native)).as("cell"))
+    val probed = q.select(F.col("cell")).distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(path)
+      .filter(F.col("cell").isin(probed.toSeq: _*))
+      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"), F.col("cell"))
+    ivfScore(c, q, k, native)
   }
 
   /** Per-bucket histogram of the LSH partitioning (diagnostics + oracle). */

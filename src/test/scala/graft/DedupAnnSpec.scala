@@ -193,6 +193,25 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(ivf.size <= 100) // k per query, bounded
   }
 
+  test("persisted IVF index serves the identical answer via a partition-pruned read") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec")
+      .resolve("index").toString
+    Ann.ivfIndexInit(emb, path, cells = 16)
+    val indexedDf = Ann.ivfTopKIndexed(spark, path, q, k = 5, probes = 6)
+    // bit-identical to the in-memory path (same trainer, shared scoring)
+    val mem = Ann.ivfTopK(emb, q, k = 5, cells = 16, probes = 6).collect()
+      .map(_.toString).sorted.toSeq
+    val idx = indexedDf.collect().map(_.toString).sorted.toSeq
+    assert(idx == mem, "persisted index diverged from the in-memory path")
+    // the scale claim, pinned: the index scan carries a PartitionFilters
+    // entry on cell — only the probed cells' files are read
+    val plan = indexedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+      s"index read lost its cell partition pruning:\n$plan")
+  }
+
   test("PQ ANN: 16x-compressed codes still rank true neighbors into the rerank set") {
     import graft.ann.Pq
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
