@@ -21,7 +21,7 @@ object OracleSql {
     s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
        |qprobes AS (
        |  SELECT vec_id AS query_id, cid AS cell FROM (
-       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid DESC) AS rn
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
        |    FROM scores WHERE vec_id < 20) WHERE rn <= 6),
        |cand AS (
        |  SELECT q.query_id, cl.vec_id AS neighbor_id
@@ -1384,8 +1384,14 @@ object OracleSql {
     // mean left-folds members in vec_id order (list_sum over an ORDER BY
     // list is DuckDB's sequential fold, matching the Scala accumulator).
     // Cell assignment ties → lowest centroid id (mirrors array_position on
-    // the first max); probe-list ties → HIGHEST centroid id (mirrors the
-    // reverse of an ascending (score, idx) struct sort).
+    // the first max); probe-list ties → LOWEST centroid id too: the Spark
+    // side sorts (score, −idx) structs ascending and REVERSES, which
+    // leaves tied-score runs in idx-ASCENDING order — that is the whole
+    // point of the idx negation (Ann.probeCellsCol), and the oracle's
+    // `ORDER BY sc DESC, cid ASC` mirrors it. (A round-13 review caught
+    // the oracle briefly saying cid DESC — divergent only when two
+    // centroids tie EXACTLY at the probe cutoff, which the continuous
+    // scores of the test corpora never produce, but latent.)
     "q_ann_ivf" -> annIvfSql,
 
     // Persisted-index IVF: same training params, same probe/score text —

@@ -205,10 +205,13 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
       .map(_.toString).sorted.toSeq
     val idx = indexedDf.collect().map(_.toString).sorted.toSeq
     assert(idx == mem, "persisted index diverged from the in-memory path")
-    // the scale claim, pinned: the index scan carries a PartitionFilters
-    // entry on cell — only the probed cells' files are read
+    // the scale claim, pinned: the index scan carries a NON-EMPTY
+    // PartitionFilters entry on cell — only the probed cells' files are
+    // read. (FileSourceScanExec prints `PartitionFilters: []` even when
+    // unpruned, so the assert must match the filter CONTENT, not the
+    // label's presence.)
     val plan = indexedDf.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell#"),
+    assert("PartitionFilters: \\[cell#".r.findFirstIn(plan).isDefined,
       s"index read lost its cell partition pruning:\n$plan")
   }
 
