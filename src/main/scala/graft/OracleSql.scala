@@ -1164,6 +1164,11 @@ object OracleSql {
     "q_dedup_incremental" ->
       (minhashCtes +
         "SELECT doc_a, doc_b FROM pairs WHERE doc_a % 2 = 1 OR doc_b % 2 = 1"),
+    // Streaming incremental ingest: the union of the per-micro-batch pair
+    // sets must equal the batch incremental answer — same oracle.
+    "q_stream_dedup_incremental" ->
+      (minhashCtes +
+        "SELECT doc_a, doc_b FROM pairs WHERE doc_a % 2 = 1 OR doc_b % 2 = 1"),
     // Heavy-hitter prune mirrored: drop (band, sig) buckets larger than
     // maxBucket = 3 BEFORE pairing (Dedup.candidatesFromSigs guard).
     "q_dedup_minhash_pruned" ->

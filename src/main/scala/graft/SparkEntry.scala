@@ -1259,6 +1259,67 @@ object SparkEntry {
     out
   }
 
+  /** STREAMING incremental dedup gate
+    * ([[graft.streaming.StreamingOps.incrementalDedupStream]]): the
+    * even-id corpus seeds the persisted signature index; the odd-id docs
+    * arrive as TWO micro-batches (two staged files, maxFilesPerTrigger=1)
+    * through a real foreachBatch stream that probes + appends the index
+    * per batch with idempotent per-batch commits. The union of the batch
+    * outputs must equal the BATCH incremental answer — all LSH pairs
+    * touching an odd doc, including the cross-BATCH pairs only the index
+    * carry-over can produce — so the oracle is q_dedup_incremental's.
+    * Index and output are rebuilt fresh per call (a correctness gate,
+    * not a headline timing; the steady-state probe is what
+    * q_dedup_incremental times). */
+  private def qStreamDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    // two-file staging: odd docs split 1 mod 4 / 3 mod 4 (deterministic),
+    // one file per micro-batch
+    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_inc_src_$key")
+    if (!java.nio.file.Files.isDirectory(srcDir.resolve("b1"))) {
+      rmTree(srcDir.toString)
+      docs.filter(F.col("doc_id") % 4 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+      docs.filter(F.col("doc_id") % 4 === 3).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b2").toString)
+    }
+    // fresh seed index every call: the stream APPENDS to it, so reuse
+    // across shots would pollute the probe (same reset as qDedupIncremental)
+    s.sql("DROP TABLE IF EXISTS graft_sig_index_stream")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "graft_sig_index_stream")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    Dedup.indexInit(docs.filter(F.col("doc_id") % 2 === 0), "graft_sig_index_stream")
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+    val outDir = scratchCheckpoint("stream_inc_out")
+    val ckpt = scratchCheckpoint("stream_inc")
+    try {
+      graft.streaming.StreamingOps.incrementalDedupStream(
+        stream, "graft_sig_index_stream", outDir, ckpt).awaitTermination()
+      // pull the union through the driver: batch dirs are scratch (deleted
+      // below), so the returned frame must not re-read them lazily.
+      // Enumerate the batch dirs instead of a glob — the glob path makes
+      // the reader's FileStreamSink metadata probe log a spurious
+      // FileNotFoundException stack into every Verify run.
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getAbsolutePath).sorted
+      val rows = s.read.parquet(batchDirs.toSeq: _*).collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_a",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("doc_b",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } finally { rmTree(ckpt); rmTree(outDir) }
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     // maxHamming 3 with 4 bands ⇒ provably complete candidacy (pigeonhole;
     // recall asserted = 1.0 in DedupAnnSpec against the exhaustive join).
@@ -1522,6 +1583,7 @@ object SparkEntry {
     "q_clf_quality" -> (qClfQuality _),
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
+    "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

@@ -108,4 +108,46 @@ object StreamingOps {
         }
       }
       .start()
+
+  /** Streaming INCREMENTAL cross-shard dedup — the living-corpus ingest
+    * that unites the streaming dedup gates with the persisted index
+    * lifecycle: each micro-batch probes the
+    * [[graft.dedup.Dedup.indexInit]] signature index for duplicate pairs
+    * against ALL history (earlier micro-batches included — the index
+    * carries them) and appends its own signatures for the batches after
+    * it, writing the batch's pair set to `outDir/batch=<id>` with the
+    * idempotent per-batch commit of [[exactlyOnceParquetSink]].
+    *
+    * Exactly-once: a batch whose `_SUCCESS` exists is a FULL no-op
+    * (probe, append, and write all skipped). A crash BETWEEN the index
+    * append and the output commit replays the batch against an index
+    * that already holds its signatures: the duplicate rows raise
+    * candidate multiplicities but never change the DISTINCT pair set
+    * `Dedup.incremental` emits (its spec-pinned
+    * append-order-independence), so the replayed output — and every
+    * batch after it — is value-identical; the only cost is the
+    * duplicated signature rows' storage.
+    *
+    * Scale shape per batch: exactly [[graft.dedup.Dedup.incremental]] —
+    * shard signatures once, an exchange-free probe of the bucketed
+    * index, and a bucket-aligned append; history text is never
+    * re-scanned at any batch. */
+  def incrementalDedupStream(docs: DataFrame, indexTable: String,
+                             outDir: String, checkpointDir: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = s"$outDir/batch=$batchId"
+        val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
+        if (!fs.exists(done)) {
+          val pairs = graft.dedup.Dedup.incremental(
+            batch.select(batch(idCol), batch(textCol)),
+            indexTable, idCol, textCol)
+          pairs.write.mode(SaveMode.Overwrite).parquet(target)
+        }
+      }
+      .start()
 }

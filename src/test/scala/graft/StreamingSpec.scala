@@ -596,4 +596,53 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val n = spark.read.parquet(s"$outDir/batch=0").count()
     assert(n == 2, s"replayed batch was not idempotent: $n rows")
   }
+
+  test("incrementalDedupStream: index carry-over finds cross-batch dups; restart is exactly-once") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_inc_stream_").toString
+    val srcDir = s"$dir/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val outDir = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val table = "graft_sig_index_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    // history: doc 100 with content A
+    graft.dedup.Dedup.indexInit(
+      Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"), table)
+    def run(): Unit =
+      StreamingOps.incrementalDedupStream(
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/f*"),
+        table, outDir, ckpt).awaitTermination()
+    def pairs(): Set[(Long, Long)] = {
+      val dirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getAbsolutePath).toSeq
+      if (dirs.isEmpty) Set.empty
+      else spark.read.parquet(dirs: _*).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // batch 1: doc 1 duplicates the SEED history; doc 2 is new content B
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f1")
+    run()
+    val p1 = pairs()
+    assert(p1.contains((1L, 100L)), s"history dup missed: $p1")
+    assert(!p1.exists(p => p._1 == 2L || p._2 == 2L), s"false pair on unique doc: $p1")
+    // batch 2 (same checkpoint → RESUME): doc 3 duplicates doc 2 — a
+    // CROSS-BATCH dup only the per-batch index append can reveal
+    Seq((3L, "one two three four five six"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f2")
+    run()
+    val p2 = pairs()
+    assert(p2.contains((2L, 3L)), s"cross-batch dup missed (index not carried): $p2")
+    // restart with nothing new: no batch re-emits, no pair duplicates
+    run()
+    assert(pairs() == p2, "replayed restart changed the output")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
