@@ -357,6 +357,84 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("GopherStatsExpr equals a naive Scala reference on adversarial random text") {
+    import graft.functions.expressions.GopherStatsExpr
+    // adversarial alphabet: words, digits, bullets, hashes, dots, tabs,
+    // CRLF pieces, the unicode bullet — everything the counters parse
+    val piece = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaLowerChar), Gen.const("the"), Gen.const("of"),
+      Gen.const("THE"), Gen.const("WiTh"),
+      Gen.const("123"), Gen.const("#"), Gen.const("..."), Gen.const("...."),
+      Gen.const("-"), Gen.const("*"), Gen.const("•"), Gen.const("a#b"),
+      Gen.const("x..."), Gen.const(""))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", "\r\n", " \n ", "\f")
+    val textGen = Gen.chooseNum(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(piece, sep))).map(_.map { case (p, s) => p + s }.mkString)
+    def naive(raw: String) = {
+      val lower = raw.toLowerCase(java.util.Locale.ROOT)
+      val words = lower.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
+      val lines = {
+        // split on \n keeping trailing empties (chr(10) split semantics)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i <= raw.length) {
+          var j = raw.indexOf('\n', i); if (j < 0) j = raw.length
+          out += raw.substring(i, j); i = j + 1
+        }
+        out.toSeq
+      }
+      def lt(s: String) = s.dropWhile(c => c == ' ' || c == '\t')
+      def rt(s: String) = s.reverse.dropWhile(c => c == ' ' || c == '\t').reverse
+      val dots = "\\.\\.\\.".r // non-overlapping L-to-R, like the scan
+      (words.length,
+        words.map(w => w.codePointCount(0, w.length).toLong).sum,
+        words.count(_.exists(c => c >= 'a' && c <= 'z')),
+        words.filter(stop).toSet.size,
+        lines.length,
+        lines.map(lt).count(l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")),
+        lines.map(rt).count(_.endsWith("...")),
+        raw.count(_ == '#').toLong + dots.findAllIn(raw.replace("#", " ")).length)
+    }
+    forSamples(textGen, n = 120) { raw =>
+      val r = GopherStatsExpr.stats(UTF8String.fromString(raw))
+      val got = (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getLong(7))
+      assert(got == naive(raw), s"stats diverged on ${raw.replace("\n", "\\n")}")
+    }
+  }
+
+  test("BloomHitsExpr: zero false negatives, and hits equal a naive bit probe") {
+    import graft.functions.expressions.BloomHitsExpr
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val mBits = 1 << 10
+    val kHashes = 4
+    val shingle = Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    def positions(s: String): Seq[Int] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until kHashes).map(j =>
+        (java.lang.Long.parseLong(hex.substring(j * 8, j * 8 + 8), 16) % mBits).toInt)
+    }
+    forSamples(Gen.zip(
+      Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, shingle)), // loaded set
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, shingle))  // probe set
+    ), n = 60) { case (loaded, probeRaw) =>
+      val words = new Array[Long](mBits / 64)
+      loaded.foreach(s => positions(s).foreach(p => words(p / 64) |= (1L << (p % 64))))
+      val probes = probeRaw ++ loaded.take(3) // guarantee some true members
+      val expr = BloomHitsExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), words, mBits, kHashes)
+      val got = expr.hits(new GenericArrayData(
+        probes.map(s => UTF8String.fromString(s)).toArray[Any]))
+      val want = probes.count(s => positions(s).forall(p => (words(p / 64) & (1L << (p % 64))) != 0))
+      assert(got == want, s"hit count diverged: $got vs $want")
+      // no false negatives: every loaded member that is probed must hit
+      assert(got >= probes.count(loaded.toSet), "a loaded member failed its own probe")
+    }
+  }
+
   test("aggSalted equals plain agg for any bucket count (associativity)") {
     import spark.implicits._
     val data = Gen.listOfN(500, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000L, 1000L)))
