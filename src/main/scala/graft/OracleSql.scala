@@ -1409,6 +1409,21 @@ object OracleSql {
 
     "q_quality" -> qualityCtes,
 
+    // Column profile: per-column UNION of one-pass aggregates. COUNT/
+    // COUNT DISTINCT are BIGINT both engines; min/max cast to VARCHAR
+    // (binary string order = Spark's UTF8 order; integral formatting is
+    // canonical — the operator's doc restricts float columns).
+    "q_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     // LangId evaluation vs ground truth: the langId CASE chain with the
     // truth column carried through, confusion counts + per-class share.
     // SUM(n) over a window of COUNT(*) is HUGEINT in DuckDB -> cast.

@@ -1434,6 +1434,12 @@ object SparkEntry {
   private def qGopherRules(s: SparkSession, dir: String): DataFrame =
     TF.gopherRules(T(s, dir, "documents"))
 
+  /** Column profile of the documents table
+    * ([[graft.operators.Profile.profile]]) — per-column null/distinct
+    * counts and canonical min/max from ONE scan. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(T(s, dir, "documents"))
+
   private def qTokens(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .groupBy(F.col("source"))
@@ -1584,6 +1590,7 @@ object SparkEntry {
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
+    "q_profile" -> (qProfile _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

@@ -281,6 +281,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       s"global top-k lost its TakeOrderedAndProject plan:\n$plan")
   }
 
+  test("profile: exact null/distinct/min-max per column from one aggregation") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, Option("b"), Option(10L)),
+      (2L, Option("a"), None),
+      (3L, None, Option(10L)),
+      (4L, Option("a"), Option(7L))
+    ).toDF("id", "s", "v")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(p("id") == ((4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(p("s") == ((4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(p("v") == ((4L, 1L, 2L, Some("7"), Some("10"))))
+    // all-null column: min/max are NULL, not the string "null"
+    val an = Profile.profile(
+      Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "x"), Seq("x"))
+      .collect().head
+    assert(an.getLong(2) == 2 && an.isNullAt(4) && an.isNullAt(5))
+    // the one-scan claim: a single aggregation feeds the stack — the
+    // plan reads the source exactly once (one LocalTableScan here)
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans == 1, s"profile re-scans the source ($scans scans):\n$plan")
+  }
+
   test("classifier trainScore separates disjoint vocabularies and is repartition-exact") {
     import spark.implicits._
     import graft.functions.Classifier
