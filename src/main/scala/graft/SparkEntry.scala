@@ -1488,25 +1488,32 @@ object SparkEntry {
     * The composition every operator above exists to serve. */
   private def qPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val keep = Dedup.exact(docs).select(F.col("keep_id").as("doc_id"))
-    // Spread the probe-side SCAN: quality + langId + tokenCount are
-    // regex-heavy per-row folds (~1s CPU at sf0.1, measured single-task
-    // on the one-split scan) — graft.Spread parallelizes them below web
-    // scale and no-ops when the scan already has splits >> cores. Spread
-    // wraps the raw scan, not the joined plan: its partition probe would
-    // force AQE to materialize a complex child's exchanges as real jobs
-    // (measured: the dedup aggregate ran twice), while a bare scan plans
-    // job-free. The quality filter pushes itself below the exchange
-    // (filters are repartition-transparent), which is the right place
-    // for it anyway — fewer rows shuffled.
-    graft.Spread(docs).join(keep, Seq("doc_id"), "left_semi")
-      .withColumn("quality", TF.qualityScore(F.col("text")))
-      .filter(F.col("quality") >= 0.3)
-      .withColumn("pred_lang", TF.langId(F.col("text")))
+    // ONE corpus scan (round-13 rework; previously dedup-agg + semi-join
+    // over a second scan): fold sha/quality/lang/tokens per row, pick the
+    // exact-dedup survivor as the WINDOW min doc_id per content hash —
+    // identical semantics, because equal sha256 means equal text means
+    // equal fold values, so computing them on every copy and keeping the
+    // min-id row equals computing them on the survivor. The text column
+    // is projected away BEFORE the hash exchange: only the slim fold
+    // results shuffle. Spread parallelizes the regex-heavy folds
+    // (~1s CPU at sf0.1 on the one-split scan) and no-ops at scale.
+    // A/B at sf0.1 (same box, best-of-5 each, interleaved): this form
+    // 0.84-1.10 s vs the join form 1.14-1.65 s — one scan and zero joins
+    // beat the dedup-aggregate + broadcast semi-join + second scan.
+    import org.apache.spark.sql.expressions.Window
+    graft.Spread(docs)
+      .select(
+        F.col("doc_id"),
+        F.sha2(F.col("text"), 256).as("h"),
+        TF.qualityScore(F.col("text")).as("quality"),
+        TF.langId(F.col("text")).as("pred_lang"),
+        TF.tokenCount(F.col("text")).as("ws_toks"))
+      .withColumn("_keep", F.min(F.col("doc_id")).over(Window.partitionBy(F.col("h"))))
+      .filter(F.col("doc_id") === F.col("_keep") && F.col("quality") >= 0.3)
       .groupBy(F.col("pred_lang"))
       .agg(
         F.count(F.lit(1)).as("n_docs"),
-        F.sum(TF.tokenCount(F.col("text"))).as("ws_tokens"),
+        F.sum(F.col("ws_toks")).as("ws_tokens"),
         F.sum(F.col("quality").cast("decimal(18,10)")).cast("double").as("sum_quality"))
   }
 

@@ -67,8 +67,12 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_ann_brute", maxExchange = 1, minWgl = 2, allowedBnlj = 1,
       requirePushdown = true),
     Audit("q_ann_lsh", maxExchange = 1),
-    // dedup agg + conditional spread (parallelizes the regex folds) + final agg
-    Audit("q_pipeline", maxExchange = 3, minBhj = 1, requirePushdown = true),
+    // one scan, zero joins (r13 rework): conditional spread + the
+    // window-min dedup's hash exchange + the final language agg. No
+    // pushdown requirement: the only filters are on COMPUTED columns
+    // (quality, window min), and the semi-join whose runtime filter the
+    // old audit keyed on no longer exists.
+    Audit("q_pipeline", maxExchange = 3),
     Audit("q_tokens", maxExchange = 1),
     Audit("q_quality", maxExchange = 0),
     // Gopher rule suite: one native-expression scan, flags are projections
