@@ -28,6 +28,11 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String] = Seq.empty): DataFrame = {
     val names = if (cols.nonEmpty) cols else df.columns.toSeq
     require(names.nonEmpty, "no columns to profile")
+    // the unpivot builds a stack() EXPRESSION STRING from these names —
+    // restrict to plain identifiers so a quoted/backticked name cannot
+    // smuggle syntax into the parsed expression
+    names.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"profile requires plain identifier column names, got '$c' — rename first"))
     val aggs = names.flatMap { c =>
       Seq(
         F.count(F.lit(1)).as(s"__rows_$c"),
