@@ -1412,13 +1412,18 @@ object OracleSql {
     // Column profile: per-column UNION of one-pass aggregates. COUNT/
     // COUNT DISTINCT are BIGINT both engines; min/max cast to VARCHAR
     // (binary string order = Spark's UTF8 order; integral formatting is
-    // canonical — the operator's doc restricts float columns).
+    // canonical — the operator's doc restricts float columns). STRING
+    // columns count distinct over sha256, mirroring Profile's
+    // fixed-width-through-the-Expand rule (same collision-free-equality
+    // assumption as Dedup.exact).
     "q_profile" -> {
-      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
-      cols.map { c =>
+      val cols = Seq(("doc_id", false), ("text", true), ("lang", true),
+        ("source", true), ("n_chars", false))
+      cols.map { case (c, isStr) =>
+        val nd = if (isStr) s"COUNT(DISTINCT sha256($c))" else s"COUNT(DISTINCT $c)"
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
            |  COUNT(*) - COUNT($c) AS n_nulls,
-           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  $nd AS n_distinct,
            |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
            |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n")

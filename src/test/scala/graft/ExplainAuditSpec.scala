@@ -37,6 +37,7 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
   /** (query, max shuffle exchanges, min BroadcastHashJoin,
     *  min WindowGroupLimit, allowed BNLJ, require PushedFilters) */
   private case class Audit(name: String, maxExchange: Int, minBhj: Int = 0,
+                           maxBhj: Int = Int.MaxValue,
                            minWgl: Int = 0, allowedBnlj: Int = 0,
                            requirePushdown: Boolean = false)
 
@@ -67,12 +68,14 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_ann_brute", maxExchange = 1, minWgl = 2, allowedBnlj = 1,
       requirePushdown = true),
     Audit("q_ann_lsh", maxExchange = 1),
-    // one scan, zero joins (r13 rework): conditional spread + the
-    // window-min dedup's hash exchange + the final language agg. No
-    // pushdown requirement: the only filters are on COMPUTED columns
+    // one scan, ZERO joins (r13 rework): conditional spread + the
+    // window-min dedup's hash exchange + the final language agg — maxBhj
+    // pins the no-join claim (a reintroduced broadcast join adds only an
+    // uncounted BroadcastExchange, so the exchange budget alone cannot).
+    // No pushdown requirement: the only filters are on COMPUTED columns
     // (quality, window min), and the semi-join whose runtime filter the
     // old audit keyed on no longer exists.
-    Audit("q_pipeline", maxExchange = 3),
+    Audit("q_pipeline", maxExchange = 3, maxBhj = 0),
     Audit("q_tokens", maxExchange = 1),
     Audit("q_quality", maxExchange = 0),
     // Gopher rule suite: one native-expression scan, flags are projections
@@ -170,6 +173,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     assert(bhj >= a.minBhj,
       s"${a.name}: $bhj BroadcastHashJoin < required ${a.minBhj} " +
         s"(a dim lost its broadcast):\n$txt")
+    assert(bhj <= a.maxBhj,
+      s"${a.name}: $bhj BroadcastHashJoin > allowed ${a.maxBhj} " +
+        s"(a join crept into a no-join plan):\n$txt")
     val wgl = n.getOrElse("WindowGroupLimit", 0)
     assert(wgl >= a.minWgl,
       s"${a.name}: $wgl WindowGroupLimit < required ${a.minWgl} " +

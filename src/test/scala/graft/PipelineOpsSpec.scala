@@ -301,11 +301,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "x"), Seq("x"))
       .collect().head
     assert(an.getLong(2) == 2 && an.isNullAt(4) && an.isNullAt(5))
-    // the one-scan claim: a single aggregation feeds the stack — the
-    // plan reads the source exactly once (one LocalTableScan here)
+    // the one-scan claim: a single aggregation feeds the typed unpivot —
+    // the plan reads the source exactly once (one LocalTableScan here)
     val plan = Profile.profile(df).queryExecution.executedPlan.toString
     val scans = "LocalTableScan".r.findAllIn(plan).length
     assert(scans == 1, s"profile re-scans the source ($scans scans):\n$plan")
+    // arbitrary column names profile (the typed unpivot carries names as
+    // literals, never as parsed expression text)
+    val weird = Profile.profile(df.withColumnRenamed("s", "weird name.x"))
+      .collect().map(_.getString(0)).toSet
+    assert(weird == Set("id", "weird name.x", "v"), s"weird-name profile: $weird")
   }
 
   test("classifier trainScore separates disjoint vocabularies and is repartition-exact") {
