@@ -435,6 +435,46 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("unimax closed-form prefix condition equals the iterative water-filling reference") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // the operator decides the capped set with a single monotone prefix
+    // condition; the reference computes it the textbook way — loop:
+    // grant the smallest cap if it fits under the current fair share,
+    // else split the remainder evenly over everyone left
+    def naive(caps: Seq[(String, Long)], budget: Long): Map[String, Double] = {
+      var remaining = budget.toDouble
+      var left = caps.sortBy { case (s, c) => (c, s) }
+      val out = scala.collection.mutable.Map[String, Double]()
+      while (left.nonEmpty) {
+        val fair = remaining / left.length
+        val (s, c) = left.head
+        if (c.toDouble <= fair) { out(s) = c.toDouble; remaining -= c.toDouble; left = left.tail }
+        else { left.foreach { case (s2, _) => out(s2) = fair }; left = Nil }
+      }
+      out.toMap
+    }
+    val corpusGen = for {
+      n <- Gen.chooseNum(2, 7)
+      sizes <- Gen.listOfN(n, Gen.chooseNum(1, 400))
+      budget <- Gen.chooseNum(50L, 5000L)
+      epochs <- Gen.chooseNum(1, 5)
+    } yield (sizes, budget, epochs)
+    forSamples(corpusGen, n = 30) { case (sizes, budget, epochs) =>
+      // source s_i holds exactly sizes(i) single-letter tokens
+      val docs = sizes.zipWithIndex
+        .map { case (sz, i) => (s"s$i", Seq.fill(sz)("x").mkString(" ")) }
+        .toDF("source", "text")
+      val got = Sampling.unimaxWeights(docs, budgetTokens = budget, maxEpochs = epochs)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val want = naive(sizes.zipWithIndex.map { case (sz, i) =>
+        (s"s$i", sz.toLong * epochs) }, budget)
+        .map { case (s, a) => s -> math.round(a) }
+      assert(got == want,
+        s"sizes=$sizes budget=$budget epochs=$epochs: $got vs $want")
+    }
+  }
+
   test("aggSalted equals plain agg for any bucket count (associativity)") {
     import spark.implicits._
     val data = Gen.listOfN(500, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000L, 1000L)))
