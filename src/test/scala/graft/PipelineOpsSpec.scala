@@ -407,6 +407,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     val tb = UnigramLm.perplexityBuckets(tiny).collect()
       .map(x => x.getLong(0) -> x.getString(3)).toMap
     assert(tb.values.toSet == Set("head", "middle"), s"2-doc buckets: $tb")
+
+    // NTILE remainder rule pinned: with n = 3q + r, the FIRST r buckets
+    // take the extra row (head before middle before tail) — for n in
+    // 1..8, expected sizes are ceil-then-floor in bucket order
+    for (n <- 1 to 8) {
+      val one = (1 to n).map(i =>
+        (i.toLong, Seq.fill(i + 2)("uno").mkString(" ") + " dos tres"))
+        .toDF("doc_id", "text")
+      val sizes = UnigramLm.perplexityBuckets(one).collect()
+        .groupBy(_.getString(3)).view.mapValues(_.length).toMap
+      val q = n / 3; val rem = n % 3
+      val want = Seq("head" -> (q + (if (rem >= 1) 1 else 0)),
+        "middle" -> (q + (if (rem >= 2) 1 else 0)), "tail" -> q)
+        .filter(_._2 > 0).toMap
+      assert(sizes == want, s"n=$n ntile sizes: $sizes != $want")
+    }
   }
 
   test("gopherRules: each rule trips on its crafted violator and only there") {
