@@ -266,6 +266,38 @@ object SparkEntry {
       .parquet(srcDir.toString))
   }
 
+  /** Stream-STATIC enrichment gate: the streaming fact joined to a
+    * static broadcast dimension mid-stream — the lookup-enrichment shape
+    * (events × customer segment) that completes the streaming join
+    * matrix next to the stream-stream interval join (q_stream_join).
+    * Executed as a real Structured Streaming job; the batch join oracle
+    * checks the result hash-exactly. */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val srcDir = stageEventsDir(dir)
+    val stream = eventsStream(s, srcDir)
+    val dim = T(s, dir, "customer")
+    val agg = stream
+      .join(F.broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .groupBy(F.col("c_mktsegment"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value"))
+    val qname = "graft_stream_enrich"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = scratchCheckpoint(qname)
+    try {
+      val q =
+        try agg.writeStream
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    } finally rmTree(ckpt)
+    s.table(qname)
+  }
+
   /** The SAME epoch-window aggregation, executed as a real Structured
     * Streaming job (file stream → watermark → windowed agg → memory sink,
     * AvailableNow trigger) — proving the streaming path produces the
@@ -1598,6 +1630,7 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_profile" -> (qProfile _),
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),
