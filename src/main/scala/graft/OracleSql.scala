@@ -397,10 +397,10 @@ object OracleSql {
     // Stream-static enrichment: the streaming job's complete-mode output
     // must equal the plain batch join + aggregate.
     "q_stream_enrich" ->
-      """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1, 2""".stripMargin,
+      s"""SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+         |  $dec4sum AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_stream_epochs" ->
       s"""SELECT event_type,

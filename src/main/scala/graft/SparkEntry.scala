@@ -266,6 +266,34 @@ object SparkEntry {
       .parquet(srcDir.toString))
   }
 
+  /** Run a bounded streaming gate: write `df` to a memory sink under
+    * `qname` with an AvailableNow trigger and a scratch checkpoint,
+    * using `parts` state partitions for the query (the state-store
+    * partition count fixes at first run; the session conf is restored
+    * the moment the query starts). One implementation of the
+    * save/set/start/restore/await/clean sequence the memory-sink gates
+    * each carried by copy until round 13 — the finally-after-start conf
+    * restore and checkpoint cleanup live HERE, once. Returns the sink
+    * table. */
+  private def runMemoryGate(s: SparkSession, df: DataFrame, qname: String,
+                            mode: String, parts: String = "8"): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    val ckpt = scratchCheckpoint(qname)
+    try {
+      val q =
+        try df.writeStream
+          .format("memory").queryName(qname)
+          .option("checkpointLocation", ckpt)
+          .outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      q.awaitTermination()
+    } finally rmTree(ckpt)
+    s.table(qname)
+  }
+
   /** Stream-STATIC enrichment gate: the streaming fact joined to a
     * static broadcast dimension mid-stream — the lookup-enrichment shape
     * (events × customer segment) that completes the streaming join
@@ -276,26 +304,12 @@ object SparkEntry {
     val srcDir = stageEventsDir(dir)
     val stream = eventsStream(s, srcDir)
     val dim = T(s, dir, "customer")
-    val agg = stream
-      .join(F.broadcast(dim), stream("user_id") === dim("c_custkey"))
-      .groupBy(F.col("c_mktsegment"), F.col("event_type"))
-      .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value"))
-    val qname = "graft_stream_enrich"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val ckpt = scratchCheckpoint(qname)
-    try {
-      val q =
-        try agg.writeStream
-          .format("memory").queryName(qname)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-    } finally rmTree(ckpt)
-    s.table(qname)
+    runMemoryGate(s,
+      stream
+        .join(F.broadcast(dim), stream("user_id") === dim("c_custkey"))
+        .groupBy(F.col("c_mktsegment"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value")),
+      "graft_stream_enrich", mode = "complete")
   }
 
   /** The SAME epoch-window aggregation, executed as a real Structured
@@ -308,27 +322,10 @@ object SparkEntry {
     val agg = EventTime.generateEpochs(stream, "ts", "10 minutes")
       .groupBy(F.col("event_type"), F.window(F.col("ts"), "1 hour"))
       .agg(F.count(F.lit(1)).as("n"), dsum(F.col("value"), 4).as("sum_value"))
-    val qname = "graft_stream_epochs"
-    // State-store partition count is fixed at the query's FIRST run; for
-    // this bounded gate harness 8 partitions cut the per-batch state
-    // commit overhead 4x vs the session default (results are identical —
-    // complete-mode agg is partition-count invariant, q_rescale proves
-    // the general property). Restore the session conf right after start.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val ckpt = scratchCheckpoint(qname)
-    try {
-      val q =
-        try agg.writeStream
-          .format("memory").queryName(qname)
-          .option("checkpointLocation", ckpt)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-    } finally rmTree(ckpt)
-    s.table(qname).select(
+    // 8 state partitions cut the per-batch state commit overhead 4x vs
+    // the session default at gate scale (results identical — complete-
+    // mode agg is partition-count invariant, q_rescale proves it).
+    runMemoryGate(s, agg, "graft_stream_epochs", mode = "complete").select(
       F.col("event_type"),
       F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
       F.col("n"), F.col("sum_value"))
@@ -405,22 +402,8 @@ object SparkEntry {
       .withColumn("ts", F.timestamp_micros(F.col("doc_id") + F.lit(86400000000L)))
     val survivors = graft.streaming.StreamingOps
       .dedupExactStream(stream, "ts", "1 hour")
-    val qname = "graft_stream_dedup"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val ckpt = scratchCheckpoint(qname)
-    try {
-      val q =
-        try survivors.select("content_hash").writeStream
-          .format("memory").queryName(qname)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-    } finally rmTree(ckpt)
-    s.table(qname)
+    runMemoryGate(s, survivors.select("content_hash"),
+        "graft_stream_dedup", mode = "append")
       .groupBy(F.col("content_hash"))
       .agg(F.count(F.lit(1)).as("n_out"))
   }
@@ -445,25 +428,11 @@ object SparkEntry {
     val sigArr = ColumnBridge.column(MinhashSigsExpr(
       ColumnBridge.expression(ColumnBridge.column(
         ShingleExpr(ColumnBridge.expression(F.col("text")), 3))), 8))
-    val qname = "graft_stream_dedup_minhash"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val ckpt = scratchCheckpoint(qname)
-    try {
-      val q =
-        try survivors.select(F.coalesce(
-            F.nullif(F.concat_ws("|", sigArr), F.lit("")),
-            F.concat(F.lit("short:"), F.sha2(F.col("text"), 256))).as("band_vector"))
-          .writeStream
-          .format("memory").queryName(qname)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-    } finally rmTree(ckpt)
-    s.table(qname)
+    runMemoryGate(s,
+        survivors.select(F.coalesce(
+          F.nullif(F.concat_ws("|", sigArr), F.lit("")),
+          F.concat(F.lit("short:"), F.sha2(F.col("text"), 256))).as("band_vector")),
+        "graft_stream_dedup_minhash", mode = "append")
       .groupBy(F.col("band_vector"))
       .agg(F.count(F.lit(1)).as("n_out"))
   }
@@ -490,30 +459,17 @@ object SparkEntry {
       .withWatermark("ts", "30 days")
     val joined = clicks.join(errors,
       F.expr("user_id = err_user AND ts >= t0 AND ts < t0 + INTERVAL 1 HOUR"))
-    val qname = "graft_stream_join"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     // Stream-stream joins keep FOUR state stores per partition (left/
     // right x keyToNumValues/keyWithIndex); at gate scale the per-batch
     // store init+commit dominates, so the state partition count is the
     // lever — 4 here where the single-store gates use 8. Results are
     // partition-count invariant (q_rescale proves the general property).
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val ckpt = scratchCheckpoint(qname)
-    try {
-      val q =
-        try joined.select(
-            F.col("err_id"), F.col("user_id"), F.col("click_id"),
-            F.unix_micros(F.col("t0")).as("err_ts_us"),
-            F.unix_micros(F.col("ts")).as("click_ts_us"))
-          .writeStream.format("memory").queryName(qname)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      q.awaitTermination()
-    } finally rmTree(ckpt)
-    s.table(qname)
+    runMemoryGate(s,
+      joined.select(
+        F.col("err_id"), F.col("user_id"), F.col("click_id"),
+        F.unix_micros(F.col("t0")).as("err_ts_us"),
+        F.unix_micros(F.col("ts")).as("click_ts_us")),
+      "graft_stream_join", mode = "append", parts = "4")
   }
 
   /** Sliding event-time windows (1h width, 30m slide) — each event lands

@@ -597,6 +597,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(n == 2, s"replayed batch was not idempotent: $n rows")
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_enrich_").toString
+    Seq((1L, 10L, 5.0), (2L, 11L, 7.0), (3L, 10L, 2.0), (4L, 99L, 1.0))
+      .toDF("event_id", "user_id", "value")
+      .write.parquet(s"$dir/events")
+    val dim = Seq((10L, "SEG_A"), (11L, "SEG_B")).toDF("c_custkey", "c_mktsegment")
+    val stream = spark.readStream
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .parquet(s"$dir/events")
+    val q = stream.join(F.broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("s"))
+      .writeStream.format("memory").queryName("enrich_spec")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich_spec").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 99 has no dim row and drops; segments aggregate their events
+    assert(got == Map("SEG_A" -> ((2L, 7.0)), "SEG_B" -> ((1L, 7.0))), s"$got")
+  }
+
   test("incrementalDedupStream: index carry-over finds cross-batch dups; restart is exactly-once") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_inc_stream_").toString
