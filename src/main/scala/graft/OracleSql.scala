@@ -1050,7 +1050,9 @@ object OracleSql {
         |SELECT mw.source, mw.n_tokens,
         |  round(pw / pw_total, 6) AS weight,
         |  CAST(round(1000000.0 * pw / pw_total, 0) AS BIGINT) AS alloc_tokens,
-        |  round(1000000.0 * pw / pw_total / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE round(1000000.0 * pw / pw_total / CAST(n_tokens AS DOUBLE), 6)
+        |  END AS epochs
         |FROM mw, mtot""".stripMargin,
 
     // UniMax water-filling: the capped set is decided in pure BIGINT
@@ -1087,7 +1089,8 @@ object OracleSql {
         |SELECT source, n_tokens, cap_tokens,
         |  CAST(round(alloc, 0) AS BIGINT) AS alloc_tokens,
         |  round(alloc / 1000000.0, 6) AS weight,
-        |  round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE round(alloc / CAST(n_tokens AS DOUBLE), 6) END AS epochs
         |FROM al""".stripMargin,
 
     "q_rollup" ->

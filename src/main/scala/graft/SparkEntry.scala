@@ -1266,7 +1266,11 @@ object SparkEntry {
     val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
     val srcDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_inc_src_$key")
-    if (!java.nio.file.Files.isDirectory(srcDir.resolve("b1"))) {
+    // Gate on the LAST-written artifact's commit marker: b1 appears at
+    // write start, so a crash between the two writes would otherwise
+    // leave a permanently half-staged source (the (dir,stamp) key never
+    // changes) that streams only half the odd docs on every later run.
+    if (!java.nio.file.Files.exists(srcDir.resolve("b2").resolve("_SUCCESS"))) {
       rmTree(srcDir.toString)
       docs.filter(F.col("doc_id") % 4 === 1).coalesce(1)
         .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)

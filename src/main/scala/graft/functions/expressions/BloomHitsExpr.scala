@@ -49,8 +49,9 @@ case class BloomHitsExpr(child: Expression, words: Array[Long],
   /** Shared per-row probe count — called from interpreted eval and
     * generated code. */
   def hits(arr: ArrayData): Int = {
-    val md = BloomHitsExpr.mdLocal.get()
-    val scratch = new Array[Byte](16)
+    val h = BloomHitsExpr.mdLocal.get()
+    val md = h.md
+    val scratch = h.scratch
     val n = arr.numElements()
     var count = 0
     var i = 0
@@ -89,8 +90,13 @@ case class BloomHitsExpr(child: Expression, words: Array[Long],
 }
 
 object BloomHitsExpr {
-  // One digest instance per executor thread, not per row (provider
-  // lookup + allocation are measurable on a per-document scan).
-  private val mdLocal = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
+  // One digest + one 16-byte digest buffer per executor thread, not per
+  // row (provider lookup and buffer allocation are both measurable on a
+  // per-document scan; the scratch lives here for the same reason the
+  // digest does).
+  private final class Scratch {
+    val md: MessageDigest = MessageDigest.getInstance("MD5")
+    val scratch: Array[Byte] = new Array[Byte](16)
+  }
+  private val mdLocal = ThreadLocal.withInitial[Scratch](() => new Scratch)
 }

@@ -96,7 +96,12 @@ object Sampling {
         F.col(sourceCol), F.col("n_tokens"),
         F.round(F.col("pw") / F.col("pw_total"), 6).as("weight"),
         F.round(alloc, 0).cast("long").as("alloc_tokens"),
-        F.round(alloc / F.col("n_tokens").cast("double"), 6).as("epochs"))
+        // A source whose documents contain zero tokens has pw = alloc = 0
+        // and epochs = 0/0 = NaN; pin it to 0.0 (no budget, no passes) so
+        // the value is engine-independent (NaN representations diverge).
+        F.when(F.col("n_tokens") === 0, F.lit(0.0))
+          .otherwise(F.round(alloc / F.col("n_tokens").cast("double"), 6))
+          .as("epochs"))
   }
 
   /** UniMax budget allocation (Chung et al. 2023): distribute a token
@@ -151,7 +156,11 @@ object Sampling {
       F.col(sourceCol), F.col("n_tokens"), F.col("cap_tokens"),
       F.round(alloc, 0).cast("long").as("alloc_tokens"),
       F.round(alloc / F.lit(budgetTokens.toDouble), 6).as("weight"),
-      F.round(alloc / F.col("n_tokens").cast("double"), 6).as("epochs"))
+      // Zero-token source: cap_tokens = 0 is always "capped" with alloc
+      // 0, and 0/0 = NaN diverges across engines — pin epochs to 0.0.
+      F.when(F.col("n_tokens") === 0, F.lit(0.0))
+        .otherwise(F.round(alloc / F.col("n_tokens").cast("double"), 6))
+        .as("epochs"))
   }
 
   /** EXECUTE the mixture [[mixWeights]] plans: sample each source at its
