@@ -156,8 +156,18 @@ object Bench {
       // finish before timing. Honors the same SPARK_GRAFT_WARMUP=0
       // opt-out as the suite warmup — cold/JIT-inclusive measurement
       // must actually be cold.
+      // The re-warm runs at the BENCH scale factor, not warmDir: an
+      // sf0.001 pass compiles the right classes but leaves HotSpot's
+      // profile-driven tiers cold on the actual loop shapes — measured
+      // on q_ann_ivf (r14): after an sf0.001-only warm, consecutive
+      // sf0.1 runs go 1.32 → 1.15 → 0.84 → 0.73 s on identical plans,
+      // so a best-of-2 reads the JIT ramp, not the query. One untimed
+      // full-SF pass puts every timed shot at the converged floor (and
+      // stages any per-(dir,stamp) on-disk index untimed — the
+      // documented "measure the serving path" semantics). Data caches
+      // still cleared per shot below.
       if (warmupOn && rewarmOn) {
-        try { fn(spark, warmDir).count(); () }
+        try { fn(spark, sfDir).count(); () }
         catch { case scala.util.control.NonFatal(_) => () }
         spark.catalog.clearCache()
         // The re-warm itself queues compilations; give them a longer
@@ -227,7 +237,7 @@ object Bench {
       // …but never in cold-measurement mode (SPARK_GRAFT_WARMUP=0):
       // forced extra shots reuse the first shot's JIT output and would
       // silently replace the cold time the flags were set to capture.
-      while (warmupOn && shots.length < 4 && shots.map(_.sec).min < 0.8)
+      while (warmupOn && shots.length < 4 && shots.map(_.sec).min < 1.0)
         shots += oneShot(shots.length)
       diags(name) = shots.toSeq
       name -> shots.map(_.sec).min

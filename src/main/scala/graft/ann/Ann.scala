@@ -196,11 +196,14 @@ object Ann {
   private[ann] def collectDenseSample(corpus: DataFrame, idCol: String,
                                       embCol: String, sampleN: Int,
                                       cells: Int): Array[Array[Double]] = {
+    // Sorted on the DRIVER: a distributed orderBy over <= sampleN rows
+    // would cost a range-partition sampling job plus a sort stage per
+    // training call; the collected array is identical either way.
     val sampled = corpus
       .filter(F.col(idCol) < sampleN)
-      .orderBy(F.col(idCol))
       .select(F.col(idCol).cast("long"), F.col(embCol))
       .collect()
+      .sortBy(_.getLong(0))
     val sample: Array[Array[Double]] = sampled.map(r => rowToDoubles(r, 1))
     require(sample.length >= cells,
       s"IVF training needs >= $cells sample vectors, got ${sample.length}")
@@ -265,14 +268,24 @@ object Ann {
     * equi-join on the cell id — bucket-bounded, never all-pairs. */
   /** Score of a vector against every trained centroid: 2·(v·c) − |c|²
     * per cell (argmax ⇔ nearest centroid in L2; the |v|² term is
-    * assignment-invariant and dropped). Centroids ride into codegen as
-    * typed literals — a broadcast-constant scan, no join, no shuffle. */
+    * assignment-invariant and dropped). Centroids ride to executors
+    * inside ONE native [[graft.functions.expressions.CentroidScoresExpr]]
+    * (reference-object matrix + pre-compiled loop — see its scaladoc for
+    * why this beats `cells` inlined literal dots) — still a
+    * broadcast-constant scan, no join, no shuffle. `native=false` keeps
+    * the portable literal composition for the HOF parity tests. */
   private def centroidScores(centroids: Array[(Int, Seq[Double])], e: Column,
                              native: Boolean): Column =
-    F.array(centroids.toIndexedSeq.map { case (_, c) =>
-      val c2 = c.map(x => x * x).sum
-      dotX(e, F.typedlit(c), native) * 2.0 - F.lit(c2)
-    }: _*)
+    if (native)
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.expressions.CentroidScoresExpr(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(e),
+          centroids.map(_._2.toArray)))
+    else
+      F.array(centroids.toIndexedSeq.map { case (_, c) =>
+        val c2 = c.map(x => x * x).sum
+        dotX(e, F.typedlit(c), native) * 2.0 - F.lit(c2)
+      }: _*)
 
   /** Nearest-centroid id; first max ⇔ lowest id on ties, matching the
     * oracle's `ORDER BY sc DESC, cid ASC`. */
@@ -321,19 +334,28 @@ object Ann {
       p => -p.getField("ni"))
   }
 
+  /** Per-side norm column: sqrt of the self-dot, computed ONCE per row in
+    * the side's own projection (below the join) — the scoring tail then
+    * does a single dot per candidate pair instead of three. Bit-identical
+    * to the former per-pair formulation: same ops, same operand order. */
+  private[ann] def normCol(e: Column, native: Boolean): Column =
+    F.sqrt(dotX(e, e, native))
+
   /** The shared IVF scoring tail: cell-equi-join the corpus side against
     * the broadcast probe set, exact cosine, per-query top-k — ONE
     * implementation so the in-memory and persisted-index paths are
-    * expression-identical (and therefore bit-identical). */
+    * expression-identical (and therefore bit-identical). Both sides must
+    * arrive with their norm precomputed (`c_norm` / `q_norm`, via
+    * [[normCol]]): the projections sit below the join, so each norm is
+    * one dot per ROW, not one per candidate pair. */
   private def ivfScore(c: DataFrame, q: DataFrame, k: Int,
                        native: Boolean): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
-    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
     c.join(F.broadcast(q), Seq("cell"))
       .filter(F.col("neighbor_id") =!= F.col("query_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
-          (nrm(F.col("q_emb")) * nrm(F.col("c_emb"))), 6).as("cosine"))
+          (F.col("q_norm") * F.col("c_norm")), 6).as("cosine"))
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
@@ -352,8 +374,10 @@ object Ann {
     // round 9); a no-op at scale where splits >> cores.
     val c = graft.Spread(corpus)
       .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+        normCol(F.col(embCol), native).as("c_norm"),
         nearestCentroid(centroids, F.col(embCol), native).as("cell"))
     val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+      normCol(F.col(embCol), native).as("q_norm"),
       F.explode(probeCellsCol(centroids, F.col(embCol), probes, native)).as("cell"))
     ivfScore(c, q, k, native)
   }
@@ -398,11 +422,16 @@ object Ann {
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
+      normCol(F.col(embCol), native).as("q_norm"),
       F.explode(probeCellsCol(centroids, F.col(embCol), probes, native)).as("cell"))
     val probed = q.select(F.col("cell")).distinct().collect().map(_.getInt(0))
+    // The norm is re-derived from the stored floats on read (not persisted
+    // in the index), so it is the identical double the in-memory path
+    // computes — and only probed cells' rows ever pay the dot.
     val c = spark.read.parquet(path)
       .filter(F.col("cell").isin(probed.toSeq: _*))
-      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"), F.col("cell"))
+      .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
+        normCol(F.col(embCol), native).as("c_norm"), F.col("cell"))
     ivfScore(c, q, k, native)
   }
 
