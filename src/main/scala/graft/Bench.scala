@@ -22,7 +22,12 @@ object Bench {
     "q_distinct_sketch", "q_stream_join", "q_upsert", "q_corpus_diff",
     "q_percentile_sketch", "q_mix_sample", "q_cap_per_source",
     "q_contamination_bloom", "q_trim_spans", "q_dsir_weights",
-    "q_gopher_rules")
+    "q_gopher_rules",
+    // r13 additions, benched from r14 (VERDICT r13 #5: oracle-gated but
+    // unbenched perf can silently rot): index-served ANN, perplexity
+    // buckets, DSIR selection, trained classifier, column profiling.
+    "q_ann_ivf_indexed", "q_ccnet_buckets", "q_dsir_select",
+    "q_clf_quality", "q_profile")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

@@ -501,6 +501,21 @@ object OracleSql {
         |       epoch_us(e.t0) AS err_ts_us, epoch_us(c.cts) AS click_ts_us
         |FROM e JOIN c ON e.user_id = c.user_id AND c.cts >= e.t0 AND c.cts < e.t1""".stripMargin,
 
+    // The LEFT JOIN over the same interval condition: the streaming gate
+    // must emit every unmatched error null-padded (watermark eviction),
+    // so the batch left join is its exact oracle.
+    "q_stream_join_outer" ->
+      """WITH e AS (SELECT user_id AS err_user, event_id AS err_id,
+        |             CAST(ts AS TIMESTAMP) AS t0,
+        |             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS t1
+        |           FROM events WHERE event_type = 'error'),
+        |     c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT e.err_id, e.err_user, c.click_id,
+        |       epoch_us(e.t0) AS err_ts_us, epoch_us(c.cts) AS click_ts_us
+        |FROM e LEFT JOIN c
+        |  ON c.user_id = e.err_user AND c.cts >= e.t0 AND c.cts < e.t1""".stripMargin,
+
     "q_join" ->
       """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -472,6 +472,80 @@ object SparkEntry {
       "graft_stream_join", mode = "append", parts = "4")
   }
 
+  /** LEFT-OUTER watermarked stream-stream interval join (VERDICT r13 #4):
+    * same errors × clicks interval semantics as q_stream_join, but
+    * unmatched errors must be EMITTED null-padded — and in Structured
+    * Streaming outer results only materialize when the WATERMARK passes
+    * t0 + 1h, the classic end-of-stream correctness trap: a finite input
+    * alone never advances the watermark far enough and the unmatched rows
+    * silently die in state. The gate therefore stages the ts-normalized
+    * events PLUS a pair of far-future SENTINEL events (one per side;
+    * user_id −1/−2, outside the real key domain; 2h apart so they cannot
+    * match each other). All files land in one micro-batch (within a
+    * batch nothing is late — the watermark in force is the previous
+    * batch's), the sentinels advance both sides' watermarks past every
+    * real t0 + 1h at batch close, and the follow-up batch stateful
+    * operators request when the watermark moves evicts-and-emits every
+    * unmatched error null-padded. The sentinel error itself could only
+    * emit once the watermark passed ITS close time — impossible by
+    * construction (final wm = sentinel_ts − 30d). The defensive
+    * err_user >= 0 guard is applied to the SINK table, never inside the
+    * streaming plan: Catalyst pushes a left-side filter below the outer
+    * join into the errors SCAN, which silently deletes the error
+    * sentinel at the source and stalls the watermark — this gate's first
+    * draft shipped exactly that bug (batch metrics: in=2000 not 2004,
+    * wm stuck at max_real − 30d, zero outer rows, state never evicted).
+    * Oracle: the batch LEFT JOIN over the real events table. */
+  private def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "events.parquet")}%016x"
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_outer_src_$key")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    if (!java.nio.file.Files.exists(srcDir.resolve("b2").resolve("_SUCCESS"))) {
+      rmTree(srcDir.toString)
+      withNanosAsLong(s) {
+        Tables.events(s, dir).select(cols.map(F.col): _*)
+          .coalesce(1).write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+      }
+      import s.implicits._
+      Seq((-1L, "9998-01-01 00:00:00", -1L, "error", 0.0),
+          (-2L, "9998-01-01 02:00:00", -2L, "click", 0.0))
+        .toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(F.col("event_id"), F.to_timestamp(F.col("tss")).as("ts"),
+          F.col("user_id"), F.col("event_type"), F.col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(srcDir.resolve("b2").toString)
+      // Both files land in one AvailableNow batch today; distinct mtimes
+      // are insurance so that under any future admission limit the file
+      // source (mtime order) still processes sentinels LAST — sentinels
+      // processed first would make every real row late, and dropped.
+      val now = System.currentTimeMillis()
+      def touch(d: String, t: Long): Unit =
+        new java.io.File(srcDir.resolve(d).toString)
+          .listFiles().foreach { f => f.setLastModified(t); () }
+      touch("b1", now - 60000)
+      touch("b2", now)
+    }
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(s"$srcDir/b*")
+    val errors = stream.filter(F.col("event_type") === "error")
+      .select(F.col("user_id").as("err_user"), F.col("event_id").as("err_id"),
+        F.col("ts").as("t0"))
+      .withWatermark("t0", "30 days")
+    val clicks = stream.filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("user_id"), F.col("ts"))
+      .withWatermark("ts", "30 days")
+    val joined = errors.join(clicks,
+      F.expr("user_id = err_user AND ts >= t0 AND ts < t0 + INTERVAL 1 HOUR"),
+      "left_outer")
+    runMemoryGate(s,
+      joined.select(F.col("err_id"), F.col("err_user"), F.col("click_id"),
+        F.unix_micros(F.col("t0")).as("err_ts_us"),
+        F.unix_micros(F.col("ts")).as("click_ts_us")),
+      "graft_stream_join_outer", mode = "append", parts = "4")
+      .filter(F.col("err_user") >= 0) // post-sink: must NOT enter the stream plan
+  }
+
   /** Sliding event-time windows (1h width, 30m slide) — each event lands
     * in width/slide windows; Spark's `window()` handles the fan-out. */
   private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
@@ -1533,6 +1607,7 @@ object SparkEntry {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_dedup_minhash" -> (qStreamDedupMinhash _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_join_outer" -> (qStreamJoinOuter _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_frontier" -> (qFrontier _),
