@@ -234,6 +234,51 @@ object OracleSql {
   private val langIdSql: String =
     s"WITH ${langCtes("documents", Nil)}\nSELECT doc_id, pred_lang FROM langed"
 
+  /** CCNet perplexity buckets — shared by q_ccnet_buckets (windowed
+    * fast-path ranks) and q_ccnet_buckets_dist (the forced GlobalIndex
+    * branch): per-language NTILE on the 6-dp lm_score (DECIMAL-exact
+    * per-doc log-prob sums), doc_id tie-break, EXPLICIT ntile integer
+    * arithmetic on (rank, group size) — the same ops as both Spark
+    * branches instead of trusting window implementations to tie-break
+    * alike. */
+  private lazy val ccnetBucketsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, t AS tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM tf),
+       |cnt AS (SELECT tok, CAST(SUM(tf) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+       |lm AS (
+       |  SELECT tf.doc_id,
+       |    ROUND(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * ln(cnt.cnt / tot.total)
+       |                        AS DECIMAL(38,18))) AS DOUBLE)
+       |          / CAST(SUM(tf.tf) AS DOUBLE), 6) AS lm_score
+       |  FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+       |  GROUP BY 1),
+       |${langCtes("documents", Seq())},
+       |j AS (
+       |  SELECT lm.doc_id, langed.pred_lang, lm.lm_score
+       |  FROM lm JOIN langed USING (doc_id)),
+       |g AS (
+       |  SELECT doc_id, pred_lang, lm_score,
+       |    ROW_NUMBER() OVER (PARTITION BY pred_lang
+       |                       ORDER BY lm_score DESC, doc_id) - 1 AS rnk,
+       |    COUNT(*) OVER (PARTITION BY pred_lang) AS gn
+       |  FROM j),
+       |ix AS (
+       |  SELECT doc_id, pred_lang, lm_score,
+       |    CASE WHEN rnk < (gn % 3) * (gn // 3 + 1)
+       |         THEN rnk // (gn // 3 + 1)
+       |         ELSE (gn % 3) + (rnk - (gn % 3) * (gn // 3 + 1)) // greatest(gn // 3, 1)
+       |    END AS idx
+       |  FROM g)
+       |SELECT doc_id, pred_lang, lm_score,
+       |  CASE WHEN idx = 0 THEN 'head' WHEN idx = 1 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM ix""".stripMargin
+
   /** One hyperplane-LSH sign bit (mirrors VectorFunctions.lshSignature /
     * planeWeight: first md5 nibble of "plane_dim" → weight in [-15/16, 15/16]). */
   private def lshBitSql(p: Int): String = {
@@ -875,44 +920,12 @@ object OracleSql {
     // (lm_score DESC, doc_id), then EXPLICIT ntile arithmetic on
     // (rank, group size) — same integer ops as the Spark side instead of
     // trusting two window implementations to tie-break alike.
-    "q_ccnet_buckets" -> {
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
-         |  FROM documents),
-         |tf AS (
-         |  SELECT doc_id, t AS tok, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY 1, 2),
-         |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM tf),
-         |cnt AS (SELECT tok, CAST(SUM(tf) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
-         |lm AS (
-         |  SELECT tf.doc_id,
-         |    ROUND(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * ln(cnt.cnt / tot.total)
-         |                        AS DECIMAL(38,18))) AS DOUBLE)
-         |          / CAST(SUM(tf.tf) AS DOUBLE), 6) AS lm_score
-         |  FROM tf JOIN cnt USING (tok) CROSS JOIN tot
-         |  GROUP BY 1),
-         |${langCtes("documents", Seq())},
-         |j AS (
-         |  SELECT lm.doc_id, langed.pred_lang, lm.lm_score
-         |  FROM lm JOIN langed USING (doc_id)),
-         |g AS (
-         |  SELECT doc_id, pred_lang, lm_score,
-         |    ROW_NUMBER() OVER (PARTITION BY pred_lang
-         |                       ORDER BY lm_score DESC, doc_id) - 1 AS rnk,
-         |    COUNT(*) OVER (PARTITION BY pred_lang) AS gn
-         |  FROM j),
-         |ix AS (
-         |  SELECT doc_id, pred_lang, lm_score,
-         |    CASE WHEN rnk < (gn % 3) * (gn // 3 + 1)
-         |         THEN rnk // (gn // 3 + 1)
-         |         ELSE (gn % 3) + (rnk - (gn % 3) * (gn // 3 + 1)) // greatest(gn // 3, 1)
-         |    END AS idx
-         |  FROM g)
-         |SELECT doc_id, pred_lang, lm_score,
-         |  CASE WHEN idx = 0 THEN 'head' WHEN idx = 1 THEN 'middle'
-         |       ELSE 'tail' END AS ppl_bucket
-         |FROM ix""".stripMargin
-    },
+    "q_ccnet_buckets" -> ccnetBucketsSql,
+
+    // Same oracle: the GlobalIndex distributed-ranks branch (the scale
+    // default, forced here) must label every document identically to the
+    // windowed fast path q_ccnet_buckets takes at gate size.
+    "q_ccnet_buckets_dist" -> ccnetBucketsSql,
 
     // DSIR hashed-n-gram importance weights: unigram+bigram buckets via
     // the md5-hex convention (identical ids to Spark's conv(substr(md5)));

@@ -1172,9 +1172,17 @@ object SparkEntry {
 
   /** CCNet perplexity buckets
     * ([[graft.functions.UnigramLm.perplexityBuckets]]): head/middle/tail
-    * thirds per language by unigram-LM score — distributed GlobalIndex
-    * ranks, no per-language single-partition window. */
+    * thirds per language by unigram-LM score. The memoized corpus count
+    * admits the windowed fast-path ranks at gate size; the distributed
+    * GlobalIndex branch is forced by [[qCcnetBucketsDist]] below. */
   private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLm.perplexityBuckets(
+      T(s, dir, "documents"), knownCount = docCount(s, dir))
+
+  /** The GlobalIndex distributed-ranks branch of perplexityBuckets,
+    * forced (knownCount unknown → scale default) through the same oracle
+    * — the Components fast/dist gate-pair precedent. */
+  private def qCcnetBucketsDist(s: SparkSession, dir: String): DataFrame =
     graft.functions.UnigramLm.perplexityBuckets(T(s, dir, "documents"))
 
   /** DSIR selection executed ([[graft.functions.Dsir.select]]): Gumbel
@@ -1659,6 +1667,7 @@ object SparkEntry {
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_ccnet_buckets_dist" -> (qCcnetBucketsDist _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_clf_quality" -> (qClfQuality _),
     "q_langid_eval" -> (qLangIdEval _),

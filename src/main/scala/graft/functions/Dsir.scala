@@ -64,16 +64,17 @@ object Dsir {
     def bucket(g: Column): Column =
       F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % buckets
 
-    // The corpus-sized stream: ONE scan, cached, two consumers (raw
-    // profile + scoring). byKey, not round-robin: its
-    // HashPartitioning(id) already satisfies the per-doc aggregation at
-    // the end — the broadcast ratio join in between preserves it, so the
-    // scoring pass has NO exchange of gram rows at all. EAGER
-    // materialize, not lazy: the profile consumers run inside broadcast-
-    // subquery preparation concurrently with the scoring scan, exactly
-    // the racing-double-fold regime CacheScope.materializeLazy documents
-    // against.
-    val corpusGrams = graft.CacheScope.materialize(
+    // The corpus-sized stream, RE-DERIVED per consumer (raw profile +
+    // scoring), not cached: A/B at sf0.1 (r14) measured the cache a
+    // wash (1.61 s cached vs 1.60 s re-derived — the duplicated
+    // shingle+md5 work is absorbed map-parallel), and at 100 TB a
+    // corpus-sized cache must spill where two plain scans stream —
+    // the Dedup.trimDuplicateSpans finding applied here (ADVICE r13).
+    // byKey, not round-robin: its HashPartitioning(id) already
+    // satisfies the per-doc aggregation at the end — the broadcast
+    // ratio join in between preserves it, so the scoring pass has NO
+    // exchange of gram rows at all.
+    val corpusGrams = (
       graft.Spread.byKey(corpus, idCol)
         .select(F.col(idCol), F.explode(grams(F.col(textCol))).as("g"))
         .select(F.col(idCol), bucket(F.col("g")).as("bkt")))

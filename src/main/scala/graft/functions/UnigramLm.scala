@@ -77,83 +77,130 @@ object UnigramLm {
     * the rest. `k` buckets of NTILE semantics (first `n mod k` buckets
     * get the extra row), head = best lm_score (lowest perplexity).
     *
-    * Scale shape — NO per-language single-partition window: ranks come
-    * from [[graft.operators.GlobalIndex]] over the total order
-    * (pred_lang, lm_score DESC, id) — range partition + in-partition
-    * sort + zipWithIndex — so a language 100× bigger than the rest
-    * spreads across partitions instead of serializing one task; the
-    * per-language rank is the global index minus the language's min
-    * index (one ≤|langs|-row aggregate, broadcast back). The NTILE
-    * arithmetic is explicit integer math on (rank, group size) —
-    * identical on both engines rather than trusting two window-function
-    * implementations to tie-break alike.
+    * Scale shape — two rank paths, same answer (the Components
+    * fast/distributed precedent, each behind its own oracle gate):
+    *  - `knownCount` in [0, [[RankWindowBound]]]: ONE per-language window
+    *    pass (row_number + count over partitionBy(pred_lang)) — a single
+    *    exchange; the window buffers at most one language's rows in a
+    *    spill-capable sort, safe at this bound.
+    *  - otherwise (the scale default; forced by q_ccnet_buckets_dist):
+    *    ranks from [[graft.operators.GlobalIndex]] over the total order
+    *    (pred_lang, lm_score DESC, id) — range partition + in-partition
+    *    sort + zipWithIndex — so a language 100× bigger than the rest
+    *    spreads across partitions instead of serializing one task; the
+    *    per-language rank is the global index minus the language's min
+    *    index (one ≤|langs|-row aggregate, broadcast back).
+    * The NTILE arithmetic is explicit integer math on (rank, group
+    * size) — identical on both engines rather than trusting two window
+    * implementations to tie-break alike — and is shared verbatim by the
+    * two paths, so they cannot drift.
     *
     * Determinism: ranks order on the ROUNDED 6-dp lm_score (the same
     * column both engines emit) with the id as total-order tie-break. */
   def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", k: Int = 3): DataFrame = graft.CacheScope.scoped {
+                        textCol: String = "text", k: Int = 3,
+                        knownCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
     require(k >= 2, s"need k >= 2 buckets, got $k")
     val lm = score(docs, idCol, textCol).select(F.col(idCol), F.col("lm_score"))
-    val lang = docs.select(
+    // Spread: the one-file bench corpus otherwise runs langId over every
+    // document in a single task (measured 0.43 s serial wall, r14).
+    val lang = graft.Spread(docs).select(
       F.col(idCol), TextFunctions.langId(F.col(textCol)).as("pred_lang"))
-    // The indexed frame has TWO consumers (the per-language min/count
-    // aggregate and the final join) — cache it, or the range sort, the
-    // LM scoring join, and langId all run twice.
-    val g = graft.CacheScope.materialize(
-      graft.operators.GlobalIndex.appendIndex(
-        lm.join(lang, Seq(idCol)),
-        Seq(F.col("pred_lang"), F.col("lm_score").desc, F.col(idCol)), "gpos"))
-    val groups = g.groupBy(F.col("pred_lang"))
-      .agg(F.min(F.col("gpos")).as("gstart"), F.count(F.lit(1)).as("gn"))
+    val joined = lm.join(lang, Seq(idCol))
     // non-negative long division: double divide + truncating cast == floor
     // == both engines' integer `//` for these operand ranges (< 2^53)
     def ldiv(a: Column, b: Column): Column = (a / b).cast("long")
-    val rank = F.col("gpos") - F.col("gstart")
-    val base = ldiv(F.col("gn"), F.lit(k))
-    val rem = F.col("gn") % k
-    val cut = rem * (base + F.lit(1))
-    val idx = F.when(rank < cut, ldiv(rank, base + F.lit(1)))
-      .otherwise(rem + ldiv(rank - cut, F.greatest(base, F.lit(1L))))
-    val label =
-      if (k == 3)
-        F.when(idx === 0, F.lit("head"))
-          .when(idx === 1, F.lit("middle")).otherwise(F.lit("tail"))
-      else F.concat(F.lit("b"), idx.cast("string"))
-    g.join(F.broadcast(groups), Seq("pred_lang"))
-      .select(F.col(idCol), F.col("pred_lang"), F.col("lm_score"),
+    def bucketed(src: DataFrame, rank: Column, gn: Column): DataFrame = {
+      val base = ldiv(gn, F.lit(k))
+      val rem = gn % k
+      val cut = rem * (base + F.lit(1))
+      val idx = F.when(rank < cut, ldiv(rank, base + F.lit(1)))
+        .otherwise(rem + ldiv(rank - cut, F.greatest(base, F.lit(1L))))
+      val label =
+        if (k == 3)
+          F.when(idx === 0, F.lit("head"))
+            .when(idx === 1, F.lit("middle")).otherwise(F.lit("tail"))
+        else F.concat(F.lit("b"), idx.cast("string"))
+      src.select(F.col(idCol), F.col("pred_lang"), F.col("lm_score"),
         label.as("ppl_bucket"))
+    }
+    if (knownCount >= 0 && knownCount <= RankWindowBound) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("pred_lang"))
+        .orderBy(F.col("lm_score").desc, F.col(idCol))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("pred_lang"))
+      bucketed(
+        joined.select(F.col(idCol), F.col("pred_lang"), F.col("lm_score"),
+          (F.row_number().over(w) - 1).cast("long").as("lrank"),
+          F.count(F.lit(1)).over(wAll).as("gn")),
+        F.col("lrank"), F.col("gn"))
+    } else {
+      // The indexed frame has TWO consumers (the per-language min/count
+      // aggregate and the final join) — cache it, or the range sort, the
+      // LM scoring join, and langId all run twice.
+      val g = graft.CacheScope.materialize(
+        graft.operators.GlobalIndex.appendIndex(
+          joined,
+          Seq(F.col("pred_lang"), F.col("lm_score").desc, F.col(idCol)), "gpos"))
+      val groups = g.groupBy(F.col("pred_lang"))
+        .agg(F.min(F.col("gpos")).as("gstart"), F.count(F.lit(1)).as("gn"))
+      bucketed(
+        g.join(F.broadcast(groups), Seq("pred_lang")),
+        F.col("gpos") - F.col("gstart"), F.col("gn"))
+    }
   }
+
+  /** Row bound under which [[perplexityBuckets]] may rank with a plain
+    * per-language window (one language buffered per sort — the same
+    * bounded-fast-path class as Components' union-find ≤1M edges). */
+  val RankWindowBound: Long = 1000000L
 
   /** (idCol, n_tokens, lm_score) per document with at least one token;
     * lm_score rounded to 6 decimals. */
   def score(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame = graft.CacheScope.scoped {
+            textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    // Lazy persist: the totalTokens aggregate below is the first (and
-    // strictly earlier) consumer, so it populates the cache for the
-    // token-count aggregation and the probe side (see CacheScope).
-    val tfTable = graft.CacheScope.materializeLazy(
-      graft.Spread(docs)
-        .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
-        .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf")))
+    // ONE tokenize scan, ONE tok exchange, ONE action (r14 rework; the
+    // previous cache-the-exploded-stream and scan-per-consumer shapes
+    // both measured ~2× this wall at sf0.1):
+    //  - the explicit repartition(tok) makes the vocabulary aggregation
+    //    and the join probe share the IDENTICAL Exchange subplan, which
+    //    ReuseExchange collapses — the corpus is tokenized and shuffled
+    //    once, the aggregation and the join both read that one shuffle;
+    //  - the corpus token total rides in as a one-row broadcast cross
+    //    join (the Sampling/TfIdf/Dsir bounded-crossJoin exception
+    //    class) instead of a driver `first()`, which would have forced a
+    //    second action and re-tokenized the corpus.
+    // Shuffle volume note: the raw (doc, tok, tf) stream was already
+    // shuffled by tok for the join; fusing the aggregation onto the same
+    // exchange DROPS the former separate (map-combined) agg shuffle
+    // rather than adding anything.
+    val byTok = graft.Spread(docs)
+      .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
+      .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
       .filter(F.col("tok").isNotNull)
-    // One small job: corpus token total (also warms the cache). On a
-    // corpus where NO document has tokens, sum over the empty table is
-    // null — any placeholder is sound then, because the empty tfTable
-    // makes every downstream join/aggregate empty regardless.
-    val totalRow = tfTable.agg(F.sum(F.col("tf"))).first()
-    val totalTokens = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
-    val tokCounts = tfTable.groupBy(F.col("tok"))
-      .agg(F.sum(F.col("tf")).as("cnt"))
-    tfTable.join(tokCounts, Seq("tok"))
+      .repartition(F.col("tok"))
+    val tokCounts = byTok.groupBy(F.col("tok")).agg(F.sum(F.col("tf")).as("cnt"))
+    // Global agg emits exactly one row even on an empty corpus (null
+    // total) — sound, because an empty byTok makes the join empty anyway.
+    val total = tokCounts.agg(F.sum(F.col("cnt")).as("total"))
+    // shuffle_hash: both sides are already tok-partitioned, so the only
+    // choice is HOW to match — the default SMJ would sort the full
+    // exploded stream by token string; hashing the (small) vocabulary
+    // side instead skips that sort entirely.
+    byTok.join(tokCounts.hint("shuffle_hash"), Seq("tok"))
+      .crossJoin(F.broadcast(total))
       .select(
         F.col(idCol), F.col("tf"),
-        // identical IEEE ops on both engines, then exact decimal
+        // identical IEEE ops on both engines, then exact decimal; the
+        // total's long→double cast sees the same value the former
+        // driver-collected literal carried
         (F.col("tf").cast("double") *
-          F.log(F.col("cnt").cast("double") / F.lit(totalTokens.toDouble)))
+          F.log(F.col("cnt").cast("double") / F.col("total").cast("double")))
           .cast("decimal(38,18)").as("term"))
       .groupBy(F.col(idCol))
       .agg(

@@ -149,6 +149,13 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_contamination_bloom", maxExchange = 1),
     // real-codec decode gate: pure mapPartitions over the scan
     Audit("q_multimodal_decode", maxExchange = 0),
+    // r14 one-action lm score: Spread + the shared tok exchange + the
+    // single-partition total agg + the per-doc agg; the one-row total
+    // rides a broadcast BNLJ (the TfIdf/Sampling scalar shape). The
+    // STATIC plan double-prints the scan+tok subtree under the join
+    // probe and under the total-agg scalar branch (8 printed) — AQE
+    // reuses them at runtime, the q_mix_weights print-total caveat.
+    Audit("q_lm_score", maxExchange = 8, allowedBnlj = 1),
     )
 
   private val nodeRe =
@@ -201,8 +208,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     InternalAudit("q_dedup_components", maxExchangeTotal = 5),
     // cache-free since round 9: ONE scoped frame, no materialize
     InternalAudit("q_dup_ngrams", maxExchangeTotal = 3, minFrames = 1),
-    // one-row count broadcast is the designed scalar-subquery shape
-    InternalAudit("q_lm_score", maxExchangeTotal = 5, allowedBnljPerFrame = 1),
+    // q_lm_score left this list in r14: the one-scan/one-tok-exchange
+    // rework removed every CacheScope hop, so it audits as a plain
+    // terminal plan (see `audits`).
     InternalAudit("q_fingerprint_winnow", maxExchangeTotal = 4),
     InternalAudit("q_dedup_simhash", maxExchangeTotal = 4),
     // contamination's terminal frame is also a checkpoint scan
@@ -221,26 +229,34 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // executed plan reads the cache, paying only that one
     InternalAudit("q_mix_weights", maxExchangeTotal = 7,
       allowedBnljPerFrame = 1),
-    // gram cache build (byKey, 1) + two B-row profile materializes (each
-    // prints its upstream cache build under the InMemoryTableScan: 2 + 2)
-    // + the terminal frame, which re-prints the gram-cache and both
-    // profile-cache build plans under its consumers (ratio join + the two
-    // one-row totals = the TfIdf scalar-subquery shape, 2 BNLJ) — the
+    // r14: the gram stream is re-derived per consumer (cache A/B'd a
+    // wash at sf0.1, and a corpus-sized cache must spill at scale), so
+    // the frames are the two B-row profile materializes (each printing
+    // its byKey gram scan: ≤2 exchanges each) + the terminal frame
+    // re-printing both profile builds under the ratio join and the two
+    // one-row totals (the TfIdf scalar-subquery shape, 2 BNLJ) — the
     // EXECUTED plan pays each cached exchange once; the print total is
     // the sum over consumer re-prints, same caveat as q_mix_weights.
     // Scoring side itself adds NO exchange: the per-doc agg reuses the
     // byKey partitioning through the broadcast ratio join.
     InternalAudit("q_dsir_weights", maxExchangeTotal = 16,
-      allowedBnljPerFrame = 2, minFrames = 4),
+      allowedBnljPerFrame = 2, minFrames = 3),
     // logistic GD: feature-cache build + one slim residual materialize
     // per iteration + the terminal scoring frame; broadcast weight joins
     // add no exchange, and cached builds re-print under consumers (the
     // q_mix_weights print-total caveat)
     InternalAudit("q_clf_quality", maxExchangeTotal = 12, minFrames = 6),
-    // ccnet: the nested lm-score scope's frames + the cached GlobalIndex
+    // ccnet r14 (windowed fast-path ranks at gate size): ONE scoped
+    // terminal frame printing the whole plan — the one-action lm score
+    // (tok ReuseExchange + total BNLJ), the langId spread, the id join,
+    // and the per-language rank window's exchange
+    InternalAudit("q_ccnet_buckets", maxExchangeTotal = 11, minFrames = 1,
+      allowedBnljPerFrame = 1),
+    // the forced GlobalIndex distributed-ranks branch: the cached index
     // frame + the terminal join; the RDD hop hides the range exchange
     // from the printed plans, so the total counts the lm/langId side
-    InternalAudit("q_ccnet_buckets", maxExchangeTotal = 7, minFrames = 4))
+    InternalAudit("q_ccnet_buckets_dist", maxExchangeTotal = 9, minFrames = 2,
+      allowedBnljPerFrame = 1))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
     val frames = scala.collection.mutable.ArrayBuffer[(String, String)]()
