@@ -12,7 +12,7 @@
 # strings it flags, and VERDICT/ADVICE may cite them when discussing hits.
 set -e
 
-exempt='^(LEAKCHECK\.json|COPYCHECK\.json|VERDICT\.md|ADVICE\.md|BASELINE\.(md|json)|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|bench_stages\.jsonl|baseline_times\.json|tools/leakguard\.sh)$'
+exempt='^(LEAKCHECK\.json|COPYCHECK\.json|VERDICT\.md|ADVICE\.md|BASELINE\.(md|json)|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|bench_stages\.jsonl|baseline_times\.json)$'
 
 # Line-wise read loop (IFS= read -r): a path with spaces must not
 # word-split its way past the scan as `for f in $list` would.
@@ -32,7 +32,9 @@ while IFS= read -r f; do
       fail=1; continue;;
   esac
   # Block staged content carrying resolver-mirror or sbt-debug classpaths.
-  if git show ":$f" | grep -Eq 'artifactory\.|\.cache/coursier/v1/https/|^\[debug\] '; then
+  # The mirror-host token is spelled with a bracket class so this hook
+  # itself never contains the literal substring the leak scanner greps.
+  if git show ":$f" | grep -Eq 'artifa[c]tory\.|\.cache/coursier/v1/https/|^\[debug\] '; then
     echo "leakguard: $f contains build-internal resolver/classpath lines" >&2
     fail=1
   fi
