@@ -130,18 +130,69 @@ object StateRescale {
   }
 
   /** The event-time watermark the last committed batch had reached
-    * (`batchWatermarkMs` of its offsets metadata; 0 when the query had no
-    * watermark). This is the MIGRATION-POINT clock a TTL'd re-seed arms
-    * expiry from — [[graft.operators.StatefulExec.streamTws]]'s
-    * `initialStateTimeMs`. None when nothing was ever committed. */
+    * (0 when the query had no watermark). This is the MIGRATION-POINT
+    * clock a TTL'd re-seed arms expiry from —
+    * [[graft.operators.StatefulExec.streamTws]]'s `initialStateTimeMs`.
+    * None when nothing was ever committed.
+    *
+    * Read from the COMMIT log's `nextBatchWatermarkMs` — the frontier the
+    * batch ADVANCED TO — not the offsets metadata's `batchWatermarkMs`,
+    * which is the frontier the batch STARTED AT (offsets are written
+    * pre-batch). For a query stopped after batch N with no successor
+    * batch, the pre-batch value under-reports by one whole batch of
+    * events: a single-batch AvailableNow run would report 0 and a TTL'd
+    * re-seed armed from it would expire every migrated key one batch of
+    * event-time too early. Falls back to the offsets metadata for a
+    * commit entry without the field. */
   def lastWatermarkMs(checkpointDir: String): Option[Long] = {
     val committed = listNames(s"$checkpointDir/commits")
       .filter(_.forall(_.isDigit)).map(_.toLong)
     if (committed.isEmpty) return None
-    val meta = raw(offsetsFile(checkpointDir, committed.max)).split("\n")
-    // meta(1) is the batch-metadata JSON: {"batchWatermarkMs":N,...}
-    "\"batchWatermarkMs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(
-      meta.lift(1).getOrElse("")).map(_.group(1).toLong)
+    val fromCommit =
+      "\"nextBatchWatermarkMs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(
+        raw(s"$checkpointDir/commits/${committed.max}")).map(_.group(1).toLong)
+    fromCommit.orElse {
+      val meta = raw(offsetsFile(checkpointDir, committed.max)).split("\n")
+      "\"batchWatermarkMs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(
+        meta.lift(1).getOrElse("")).map(_.group(1).toLong)
+    }
+  }
+
+  /** The input files a stopped query's FILE source had consumed as of its
+    * last COMMITTED batch — the complement (files present in the source
+    * directory but absent here) is exactly what a migrated query must
+    * still read. This turns [[lastCommittedOffsets]] into an actionable
+    * resume for the file source: its offset is a `logOffset` INDEX into
+    * the checkpoint's `sources/<i>/` metadata log, whose entries list the
+    * files of each batch; committed files = the union of entries at
+    * log positions <= logOffset.
+    *
+    * `sourceIdx` is the source's position among the query's streaming
+    * sources (0 for a single-source query). Returns the paths exactly as
+    * the log records them (absolute URIs, e.g. `file:///...`); callers
+    * comparing against a directory listing should normalize both sides
+    * through `new Path(uri)`.
+    *
+    * Scale shape: the metadata log is bounded by file COUNT, not data
+    * size (one JSON line per input file; Spark compacts every 10 batches
+    * into `N.compact` snapshots, which this reader accepts — a compact
+    * entry re-lists earlier files, and the union is deduped). */
+  def consumedFiles(checkpointDir: String, sourceIdx: Int = 0): Seq[String] = {
+    val offsets = lastCommittedOffsets(checkpointDir)
+    if (offsets.size <= sourceIdx) return Seq.empty
+    val off = offsets(sourceIdx)
+    val logOffset = "\"logOffset\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(off).map(_.group(1).toLong).getOrElse(
+        throw new IllegalStateException(
+          s"source $sourceIdx offset is not a file-source logOffset: $off"))
+    val dir = s"$checkpointDir/sources/$sourceIdx"
+    listNames(dir).flatMap { n =>
+      val base = n.stripSuffix(".compact")
+      if (base.forall(_.isDigit) && base.nonEmpty && base.toLong <= logOffset)
+        "\"path\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+          .findAllMatchIn(raw(s"$dir/$n")).map(_.group(1)).toSeq
+      else Seq.empty
+    }.distinct
   }
 
   private def offsetsFile(checkpointDir: String, batch: Long): String = {

@@ -670,4 +670,144 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(pairs() == p2, "replayed restart changed the output")
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("end-to-end rescale-resume: migrated run is row-identical to the never-stopped run, incl. TTL expiries") {
+    import spark.implicits._
+    import graft.streaming.StateRescale
+    val dir = Files.createTempDirectory("graft_e2e_mig_").toString
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // Emits ONLY on expiry — so every output row is a (key, final_total)
+    // the TTL machinery flushed, and row-identity between the two runs
+    // checks state carry + offset resume + expiry clocks all at once:
+    //  - double-read of consumed input  → doubled totals;
+    //  - lost/unseeded state            → missing or undersized totals;
+    //  - epoch-1970 expiry storm        → a key split into TWO rows
+    //    (pre-migration partial + post-migration rest).
+    val silentSum = new StatefulLogic[Long, WmEvent, Long, STotal] {
+      def zero = 0L
+      def update(k: Long, v: WmEvent, s: Long): (Long, IterableOnce[STotal]) =
+        (s + v.v, Iterator.empty)
+      override def onExpiry(k: Long, s: Long): IterableOnce[STotal] =
+        Iterator.single(STotal(k, s))
+    }
+    val ttl = 30 * 60000L // 30 min on the event-time clock
+    def ev(k: Long, v: Long, min: Long) =
+      WmEvent(k, v, new java.sql.Timestamp(min * 60000L))
+    def watermarked(df: org.apache.spark.sql.DataFrame) =
+      df.withWatermark("ts", "0 seconds").as[WmEvent]
+    // Input timeline (minutes). f1 is consumed pre-migration; f2-f4
+    // arrive while the job is DOWN ("stopped mid-input"). k8/k9 are
+    // watermark sentinels whose own deadlines stay ahead of the final
+    // frontier, so they never flush.
+    val f1 = Seq(ev(1, 10, 10), ev(2, 5, 12))   // k1, k2 seeded
+    val f2 = Seq(ev(1, 7, 20), ev(3, 2, 22))    // k1 refreshed, k3 new
+    val f3 = Seq(ev(9, 0, 200))                 // frontier -> 200 min
+    val f4 = Seq(ev(8, 0, 201))                 // expiry-delivery batch
+    val expected = Set(STotal(1, 17), STotal(2, 5), STotal(3, 2))
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+      // ----- Reference: ONE never-stopped query over the same timeline.
+      implicit val sqlCtx = spark.sqlContext
+      val refIn = MemoryStream[WmEvent]
+      val refQ = StatefulExec.streamTws[Long, WmEvent, Long, STotal](
+        watermarked(refIn.toDF()), _.k, silentSum,
+        ttlMs = Some(ttl), eventTimeMs = Some(_.ts.getTime))
+        .writeStream.format("memory").queryName("e2e_mig_ref")
+        .option("checkpointLocation", s"$dir/ckptRef")
+        .outputMode("append").start()
+      refIn.addData(f1: _*); refQ.processAllAvailable()
+      refIn.addData(f2 ++ f3: _*); refQ.processAllAvailable()
+      refIn.addData(f4: _*); refQ.processAllAvailable()
+      val refRows = spark.table("e2e_mig_ref").as[STotal].collect().toSet
+      refQ.stop()
+      assert(refRows == expected, s"reference run wrong: $refRows")
+
+      // ----- Phase A (v1 engine, 4 partitions): consume ONLY f1, stop.
+      val src = s"$dir/in"
+      f1.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      val qa = StatefulExec.stream[Long, WmEvent, Long, STotal](
+        watermarked(spark.readStream
+          .schema("k LONG, v LONG, ts TIMESTAMP").parquet(src)),
+        _.k, silentSum)
+        .writeStream.option("checkpointLocation", s"$dir/ckptA")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/outA")
+        .outputMode("append").start()
+      qa.awaitTermination()
+      assert(StateRescale.statePartitionCount(s"$dir/ckptA") == 4)
+
+      // The rest of the input lands while the job is down.
+      f2.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      f3.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+      f4.toDS().coalesce(1).write.mode(SaveMode.Append).parquet(src)
+
+      // ----- Migrate: offsets say what was consumed; the DIFFERENCE is
+      // what the resumed query reads (derived, not assumed).
+      def leaf(uri: String) =
+        new org.apache.hadoop.fs.Path(uri).toUri.getPath
+      val consumed = StateRescale.consumedFiles(s"$dir/ckptA").map(leaf).toSet
+      assert(consumed.nonEmpty && consumed.forall(_.contains("/in/")),
+        s"consumedFiles should list phase-A input: $consumed")
+      // Arrival order = original mtime order (parquet part names are
+      // UUIDs; a path sort would scramble the event-time line).
+      val allParts = new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.lastModified())
+        .map(_.getAbsolutePath).toSeq
+      val unconsumed = allParts.filterNot(consumed.contains)
+      assert(consumed == (allParts.toSet -- unconsumed),
+        s"offset log and directory listing disagree: $consumed vs $allParts")
+      assert(unconsumed.size == 3, s"expected f2-f4 unconsumed: $unconsumed")
+      // Stage the un-consumed files for the resumed query, mtime-ordered
+      // by original arrival so the file source replays them in arrival
+      // order (ts-200 before ts-201 etc. — the order the frontier needs).
+      val srcB = java.nio.file.Paths.get(s"$dir/inB")
+      Files.createDirectories(srcB)
+      unconsumed.zipWithIndex.foreach { case (p, i) =>
+        val dst = srcB.resolve(f"part$i%03d.parquet")
+        Files.copy(java.nio.file.Paths.get(p), dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val wmA = StateRescale.lastWatermarkMs(s"$dir/ckptA")
+      assert(wmA.contains(12 * 60000L),
+        s"phase-A committed watermark should stand at minute 12: $wmA")
+
+      // ----- Phase B (v2 engine, 9 partitions): seed from ckptA, arm TTL
+      // at the migration-point clock, read ONLY the unconsumed files.
+      spark.conf.set("spark.sql.shuffle.partitions", "9")
+      val init = StateRescale.initialStateFrom[Long, Long](spark, s"$dir/ckptA")
+      val qb = StatefulExec.streamTws[Long, WmEvent, Long, STotal](
+        watermarked(spark.readStream
+          .schema("k LONG, v LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1).parquet(srcB.toString)),
+        _.k, silentSum, ttlMs = Some(ttl), eventTimeMs = Some(_.ts.getTime),
+        initialState = Some(init), initialStateTimeMs = wmA)
+        .writeStream.option("checkpointLocation", s"$dir/ckptB")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/outB")
+        .outputMode("append").start()
+      qb.awaitTermination()
+      assert(StateRescale.statePartitionCount(s"$dir/ckptB") == 9,
+        "migration did not adopt the new layout")
+
+      // ----- The contract: stopped+migrated == never-stopped, row for row.
+      val outADirEmpty = !new java.io.File(s"$dir/outA").exists() ||
+        spark.read.schema("k LONG, total LONG").parquet(s"$dir/outA").isEmpty
+      assert(outADirEmpty, "phase A should emit nothing before any expiry")
+      val migRows = spark.read.schema("k LONG, total LONG")
+        .parquet(s"$dir/outB").as[STotal].collect().toSet
+      assert(migRows == refRows,
+        s"migrated run diverged from the never-stopped run: $migRows vs $refRows")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", origParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
