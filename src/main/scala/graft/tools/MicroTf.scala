@@ -75,6 +75,46 @@ object MicroTf {
       graft.functions.TfIdf.score(docs, knownDocCount = Some(5000L)))
     time("full_topk")(
       graft.functions.TfIdf.topKeywords(docs, k = 3, knownDocCount = Some(5000L)))
+    // A/B: does AQE's query-stage materialization round cost wall time vs
+    // a statically-planned broadcast of the (vocab-sized) df table?
+    time("topk_forced_bhj") {
+      val tf = graft.Spread.byKey(docs, "doc_id")
+        .select(F.col("doc_id"), F.explode_outer(tfArr).as("tt"))
+        .select(F.col("doc_id"), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+        .filter(F.col("tok").isNotNull)
+      val dfTab = tf.groupBy(F.col("tok")).agg(F.count(F.lit(1)).as("df"))
+        .withColumn("n_docs", F.lit(5000L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("doc_id"))
+        .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
+      tf.join(F.broadcast(dfTab), Seq("tok"))
+        .select(F.col("doc_id"), F.col("tok"), F.col("tf"),
+          F.round(F.col("tf").cast("double") *
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 6)
+            .as("tfidf_r"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    }
+    // A/B: one fused pass — df via a count window over tok on the SAME
+    // exploded stream (corpus-sized exchange on tok; scale-hostile, but
+    // quantifies what the second fold pass costs at bench scale).
+    time("topk_window_df") {
+      val tf = graft.Spread.byKey(docs, "doc_id")
+        .select(F.col("doc_id"), F.explode_outer(tfArr).as("tt"))
+        .select(F.col("doc_id"), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+        .filter(F.col("tok").isNotNull)
+      val wdf = org.apache.spark.sql.expressions.Window.partitionBy(F.col("tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("doc_id"))
+        .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
+      tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .select(F.col("doc_id"), F.col("tok"), F.col("tf"),
+          F.round(F.col("tf").cast("double") *
+            F.log(F.lit(5000L).cast("double") / F.col("df").cast("double")), 6)
+            .as("tfidf_r"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    }
     spark.stop()
   }
 }
