@@ -616,6 +616,15 @@ object OracleSql {
     "q_rescale" ->
       s"SELECT user_id, COUNT(*) AS n_events, $dec4sum AS total FROM events GROUP BY user_id",
 
+    // End-to-end migration gate: stop mid-input -> offset-derived resume
+    // at a new partition count on the new engine -> TTL flush. Every real
+    // user expires exactly once with its FULL event-id sum (the TTL spans
+    // the whole event-time range; sentinels push the final frontier), so
+    // the continuous batch aggregate is the exact answer.
+    "q_rescale_resume" ->
+      """SELECT user_id, CAST(SUM(event_id) AS BIGINT) AS total_eid
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_agg_salted" ->
       s"""SELECT event_type, COUNT(*) AS n, $dec4sum AS total, MAX(value) AS max_value
          |FROM events GROUP BY event_type""".stripMargin,
