@@ -1231,6 +1231,38 @@ object OracleSql {
           |  FROM kept a JOIN kept b2 ON a.b = b2.b AND a.sig = b2.sig AND a.doc_id < b2.doc_id)
           |SELECT doc_a, doc_b FROM ppairs""".stripMargin),
 
+    // Detector evaluation: ground truth = co-shingle pairs (complete for
+    // jaccard > 0) with exact jaccard >= 0.5; candidates = the shared
+    // `pairs` CTE (the production LSH path); one row of counts + rates.
+    "q_dedup_minhash_eval" ->
+      (minhashCtes +
+        """, cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |co AS (
+          |  SELECT DISTINCT s1.doc_id AS doc_a, s2.doc_id AS doc_b
+          |  FROM sh s1 JOIN sh s2 ON s2.shingle = s1.shingle AND s1.doc_id < s2.doc_id),
+          |coi AS (
+          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          |  FROM co p
+          |  JOIN sh s1 ON s1.doc_id = p.doc_a
+          |  JOIN sh s2 ON s2.doc_id = p.doc_b AND s2.shingle = s1.shingle
+          |  GROUP BY 1, 2),
+          |truth AS (
+          |  SELECT c.doc_a, c.doc_b FROM coi c
+          |  JOIN cnt ca ON ca.doc_id = c.doc_a JOIN cnt cb ON cb.doc_id = c.doc_b
+          |  WHERE CAST(c.i AS DOUBLE) / CAST(ca.n + cb.n - c.i AS DOUBLE) >= 0.5),
+          |m AS (
+          |  SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+          |         (SELECT COUNT(*) FROM pairs) AS n_cand,
+          |         (SELECT COUNT(*) FROM truth t
+          |            JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS n_hit)
+          |SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+          |  CAST(n_hit AS BIGINT) AS n_hit,
+          |  CASE WHEN n_cand = 0 THEN 0.0
+          |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS prec,
+          |  CASE WHEN n_true = 0 THEN 0.0
+          |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
+          |FROM m""".stripMargin),
+
     // Dedup clusters: recursive-CTE transitive closure (min label per
     // node) over the SAME verified-pair edge set the Spark side builds
     // (LSH candidates filtered to exact jaccard >= 0.5) — an independent

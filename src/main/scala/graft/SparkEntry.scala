@@ -1426,6 +1426,13 @@ object SparkEntry {
     Dedup.minhashCandidates(T(s, dir, "documents"),
       knownDocCount = docCount(s, dir), maxBucket = 3)
 
+  /** Detector evaluation ([[graft.dedup.Dedup.minhashEval]]): precision /
+    * recall of the production MinHash-LSH candidate path against an
+    * exhaustive exact-Jaccard ground truth on the same corpus — one row
+    * of counts and rates. */
+  private def qDedupMinhashEval(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEval(T(s, dir, "documents"))
+
   /** The (dir + source stamp) key the SINGLE shared index table was last
     * built for in this JVM ([[qDedupIncremental]]). Lets repeated bench
     * shots measure the steady-state incremental probe instead of
@@ -1844,6 +1851,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
+    "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),

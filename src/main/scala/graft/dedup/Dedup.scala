@@ -458,6 +458,82 @@ object Dedup {
       .filter(F.col("jaccard") >= minJaccard)
   }
 
+  /** MinHash-LSH detector EVALUATION against exact-Jaccard ground truth —
+    * the measure-your-detector-before-trusting-it harness (the near-dup
+    * analogue of the lang-id confusion matrix): run the PRODUCTION LSH
+    * candidate path and an exhaustive exact-Jaccard pass over the same
+    * corpus, and report one row of counts + precision (share of LSH
+    * candidates that are true near-dups at `minJaccard`) + recall (share
+    * of true near-dups the detector surfaced).
+    *
+    * Ground truth is COMPLETE: any pair with jaccard > 0 shares at least
+    * one shingle, so the co-shingle inverted-index join enumerates every
+    * pair that could clear the threshold. That join is quadratic in
+    * shingle document frequency — an EVAL-ONLY shape, meant for the
+    * bounded labeled corpus a detector is tuned on (here the gate table),
+    * never the production corpus; the production path stays LSH-bucketed.
+    * Reference point: malstrom has no self-evaluation story at all —
+    * this is part of the measurement surface a training-data pipeline
+    * adds on top. */
+  def minhashEval(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  shingleN: Int = 3, bands: Int = DefaultBands,
+                  minJaccard: Double = 0.5): DataFrame = graft.CacheScope.scoped {
+    // Same one-pass (id, arr, n, sigs) table as ngramJaccard: hashed
+    // shingle sets + signatures from ONE ShingleExpr evaluation, cached at
+    // docs granularity — both the detector and the ground truth read it.
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+    val sigOverRaw = ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        ColumnBridge.expression(F.col("raw")), bands))
+    val hashedRaw = ColumnBridge.column(
+      graft.functions.expressions.XxHash64ArrayExpr(
+        ColumnBridge.expression(F.col("raw"))))
+    val (docArr, nDocs) = materializeCounted(
+      graft.Spread(docs)
+        .select(F.col(idCol), F.array_distinct(shingleArr).as("raw"))
+        .select(F.col(idCol), hashedRaw.as("arr"),
+          F.size(F.col("raw")).cast("long").as("n"), sigOverRaw.as("sigs")))
+    // Detector under test: the exact production candidate path.
+    val sigs = docArr
+      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
+    val cand = materialize(candidatesFromSigs(sigs, idCol, knownBucketBound = nDocs))
+    // Ground truth: co-shingle pairs (complete for jaccard > 0) scored by
+    // the same sorted-merge intersection the production verify uses.
+    val ex = docArr.select(F.col(idCol), F.explode(F.col("arr")).as("sh_hash"))
+    val co = ex.select(F.col(idCol).as("doc_a"), F.col("sh_hash"))
+      .join(ex.select(F.col(idCol).as("doc_b"), F.col("sh_hash")), Seq("sh_hash"))
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val truth = materialize(co
+      .join(docArr.select(F.col(idCol).as("doc_a"),
+        F.col("arr").as("arr_a"), F.col("n").as("n_a")), Seq("doc_a"))
+      .join(docArr.select(F.col(idCol).as("doc_b"),
+        F.col("arr").as("arr_b"), F.col("n").as("n_b")), Seq("doc_b"))
+      .select(F.col("doc_a"), F.col("doc_b"),
+        ColumnBridge.column(graft.functions.expressions.SortedIntersectCountExpr(
+          ColumnBridge.expression(F.col("arr_a")),
+          ColumnBridge.expression(F.col("arr_b")))).as("inter"),
+        F.col("n_a"), F.col("n_b"))
+      .filter((F.col("inter").cast("double") /
+        (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")) >= minJaccard)
+      .select("doc_a", "doc_b"))
+    // One-row totals crossJoined — the documented one-row broadcast-total
+    // exception class (Sampling.scala:94); never data-sized.
+    val nTrue = truth.agg(F.count(F.lit(1)).as("n_true"))
+    val nCand = cand.agg(F.count(F.lit(1)).as("n_cand"))
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(F.count(F.lit(1)).as("n_hit"))
+    nTrue.crossJoin(nCand).crossJoin(nHit).select(
+      F.col("n_true"), F.col("n_cand"), F.col("n_hit"),
+      F.when(F.col("n_cand") === 0L, F.lit(0.0)).otherwise(
+        F.round(F.col("n_hit").cast("double") / F.col("n_cand").cast("double"), 6))
+        .as("prec"),
+      F.when(F.col("n_true") === 0L, F.lit(0.0)).otherwise(
+        F.round(F.col("n_hit").cast("double") / F.col("n_true").cast("double"), 6))
+        .as("recall"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * `minShared` distinct word `shingleN`-grams with any benchmark/eval
     * document — the standard train/test-overlap check run before an LLM

@@ -111,6 +111,22 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(viaExpr.count() > 0)
   }
 
+  test("minhashEval: counts consistent, planted dups give full recall") {
+    // planted: (1,2) exact dup + (1,3)/(2,3) near dups are the only pairs
+    // with jaccard >= 0.5; the LSH detector should surface all of them
+    // (recall 1.0 on this corpus), and the hit count can never exceed
+    // either side of the confusion counts.
+    val r = Dedup.minhashEval(planted).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nTrue, nCand, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (prec, recall) = (row.getDouble(3), row.getDouble(4))
+    assert(nTrue == 3L, s"expected the 3 planted >=0.5 pairs, got $nTrue")
+    assert(nHit <= nTrue && nHit <= nCand, s"hit count inconsistent: $row")
+    assert(recall == 1.0, s"detector missed a planted dup: $row")
+    assert(prec > 0.0 && prec <= 1.0 && recall <= 1.0, s"rates out of range: $row")
+  }
+
   test("ngram jaccard is 1.0 for identical docs and high for near dups") {
     val j = Dedup.ngramJaccard(planted)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
