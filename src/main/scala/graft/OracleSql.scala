@@ -757,6 +757,35 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_nums
         |FROM events""".stripMargin,
 
+    // HTML extraction: the synthesis (title/style/script/comment/entity-
+    // encoded body) and the strip/decode/normalize chain replayed
+    // verbatim; '&amp;' decodes LAST on both sides.
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>p { color: red }</style><script type="text/javascript">track("'
+        |    || source || '");</script></head>' || chr(10) || '<body><h1>' || source
+        |    || ' &amp; friends</h1><!-- boilerplate' || chr(10) || 'comment --><p>'
+        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |    || '</p>' || chr(10) || '<footer>&copy; example</footer></body></html>' AS html
+        |  FROM documents),
+        |strip AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g') AS t
+        |  FROM h),
+        |dec AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS t2
+        |  FROM strip)
+        |SELECT doc_id, trim(regexp_replace(t2, '[ \t\n\f\r]+', ' ', 'g')) AS extracted
+        |FROM dec""".stripMargin,
+
     // Top-20 corpus bigrams, deterministic (count desc, bigram asc) cut.
     "q_bigrams" ->
       """WITH tok AS (

@@ -1267,6 +1267,29 @@ object SparkEntry {
       graft.functions.TextFunctions.scrub(F.col("props")).as("clean_props"),
       F.regexp_count(F.col("props"), F.lit("[0-9]{2,}")).cast("long").as("n_nums"))
 
+  /** HTML → text extraction ([[graft.functions.TextFunctions.htmlExtract]]):
+    * deterministic HTML is synthesized around each document (title, style
+    * + script blocks whose CONTENT must vanish, an HTML comment, entity-
+    * encoded body text — the attachMedia pattern: the corpus has no raw
+    * HTML, so the gate builds it identically in both engines), then the
+    * extractor strips blocks/tags, decodes entities and collapses
+    * whitespace. Scan-only, codegen'd regex chain. */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val enc = F.replace(F.replace(F.replace(F.col("text"),
+      F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+      F.lit(">"), F.lit("&gt;"))
+    val html = F.concat(
+      F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+      F.lit("</title><style>p { color: red }</style><script type=\"text/javascript\">track(\""),
+      F.col("source"),
+      F.lit("\");</script></head>\n<body><h1>"), F.col("source"),
+      F.lit(" &amp; friends</h1><!-- boilerplate\ncomment --><p>"), enc,
+      F.lit("</p>\n<footer>&copy; example</footer></body></html>"))
+    T(s, dir, "documents").select(
+      F.col("doc_id"),
+      graft.functions.TextFunctions.htmlExtract(html).as("extracted"))
+  }
+
   /** Benchmark decontamination: training docs sharing any distinct 8-gram
     * with the eval slice (every 50th doc) — the pre-training-run
     * train/test-overlap audit. */
@@ -1822,6 +1845,7 @@ object SparkEntry {
     "q_chunk" -> (qChunk _),
     "q_pack" -> (qPack _),
     "q_scrub" -> (qScrub _),
+    "q_html_extract" -> (qHtmlExtract _),
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),

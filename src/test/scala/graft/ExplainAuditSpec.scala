@@ -103,6 +103,7 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_dedup_keep_near", maxExchange = 1, minBhj = 1),
     Audit("q_lang_id", maxExchange = 0),
     Audit("q_scrub", maxExchange = 0),
+    Audit("q_html_extract", maxExchange = 0),
     Audit("q_chunk", maxExchange = 0),
     Audit("q_repetition", maxExchange = 0),
     Audit("q_json_extract", maxExchange = 0),

@@ -186,6 +186,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3) == "clean text")
   }
 
+  test("htmlExtract strips blocks/tags/comments and decodes entities safely") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      // script/style content (incl. angle brackets inside) must vanish
+      "<p>keep</p><script>if (a<b) { drop(); }</script><style>h1>span{x:1}</style><p>also</p>",
+      // comments (multi-line) drop; self-closing tag strips
+      "<div>one<!-- gone\nstill gone -->two</div><br/>",
+      // entity decode order: &amp;lt; must yield literal '&lt;', not '<'
+      "a &amp;lt; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; c&nbsp;d",
+      // whitespace collapse + trim
+      "  <b> spaced   out </b>  ").toDF("html")
+    val out = df.select(TextFunctions.htmlExtract(F.col("html")).as("t"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "keep also")
+    assert(out(1) == "one two")
+    assert(out(2) == "a &lt; b <tag> \"q\" 's' c d")
+    assert(out(3) == "spaced out")
+  }
+
   test("contamination flags planted n-gram overlap and nothing else") {
     import spark.implicits._
     import graft.dedup.Dedup
