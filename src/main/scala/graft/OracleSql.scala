@@ -786,6 +786,41 @@ object OracleSql {
         |SELECT doc_id, trim(regexp_replace(t2, '[ \t\n\f\r]+', ' ', 'g')) AS extracted
         |FROM dec""".stripMargin,
 
+    // URL canonicalization: synthesis (mixed-case scheme/host, default +
+    // explicit ports, unsorted params, fragment) and the extract/
+    // lowercase/sort/rebuild chain replayed verbatim.
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |    || 'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN ':80'
+        |             WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END)
+        |    || '/Articles/' || source || '/item'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ''
+        |             ELSE '?b=' || CAST(doc_id % 7 AS VARCHAR)
+        |                  || '&a=' || CAST(doc_id % 3 AS VARCHAR) END)
+        |    || '#Section-2' AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS p_port,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qry
+        |  FROM u)
+        |SELECT doc_id,
+        |  scheme || '://' || host
+        |  || (CASE WHEN p_port <> '' AND NOT ((scheme = 'http' AND p_port = '80')
+        |             OR (scheme = 'https' AND p_port = '443'))
+        |        THEN ':' || p_port ELSE '' END)
+        |  || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+        |  || (CASE WHEN qry = '' THEN ''
+        |        ELSE '?' || list_aggregate(list_sort(string_split(qry, '&')), 'string_agg', '&') END)
+        |    AS url_canon
+        |FROM parts""".stripMargin,
+
     // Top-20 corpus bigrams, deterministic (count desc, bigram asc) cut.
     "q_bigrams" ->
       """WITH tok AS (

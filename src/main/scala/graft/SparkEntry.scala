@@ -1290,6 +1290,29 @@ object SparkEntry {
       graft.functions.TextFunctions.htmlExtract(html).as("extracted"))
   }
 
+  /** URL canonicalization ([[graft.functions.TextFunctions.canonicalUrl]]):
+    * messy crawl-record URLs are synthesized per document (mixed-case
+    * scheme/host, default and explicit ports, unsorted query params, a
+    * fragment — identically in both engines, the attachMedia pattern) and
+    * normalized to the grouping key URL-level crawl dedup runs on.
+    * Scan-only. */
+  private def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val url = F.concat(
+      F.when(id % 2 === 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+      F.lit("WWW.Site"), (id % 5).cast("string"), F.lit(".Example.COM"),
+      F.when(id % 2 === 0, F.lit(":80"))
+        .otherwise(F.when(id % 3 === 0, F.lit(":8443")).otherwise(F.lit(""))),
+      F.lit("/Articles/"), F.col("source"), F.lit("/item"),
+      F.when(id % 4 === 0, F.lit(""))
+        .otherwise(F.concat(F.lit("?b="), (id % 7).cast("string"),
+          F.lit("&a="), (id % 3).cast("string"))),
+      F.lit("#Section-2"))
+    T(s, dir, "documents").select(
+      F.col("doc_id"),
+      graft.functions.TextFunctions.canonicalUrl(url).as("url_canon"))
+  }
+
   /** Benchmark decontamination: training docs sharing any distinct 8-gram
     * with the eval slice (every 50th doc) — the pre-training-run
     * train/test-overlap audit. */
@@ -1846,6 +1869,7 @@ object SparkEntry {
     "q_pack" -> (qPack _),
     "q_scrub" -> (qScrub _),
     "q_html_extract" -> (qHtmlExtract _),
+    "q_url_canonical" -> (qUrlCanonical _),
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),

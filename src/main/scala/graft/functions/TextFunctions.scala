@@ -170,6 +170,33 @@ object TextFunctions {
     normalizeWs(decoded)
   }
 
+  /** URL canonicalization — the key-normalization step URL-level crawl
+    * dedup needs before any exact grouping: lowercase scheme + host
+    * (path/query case is significant, so left alone), strip the scheme's
+    * default port (:80/http, :443/https), default an empty path to "/",
+    * sort query parameters bytewise (param order is transport noise),
+    * drop the fragment. Pure regexp_extract/array_sort Column algebra in
+    * the Java∩RE2 subset — codegen'd, scan-only, replayed verbatim by
+    * the SQL oracle. Non-URL input degrades to "://" + best-effort parts
+    * rather than erroring (crawl data is dirty by definition). */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = F.lower(F.regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = F.lower(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    val port = F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)", 1)
+    val path0 = F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = F.when(path0 === "", F.lit("/")).otherwise(path0)
+    val query = F.regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQ = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    F.concat(scheme, F.lit("://"), host,
+      F.when(keepPort, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+      path,
+      F.when(query === "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), sortedQ)))
+  }
+
   /** Winnowing fingerprints: rolling-hash k-gram minima per w-window
     * (see [[graft.functions.expressions.WinnowExpr]]). array<bigint>. */
   def winnowFingerprints(text: Column, k: Int = 16, w: Int = 32): Column =

@@ -206,6 +206,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(3) == "spaced out")
   }
 
+  test("canonicalUrl: case, default ports, param order, fragments normalize") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "HTTP://Example.COM:80/Path/Sub?b=2&a=1#frag", // default port + unsorted + fragment
+      "https://Host.Net:443/",                       // https default port
+      "https://host.net:8443/x?z=1",                 // explicit port kept
+      "http://host.org",                             // empty path -> "/"
+      "ftp://Files.example.org:21/pub",              // unknown scheme: port kept
+      "no-scheme-at-all").toDF("url")
+    val out = df.select(TextFunctions.canonicalUrl(F.col("url")).as("u"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "http://example.com/Path/Sub?a=1&b=2")
+    assert(out(1) == "https://host.net/")
+    assert(out(2) == "https://host.net:8443/x?z=1")
+    assert(out(3) == "http://host.org/")
+    assert(out(4) == "ftp://files.example.org:21/pub")
+    assert(out(5) == "://" + "/") // dirty input degrades, never errors
+  }
+
   test("contamination flags planted n-gram overlap and nothing else") {
     import spark.implicits._
     import graft.dedup.Dedup
