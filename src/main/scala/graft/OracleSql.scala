@@ -1327,6 +1327,27 @@ object OracleSql {
           |       ELSE ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall
           |FROM m""".stripMargin),
 
+    // Leakage-safe split: fold key = the doc's verified dedup cluster id
+    // (own id when unclustered), then the q_folds md5-hex fold arithmetic
+    // at k = 10, last two folds val/test.
+    "q_split_leakage_safe" ->
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + componentsClosureCtes +
+        """, clus AS (
+          |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+          |keyed AS (
+          |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS split_key
+          |  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id),
+          |f AS (
+          |  SELECT doc_id, split_key,
+          |    ((strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 1, 1)) - 1) * 16
+          |      + strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 2, 1)) - 1) % 10 AS fold
+          |  FROM keyed)
+          |SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
+          |  CAST(fold AS BIGINT) AS fold,
+          |  CASE WHEN fold < 8 THEN 'train' WHEN fold < 9 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM f""".stripMargin),
+
     // Dedup clusters: recursive-CTE transitive closure (min label per
     // node) over the SAME verified-pair edge set the Spark side builds
     // (LSH candidates filtered to exact jaccard >= 0.5) — an independent

@@ -1107,6 +1107,16 @@ object SparkEntry {
     graft.dedup.Components.connectedComponentsStars(edges)
   }
 
+  /** Leakage-safe split ([[graft.operators.Sampling.leakageSafeSplit]]):
+    * train/val/test folds keyed by the dedup CLUSTER (q_dedup_components'
+    * verified clustering), so near-duplicates never straddle splits. */
+  private def qSplitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val edges = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("doc_a", "doc_b")
+    val clusters = graft.dedup.Components.connectedComponents(edges)
+    graft.operators.Sampling.leakageSafeSplit(docs, clusters)
+  }
+
   /** Top-3 TF-IDF keywords per document (rank window with
     * WindowGroupLimit, token tie-break). N rides as a literal from the
     * memoized count — no scalar-subquery branch in the plan
@@ -1863,6 +1873,7 @@ object SparkEntry {
     "q_upsert" -> (qUpsert _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_folds" -> (qFolds _),
+    "q_split_leakage_safe" -> (qSplitLeakageSafe _),
     "q_shuffle_shard" -> (qShuffleShard _),
     "q_rollup" -> (qRollup _),
     "q_chunk" -> (qChunk _),

@@ -65,6 +65,37 @@ object Sampling {
       .drop("_shuf_key")
   }
 
+  /** Leakage-safe train/val/test split: the fold key is the document's
+    * DEDUP CLUSTER id (its own id when unclustered), so near-duplicates
+    * can never straddle splits — the standard guard against training text
+    * leaking into a held-out set through a near-copy that a doc-id split
+    * is blind to. Folds come from [[foldAssign]] (md5 hex, engine-
+    * replicable); the last `testFolds` folds are test, the `valFolds`
+    * before them val, the rest train.
+    *
+    * Scale shape: `clusters` is the CLUSTERED subset only (a vanishing
+    * fraction of the corpus — the q_dedup_keep_near size argument), so
+    * the left join broadcasts; everything else is a pure per-row
+    * projection. Output: (id, split_key, fold, split). */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       idCol: String = "doc_id", k: Int = 10,
+                       valFolds: Int = 1, testFolds: Int = 1): DataFrame = {
+    require(k >= 2 && k <= 256, s"need 2 <= k <= 256, got $k")
+    require(valFolds >= 0 && testFolds >= 0 && valFolds + testFolds < k,
+      s"need valFolds + testFolds < k, got $valFolds + $testFolds vs $k")
+    val keyed = docs.select(F.col(idCol))
+      .join(F.broadcast(clusters.select(F.col(idCol), F.col("cluster_id"))),
+        Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("cluster_id"), F.col(idCol)).as("split_key"))
+    keyed
+      .withColumn("fold", foldAssign(F.col("split_key"), k))
+      .withColumn("split",
+        F.when(F.col("fold") < k - valFolds - testFolds, F.lit("train"))
+          .when(F.col("fold") < k - testFolds, F.lit("val"))
+          .otherwise(F.lit("test")))
+  }
+
   /** Temperature-scaled mixture weights — the data-MIXING allocator every
     * multi-source training run needs (cf. multilingual sampling p_s ∝
     * n_s^α): per-source token counts, α-tempered shares (α < 1 upsamples

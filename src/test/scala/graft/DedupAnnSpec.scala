@@ -127,6 +127,27 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(prec > 0.0 && prec <= 1.0 && recall <= 1.0, s"rates out of range: $row")
   }
 
+  test("leakageSafeSplit: a near-dup cluster never straddles splits") {
+    import graft.operators.Sampling
+    val docs = planted
+    val edges = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("doc_a", "doc_b")
+    val clusters = graft.dedup.Components.connectedComponents(edges)
+    val out = Sampling.leakageSafeSplit(docs, clusters).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 5)
+    // docs 1,2,3 form one verified cluster: same key, same fold, same split
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      s"cluster straddles splits: ${out.filterKeys(_ <= 3)}")
+    // unclustered docs key on their own id
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    // folds in range, labels legal
+    assert(out.values.forall { case (_, f, s) =>
+      f >= 0 && f < 10 && Set("train", "val", "test")(s) })
+    // the split label is a pure function of the fold arithmetic
+    assert(out.values.forall { case (_, f, s) =>
+      (f < 8 && s == "train") || (f == 8 && s == "val") || (f == 9 && s == "test") })
+  }
+
   test("ngram jaccard is 1.0 for identical docs and high for near dups") {
     val j = Dedup.ngramJaccard(planted)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
