@@ -7,11 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Sub-linearity assertion over the measured THREE-point scale
   * trajectory (round 9; VERDICT r8 task #7; re-measured each round the
-  * plans change — last in round 13 after the JIT-quiesce rework, the PQ
-  * rerank change, and the bloom-decontamination addition; regenerate
-  * with tools/trajectory.py). No sf1 dataset exists in this container,
-  * so the scale claim is pinned on the two 10x steps that do:
-  * docs/scale_trajectory_r13.json holds the full headline suite measured
+  * plans change — last in round 14 after the IVF rework, the one-action
+  * unigram-LM score, and the five heavies entering the headline;
+  * regenerate with tools/trajectory.py). No sf1 dataset exists in this
+  * container, so the scale claim is pinned on the two 10x steps that do:
+  * docs/scale_trajectory_r14.json holds the full headline suite measured
   * at sf0.001, sf0.01 AND sf0.1 with the same code, box, and methodology
   * for both engines (Spark best-of-N cold-cache after JIT warmup; DuckDB
   * best-of-3). Two independent decades make the fit a trajectory, not a
@@ -30,7 +30,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r13.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r14.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
