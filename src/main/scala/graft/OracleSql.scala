@@ -821,6 +821,20 @@ object OracleSql {
         |    AS url_canon
         |FROM parts""".stripMargin,
 
+    // Unicode NFC: the same decomposed-sequence salt, DuckDB's
+    // nfc_normalize vs the JDK Normalizer — both the Unicode-standard
+    // canonical composition, bit-exact.
+    "q_normalize_unicode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' Cafe' || chr(769) || ' nai' || chr(776) || 've A'
+        |         || chr(778) || 'ngstro' || chr(776) || 'm' AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+        |  nfc_normalize(raw) AS text_nfc,
+        |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_nfc
+        |FROM d""".stripMargin,
+
     // Top-20 corpus bigrams, deterministic (count desc, bigram asc) cut.
     "q_bigrams" ->
       """WITH tok AS (

@@ -1323,6 +1323,22 @@ object SparkEntry {
       graft.functions.TextFunctions.canonicalUrl(url).as("url_canon"))
   }
 
+  /** Unicode NFC normalization
+    * ([[graft.functions.TextFunctions.nfcNormalize]]): the corpus text is
+    * salted with DECOMPOSED combining sequences (e + U+0301 etc. —
+    * identically in both engines; the attachMedia pattern, since the
+    * synthetic corpus is pure ASCII) and composed back to canonical form;
+    * character counts before/after prove composition happened. */
+  private def qNormalizeUnicode(s: SparkSession, dir: String): DataFrame = {
+    val dirty = F.concat(F.col("text"),
+      F.lit(" Cafe\u0301 nai\u0308ve A\u030Angstro\u0308m"))
+    T(s, dir, "documents").select(
+      F.col("doc_id"),
+      F.length(dirty).cast("long").as("n_raw"),
+      graft.functions.TextFunctions.nfcNormalize(dirty).as("text_nfc"))
+      .withColumn("n_nfc", F.length(F.col("text_nfc")).cast("long"))
+  }
+
   /** Benchmark decontamination: training docs sharing any distinct 8-gram
     * with the eval slice (every 50th doc) — the pre-training-run
     * train/test-overlap audit. */
@@ -1881,6 +1897,7 @@ object SparkEntry {
     "q_scrub" -> (qScrub _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_canonical" -> (qUrlCanonical _),
+    "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),

@@ -170,6 +170,15 @@ object TextFunctions {
     normalizeWs(decoded)
   }
 
+  /** Unicode NFC normalization ([[graft.functions.expressions.NfcNormalizeExpr]]):
+    * composes decomposed combining sequences so visually-identical text
+    * hashes identically before dedup/fingerprinting. Native, codegen'd,
+    * zero-allocation on already-normalized rows. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.NfcNormalizeExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** URL canonicalization — the key-normalization step URL-level crawl
     * dedup needs before any exact grouping: lowercase scheme + host
     * (path/query case is significant, so left alone), strip the scheme's

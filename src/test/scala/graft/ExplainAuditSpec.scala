@@ -105,6 +105,7 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_scrub", maxExchange = 0),
     Audit("q_html_extract", maxExchange = 0),
     Audit("q_url_canonical", maxExchange = 0),
+    Audit("q_normalize_unicode", maxExchange = 0),
     Audit("q_chunk", maxExchange = 0),
     Audit("q_repetition", maxExchange = 0),
     Audit("q_json_extract", maxExchange = 0),

@@ -226,6 +226,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(5) == "://" + "/") // dirty input degrades, never errors
   }
 
+  test("nfcNormalize: composes decomposed marks, identity on ASCII, idempotent") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val decomposed = "Cafe\u0301 A\u030A"       // e+acute, A+ring
+    val composed = "Caf\u00e9 \u00c5"            // é, Å precomposed
+    val df = Seq(decomposed, composed, "plain ascii", "").toDF("t")
+    val out = df.select(
+      TextFunctions.nfcNormalize(F.col("t")).as("n"),
+      F.length(F.col("t")).as("len_raw"),
+      F.length(TextFunctions.nfcNormalize(F.col("t"))).as("len_nfc")).collect()
+    assert(out(0).getString(0) == composed)      // composition happened
+    assert(out(0).getInt(1) == 8 && out(0).getInt(2) == 6)
+    assert(out(1).getString(0) == composed)      // already-NFC: unchanged
+    assert(out(2).getString(0) == "plain ascii") // ASCII fast path
+    assert(out(3).getString(0) == "")
+    // idempotence: nfc(nfc(x)) == nfc(x), and dedup keys now collide
+    val keys = df.limit(2).select(
+      F.md5(TextFunctions.nfcNormalize(F.col("t"))).as("k")).collect().map(_.getString(0))
+    assert(keys(0) == keys(1), "visually-identical text still hashes apart after NFC")
+  }
+
   test("contamination flags planted n-gram overlap and nothing else") {
     import spark.implicits._
     import graft.dedup.Dedup
