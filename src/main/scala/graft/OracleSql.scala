@@ -772,8 +772,9 @@ object OracleSql {
         |  FROM documents),
         |strip AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '<[^>]*>', ' ', 'g') AS t
         |  FROM h),

@@ -351,6 +351,41 @@ object Dedup {
     *     cap must stay far above any real near-dup cluster's df anyway:
     *     the SQL oracle has no cap, so a binding cap at oracle scale
     *     would be a correctness bug, not a tuning choice.) */
+  /** The ONE per-doc shingle index (id, arr, n, sigs) both [[ngramJaccard]]
+    * and [[minhashEval]] build on — extracted so the eval harness can
+    * never drift from the production construction it claims to measure.
+    * Returns the MATERIALIZED frame plus the doc count (one count job,
+    * reused as the LSH bucket bound).
+    *
+    * No size(raw) > 0 filter: a doc with no shingles has no signatures,
+    * lands in no LSH bucket, and joins no pair — and the filter would be
+    * pushed below the repartition, re-evaluating ShingleExpr +
+    * array_distinct per row on the unspread scan.
+    *
+    * The hash + size + minhash fold all read `raw` in a second chained
+    * select: CollapseProject keeps the two projections separate (it
+    * refuses to duplicate the non-cheap shingle expression referenced
+    * three times), so ShingleExpr runs once per row, the raw strings
+    * live only inside that projection, and the cache holds
+    * (id, arr, n, sigs) — every index the consumer needs, one pass, one
+    * count job. */
+  private def docShingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int, bands: Int): (DataFrame, Long) = {
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+    val sigOverRaw = ColumnBridge.column(
+      graft.functions.expressions.MinhashSigsExpr(
+        ColumnBridge.expression(F.col("raw")), bands))
+    val hashedRaw = ColumnBridge.column(
+      graft.functions.expressions.XxHash64ArrayExpr(
+        ColumnBridge.expression(F.col("raw"))))
+    materializeCounted(
+      graft.Spread(docs)
+        .select(F.col(idCol), F.array_distinct(shingleArr).as("raw"))
+        .select(F.col(idCol), hashedRaw.as("arr"),
+          F.size(F.col("raw")).cast("long").as("n"), sigOverRaw.as("sigs")))
+  }
+
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = DefaultBands, minJaccard: Double = 0.0,
                    dfCap: Int = 100000): DataFrame = graft.CacheScope.scoped {
@@ -370,31 +405,7 @@ object Dedup {
     // that cache IS the corpus x 3 and permanently over any storage
     // fraction), and the per-pair intersection is a linear merge over
     // sorted longs (XxHash64ArrayExpr emits them sorted).
-    val shingleArr = ColumnBridge.column(
-      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
-    // No size(raw) > 0 filter: a doc with no shingles has no signatures,
-    // lands in no LSH bucket, and joins no pair — and the filter would be
-    // pushed below the repartition, re-evaluating ShingleExpr +
-    // array_distinct per row on the unspread scan.
-    //
-    // The hash + size + minhash fold all read `raw` in a second chained
-    // select: CollapseProject keeps the two projections separate (it
-    // refuses to duplicate the non-cheap shingle expression referenced
-    // three times), so ShingleExpr runs once per row, the raw strings
-    // live only inside that projection, and the cache holds
-    // (id, arr, n, sigs) — every index the query needs, one pass, one
-    // count job.
-    val sigOverRaw = ColumnBridge.column(
-      graft.functions.expressions.MinhashSigsExpr(
-        ColumnBridge.expression(F.col("raw")), bands))
-    val hashedRaw = ColumnBridge.column(
-      graft.functions.expressions.XxHash64ArrayExpr(
-        ColumnBridge.expression(F.col("raw"))))
-    val (docArr0, nDocs) = materializeCounted(
-      graft.Spread(docs)
-        .select(F.col(idCol), F.array_distinct(shingleArr).as("raw"))
-        .select(F.col(idCol), hashedRaw.as("arr"),
-          F.size(F.col("raw")).cast("long").as("n"), sigOverRaw.as("sigs")))
+    val (docArr0, nDocs) = docShingleIndex(docs, idCol, textCol, shingleN, bands)
     // Stopword-shingle df cap, engaged only when it CAN bind: df <= nDocs
     // always, so nDocs <= dfCap proves every shingle is under the cap and
     // the probe job is skipped (nDocs is free — materializeCounted already
@@ -478,22 +489,10 @@ object Dedup {
   def minhashEval(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                   shingleN: Int = 3, bands: Int = DefaultBands,
                   minJaccard: Double = 0.5): DataFrame = graft.CacheScope.scoped {
-    // Same one-pass (id, arr, n, sigs) table as ngramJaccard: hashed
-    // shingle sets + signatures from ONE ShingleExpr evaluation, cached at
-    // docs granularity — both the detector and the ground truth read it.
-    val shingleArr = ColumnBridge.column(
-      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
-    val sigOverRaw = ColumnBridge.column(
-      graft.functions.expressions.MinhashSigsExpr(
-        ColumnBridge.expression(F.col("raw")), bands))
-    val hashedRaw = ColumnBridge.column(
-      graft.functions.expressions.XxHash64ArrayExpr(
-        ColumnBridge.expression(F.col("raw"))))
-    val (docArr, nDocs) = materializeCounted(
-      graft.Spread(docs)
-        .select(F.col(idCol), F.array_distinct(shingleArr).as("raw"))
-        .select(F.col(idCol), hashedRaw.as("arr"),
-          F.size(F.col("raw")).cast("long").as("n"), sigOverRaw.as("sigs")))
+    // THE one-pass (id, arr, n, sigs) table — the identical
+    // [[docShingleIndex]] construction ngramJaccard runs in production,
+    // shared by extraction so the eval cannot drift from the detector.
+    val (docArr, nDocs) = docShingleIndex(docs, idCol, textCol, shingleN, bands)
     // Detector under test: the exact production candidate path.
     val sigs = docArr
       .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))

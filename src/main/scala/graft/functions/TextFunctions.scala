@@ -159,8 +159,13 @@ object TextFunctions {
     * dialects) so the SQL oracle replays it verbatim. Scan-only: a pure
     * map at 100 TB — no exchange, no UDF, no DOM allocation. */
   def htmlExtract(html: Column): Column = {
-    val noBlock = F.regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // TWO per-tag passes, not one alternation: the alternating form
+    // <(script|style)...</(script|style)> accepts MISMATCHED open/close
+    // pairs, so an embedded "</style>" inside a script string literal
+    // would terminate the script block early and leak code into the
+    // extracted text (RE2 has no backreferences to tie the tags).
+    val noScript = F.regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noBlock = F.regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = F.regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
     val noTags = F.regexp_replace(noComment, "<[^>]*>", " ")
     val decoded = Seq(

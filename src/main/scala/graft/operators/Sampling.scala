@@ -73,10 +73,14 @@ object Sampling {
     * replicable); the last `testFolds` folds are test, the `valFolds`
     * before them val, the rest train.
     *
-    * Scale shape: `clusters` is the CLUSTERED subset only (a vanishing
-    * fraction of the corpus — the q_dedup_keep_near size argument), so
-    * the left join broadcasts; everything else is a pure per-row
-    * projection. Output: (id, split_key, fold, split). */
+    * Scale shape: `clusters` is the CLUSTERED subset only — often a
+    * small fraction, but NOT guaranteed vanishing (web crawls run
+    * 20–50% clustered), so the join is left to the planner/AQE rather
+    * than hint-forced: a forced broadcast would hard-fail on the 8 GB
+    * limit exactly on the corpora this operator exists for, while AQE
+    * picks broadcast whenever the cluster map actually is small.
+    * Everything else is a pure per-row projection.
+    * Output: (id, split_key, fold, split). */
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
                        idCol: String = "doc_id", k: Int = 10,
                        valFolds: Int = 1, testFolds: Int = 1): DataFrame = {
@@ -84,7 +88,7 @@ object Sampling {
     require(valFolds >= 0 && testFolds >= 0 && valFolds + testFolds < k,
       s"need valFolds + testFolds < k, got $valFolds + $testFolds vs $k")
     val keyed = docs.select(F.col(idCol))
-      .join(F.broadcast(clusters.select(F.col(idCol), F.col("cluster_id"))),
+      .join(clusters.select(F.col(idCol), F.col("cluster_id")),
         Seq(idCol), "left")
       .select(F.col(idCol),
         F.coalesce(F.col("cluster_id"), F.col(idCol)).as("split_key"))

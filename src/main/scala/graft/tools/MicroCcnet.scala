@@ -30,6 +30,11 @@ object MicroCcnet {
         out = mk.count()
         val el = System.nanoTime() - t0
         if (el < best) best = el
+        // Drop any cache the fragment created: each rep builds a fresh
+        // DataFrame, so a leaked persist would ACCUMULATE corpus-sized
+        // blocks across reps and skew every later fragment's floor
+        // measurement under storage pressure.
+        spark.catalog.clearCache()
         i += 1
       }
       println(f"MICRO $label%-28s best=${best / 1e6}%9.1f ms rows=$out")

@@ -192,6 +192,10 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     val df = Seq(
       // script/style content (incl. angle brackets inside) must vanish
       "<p>keep</p><script>if (a<b) { drop(); }</script><style>h1>span{x:1}</style><p>also</p>",
+      // a '</style>' INSIDE a script string must not terminate the script
+      // block early and leak code (the mismatched-tag trap a single
+      // alternating regex falls into)
+      "<p>safe</p><script>document.write(\"</style>\");evil()</script><p>after</p>",
       // comments (multi-line) drop; self-closing tag strips
       "<div>one<!-- gone\nstill gone -->two</div><br/>",
       // entity decode order: &amp;lt; must yield literal '&lt;', not '<'
@@ -201,9 +205,10 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     val out = df.select(TextFunctions.htmlExtract(F.col("html")).as("t"))
       .collect().map(_.getString(0))
     assert(out(0) == "keep also")
-    assert(out(1) == "one two")
-    assert(out(2) == "a &lt; b <tag> \"q\" 's' c d")
-    assert(out(3) == "spaced out")
+    assert(out(1) == "safe after")
+    assert(out(2) == "one two")
+    assert(out(3) == "a &lt; b <tag> \"q\" 's' c d")
+    assert(out(4) == "spaced out")
   }
 
   test("canonicalUrl: case, default ports, param order, fragments normalize") {
