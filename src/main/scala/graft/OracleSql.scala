@@ -1584,6 +1584,11 @@ object OracleSql {
     // IDENTICAL answer the in-memory path computes, so the oracle IS the
     // q_ann_ivf oracle.
     "q_ann_ivf_indexed" -> annIvfSql,
+    // Incremental ingest: frozen-quantizer append must reproduce the
+    // from-scratch build exactly — the history prefix (vec_id < 512) IS
+    // the training sample window, so centroids, cells, and the served
+    // top-k are all bit-identical to q_ann_ivf's.
+    "q_ann_ivf_incremental" -> annIvfSql,
 
     "q_lang_id" -> langIdSql,
 

@@ -1687,6 +1687,37 @@ object SparkEntry {
     Ann.ivfTopKIndexed(s, path, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
   }
 
+  /** Last-built key of the staged INCREMENTAL IVF index (same
+    * one-reference contract as [[ivfIndexStaged]]). */
+  private val ivfIncStaged =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** IVF incremental ingest ([[graft.ann.Ann.ivfIndexAppend]]): the index
+    * is built on the dense history prefix (vec_id < 512 — exactly the
+    * trainers' sample window, so the frozen centroids are bit-identical
+    * to q_ann_ivf's full-corpus training), the remainder arrives as a
+    * later batch appended with the quantizer FROZEN (no retrain, no
+    * history re-read — the living-corpus lifecycle, the ANN analogue of
+    * q_dedup_incremental), then served partition-pruned. Oracle =
+    * q_ann_ivf's verbatim: freeze+append must reproduce the from-scratch
+    * build exactly. Crash-safe staging: the staged key is set only after
+    * the append lands; any earlier failure leaves a key mismatch and the
+    * next run rebuilds from scratch (init is a full overwrite). */
+  private def qAnnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "embeddings.parquet")}%016x"
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_$key"
+    val reuse = key == ivfIncStaged.get() &&
+      new java.io.File(path, "_SUCCESS").isFile
+    if (!reuse) {
+      ivfIncStaged.set(null) // invalidate while the index is in flux
+      Ann.ivfIndexInit(emb.filter(F.col("vec_id") < 512), path, cells = 16)
+      Ann.ivfIndexAppend(emb.filter(F.col("vec_id") >= 512), path)
+      ivfIncStaged.set(key)
+    }
+    Ann.ivfTopKIndexed(s, path, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
+  }
+
   /** Dense-id pre-densification (VERDICT r11 #8): a corpus whose vec_ids
     * are sparse (here 7·id+3 — snowflake-shaped) re-keyed 0..N−1 so the
     * IVF/PQ/k-means trainers' dense-seed precondition holds. The gate
@@ -1913,6 +1944,7 @@ object SparkEntry {
     "q_clf_quality" -> (qClfQuality _),
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
+    "q_ann_ivf_incremental" -> (qAnnIvfIncremental _),
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_profile" -> (qProfile _),
     "q_stream_enrich" -> (qStreamEnrich _),

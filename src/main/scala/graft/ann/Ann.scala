@@ -406,6 +406,32 @@ object Ann {
       .write.partitionBy("cell").mode("overwrite").parquet(path)
   }
 
+  /** Append NEW vectors to a persisted [[ivfIndexInit]] index WITHOUT
+    * retraining — the living-corpus lifecycle (the
+    * [[graft.dedup.Dedup.incremental]] analogue for vectors): the coarse
+    * quantizer is FROZEN (real deployments freeze it so cell layout,
+    * probe sets, and recall stay comparable across appends; retraining
+    * would silently re-shuffle every existing cell), the new batch is
+    * assigned to its nearest existing centroid and appended to the
+    * partitioned table. History is never re-read or re-written — the
+    * write touches only the new batch's rows, so appending 1 GB to a
+    * 100 TB index costs 1 GB of work. Serving ([[ivfTopKIndexed]]) is
+    * unchanged: appended files land inside the same cell=N partitions
+    * the partition-pruned read already probes. */
+  def ivfIndexAppend(newVectors: DataFrame, path: String,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     native: Boolean = true): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids: Array[(Int, Seq[Double])] =
+      spark.read.parquet(path + "_centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    graft.Spread(newVectors)
+      .select(F.col(idCol), F.col(embCol),
+        nearestCentroid(centroids, F.col(embCol), native).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
+
   /** Probe a persisted [[ivfIndexInit]] index: same probe-cell selection
     * and scoring tail as [[ivfTopK]] (bit-identical results for the same
     * training parameters), but the corpus side is the partitioned index

@@ -252,6 +252,34 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
       s"index read lost its cell partition pruning:\n$plan")
   }
 
+  test("IVF incremental append equals the from-scratch build, history untouched") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    // history = the trainers' dense sample window, batch = the rest
+    val history = emb.filter(F.col("vec_id") < 100)
+    val batch = emb.filter(F.col("vec_id") >= 100)
+    assert(batch.count() > 0, "precondition: a non-empty append batch")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_inc_spec")
+      .resolve("index").toString
+    Ann.ivfIndexInit(history, path, cells = 16, sampleN = 100)
+    val historyFiles = new java.io.File(path).listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).map(_.getName).toSet
+    Ann.ivfIndexAppend(batch, path)
+    // frozen-quantizer append reproduces the from-scratch in-memory build
+    // bit for bit (same training window, same assignment, same scoring)
+    val mem = Ann.ivfTopK(emb, q, k = 5, cells = 16, probes = 6, sampleN = 100)
+      .collect().map(_.toString).sorted.toSeq
+    val inc = Ann.ivfTopKIndexed(spark, path, q, k = 5, probes = 6)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc == mem, "incremental index diverged from the from-scratch build")
+    // the append wrote NEW files only — every history file survives
+    val afterFiles = new java.io.File(path).listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).map(_.getName).toSet
+    assert(historyFiles.subsetOf(afterFiles),
+      "append rewrote history files — the 1GB-appends-to-100TB claim is void")
+    assert(afterFiles.size > historyFiles.size, "append wrote nothing")
+  }
+
   test("PQ ANN: 16x-compressed codes still rank true neighbors into the rerank set") {
     import graft.ann.Pq
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
