@@ -1589,6 +1589,9 @@ object OracleSql {
     // the training sample window, so centroids, cells, and the served
     // top-k are all bit-identical to q_ann_ivf's.
     "q_ann_ivf_incremental" -> annIvfSql,
+    // Streaming ingest: the per-micro-batch frozen-quantizer appends must
+    // land the index in the identical end state — same oracle again.
+    "q_stream_ann_ingest" -> annIvfSql,
 
     "q_lang_id" -> langIdSql,
 

@@ -1718,6 +1718,65 @@ object SparkEntry {
     Ann.ivfTopKIndexed(s, path, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
   }
 
+  /** STREAMING IVF ingest gate
+    * ([[graft.streaming.StreamingOps.ivfIngestStream]]): the dense history
+    * prefix (vec_id < 512 — the trainers' sample window) seeds the
+    * persisted index; the remaining vectors arrive as TWO micro-batches
+    * (two staged files, maxFilesPerTrigger=1) through a real foreachBatch
+    * stream that appends each batch with the quantizer frozen and
+    * idempotent per-batch commits. Serving after the stream drains must
+    * equal the from-scratch build — the oracle is q_ann_ivf's verbatim.
+    * Index rebuilt fresh per call (a correctness gate, not a headline
+    * timing; q_ann_ivf_indexed times the steady-state serve). */
+  private def qStreamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "embeddings.parquet")}%016x"
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_ann_src_$key")
+    // Gate staging on the LAST-written artifact's commit marker (the
+    // qStreamDedupIncremental crash-consistency pattern).
+    if (!java.nio.file.Files.exists(srcDir.resolve("b2").resolve("_SUCCESS"))) {
+      rmTree(srcDir.toString)
+      emb.filter(F.col("vec_id") >= 512 && F.col("vec_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+      emb.filter(F.col("vec_id") >= 512 && F.col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b2").toString)
+    }
+    // fresh index every call: the stream APPENDS to it, so reuse across
+    // shots would double the appended vectors
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stream_$key"
+    rmTree(path)
+    rmTree(path + "_centroids")
+    Ann.ivfIndexInit(emb.filter(F.col("vec_id") < 512), path, cells = 16)
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+    val outDir = scratchCheckpoint("stream_ann_out")
+    val ckpt = scratchCheckpoint("stream_ann")
+    try {
+      graft.streaming.StreamingOps.ivfIngestStream(
+        stream, path, outDir, ckpt).awaitTermination()
+      // Serve — and pull through the driver: the index is rebuilt (and the
+      // tmp markers deleted) on later calls, so the returned frame must
+      // not re-read the scratch state lazily.
+      val rows = Ann.ivfTopKIndexed(
+        s, path, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
+        .collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    } finally { rmTree(ckpt); rmTree(outDir) }
+  }
+
   /** Dense-id pre-densification (VERDICT r11 #8): a corpus whose vec_ids
     * are sparse (here 7·id+3 — snowflake-shaped) re-keyed 0..N−1 so the
     * IVF/PQ/k-means trainers' dense-seed precondition holds. The gate
@@ -1945,6 +2004,7 @@ object SparkEntry {
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_ivf_incremental" -> (qAnnIvfIncremental _),
+    "q_stream_ann_ingest" -> (qStreamAnnIngest _),
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_profile" -> (qProfile _),
     "q_stream_enrich" -> (qStreamEnrich _),

@@ -132,6 +132,33 @@ object StreamingOps {
     * shard signatures once, an exchange-free probe of the bucketed
     * index, and a bucket-aligned append; history text is never
     * re-scanned at any batch. */
+  /** Streaming IVF index ingest — the vector analogue of
+    * [[incrementalDedupStream]]: each micro-batch of new embeddings is
+    * appended to the persisted cell-partitioned index with the quantizer
+    * FROZEN ([[graft.ann.Ann.ivfIndexAppend]] — no retrain, no history
+    * re-read), under the same idempotent per-batch commit: a replayed
+    * batch whose `batch=<id>/_SUCCESS` marker exists is skipped, so
+    * checkpoint recovery cannot double-append. The marker dir records the
+    * batch's id set (tiny — one long per vector). */
+  def ivfIngestStream(vectors: DataFrame, indexPath: String,
+                      outDir: String, checkpointDir: String,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val target = s"$outDir/batch=$batchId"
+        val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
+        if (!fs.exists(done)) {
+          graft.ann.Ann.ivfIndexAppend(
+            batch.select(batch(idCol), batch(embCol)), indexPath)
+          batch.select(batch(idCol))
+            .write.mode(SaveMode.Overwrite).parquet(target)
+        }
+      }
+      .start()
+
   def incrementalDedupStream(docs: DataFrame, indexTable: String,
                              outDir: String, checkpointDir: String,
                              idCol: String = "doc_id",
