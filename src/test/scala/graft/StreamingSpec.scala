@@ -126,6 +126,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(byDoc(1L).map(_._2).sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("web-prep operators (htmlExtract, nfcNormalize, canonicalUrl) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDS().toDF("doc_id", "url", "html")
+    val TF = graft.functions.TextFunctions
+    val out = stream.select(
+      F.col("doc_id"),
+      TF.canonicalUrl(F.col("url")).as("u"),
+      TF.nfcNormalize(TF.htmlExtract(F.col("html"))).as("t"))
+    val q = out.writeStream.format("memory").queryName("webprep_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "HTTP://Ex.COM:80/p?b=2&a=1#f",
+        "<p>Cafe\u0301</p><script>x()</script>"))
+    q.processAllAvailable()
+    val rows = spark.table("webprep_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, "http://ex.com/p?a=1&b=2", "Caf\u00e9")),
+      s"web-prep chain diverged on a stream: ${rows.toSeq}")
+  }
+
   test("dedupMinhashStream drops exact re-sends, keeps distinct docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
