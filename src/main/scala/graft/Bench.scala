@@ -27,7 +27,11 @@ object Bench {
     // unbenched perf can silently rot): index-served ANN, perplexity
     // buckets, DSIR selection, trained classifier, column profiling.
     "q_ann_ivf_indexed", "q_ccnet_buckets", "q_dsir_select",
-    "q_clf_quality", "q_profile")
+    "q_clf_quality", "q_profile",
+    // r14 addition: the WET-style extraction scan (data-bound, ratio ~1.2
+    // solo). q_url_canonical / q_normalize_unicode measured 0.18/0.15 s
+    // solo — the sub-0.2 s fixed-cost class, correctness-gated only.
+    "q_html_extract")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses
