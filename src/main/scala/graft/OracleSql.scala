@@ -1003,6 +1003,27 @@ object OracleSql {
          |GROUP BY f.doc_id, f.y, b.bv""".stripMargin
     },
 
+    // Calibration: the same GD chain, scores bucketed into deciles;
+    // mean score sums as DECIMAL so the aggregate is order-free, and the
+    // only doubles are the single divisions both engines share.
+    "q_clf_calibration" -> {
+      s"""WITH ${clfCtes(64, 4, 0.5)},
+         |scored AS (
+         |  SELECT f.doc_id, f.y,
+         |    ROUND(1.0/(1.0 + exp(-(CAST(SUM(CAST(w.w AS DECIMAL(38,18))) AS DOUBLE) + b.bv))), 6) AS clf_score
+         |  FROM feats f JOIN w4 w USING (bkt) CROSS JOIN b4 b
+         |  GROUP BY f.doc_id, f.y, b.bv),
+         |cal AS (
+         |  SELECT LEAST(CAST(floor(clf_score * 10) AS BIGINT), 9) AS decile,
+         |    COUNT(*) AS n, SUM(CAST(y AS BIGINT)) AS pos,
+         |    SUM(CAST(clf_score AS DECIMAL(38,18))) AS ssum
+         |  FROM scored GROUP BY 1)
+         |SELECT decile, n,
+         |  ROUND(CAST(pos AS DOUBLE) / n, 6) AS obs_rate,
+         |  ROUND(CAST(ssum AS DOUBLE) / n, 6) AS mean_score
+         |FROM cal""".stripMargin
+    },
+
     // CCNet perplexity buckets: the q_lm_score CTEs (rounded 6-dp score)
     // joined with the langId CASE chain, ranked per language on
     // (lm_score DESC, doc_id), then EXPLICIT ntile arithmetic on

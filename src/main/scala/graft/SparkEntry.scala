@@ -1399,6 +1399,31 @@ object SparkEntry {
       T(s, dir, "documents"),
       F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0)))
 
+  /** Classifier CALIBRATION ([[graft.functions.Classifier.trainScore]]
+    * output bucketed into score deciles): per decile, count, observed
+    * positive rate, and decimal-exact mean predicted score — the
+    * reliability-diagram table that tells a pipeline whether "0.9 means
+    * 90%" before it thresholds a corpus on the score. Completes the
+    * eval-harness family (lang-id confusion matrix, near-dup
+    * precision/recall). Mean score sums as DECIMAL(38,18) so the
+    * aggregate is order-free (hash-exact cross-engine). */
+  private def qClfCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.functions.Classifier.trainScore(
+      T(s, dir, "documents"),
+      F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    val dec = F.least(F.floor(F.col("clf_score") * 10).cast("long"), F.lit(9L))
+    scored.groupBy(dec.as("decile"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("label").cast("long")).as("pos"),
+        F.sum(F.col("clf_score").cast("decimal(38,18)")).as("ssum"))
+      .select(F.col("decile"), F.col("n"),
+        F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 6)
+          .as("obs_rate"),
+        F.round(F.col("ssum").cast("double") / F.col("n").cast("double"), 6)
+          .as("mean_score"))
+  }
+
   /** CCNet perplexity buckets
     * ([[graft.functions.UnigramLm.perplexityBuckets]]): head/middle/tail
     * thirds per language by unigram-LM score. The memoized corpus count
@@ -2001,6 +2026,7 @@ object SparkEntry {
     "q_ccnet_buckets_dist" -> (qCcnetBucketsDist _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_clf_quality" -> (qClfQuality _),
+    "q_clf_calibration" -> (qClfCalibration _),
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_ivf_incremental" -> (qAnnIvfIncremental _),

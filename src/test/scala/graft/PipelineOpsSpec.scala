@@ -412,6 +412,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r2 == r.map { case (k, v) => k -> v._2 }, "scores moved under repartitioning")
   }
 
+  test("calibration deciles: counts partition the corpus, rates in range") {
+    import graft.functions.Classifier
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val label = F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    val scored = Classifier.trainScore(docs, label)
+    val nScored = scored.count()
+    val dec = F.least(F.floor(F.col("clf_score") * 10).cast("long"), F.lit(9L))
+    val cal = scored.groupBy(dec.as("decile"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("label").cast("long")).as("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cal.map(_._2).sum == nScored, "deciles must partition the scored corpus")
+    cal.foreach { case (d, n, pos) =>
+      assert(d >= 0 && d <= 9, s"decile out of range: $d")
+      assert(pos >= 0 && pos <= n, s"observed positives exceed bucket size: $d")
+    }
+  }
+
   test("unimaxWeights: water-filling invariants on crafted and real sources") {
     import spark.implicits._
     import graft.operators.Sampling
