@@ -836,6 +836,54 @@ object OracleSql {
         |  CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_nfc
         |FROM d""".stripMargin,
 
+    // End-to-end web pipeline: synthesis + extract/compose/canonicalize
+    // chains replayed, URL-level keep-min dedup, survivor token counts.
+    "q_pipeline_web" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+        |    || 'WWW.Mirror' || CAST(doc_id % 25 AS VARCHAR) || '.Example.COM:80/'
+        |    || source || '/page?b=2&a=1#top' AS url,
+        |    '<html><body><script>track()</script><h1>' || source || '</h1><p>'
+        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |    || ' Cafe' || chr(769) || '</p></body></html>' AS html
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1) AS p_port,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS qry,
+        |    html
+        |  FROM raw),
+        |rec AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host
+        |    || (CASE WHEN p_port <> '' AND NOT ((scheme = 'http' AND p_port = '80')
+        |               OR (scheme = 'https' AND p_port = '443'))
+        |          THEN ':' || p_port ELSE '' END)
+        |    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+        |    || (CASE WHEN qry = '' THEN ''
+        |          ELSE '?' || list_aggregate(list_sort(string_split(qry, '&')), 'string_agg', '&') END)
+        |      AS url_canon,
+        |    nfc_normalize(trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t\n\f\r]+', ' ', 'g'))) AS text_clean
+        |  FROM parts),
+        |keep AS (
+        |  SELECT url_canon, MIN(doc_id) AS doc_id FROM rec GROUP BY url_canon)
+        |SELECT r.doc_id, r.url_canon,
+        |  CAST(len(list_filter(string_split_regex(r.text_clean, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |FROM rec r JOIN keep k ON k.url_canon = r.url_canon AND k.doc_id = r.doc_id""".stripMargin,
+
     // Top-20 corpus bigrams, deterministic (count desc, bigram asc) cut.
     "q_bigrams" ->
       """WITH tok AS (

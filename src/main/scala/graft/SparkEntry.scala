@@ -1339,6 +1339,42 @@ object SparkEntry {
       .withColumn("n_nfc", F.length(F.col("text_nfc")).cast("long"))
   }
 
+  /** END-TO-END WEB-CORPUS pipeline: the round-14 crawl operators chained
+    * the way a real ingest runs them — synthesize the messy crawl record
+    * (HTML page + unnormalized URL, both deterministic from the corpus:
+    * the attachMedia pattern), then extract ([[graft.functions.TextFunctions.htmlExtract]])
+    * → compose ([[graft.functions.TextFunctions.nfcNormalize]]) →
+    * canonicalize ([[graft.functions.TextFunctions.canonicalUrl]]) →
+    * URL-level dedup (keep the lowest doc_id per canonical URL — the URL
+    * synthesis is deliberately COARSE, doc_id%25 × source, so the dedup
+    * genuinely collapses ~95% of records) → per-survivor token count.
+    * Scale shape: one scan, one groupBy(url) exchange, one survivor join
+    * — the whole chain is the scan plus exactly the dedup shuffle. */
+  private def qPipelineWeb(s: SparkSession, dir: String): DataFrame = {
+    val TFx = graft.functions.TextFunctions
+    val id = F.col("doc_id")
+    val url = F.concat(
+      F.when(id % 2 === 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+      F.lit("WWW.Mirror"), (id % 25).cast("string"), F.lit(".Example.COM:80/"),
+      F.col("source"), F.lit("/page?b=2&a=1#top"))
+    val html = F.concat(
+      F.lit("<html><body><script>track()</script><h1>"), F.col("source"),
+      F.lit("</h1><p>"),
+      F.replace(F.replace(F.replace(F.col("text"),
+        F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"), F.lit("&gt;")),
+      F.lit(" Cafe\u0301</p></body></html>"))
+    val rec = T(s, dir, "documents").select(
+      id,
+      TFx.canonicalUrl(url).as("url_canon"),
+      TFx.nfcNormalize(TFx.htmlExtract(html)).as("text_clean"))
+    val keep = rec.groupBy(F.col("url_canon"))
+      .agg(F.min(F.col("doc_id")).as("doc_id"))
+    rec.join(keep, Seq("url_canon", "doc_id"))
+      .select(F.col("doc_id"), F.col("url_canon"),
+        TFx.tokenCount(F.col("text_clean")).cast("long").as("n_tok"))
+  }
+
   /** Benchmark decontamination: training docs sharing any distinct 8-gram
     * with the eval slice (every 50th doc) — the pre-training-run
     * train/test-overlap audit. */
@@ -2013,6 +2049,7 @@ object SparkEntry {
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
+    "q_pipeline_web" -> (qPipelineWeb _),
     "q_bigrams" -> (qBigrams _),
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),

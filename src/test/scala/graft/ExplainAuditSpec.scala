@@ -106,6 +106,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_html_extract", maxExchange = 0),
     Audit("q_url_canonical", maxExchange = 0),
     Audit("q_normalize_unicode", maxExchange = 0),
+    // scan + the keep-min agg + the survivor join (keep is NOT broadcast
+    // by hint: at scale it is the distinct-URL table, corpus-fraction)
+    Audit("q_pipeline_web", maxExchange = 3),
     Audit("q_chunk", maxExchange = 0),
     Audit("q_repetition", maxExchange = 0),
     Audit("q_json_extract", maxExchange = 0),
