@@ -1435,6 +1435,35 @@ object SparkEntry {
       T(s, dir, "documents"),
       F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0)))
 
+  /** BPE tokenizer TRAINING on the engine ([[graft.functions.Bpe.train]]):
+    * one corpus scan to word counts, then K merge iterations over the
+    * vocabulary table only. Rows-only by design (greedy within-word
+    * re-segmentation is sequential — no SQL oracle exists; BpeSpec pins
+    * the semantics against an independent reference implementation, the
+    * row-45/102 precedent). Output = the ordered merge table. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Bpe.train(T(s, dir, "documents"), numMerges = 16)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+      .toDF("merge_rank", "left", "right", "merged")
+  }
+
+  /** BPE ENCODE with the trained merges ([[graft.functions.Bpe.encode]]):
+    * tokenize the corpus, report per-doc token counts + reconstruction
+    * checksum inputs (token char total must equal word char total — the
+    * losslessness the spec proves, surfaced as data). Rows-only. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val merges = graft.functions.Bpe.train(docs, numMerges = 16)
+    graft.functions.Bpe.encode(docs, merges)
+      .groupBy(F.col("doc_id"))
+      .agg(
+        F.count(F.lit(1)).as("n_bpe_tokens"),
+        F.countDistinct(F.col("token")).as("n_distinct_tokens"),
+        F.sum(F.length(F.col("token")).cast("long")).as("n_token_chars"))
+  }
+
   /** Classifier CALIBRATION ([[graft.functions.Classifier.trainScore]]
     * output bucketed into score deciles): per decile, count, observed
     * positive rate, and decimal-exact mean predicted score — the
@@ -2064,6 +2093,8 @@ object SparkEntry {
     "q_dsir_select" -> (qDsirSelect _),
     "q_clf_quality" -> (qClfQuality _),
     "q_clf_calibration" -> (qClfCalibration _),
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_ivf_incremental" -> (qAnnIvfIncremental _),

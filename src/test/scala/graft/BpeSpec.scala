@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Bpe
+
+/** BPE trainer/encoder semantics, pinned against an INDEPENDENT
+  * collections-based reference implementation (different algorithm path:
+  * the reference carries the segmented vocabulary forward and recounts
+  * pairs each round; the engine re-segments from scratch per iteration)
+  * on a hand-checkable corpus and on randomized ones — the row-45/102
+  * oracle substitute for a non-SQL-replicable operator. */
+class BpeSpec extends AnyFunSuite with SparkFixture {
+
+  /** Reference trainer: explicit segmented vocab, recount every round.
+    * Same contract (word-internal merges, count >= 2, tie-break
+    * (count DESC, left ASC, right ASC)), independent mechanics. */
+  private def referenceTrain(words: Seq[String], numMerges: Int): Vector[(String, String)] = {
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var segs: Map[String, Vector[String]] =
+      counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, syms) <- segs; i <- 0 until syms.length - 1)
+        pairCounts((syms(i), syms(i + 1))) =
+          pairCounts.getOrElse((syms(i), syms(i + 1)), 0L) + counts(w)
+      val eligible = pairCounts.filter(_._2 >= 2L)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((l, r), _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        merges :+= ((l, r))
+        segs = segs.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    merges
+  }
+
+  test("trained merges match the reference on the classic toy corpus") {
+    import spark.implicits._
+    // Sennrich-style toy distribution (no end-of-word marker — documented)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Bpe.train(docs, numMerges = 8)
+    val want = referenceTrain(words, 8)
+    assert(got == want, s"engine merges $got != reference $want")
+    // hand-checked head: 'es' (9 = newest+widest) then 'est' (9) dominate
+    assert(got.take(2) == Vector(("e", "s"), ("es", "t")), s"unexpected head: $got")
+  }
+
+  test("trained merges match the reference on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcd"
+      val words = Seq.fill(120)(
+        (0 until (2 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(30).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val got = Bpe.train(docs, numMerges = 10)
+      val want = referenceTrain(words, 10)
+      assert(got == want, s"trial $trial: engine $got != reference $want")
+      // and the result is partitioning-invariant (deterministic tie-break)
+      val got2 = Bpe.train(docs.repartition(7), numMerges = 10)
+      assert(got2 == got, s"trial $trial: merges moved under repartitioning")
+    }
+  }
+
+  test("encode: tokens concatenate back to the word, segmentation consistent") {
+    import spark.implicits._
+    val docs = Seq((1L, "lowest lower low"), (2L, "newest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 6)
+    val rows = Bpe.encode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    // lossless: per (doc, word occurrence? -- words here are distinct per doc)
+    rows.groupBy(x => (x._1, x._2)).foreach { case ((_, w), toks) =>
+      val rebuilt = toks.sortBy(_._3).map(_._4).mkString
+      assert(rebuilt == w, s"tokens for '$w' rebuilt to '$rebuilt'")
+    }
+    // every token equals segment()'s output at its position
+    rows.groupBy(x => (x._1, x._2)).foreach { case ((_, w), toks) =>
+      assert(toks.sortBy(_._3).map(_._4).toVector == Bpe.segment(w, merges))
+    }
+  }
+}
