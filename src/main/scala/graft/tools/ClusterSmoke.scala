@@ -32,6 +32,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *   - ShingleExpr + decimal-exact DSIR sums        → q_dsir_weights
   *   - MediaDecoder factory (mapPartitions)         → q_multimodal_frames
   *   - NfcNormalizeExpr (r14 native expression)     → q_normalize_unicode
+  *   - Bpe trainer + encode flatMap closures (r14)  → q_bpe_encode
   *   - CentroidScoresExpr (r14, centroid ref-obj)   → q_ann_ivf
   *   - StatefulLogic batch path (flatMapGroups)     → q_stateful_map
   *   - StatefulLogic streaming (transformWithState,
@@ -50,7 +51,7 @@ object ClusterSmoke {
     "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
     "q_fingerprint_winnow", "q_trim_spans", "q_tfidf",
     "q_ann_brute", "q_ann_pq", "q_lm_score", "q_dsir_weights",
-    "q_normalize_unicode", "q_ann_ivf",
+    "q_normalize_unicode", "q_ann_ivf", "q_bpe_encode",
     "q_multimodal_frames", "q_stateful_map", "q_stream_stateful")
 
   /** Canonical result hash: columns sorted by name, every value rendered
