@@ -53,16 +53,20 @@ object Dsir {
                         idCol: String = "doc_id", textCol: String = "text",
                         buckets: Int = 8192): DataFrame = graft.CacheScope.scoped {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
-    def grams(c: Column): Column = {
-      def sh(n: Int) = ColumnBridge.column(
-        graft.functions.expressions.ShingleExpr(ColumnBridge.expression(c), n))
-      // ShingleExpr yields an EMPTY array (not null) below n tokens, so
-      // the concat is null only for null text — explode then drops both
-      // token-less and null docs, matching the oracle's len(w) >= 1 gate.
-      F.concat(sh(1), sh(2))
-    }
-    def bucket(g: Column): Column =
-      F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % buckets
+    // ONE native pass per row ([[graft.functions.expressions.DsirBucketsExpr]]):
+    // unigram + bigram bucket ids with no gram strings and no hex-string
+    // conv arithmetic — bit-identical to the former
+    // conv(substr(md5(g),1,8),16,10) % buckets Column chain (the oracle
+    // still computes that form, so hash-exactness IS the equivalence
+    // proof; codegen parity spec'd). Wall-neutral at bench scale
+    // (MicroDsir: the cost is the profile agg + scoring join constants,
+    // not per-gram scalars) — kept for the eliminated per-gram
+    // string/hex allocations. Empty/token-less text yields an empty
+    // array (null text → null) — explode drops both, matching the
+    // oracle's len(w) >= 1 gate.
+    def gramBuckets(c: Column): Column = ColumnBridge.column(
+      graft.functions.expressions.DsirBucketsExpr(
+        ColumnBridge.expression(c), buckets))
 
     // The corpus-sized stream, RE-DERIVED per consumer (raw profile +
     // scoring), not cached: A/B at sf0.1 (r14) measured the cache a
@@ -76,8 +80,7 @@ object Dsir {
     // exchange of gram rows at all.
     val corpusGrams = (
       graft.Spread.byKey(corpus, idCol)
-        .select(F.col(idCol), F.explode(grams(F.col(textCol))).as("g"))
-        .select(F.col(idCol), bucket(F.col("g")).as("bkt")))
+        .select(F.col(idCol), F.explode(gramBuckets(F.col(textCol))).as("bkt")))
 
     // Profiles are ≤`buckets` rows — cached so their multiple consumers
     // (the ratio join AND the one-row totals) re-read B rows instead of
@@ -87,8 +90,7 @@ object Dsir {
         .agg(F.count(F.lit(1)).as("rc")))
     val tgtProf = graft.CacheScope.materialize(
       graft.Spread(target)
-        .select(F.explode(grams(F.col(textCol))).as("g"))
-        .select(bucket(F.col("g")).as("bkt"))
+        .select(F.explode(gramBuckets(F.col(textCol))).as("bkt"))
         .groupBy(F.col("bkt")).agg(F.count(F.lit(1)).as("tc")))
 
     // Smoothed log-ratio per bucket, on the ≤`buckets`-row profile table.

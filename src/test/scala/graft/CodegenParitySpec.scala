@@ -29,7 +29,9 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_contamination_bloom", // BloomHitsExpr (r13; addReferenceObj bitset)
     "q_dup_paragraphs", // TokenBlocksExpr (r13; null on token-less docs)
     "q_trim_spans", // ShingleExpr-positional + native tokens() (r13)
-    "q_gopher_rules" // GopherStatsExpr (r13; struct-valued single pass)
+    "q_gopher_rules", // GopherStatsExpr (r13; struct-valued single pass)
+    "q_normalize_unicode", // NfcNormalizeExpr (r14; zero-alloc fast path)
+    "q_dsir_weights" // DsirBucketsExpr (r14; byte-digest bucket ids)
   )
 
   private def rows(df: DataFrame): Seq[String] =
