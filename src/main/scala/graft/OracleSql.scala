@@ -581,6 +581,16 @@ object OracleSql {
         |  CAST(SUM(len(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // Dirty-source accounting: the staging rule (doc_id % 17 == 0 lines
+    // corrupted) replayed on the original table — good rows round-trip,
+    // corrupt rows are isolated, nothing is silently dropped.
+    "q_source_dirty" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN doc_id % 17 <> 0 THEN len(text) ELSE 0 END) AS BIGINT) AS n_good_chars
+        |FROM documents""".stripMargin,
+
     "q_source_iterator" ->
       """SELECT CAST(r AS BIGINT) AS i, CAST(r * r AS BIGINT) AS sq, CAST(r % 7 AS BIGINT) AS bucket
         |FROM range(0, 1000) t(r)""".stripMargin,

@@ -890,6 +890,40 @@ object SparkEntry {
         F.sum(F.length(F.col("text")).cast("long")).as("sum_len"))
   }
 
+  /** DIRTY-source ingestion: crawl-scale JSONL always carries malformed
+    * records; this gate stages the corpus as JSONL with a deterministic
+    * slice CORRUPTED (doc_id % 17 == 0: the closing brace is cut, so the
+    * line cannot parse), reads it back under PERMISSIVE mode with a
+    * corrupt-record column, and accounts for both sides — good rows must
+    * round-trip losslessly, corrupt rows must be isolated (never dropped
+    * silently, never failing the job). The oracle replays the accounting
+    * from the staging rule on the original table. */
+  private def qSourceDirty(s: SparkSession, dir: String): DataFrame = {
+    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_dirty_$key")
+    if (!java.nio.file.Files.exists(staged.resolve("_SUCCESS"))) {
+      rmTree(staged.toString)
+      val line = F.to_json(F.struct(F.col("doc_id"), F.col("text")))
+      T(s, dir, "documents")
+        .select(
+          F.when(F.col("doc_id") % 17 === 0,
+            line.substr(F.lit(1), F.length(line) - 1))
+            .otherwise(line).as("value"))
+        .coalesce(1).write.mode("overwrite").text(staged.toString)
+    }
+    s.read
+      .schema("doc_id BIGINT, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(staged.toString)
+      .agg(
+        F.count(F.when(F.col("_corrupt_record").isNull, F.lit(1))).as("n_good"),
+        F.count(F.col("_corrupt_record")).as("n_corrupt"),
+        F.coalesce(F.sum(F.when(F.col("_corrupt_record").isNull,
+          F.length(F.col("text")).cast("long"))), F.lit(0L)).as("n_good_chars"))
+  }
+
   private def qSourceIterator(s: SparkSession, dir: String): DataFrame =
     GraftStream(RangeSource(1000).load(s))
       .map(F.col("i"), (F.col("i") * F.col("i")).as("sq"), (F.col("i") % 7).as("bucket"))
@@ -2044,6 +2078,7 @@ object SparkEntry {
     "q_outer_join" -> (qOuterJoin _),
     "q_source_parquet" -> (qSourceParquet _),
     "q_source_jsonl" -> (qSourceJsonl _),
+    "q_source_dirty" -> (qSourceDirty _),
     "q_source_iterator" -> (qSourceIterator _),
     "q_source_stateless" -> (qSourceStateless _),
     "q_source_stateful" -> (qSourceStateful _),
