@@ -499,7 +499,7 @@ object SparkEntry {
     * wm stuck at max_real − 30d, zero outer rows, state never evicted).
     * Oracle: the batch LEFT JOIN over the real events table. */
   private def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "events.parquet")}%016x"
+    val key = stageKey(dir, "events.parquet")
     val srcDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_outer_src_$key")
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
@@ -590,7 +590,7 @@ object SparkEntry {
     val cutUs = (loUs + hiUs) / 2
     val s1Us = hiUs + ttlMs * 1000L + hourUs // pushes the frontier past every real deadline
     val s2Us = s1Us + hourUs                 // the expiry-delivery batch
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "events.parquet")}%016x"
+    val key = stageKey(dir, "events.parquet")
     val srcA = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_rescale_resume_a_$key")
     val srcRest = java.nio.file.Paths.get(
@@ -876,8 +876,15 @@ object SparkEntry {
     finally st.close()
   }
 
+  /** The (dir, source-stamp) staging key every stage-once gate uses
+    * (review r14: ten hand-rolled copies of the same format string):
+    * in-place testdata regeneration flips the stamp, so stale staged
+    * copies are discarded instead of silently graded. */
+  private def stageKey(dir: String, table: String): String =
+    f"${dir.hashCode}%08x_${srcStamp(dir, table)}%016x"
+
   private def qSourceJsonl(s: SparkSession, dir: String): DataFrame = {
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
+    val key = stageKey(dir, "documents.parquet")
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_jsonl_${new java.io.File(dir).getName}_$key")
     if (!java.nio.file.Files.exists(staged.resolve("_SUCCESS")))
@@ -899,7 +906,7 @@ object SparkEntry {
     * silently, never failing the job). The oracle replays the accounting
     * from the staging rule on the original table. */
   private def qSourceDirty(s: SparkSession, dir: String): DataFrame = {
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
+    val key = stageKey(dir, "documents.parquet")
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_dirty_$key")
     if (!java.nio.file.Files.exists(staged.resolve("_SUCCESS"))) {
@@ -1382,8 +1389,11 @@ object SparkEntry {
     * URL-level dedup (keep the lowest doc_id per canonical URL — the URL
     * synthesis is deliberately COARSE, doc_id%25 × source, so the dedup
     * genuinely collapses ~95% of records) → per-survivor token count.
-    * Scale shape: one scan, one groupBy(url) exchange, one survivor join
-    * — the whole chain is the scan plus exactly the dedup shuffle. */
+    * Scale shape: ONE scan and ONE exchange — window-min over url_canon
+    * (the q_pipeline window-min precedent; review r14 caught the earlier
+    * groupBy+self-join form re-running the regex chain twice as two
+    * independent scan subtrees). Window partitions are duplicate groups
+    * — bounded small by construction. Plan-pinned maxExchange = 1. */
   private def qPipelineWeb(s: SparkSession, dir: String): DataFrame = {
     val TFx = graft.functions.TextFunctions
     val id = F.col("doc_id")
@@ -1402,9 +1412,10 @@ object SparkEntry {
       id,
       TFx.canonicalUrl(url).as("url_canon"),
       TFx.nfcNormalize(TFx.htmlExtract(html)).as("text_clean"))
-    val keep = rec.groupBy(F.col("url_canon"))
-      .agg(F.min(F.col("doc_id")).as("doc_id"))
-    rec.join(keep, Seq("url_canon", "doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("url_canon")).orderBy(F.col("doc_id"))
+    rec.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") === 1)
       .select(F.col("doc_id"), F.col("url_canon"),
         TFx.tokenCount(F.col("text_clean")).cast("long").as("n_tok"))
   }
@@ -1604,7 +1615,7 @@ object SparkEntry {
 
   private def docCount(s: SparkSession, dir: String): Long =
     docCountMemo.computeIfAbsent(
-      f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x",
+      stageKey(dir, "documents.parquet"),
       _ => T(s, dir, "documents").count())
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
@@ -1663,7 +1674,7 @@ object SparkEntry {
     val docs = T(s, dir, "documents")
     val old = docs.filter(F.col("doc_id") % 2 === 0)
     val fresh = docs.filter(F.col("doc_id") % 2 === 1)
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
+    val key = stageKey(dir, "documents.parquet")
     val reuse = key == incrementalStaged.get() && s.catalog.tableExists("graft_sig_index")
     if (!reuse) {
       incrementalStaged.set(null) // invalidate while the table is in flux
@@ -1705,7 +1716,7 @@ object SparkEntry {
     val docs = T(s, dir, "documents")
     // two-file staging: odd docs split 1 mod 4 / 3 mod 4 (deterministic),
     // one file per micro-batch
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "documents.parquet")}%016x"
+    val key = stageKey(dir, "documents.parquet")
     val srcDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_inc_src_$key")
     // Gate on the LAST-written artifact's commit marker: b1 appears at
@@ -1799,7 +1810,7 @@ object SparkEntry {
     * the partition-pruned read of only the probed cells. */
   private def qAnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "embeddings.parquet")}%016x"
+    val key = stageKey(dir, "embeddings.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
     val reuse = key == ivfIndexStaged.get() &&
       new java.io.File(path, "_SUCCESS").isFile
@@ -1829,7 +1840,7 @@ object SparkEntry {
     * next run rebuilds from scratch (init is a full overwrite). */
   private def qAnnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "embeddings.parquet")}%016x"
+    val key = stageKey(dir, "embeddings.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_inc_$key"
     val reuse = key == ivfIncStaged.get() &&
       new java.io.File(path, "_SUCCESS").isFile
@@ -1854,7 +1865,7 @@ object SparkEntry {
     * timing; q_ann_ivf_indexed times the steady-state serve). */
   private def qStreamAnnIngest(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val key = f"${dir.hashCode}%08x_${srcStamp(dir, "embeddings.parquet")}%016x"
+    val key = stageKey(dir, "embeddings.parquet")
     val srcDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_ann_src_$key")
     // Gate staging on the LAST-written artifact's commit marker (the

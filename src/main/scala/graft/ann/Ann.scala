@@ -454,10 +454,21 @@ object Ann {
     // The norm is re-derived from the stored floats on read (not persisted
     // in the index), so it is the identical double the in-memory path
     // computes — and only probed cells' rows ever pay the dot.
+    //
+    // dropDuplicates(neighbor_id): serving is IDEMPOTENT to a replayed
+    // append. [[graft.streaming.StreamingOps.ivfIngestStream]]'s commit
+    // marker lands AFTER the (non-transactional parquet) append, so a
+    // crash in that window replays the batch and duplicates its rows —
+    // duplicated neighbors would occupy two of the k result positions.
+    // Duplicate rows are full-row identical (same id, same embedding),
+    // so the dedup is value-free on a clean index, runs on the PROBED
+    // subset only (probes/cells of the data), and converts the ingest's
+    // at-least-once appends into exactly-once serving.
     val c = spark.read.parquet(path)
       .filter(F.col("cell").isin(probed.toSeq: _*))
       .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
         normCol(F.col(embCol), native).as("c_norm"), F.col("cell"))
+      .dropDuplicates("neighbor_id")
     ivfScore(c, q, k, native)
   }
 

@@ -21,8 +21,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *     TakeOrdered(1) — the same "global argmax with deterministic
   *     tie-break" shape as the k-means trainers. Driver state is the
   *     merge list itself: K pairs, bounded like the centroid arrays.
-  *   - Ties break on (count DESC, left ASC, right ASC) — total order, so
-  *     training is bit-reproducible across partitionings and engines.
+  *   - Ties break on (count DESC, left ASC, right ASC), where string
+  *     order is UTF-8 BYTE order (what Spark's orderBy compares) — a
+  *     total order, so training is bit-reproducible across partitionings
+  *     and engines. Note the contract precisely: byte order differs from
+  *     Java's UTF-16 compareTo for supplementary-plane symbols (emoji vs
+  *     U+E000+ BMP chars); BpeSpec's independent reference compares
+  *     bytes for exactly this reason.
   *
   * Training is NOT SQL-replicable (greedy left-to-right re-segmentation
   * is sequential within a word; a recursive-CTE replay would be a
@@ -37,7 +42,12 @@ object Bpe {
     * merges-so-far). Pure and allocation-light; lives on executors inside
     * [[train]]'s per-iteration closure and [[encode]]'s flatMap. */
   def segment(word: String, merges: Seq[(String, String)]): Vector[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    // Base symbols are CODE POINTS, not UTF-16 chars: a char-level split
+    // would make each half of a surrogate pair (emoji etc.) its own
+    // symbol — a lone surrogate is not valid UTF-8, so those "symbols"
+    // mangle to '?' the moment they round-trip through a UTF8String
+    // column and distinct pairs collapse.
+    var syms: Vector[String] = codePoints(word)
     var mi = 0
     while (mi < merges.length) {
       val (l, r) = merges(mi)
@@ -55,6 +65,18 @@ object Bpe {
       mi += 1
     }
     syms
+  }
+
+  /** One string per Unicode code point (surrogate pairs stay whole). */
+  private def codePoints(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
   /** The one-corpus-scan word-count table `(word, n)` the trainer and

@@ -132,33 +132,6 @@ object StreamingOps {
     * shard signatures once, an exchange-free probe of the bucketed
     * index, and a bucket-aligned append; history text is never
     * re-scanned at any batch. */
-  /** Streaming IVF index ingest — the vector analogue of
-    * [[incrementalDedupStream]]: each micro-batch of new embeddings is
-    * appended to the persisted cell-partitioned index with the quantizer
-    * FROZEN ([[graft.ann.Ann.ivfIndexAppend]] — no retrain, no history
-    * re-read), under the same idempotent per-batch commit: a replayed
-    * batch whose `batch=<id>/_SUCCESS` marker exists is skipped, so
-    * checkpoint recovery cannot double-append. The marker dir records the
-    * batch's id set (tiny — one long per vector). */
-  def ivfIngestStream(vectors: DataFrame, indexPath: String,
-                      outDir: String, checkpointDir: String,
-                      idCol: String = "vec_id",
-                      embCol: String = "embedding"): StreamingQuery =
-    vectors.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val target = s"$outDir/batch=$batchId"
-        val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
-        if (!fs.exists(done)) {
-          graft.ann.Ann.ivfIndexAppend(
-            batch.select(batch(idCol), batch(embCol)), indexPath)
-          batch.select(batch(idCol))
-            .write.mode(SaveMode.Overwrite).parquet(target)
-        }
-      }
-      .start()
-
   def incrementalDedupStream(docs: DataFrame, indexTable: String,
                              outDir: String, checkpointDir: String,
                              idCol: String = "doc_id",
@@ -166,15 +139,58 @@ object StreamingOps {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val target = s"$outDir/batch=$batchId"
-        val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
-        if (!fs.exists(done)) {
-          val pairs = graft.dedup.Dedup.incremental(
-            batch.select(batch(idCol), batch(textCol)),
-            indexTable, idCol, textCol)
-          pairs.write.mode(SaveMode.Overwrite).parquet(target)
-        }
-      }
+      .foreachBatch(markerGated(outDir) { (batch, target) =>
+        val pairs = graft.dedup.Dedup.incremental(
+          batch.select(batch(idCol), batch(textCol)),
+          indexTable, idCol, textCol)
+        pairs.write.mode(SaveMode.Overwrite).parquet(target)
+      })
       .start()
+
+  /** Streaming IVF index ingest — the vector analogue of
+    * [[incrementalDedupStream]]: each micro-batch of new embeddings is
+    * appended to the persisted cell-partitioned index with the quantizer
+    * FROZEN ([[graft.ann.Ann.ivfIndexAppend]] — no retrain, no history
+    * re-read), gated per batch by [[markerGated]]. The marker dir records
+    * the batch's id set (tiny — one long per vector).
+    *
+    * Delivery contract, stated honestly (review r14): the marker commits
+    * AFTER the (non-transactional parquet) append, so a crash inside that
+    * window replays the batch and the append is AT-LEAST-ONCE — the same
+    * window [[incrementalDedupStream]] carries, where it is value-safe
+    * because the pair set is DISTINCT. Here duplicated index rows would
+    * corrupt top-k, so the exactly-once EFFECT is restored at the other
+    * end: [[graft.ann.Ann.ivfTopKIndexed]] dedups the probed rows on the
+    * vector id (full-row-identical duplicates; probed-subset cost), making
+    * serving idempotent to replayed appends (spec: double-append equals
+    * the clean build). */
+  def ivfIngestStream(vectors: DataFrame, indexPath: String,
+                      outDir: String, checkpointDir: String,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(markerGated(outDir) { (batch, target) =>
+        graft.ann.Ann.ivfIndexAppend(
+          batch.select(batch(idCol), batch(embCol)), indexPath)
+        batch.select(batch(idCol))
+          .write.mode(SaveMode.Overwrite).parquet(target)
+      })
+      .start()
+
+  /** The ONE per-batch replay gate both ingest streams share (review r14:
+    * three hand-rolled copies drift): run `action(batch, targetDir)` only
+    * when `outDir/batch=<id>/_SUCCESS` is absent — a replayed batch whose
+    * marker committed is a full no-op. The action must END by writing
+    * `targetDir` (whose _SUCCESS is the commit marker); anything it does
+    * BEFORE that write is at-least-once under a crash and must be
+    * value-safe or reader-deduplicated (see the two call sites). */
+  private def markerGated(outDir: String)(
+      action: (DataFrame, String) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val target = s"$outDir/batch=$batchId"
+      val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
+      if (!fs.exists(done)) action(batch, target)
+  }
 }

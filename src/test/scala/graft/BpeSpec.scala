@@ -17,8 +17,18 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     * (count DESC, left ASC, right ASC)), independent mechanics. */
   private def referenceTrain(words: Seq[String], numMerges: Int): Vector[(String, String)] = {
     val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def cps(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
     var segs: Map[String, Vector[String]] =
-      counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      counts.keys.map(w => w -> cps(w)).toMap
     var merges = Vector.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -29,7 +39,29 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
       val eligible = pairCounts.filter(_._2 >= 2L)
       if (eligible.isEmpty) done = true
       else {
-        val ((l, r), _) = eligible.minBy { case ((a, b), c) => (-c, a, b) }
+        // tie-break in UTF-8 BYTE order — the engine's orderBy compares
+        // UTF8String bytes, which diverges from String.compareTo (UTF-16
+        // code units) for supplementary-plane symbols
+        def byteLt(a: String, b: String): Boolean = {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          x.length < y.length
+        }
+        val ((l, r), _) = eligible.reduceLeft { (p, q) =>
+          val ((pl, pr), pc) = p; val ((ql, qr), qc) = q
+          val pWins =
+            if (pc != qc) pc > qc
+            else if (pl != ql) byteLt(pl, ql)
+            else byteLt(pr, qr) || pr == qr
+          if (pWins) p else q
+        }
         merges :+= ((l, r))
         segs = segs.map { case (w, syms) =>
           val out = Vector.newBuilder[String]
@@ -75,6 +107,22 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
       val got2 = Bpe.train(docs.repartition(7), numMerges = 10)
       assert(got2 == got, s"trial $trial: merges moved under repartitioning")
     }
+  }
+
+  test("tie-break is UTF-8 byte order: supplementary-plane vs BMP tie") {
+    import spark.implicits._
+    // Two pairs tied at count 2: (😀, a) and (U+E000, b). UTF-8 bytes:
+    // U+E000 = EE 80 80 < 😀 = F0 9F 98 80, so byte order picks U+E000
+    // first — while UTF-16 compareTo (surrogate D83D < E000) would pick
+    // the emoji. Engine and reference must agree on the byte order.
+    val w1 = "\uD83D\uDE00a" // U+1F600 GRINNING FACE + a
+    val w2 = "\uE000b" // U+E000 private-use BMP + b
+    val docs = Seq((1L, s"$w1 $w1 $w2 $w2")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, numMerges = 2)
+    val want = referenceTrain(Seq(w1, w1, w2, w2), 2)
+    assert(got == want, s"engine $got != reference $want")
+    assert(got.head == (("\uE000", "b")),
+      s"tie must resolve in UTF-8 byte order, got ${got.head}")
   }
 
   test("encode: tokens concatenate back to the word, segmentation consistent") {

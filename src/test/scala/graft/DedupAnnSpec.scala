@@ -280,6 +280,28 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(afterFiles.size > historyFiles.size, "append wrote nothing")
   }
 
+  test("IVF serving is idempotent to a replayed (double) append") {
+    // the ingest stream's commit marker lands AFTER the parquet append, so
+    // a crash in that window replays the batch — simulate the worst case
+    // (the whole batch appended twice) and serving must still equal the
+    // clean from-scratch build.
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    val history = emb.filter(F.col("vec_id") < 100)
+    val batch = emb.filter(F.col("vec_id") >= 100)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_replay_spec")
+      .resolve("index").toString
+    Ann.ivfIndexInit(history, path, cells = 16, sampleN = 100)
+    Ann.ivfIndexAppend(batch, path)
+    Ann.ivfIndexAppend(batch, path) // the replay
+    val mem = Ann.ivfTopK(emb, q, k = 5, cells = 16, probes = 6, sampleN = 100)
+      .collect().map(_.toString).sorted.toSeq
+    val served = Ann.ivfTopKIndexed(spark, path, q, k = 5, probes = 6)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == mem,
+      "a double-appended batch leaked duplicate neighbors into the top-k")
+  }
+
   test("PQ ANN: 16x-compressed codes still rank true neighbors into the rerank set") {
     import graft.ann.Pq
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")

@@ -106,9 +106,10 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_html_extract", maxExchange = 0),
     Audit("q_url_canonical", maxExchange = 0),
     Audit("q_normalize_unicode", maxExchange = 0),
-    // scan + the keep-min agg + the survivor join (keep is NOT broadcast
-    // by hint: at scale it is the distinct-URL table, corpus-fraction)
-    Audit("q_pipeline_web", maxExchange = 3),
+    // ONE scan + ONE exchange: window-min dedup over url_canon (the
+    // regex chain runs once; review r14 caught the groupBy+join form
+    // re-running it twice)
+    Audit("q_pipeline_web", maxExchange = 1),
     Audit("q_chunk", maxExchange = 0),
     Audit("q_repetition", maxExchange = 0),
     Audit("q_json_extract", maxExchange = 0),
@@ -172,6 +173,16 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
       .groupBy(identity).map { case (k, v) => k -> v.size }
 
   for (a <- audits) test(s"${a.name}: plan invariants hold") {
+    // The audit measures the CANONICAL plan: Spark's CacheManager
+    // substitutes any logically-equal subtree with a live cached
+    // relation (exprIds are canonicalized away, so even a separate read
+    // of the same parquet matches), and an ambient cache left by another
+    // suite — e.g. the scopeless prune-branch materialize that
+    // q_dedup_minhash_pruned's gate legitimately root-tracks — rewrites
+    // THIS query's plan and shifts its exchange count (review r14, a
+    // suite-order flake). Clear both layers first.
+    spark.catalog.clearCache()
+    graft.CacheScope.releaseAll()
     val df = SparkEntry.queries(a.name)(spark, sfDir)
     val txt = df.queryExecution.explainString(FormattedMode)
     val n = nodeCounts(txt)
@@ -265,6 +276,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
       allowedBnljPerFrame = 1))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
+    // same canonical-plan discipline as the terminal audits above
+    spark.catalog.clearCache()
+    graft.CacheScope.releaseAll()
     val frames = scala.collection.mutable.ArrayBuffer[(String, String)]()
     CacheScope.planRecorder = (k, p) => frames.synchronized { frames += ((k, p)) }
     try SparkEntry.queries(a.name)(spark, sfDir)
