@@ -31,7 +31,12 @@ object Bench {
     // r14 addition: the WET-style extraction scan (data-bound, ratio ~1.2
     // solo). q_url_canonical / q_normalize_unicode measured 0.18/0.15 s
     // solo — the sub-0.2 s fixed-cost class, correctness-gated only.
-    "q_html_extract")
+    "q_html_extract",
+    // r15 additions (VERDICT r14 #7): the two r14 operators with
+    // corpus-proportional cost — the chained web pipeline and the BPE
+    // corpus encode (rows-only gate, so no DuckDB ratio: wall-clock is
+    // still tracked so its perf cannot rot silently).
+    "q_pipeline_web", "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses
@@ -282,15 +287,15 @@ object Bench {
           .filter(_._2 > 0.0) // a 0.0 baseline (sub-ms DuckDB query rounded
           .toMap              // down) would print ratio "Infinity" = bad JSON
       } else Map.empty
-    val ratioJson =
-      if (baseline.isEmpty) ""
+    val ratioJson: (String, String) =
+      if (baseline.isEmpty) ("", "")
       else {
         val rs = results.collect { case (k, v) if baseline.contains(k) =>
           "\"" + k + "\":" + f"${v / baseline(k)}%.1f"
         }.mkString("{", ",", "}")
         val bTot = results.collect { case (k, _) if baseline.contains(k) => baseline(k) }.sum
         val sTot = results.collect { case (k, v) if baseline.contains(k) => v }.sum
-        if (bTot == 0.0) "" // no covered queries selected: NaN would corrupt the JSON
+        if (bTot == 0.0) ("", "") // no covered queries selected: NaN would corrupt the JSON
         else {
           // Composition honesty (VERDICT r10): some queries have
           // PATHOLOGICAL single-node baselines — DuckDB pays a recursive-
@@ -313,16 +318,23 @@ object Bench {
               .map(r => s""","ratio_ex_components":${f"$r%.1f"}""").getOrElse("") +
             exRatio(adversarial)
               .map(r => s""","ratio_ex_adversarial":${f"$r%.1f"}""").getOrElse("")
-          s""","baseline_total":${f"$bTot%.3f"},"bench_vs_baseline":${f"${sTot / bTot}%.1f"}$exJson,"ratio_vs_duckdb":$rs"""
+          // The per-query ratio map goes to the FILE only: BENCH_r14's
+          // one-line stdout record exceeded the driver's tail-capture
+          // window with 41 queries x 2 maps (`parsed: null`), and the map
+          // is derivable offline from `queries` + baseline_times.json.
+          (s""","baseline_total":${f"$bTot%.3f"},"bench_vs_baseline":${f"${sTot / bTot}%.1f"}$exJson""",
+           s""","ratio_vs_duckdb":$rs""")
         }
       }
-    // stdout gets the COMPACT line (no per-shot diag) so it fits the
-    // driver's parse window; graft_bench.json keeps the full diagnosis.
+    val (ratioAgg, ratioMap) = ratioJson
+    // stdout gets the COMPACT line (no per-shot diag, no per-query ratio
+    // map) so it fits the driver's parse window; graft_bench.json keeps
+    // the full diagnosis.
     val core =
       s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir""""
-    println(s"{$core$ratioJson}")
+    println(s"{$core$ratioAgg}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("graft_bench.json"),
-      s"""{$core,"diag":$diagJson$ratioJson}""" + "\n")
+      s"""{$core,"diag":$diagJson$ratioAgg$ratioMap}""" + "\n")
     spark.stop()
   }
 }

@@ -891,7 +891,7 @@ object OracleSql {
         |keep AS (
         |  SELECT url_canon, MIN(doc_id) AS doc_id FROM rec GROUP BY url_canon)
         |SELECT r.doc_id, r.url_canon,
-        |  CAST(len(list_filter(string_split_regex(r.text_clean, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  CAST(len(list_filter(string_split_regex(r.text_clean, '[ \t\n\f\r]+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
         |FROM rec r JOIN keep k ON k.url_canon = r.url_canon AND k.doc_id = r.doc_id""".stripMargin,
 
     // Top-20 corpus bigrams, deterministic (count desc, bigram asc) cut.

@@ -400,10 +400,81 @@ object Ann {
     import spark.implicits._
     centroids.toSeq.toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
+    // One file per cell (the r11 bucketed-write alignment): without the
+    // cell repartition every upstream task writes a sliver into every
+    // cell dir (~tasks x cells tiny files) and the partition-pruned
+    // serve fans out into as many near-empty scan tasks — measured 32
+    // tasks / ~50 files for a 6-cell probe at sf0.1. At real scale the
+    // files-per-cell lever is this same repartition with a finer key.
     graft.Spread(corpus)
       .select(F.col(idCol), F.col(embCol),
         nearestCentroid(centroids, F.col(embCol), native).as("cell"))
+      .repartition(F.col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** Driver-side quantizer cache for the serving/ingest loop: one entry
+    * per index path, invalidated by the centroid table's file stamp
+    * (name+len+mtime of every file — centroids are FROZEN after init, so
+    * the stamp changes only on a re-init). A serving deployment holds the
+    * quantizer in memory by definition; without this every
+    * [[ivfTopKIndexed]]/[[ivfIndexAppend]] call paid a full Spark job of
+    * pure scheduling constants to re-collect the same ≤`cells` rows
+    * (measured: 3 driver round-trips per serve, BENCH r14 ratio 3.5). */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Int, Seq[Double])])]()
+
+  /** Index data schema, cached per (path, centroid stamp) alongside the
+    * quantizer: the schema is fixed at init (same writer for every
+    * append), so re-inferring it cost every serve a one-task footer-read
+    * job of pure scheduling constants. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+
+  private def indexSchema(spark: org.apache.spark.sql.SparkSession,
+                          path: String): org.apache.spark.sql.types.StructType = {
+    val stamp = centroidStamp(path)
+    schemaCache.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else (stamp, spark.read.parquet(path).schema)
+    )._2
+  }
+
+  private def centroidStamp(path: String): String = {
+    val (fs, p) = graft.HadoopFs.get(path + "_centroids")
+    fs.listStatus(p).filter(_.isFile).map(s =>
+      s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
+  private[graft] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[(Int, Seq[Double])] = {
+    val stamp = centroidStamp(path)
+    quantizerCache.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else (stamp, spark.read.parquet(path + "_centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1))
+    )._2
+  }
+
+  /** Every data file currently in the partitioned index (relative to
+    * `path`, cell dirs included) — the reconciliation unit of
+    * [[ivfIndexAppend]]'s exactly-once protocol. Metadata-proportional:
+    * the same listing class every table read already performs. */
+  private def listIndexFiles(path: String): Set[String] = {
+    val (fs, p) = graft.HadoopFs.get(path)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val base = fs.makeQualified(p).toString
+      val it = fs.listFiles(p, true)
+      val out = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        out += f.getPath.toString.stripPrefix(base).stripPrefix("/")
+      }
+      out.result()
+    }
   }
 
   /** Append NEW vectors to a persisted [[ivfIndexInit]] index WITHOUT
@@ -417,58 +488,93 @@ object Ann {
     * write touches only the new batch's rows, so appending 1 GB to a
     * 100 TB index costs 1 GB of work. Serving ([[ivfTopKIndexed]]) is
     * unchanged: appended files land inside the same cell=N partitions
-    * the partition-pruned read already probes. */
+    * the partition-pruned read already probes.
+    *
+    * `prelistDir` (streaming ingest / any at-least-once caller): the
+    * exactly-once reconciliation ledger for THIS batch. Before the first
+    * append attempt the current index file listing is committed there
+    * (driver-side text + `_SUCCESS`, no Spark job); a REPLAY of the same
+    * batch (crash after the parquet append but before the caller's
+    * commit marker) finds the committed prelist, deletes every index
+    * file not on it — exactly the crashed attempt's orphans, since the
+    * single-writer contract means nothing else appended — and re-appends
+    * cleanly. This moves replay-safety from the serving path (which used
+    * to pay a dedup exchange on EVERY serve) to the ingest path, where
+    * it costs one file listing per batch and runs only on the rare
+    * replay. Callers with their own crash story (a batch rebuild that
+    * re-inits on failure) omit it. */
   def ivfIndexAppend(newVectors: DataFrame, path: String,
                      idCol: String = "vec_id", embCol: String = "embedding",
-                     native: Boolean = true): Unit = {
+                     native: Boolean = true,
+                     prelistDir: Option[String] = None): Unit = {
     val spark = newVectors.sparkSession
-    val centroids: Array[(Int, Seq[Double])] =
-      spark.read.parquet(path + "_centroids").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
+    prelistDir.foreach { dir =>
+      val (fs, marker) = graft.HadoopFs.get(s"$dir/_SUCCESS")
+      if (fs.exists(marker)) {
+        // replayed batch: remove the crashed attempt's orphan files
+        val committed = {
+          val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/prelist"))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+          finally in.close()
+        }
+        val (ifs, ip) = graft.HadoopFs.get(path)
+        val base = ifs.makeQualified(ip)
+        (listIndexFiles(path) -- committed).foreach { rel =>
+          ifs.delete(new org.apache.hadoop.fs.Path(base, rel), false); ()
+        }
+      } else {
+        // first attempt: commit the pre-append listing (list, then marker
+        // — a crash between the two replays this branch harmlessly)
+        val listing = listIndexFiles(path).toSeq.sorted.mkString("\n")
+        val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/prelist"), true)
+        try out.write(listing.getBytes("UTF-8")) finally out.close()
+        fs.create(marker, true).close()
+      }
+    }
+    val centroids = loadCentroids(spark, path)
+    // Same one-file-per-cell write alignment as [[ivfIndexInit]]: an
+    // append adds at most one file per cell per batch, not one per
+    // (upstream task x cell).
     graft.Spread(newVectors)
       .select(F.col(idCol), F.col(embCol),
         nearestCentroid(centroids, F.col(embCol), native).as("cell"))
+      .repartition(F.col("cell"))
       .write.partitionBy("cell").mode("append").parquet(path)
   }
 
   /** Probe a persisted [[ivfIndexInit]] index: same probe-cell selection
     * and scoring tail as [[ivfTopK]] (bit-identical results for the same
     * training parameters), but the corpus side is the partitioned index
-    * READ WITH A PARTITION FILTER on the probed cell set — the scan
-    * touches only those cells' files (spec-pinned on PartitionFilters).
-    * The probed-cell collect is bounded by `cells` ints; `queries` is
-    * small by the same contract as [[ivfTopK]] (it broadcasts). */
+    * read with the probed-cell PARTITION FILTER — the scan touches only
+    * those cells' files (spec-pinned).
+    *
+    * ONE Spark job per warm serve (BENCH r14 found three): the quantizer
+    * comes from the driver cache ([[loadCentroids]] — a serving process
+    * holds its quantizer in memory by definition; first touch per
+    * (path, stamp) pays the one bounded collect), probe-cell selection
+    * rides the broadcast side of the scoring join, and the partition
+    * filter is injected at RUNTIME by dynamic partition pruning from
+    * that same reused broadcast — no probed-cell collect, no literal
+    * IN filter, no extra round-trip. Replay-dedup moved to the ingest
+    * path ([[ivfIndexAppend]]'s prelist reconciliation), so the serve
+    * plan carries no dedup exchange either.
+    *
+    * The norm is re-derived from the stored floats on read (not
+    * persisted in the index), so it is the identical double the
+    * in-memory path computes — and only probed cells' rows ever pay the
+    * dot. `queries` is small/selective by the same contract as
+    * [[ivfTopK]] (it broadcasts — which is also what arms DPP). */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, idCol: String = "vec_id",
                      embCol: String = "embedding", k: Int = 5,
                      probes: Int = 4, native: Boolean = true): DataFrame = {
-    val centroids: Array[(Int, Seq[Double])] =
-      spark.read.parquet(path + "_centroids").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
+    val centroids = loadCentroids(spark, path)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
       normCol(F.col(embCol), native).as("q_norm"),
       F.explode(probeCellsCol(centroids, F.col(embCol), probes, native)).as("cell"))
-    val probed = q.select(F.col("cell")).distinct().collect().map(_.getInt(0))
-    // The norm is re-derived from the stored floats on read (not persisted
-    // in the index), so it is the identical double the in-memory path
-    // computes — and only probed cells' rows ever pay the dot.
-    //
-    // dropDuplicates(neighbor_id): serving is IDEMPOTENT to a replayed
-    // append. [[graft.streaming.StreamingOps.ivfIngestStream]]'s commit
-    // marker lands AFTER the (non-transactional parquet) append, so a
-    // crash in that window replays the batch and duplicates its rows —
-    // duplicated neighbors would occupy two of the k result positions.
-    // Duplicate rows are full-row identical (same id, same embedding),
-    // so the dedup is value-free on a clean index, runs on the PROBED
-    // subset only (probes/cells of the data), and converts the ingest's
-    // at-least-once appends into exactly-once serving.
-    val c = spark.read.parquet(path)
-      .filter(F.col("cell").isin(probed.toSeq: _*))
+    val c = spark.read.schema(indexSchema(spark, path)).parquet(path)
       .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
         normCol(F.col(embCol), native).as("c_norm"), F.col("cell"))
-      .dropDuplicates("neighbor_id")
     ivfScore(c, q, k, native)
   }
 

@@ -154,16 +154,18 @@ object StreamingOps {
     * re-read), gated per batch by [[markerGated]]. The marker dir records
     * the batch's id set (tiny — one long per vector).
     *
-    * Delivery contract, stated honestly (review r14): the marker commits
-    * AFTER the (non-transactional parquet) append, so a crash inside that
-    * window replays the batch and the append is AT-LEAST-ONCE — the same
-    * window [[incrementalDedupStream]] carries, where it is value-safe
-    * because the pair set is DISTINCT. Here duplicated index rows would
-    * corrupt top-k, so the exactly-once EFFECT is restored at the other
-    * end: [[graft.ann.Ann.ivfTopKIndexed]] dedups the probed rows on the
-    * vector id (full-row-identical duplicates; probed-subset cost), making
-    * serving idempotent to replayed appends (spec: double-append equals
-    * the clean build). */
+    * Delivery contract (r15 — was at-least-once + serve-side dedup): the
+    * marker commits AFTER the (non-transactional parquet) append, so a
+    * crash inside that window replays the batch — the append itself is
+    * made EXACTLY-ONCE-EFFECTIVE by [[graft.ann.Ann.ivfIndexAppend]]'s
+    * prelist reconciliation: the batch's pre-append file listing is
+    * committed to `outDir/prelist_batch=<id>` before the first attempt
+    * (OUTSIDE the target dir, so the final output overwrite cannot eat
+    * it), and a replay deletes the crashed attempt's orphan files before
+    * re-appending. Serving therefore trusts the index and carries no
+    * dedup exchange (the r14 serve paid one on every clean call; the
+    * reconciliation runs only on the rare replay). Single-writer per
+    * index, as for every persisted-index op in this repo. */
   def ivfIngestStream(vectors: DataFrame, indexPath: String,
                       outDir: String, checkpointDir: String,
                       idCol: String = "vec_id",
@@ -171,9 +173,10 @@ object StreamingOps {
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch(markerGated(outDir) { (batch, target) =>
+      .foreachBatch(markerGatedId(outDir) { (batch, target, batchId) =>
         graft.ann.Ann.ivfIndexAppend(
-          batch.select(batch(idCol), batch(embCol)), indexPath)
+          batch.select(batch(idCol), batch(embCol)), indexPath,
+          prelistDir = Some(s"$outDir/prelist_batch=$batchId"))
         batch.select(batch(idCol))
           .write.mode(SaveMode.Overwrite).parquet(target)
       })
@@ -187,10 +190,17 @@ object StreamingOps {
     * BEFORE that write is at-least-once under a crash and must be
     * value-safe or reader-deduplicated (see the two call sites). */
   private def markerGated(outDir: String)(
-      action: (DataFrame, String) => Unit): (DataFrame, Long) => Unit = {
+      action: (DataFrame, String) => Unit): (DataFrame, Long) => Unit =
+    markerGatedId(outDir)((batch, target, _) => action(batch, target))
+
+  /** [[markerGated]] with the batch id exposed — for actions that keep
+    * per-batch side state OUTSIDE the target dir (the ivf prelist
+    * ledger, which the target's own overwrite must not delete). */
+  private def markerGatedId(outDir: String)(
+      action: (DataFrame, String, Long) => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
       val target = s"$outDir/batch=$batchId"
       val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
-      if (!fs.exists(done)) action(batch, target)
+      if (!fs.exists(done)) action(batch, target, batchId)
   }
 }

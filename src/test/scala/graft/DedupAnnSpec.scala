@@ -242,14 +242,15 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
       .map(_.toString).sorted.toSeq
     val idx = indexedDf.collect().map(_.toString).sorted.toSeq
     assert(idx == mem, "persisted index diverged from the in-memory path")
-    // the scale claim, pinned: the index scan carries a NON-EMPTY
-    // PartitionFilters entry on cell — only the probed cells' files are
-    // read. (FileSourceScanExec prints `PartitionFilters: []` even when
-    // unpruned, so the assert must match the filter CONTENT, not the
-    // label's presence.)
+    // the scale claim, pinned: the index scan's cell partition filter is
+    // injected at RUNTIME by dynamic partition pruning from the reused
+    // probe-side broadcast (r15 — the static probed-cell collect+literal
+    // cost a driver round-trip per serve). The executed plan must carry
+    // the dynamicpruning expression on the scan; without it the serve
+    // would silently read EVERY cell's files.
     val plan = indexedDf.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[cell#".r.findFirstIn(plan).isDefined,
-      s"index read lost its cell partition pruning:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"index read lost its runtime cell partition pruning:\n$plan")
   }
 
   test("IVF incremental append equals the from-scratch build, history untouched") {
@@ -280,26 +281,33 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(afterFiles.size > historyFiles.size, "append wrote nothing")
   }
 
-  test("IVF serving is idempotent to a replayed (double) append") {
+  test("IVF append reconciles a replayed batch to an exactly-once index") {
     // the ingest stream's commit marker lands AFTER the parquet append, so
     // a crash in that window replays the batch — simulate the worst case
-    // (the whole batch appended twice) and serving must still equal the
-    // clean from-scratch build.
+    // (the whole batch appended, then replayed with the same prelist
+    // ledger) and the index must end up byte-identical in ROW CONTENT to
+    // a single clean append: the replay's reconciliation deletes the
+    // crashed attempt's orphan files before re-appending (r15 — replay
+    // safety moved from a per-serve dedup exchange to the ingest path).
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter(F.col("vec_id") < 20)
     val history = emb.filter(F.col("vec_id") < 100)
     val batch = emb.filter(F.col("vec_id") >= 100)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_replay_spec")
-      .resolve("index").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_replay_spec")
+    val path = base.resolve("index").toString
+    val prelist = base.resolve("prelist_batch=0").toString
     Ann.ivfIndexInit(history, path, cells = 16, sampleN = 100)
-    Ann.ivfIndexAppend(batch, path)
-    Ann.ivfIndexAppend(batch, path) // the replay
+    Ann.ivfIndexAppend(batch, path, prelistDir = Some(prelist))
+    Ann.ivfIndexAppend(batch, path, prelistDir = Some(prelist)) // the replay
+    // the strongest form: not one duplicated row anywhere in the index
+    assert(spark.read.parquet(path).count() == emb.count(),
+      "replayed append left duplicate (or dropped) index rows")
     val mem = Ann.ivfTopK(emb, q, k = 5, cells = 16, probes = 6, sampleN = 100)
       .collect().map(_.toString).sorted.toSeq
     val served = Ann.ivfTopKIndexed(spark, path, q, k = 5, probes = 6)
       .collect().map(_.toString).sorted.toSeq
     assert(served == mem,
-      "a double-appended batch leaked duplicate neighbors into the top-k")
+      "a replayed batch leaked duplicate neighbors into the top-k")
   }
 
   test("PQ ANN: 16x-compressed codes still rank true neighbors into the rerank set") {

@@ -30,7 +30,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_mix_sample", "q_cap_per_source", "q_contamination_bloom",
             "q_trim_spans", "q_dsir_weights", "q_gopher_rules",
             "q_ann_ivf_indexed", "q_ccnet_buckets", "q_dsir_select",
-            "q_clf_quality", "q_profile", "q_html_extract"]
+            "q_clf_quality", "q_profile", "q_html_extract",
+            "q_pipeline_web", "q_bpe_encode"]
 
 
 def main():
