@@ -11,16 +11,25 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *   - The corpus is scanned ONCE: a single map-combinable aggregation to
   *     the distinct-word count table `(word, n)`. Classic BPE trainers do
   *     exactly this (word-level pre-tokenization; merges never cross word
-  *     boundaries), so every one of the K merge iterations runs over the
-  *     VOCABULARY table — millions of rows at web scale, not the corpus —
-  *     re-segmenting each word from scratch with the merges-so-far (a
-  *     pure, stateless function of (word, merges): no per-iteration
-  *     distributed state to carry, nothing to checkpoint).
-  *   - Per iteration: one flatMap over the vocab (adjacent symbol pairs
-  *     weighted by word count), one count aggregation, one
-  *     TakeOrdered(1) — the same "global argmax with deterministic
-  *     tie-break" shape as the k-means trainers. Driver state is the
-  *     merge list itself: K pairs, bounded like the centroid arrays.
+  *     boundaries), so the merge loop's input is the VOCABULARY histogram
+  *     — vocabulary-scale, not corpus-scale.
+  *   - The merge loop itself is the classic INCREMENTAL trainer (r15 —
+  *     the r14 design ran one full Spark job per merge with full vocab
+  *     re-segmentation: O(K²·V) work and K sequential driver-scheduled
+  *     jobs, a non-starter at production merge counts): pair counts and a
+  *     pair→words occurrence index are built once, and each merge
+  *     re-segments ONLY the words containing the winning pair, applying
+  *     exact count deltas — O(occurrences touched), K-independent. It
+  *     runs driver-side over the collected histogram, the same
+  *     bounded-driver-state pattern as the k-means/IVF centroid trainers
+  *     and the classifier weight vector: the histogram collect is capped
+  *     at `maxVocab` rows (deterministic cut: count DESC, word ASC —
+  *     exact when the vocabulary fits the cap, which is the published
+  *     practice: real tokenizer trainers hold the word histogram in
+  *     memory; Zipf puts everything that can win a merge far above any
+  *     realistic cap). 32k merges over a millions-word histogram is
+  *     seconds of driver CPU — NOT 32k sequential Spark jobs, whose
+  *     scheduling constants alone would dwarf the arithmetic.
   *   - Ties break on (count DESC, left ASC, right ASC), where string
   *     order is UTF-8 BYTE order (what Spark's orderBy compares) — a
   *     total order, so training is bit-reproducible across partitionings
@@ -33,14 +42,15 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * is sequential within a word; a recursive-CTE replay would be a
   * different algorithm, not an oracle), so the driver gate is rows-only —
   * semantics are pinned by BpeSpec against an independent
-  * collections-based reference implementation on randomized corpora,
-  * the row-45/row-102 precedent. */
+  * collections-based reference implementation (full recount per round —
+  * mechanics independent of the incremental deltas here) on randomized
+  * corpora, the row-45/row-102 precedent. */
 object Bpe {
 
   /** Greedy left-to-right application of `merges`, IN ORDER, to one word —
-    * the standard BPE encode (training applies the same function with the
-    * merges-so-far). Pure and allocation-light; lives on executors inside
-    * [[train]]'s per-iteration closure and [[encode]]'s flatMap. */
+    * the standard BPE encode (training applies single merges with the
+    * same word-internal rule). Pure and allocation-light; lives on
+    * executors inside [[encode]]'s flatMap. */
   def segment(word: String, merges: Seq[(String, String)]): Vector[String] = {
     // Base symbols are CODE POINTS, not UTF-16 chars: a char-level split
     // would make each half of a surrogate pair (emoji etc.) its own
@@ -79,6 +89,22 @@ object Bpe {
     out.result()
   }
 
+  /** UTF-8 byte order — the order Spark's UTF8String comparisons (and the
+    * trainer's tie-break contract) use. Diverges from String.compareTo
+    * (UTF-16 code units) for supplementary-plane vs U+E000+ symbols. */
+  private def byteLt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The one-corpus-scan word-count table `(word, n)` the trainer and
     * encoder both start from. */
   private def wordCounts(docs: DataFrame, textCol: String): DataFrame = {
@@ -93,42 +119,287 @@ object Bpe {
 
   /** Train `numMerges` BPE merges on the corpus. Returns the ordered merge
     * table — the trained tokenizer. Stops early when no adjacent pair
-    * occurs at least twice (merging singletons is noise). */
+    * occurs at least twice (merging singletons is noise).
+    *
+    * `maxVocab` bounds the histogram collect (the centroid-sample /
+    * classifier-weights bounded-driver-state class): the cut keeps the
+    * `maxVocab` most frequent words (count DESC, word ASC — deterministic)
+    * and is exact whenever the corpus vocabulary fits, which the default
+    * comfortably covers at any tested scale. */
   def train(docs: DataFrame, textCol: String = "text",
-            numMerges: Int = 16): Seq[(String, String)] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // The vocab table is the K iterations' ONLY input — cache it (tiny
-    // relative to the corpus: distinct words x (word, long)).
-    val vocab = wordCounts(docs, textCol).as[(String, Long)].cache()
-    try {
-      var merges = Vector.empty[(String, String)]
-      var continue = true
-      while (continue && merges.length < numMerges) {
-        val m = merges // stable reference for the closure
-        val top = vocab
-          .flatMap { case (w, n) =>
-            val s = segment(w, m)
-            (0 until s.length - 1).map(i => (s(i), s(i + 1), n))
-          }
-          .toDF("l", "r", "n")
-          .groupBy(F.col("l"), F.col("r"))
-          .agg(F.sum(F.col("n")).as("cnt"))
-          .filter(F.col("cnt") >= 2)
-          .orderBy(F.col("cnt").desc, F.col("l").asc, F.col("r").asc)
-          .limit(1) // TakeOrdered: per-partition top + driver merge, no full sort
-          .collect()
-        if (top.isEmpty) continue = false
-        else merges :+= ((top(0).getString(0), top(0).getString(1)))
+            numMerges: Int = 16, maxVocab: Int = 4000000): Seq[(String, String)] = {
+    // THE distributed part: corpus → word histogram (map-side combinable,
+    // one shuffle on the word), deterministically truncated.
+    val vocab: Array[(String, Long)] =
+      wordCounts(docs, textCol)
+        .orderBy(F.col("n").desc, F.col("word").asc)
+        .limit(maxVocab)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // The vocabulary-scale part: the classic incremental merge loop, on
+    // INTERNED symbol ids. Strings would make every pair-count update
+    // re-hash two growing substrings; int ids make a pair a single long
+    // key into an open-addressing primitive map (measured ~20x on an
+    // adversarial all-words-affected corpus, tools/MicroBpe).
+    // State: per-word symbol-id arrays, exact pair counts (no deletion —
+    // decremented-to-zero entries are simply ineligible), and an
+    // APPEND-ONLY pair→word occurrence index validated lazily at merge
+    // time (a stale or duplicate entry costs one skipped scan exactly
+    // once, when — if ever — that pair wins a merge).
+    val symId = scala.collection.mutable.HashMap.empty[String, Int]
+    val symStr = scala.collection.mutable.ArrayBuffer.empty[String]
+    def intern(s: String): Int =
+      symId.getOrElseUpdate(s, { symStr += s; symStr.length - 1 })
+    val words = new Array[Array[Int]](vocab.length)
+    val wn = new Array[Long](vocab.length)
+    var wi = 0
+    while (wi < vocab.length) {
+      words(wi) = codePoints(vocab(wi)._1).iterator.map(intern).toArray
+      wn(wi) = vocab(wi)._2
+      wi += 1
+    }
+    def pkey(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+    val pairCount = new LongLongCounter(1 << 16)
+    val pairWords = scala.collection.mutable.HashMap.empty[Long, IntList]
+    val heap = new PairHeap(symStr)
+    // `indexSym`: -1 indexes every pair (the initial build); otherwise
+    // only pairs touching that symbol are (re-)indexed — merging never
+    // creates an adjacency that does not involve the freshly merged
+    // symbol (symbols only combine, they never vanish from between two
+    // others), so a re-segmented word's other pairs are already listed
+    // from when they first appeared. Without this the index re-listed
+    // every pair of every touched word per merge: 15M candidate visits
+    // for 1M real hits at 256 merges on the MicroBpe stress corpus.
+    def addPairs(idx: Int, syms: Array[Int], n: Long, indexSym: Int): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = pkey(syms(i), syms(i + 1))
+        val cur = pairCount.add(k, n)
+        if (indexSym == -1 || syms(i) == indexSym || syms(i + 1) == indexSym) {
+          pairWords.getOrElseUpdate(k, new IntList).add(idx)
+          // arm the heap for CREATED pairs (every new adjacency involves
+          // the merged symbol): the running count is pushed per
+          // occurrence — the last push holds the final value, earlier
+          // (under-valued) duplicates are corrected at pop time. Stale
+          // entries for DECREASED pairs are likewise corrected at pop
+          // (they are overestimates, so they always surface in time).
+          if (indexSym != -1 && cur >= 2L) heap.push(cur, k)
+        }
+        i += 1
       }
-      merges
-    } finally { vocab.unpersist(); () }
+    }
+    // pure count retraction: touched words keep their (now possibly
+    // stale) index entries — the winner's scan validates lazily
+    def dropPairs(syms: Array[Int], n: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        pairCount.add(pkey(syms(i), syms(i + 1)), -n)
+        i += 1
+      }
+    }
+    wi = 0
+    while (wi < words.length) { addPairs(wi, words(wi), wn(wi), indexSym = -1); wi += 1 }
+
+    // Lazy max-heap over (count, pair): a full pairCount scan per merge
+    // is O(pairs-ever) and dominated the 4k-merge stress run (21 s of
+    // 36); the heap pops the argmax in O(log). Entries go stale as
+    // counts decrease — a popped entry is validated against the live
+    // count and re-pushed at its current value instead (a pair's count
+    // only DECREASES after the merge that creates its symbols, so by
+    // argmax time every stale entry is an overestimate and surfaces
+    // before it could be wrongly outranked).
+    pairCount.foreach { (k, n) => if (n >= 2L) heap.push(n, k) }
+
+    var merges = Vector.empty[(String, String)]
+    var continue = true
+    val dbg = java.lang.Boolean.getBoolean("graft.bpe.debug")
+    var tArgmax = 0L; var tApply = 0L; var nCand = 0L; var nHit = 0L
+    while (continue && merges.length < numMerges) {
+      // global argmax with the total-order tie-break (count DESC, l ASC,
+      // r ASC in UTF-8 byte order) — iteration order of the map cannot
+      // influence the winner.
+      val t0 = if (dbg) System.nanoTime() else 0L
+      // pop the live argmax: discard/re-push stale (overestimated)
+      // entries until the top matches its live count
+      var bestK = -1L
+      while (bestK < 0 && heap.nonEmpty) {
+        val (hn, hk) = heap.pop()
+        val cur = pairCount.get(hk)
+        if (cur == hn) bestK = hk
+        else if (cur >= 2L) heap.push(cur, hk)
+      }
+      if (dbg) tArgmax += System.nanoTime() - t0
+      val t1 = if (dbg) System.nanoTime() else 0L
+      if (bestK < 0) continue = false
+      else {
+        val l = (bestK >>> 32).toInt; val r = bestK.toInt
+        merges :+= ((symStr(l), symStr(r)))
+        val lr = intern(symStr(l) + symStr(r))
+        val candidates = pairWords.get(bestK).map(_.toArray).getOrElse(Array.empty[Int])
+        if (dbg) nCand += candidates.length
+        var ai = 0
+        while (ai < candidates.length) {
+          val idx = candidates(ai)
+          val old = words(idx)
+          // lazy validation: the index is append-only, so this word may
+          // no longer (or twice-listed, no longer again) contain the pair
+          var hit = false
+          var j = 0
+          while (!hit && j < old.length - 1) {
+            if (old(j) == l && old(j + 1) == r) hit = true; j += 1
+          }
+          if (hit) {
+            if (dbg) nHit += 1
+            val n = wn(idx)
+            // retract the old adjacency counts (index stays append-only)
+            dropPairs(old, n)
+            // apply THIS merge once, left-to-right — identical to the
+            // reference's per-round rewrite
+            val out = new Array[Int](old.length)
+            var oi = 0
+            var i = 0
+            while (i < old.length) {
+              if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+                out(oi) = lr; oi += 1; i += 2
+              } else { out(oi) = old(i); oi += 1; i += 1 }
+            }
+            val neu = java.util.Arrays.copyOf(out, oi)
+            words(idx) = neu
+            addPairs(idx, neu, n, indexSym = lr)
+          }
+          ai += 1
+        }
+        if (dbg) tApply += System.nanoTime() - t1
+      }
+    }
+    if (dbg) System.err.println(
+      f"[bpe-debug] merges=${merges.length} argmax=${tArgmax / 1e9}%.2fs apply=${tApply / 1e9}%.2fs cand=$nCand hit=$nHit syms=${symStr.length}")
+    merges
+  }
+
+  /** Append-only int list (no boxing). */
+  private final class IntList {
+    private var a = new Array[Int](8)
+    private var n = 0
+    def add(x: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = x; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Open-addressing long→long counter (linear probing, power-of-2
+    * capacity, no deletion — a zeroed count is just never eligible).
+    * Keys are non-negative by construction (two 31-bit symbol ids). */
+  private final class LongLongCounter(initCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(initCap, 16))
+    private var keys = java.util.Arrays.copyOf(Array.fill(cap)(-1L), cap)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private def idx(k: Long, c: Int): Int = {
+      // finalizer-style mix so sequential ids spread
+      var h = k * -7046029254386353131L
+      h ^= (h >>> 32)
+      (h & (c - 1)).toInt
+    }
+    /** Adds `d` and returns the NEW value. */
+    def add(k: Long, d: Long): Long = {
+      var i = idx(k, cap)
+      while (keys(i) != k && keys(i) != -1L) i = (i + 1) & (cap - 1)
+      if (keys(i) == -1L) {
+        keys(i) = k; vals(i) = d; n += 1
+        if (n * 4 > cap * 3) grow()
+        d
+      } else { vals(i) += d; vals(i) }
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap *= 2
+      keys = Array.fill(cap)(-1L); vals = new Array[Long](cap); n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1L) {
+          var j = idx(ok(i), cap)
+          while (keys(j) != -1L) j = (j + 1) & (cap - 1)
+          keys(j) = ok(i); vals(j) = ov(i); n += 1
+        }
+        i += 1
+      }
+    }
+    def get(k: Long): Long = {
+      var i = idx(k, cap)
+      while (keys(i) != k && keys(i) != -1L) i = (i + 1) & (cap - 1)
+      if (keys(i) == k) vals(i) else 0L
+    }
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != -1L) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Binary max-heap of (count, pair-key) under the trainer's total
+    * order — count DESC, then left/right symbol in UTF-8 byte order ASC
+    * (resolved through the intern table), then key ASC. Parallel long
+    * arrays, no boxing; entries may be stale (the pop site validates
+    * against the live count). */
+  private final class PairHeap(symStr: scala.collection.mutable.ArrayBuffer[String]) {
+    private var ns = new Array[Long](1 << 12)
+    private var ks = new Array[Long](1 << 12)
+    private var size = 0
+    def nonEmpty: Boolean = size > 0
+    /** true iff entry i outranks entry j */
+    private def prior(i: Int, j: Int): Boolean = {
+      if (ns(i) != ns(j)) return ns(i) > ns(j)
+      val li = (ks(i) >>> 32).toInt; val lj = (ks(j) >>> 32).toInt
+      if (li != lj) return byteLt(symStr(li), symStr(lj))
+      val ri = ks(i).toInt; val rj = ks(j).toInt
+      if (ri != rj) return byteLt(symStr(ri), symStr(rj))
+      ks(i) < ks(j)
+    }
+    private def swap(i: Int, j: Int): Unit = {
+      val tn = ns(i); ns(i) = ns(j); ns(j) = tn
+      val tk = ks(i); ks(i) = ks(j); ks(j) = tk
+    }
+    def push(n: Long, k: Long): Unit = {
+      if (size == ns.length) {
+        ns = java.util.Arrays.copyOf(ns, size * 2)
+        ks = java.util.Arrays.copyOf(ks, size * 2)
+      }
+      ns(size) = n; ks(size) = k
+      var i = size; size += 1
+      while (i > 0 && prior(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+    }
+    def pop(): (Long, Long) = {
+      val out = (ns(0), ks(0))
+      size -= 1
+      if (size > 0) {
+        ns(0) = ns(size); ks(0) = ks(size)
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < size && prior(l, m)) m = l
+          if (r < size && prior(r, m)) m = r
+          if (m == i) done = true else { swap(i, m); i = m }
+        }
+      }
+      out
+    }
   }
 
   /** Encode every document with a trained merge table: one row per
     * (doc, token) with the token's position — the tokenize-the-corpus
-    * step. Pure flatMap over the scan; merges ride the closure (bounded:
-    * K pairs, the broadcast-centroids pattern). */
+    * step. Pure flatMap over the scan (zero shuffle); merges ride the
+    * closure (bounded: K pairs, the broadcast-centroids pattern). A
+    * per-partition memo segments each DISTINCT word once per task —
+    * natural text is Zipf-distributed, so the memo turns an
+    * O(occurrences × K) segmentation bill into O(distinct words × K)
+    * (bounded at 2^20 entries per task; past that, unmemoized words
+    * still segment correctly, just uncached). */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -139,8 +410,16 @@ object Bpe {
     graft.Spread(docs)
       .select(F.col(idCol).cast("long"), F.explode(toks).as("word"))
       .as[(Long, String)]
-      .flatMap { case (id, w) =>
-        segment(w, merges).zipWithIndex.map { case (t, i) => (id, w, i, t) }
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Array[String]]()
+        it.flatMap { case (id, w) =>
+          var t = memo.get(w)
+          if (t == null) {
+            t = segment(w, merges).toArray
+            if (memo.size < (1 << 20)) memo.put(w, t)
+          }
+          Iterator.tabulate(t.length)(i => (id, w, i, t(i)))
+        }
       }
       .toDF(idCol, "word", "pos", "token")
   }
