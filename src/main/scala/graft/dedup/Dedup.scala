@@ -329,28 +329,6 @@ object Dedup {
     pairs
   }
 
-  /** Exact n-gram Jaccard similarity, computed only for LSH candidate
-    * pairs: |A∩B| via a pair-driven shingle probe,
-    * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double.
-    *
-    * Scale discipline (the two guards that keep this bounded at 100 TB):
-    *  1. the intersection is PAIR-DRIVEN: candidate pairs fan out to
-    *     doc_a's shingles, then probe doc_b's shingles on (doc_b, shingle).
-    *     The intermediate is Σ_pairs |shingles(doc_a)| — linear in the LSH
-    *     candidate count (itself bucket-bounded) — never the co-shingle
-    *     self-join, which is quadratic in shingle document frequency;
-    *  2. a document-frequency cap (`dfCap`) drops stopword-like shingles
-    *     ("of the and" at web scale) from the counts and the intersection
-    *     probe. The signature pass runs on the UNCAPPED table (the capped
-    *     variant would change minhash values and break replicability);
-    *     its quadratic risk is bounded separately by the (band, sig)
-    *     bucket guard in [[candidatesFromSigs]]. A shingle's df cannot
-    *     exceed the document count, so when `nDocs <= dfCap` the cap
-    *     PROVABLY binds nothing and the heavy-hitter probe job is skipped
-    *     outright — sub-web-scale corpora pay zero for the guard. (The
-    *     cap must stay far above any real near-dup cluster's df anyway:
-    *     the SQL oracle has no cap, so a binding cap at oracle scale
-    *     would be a correctness bug, not a tuning choice.) */
   /** The ONE per-doc shingle index (id, arr, n, sigs) both [[ngramJaccard]]
     * and [[minhashEval]] build on — extracted so the eval harness can
     * never drift from the production construction it claims to measure.
@@ -386,6 +364,28 @@ object Dedup {
           F.size(F.col("raw")).cast("long").as("n"), sigOverRaw.as("sigs")))
   }
 
+  /** Exact n-gram Jaccard similarity, computed only for LSH candidate
+    * pairs: |A∩B| via a pair-driven shingle probe,
+    * |A∪B| = |A|+|B|−|A∩B|. Output is an exact rational in double.
+    *
+    * Scale discipline (the two guards that keep this bounded at 100 TB):
+    *  1. the intersection is PAIR-DRIVEN: candidate pairs fan out to
+    *     doc_a's shingles, then probe doc_b's shingles on (doc_b, shingle).
+    *     The intermediate is Σ_pairs |shingles(doc_a)| — linear in the LSH
+    *     candidate count (itself bucket-bounded) — never the co-shingle
+    *     self-join, which is quadratic in shingle document frequency;
+    *  2. a document-frequency cap (`dfCap`) drops stopword-like shingles
+    *     ("of the and" at web scale) from the counts and the intersection
+    *     probe. The signature pass runs on the UNCAPPED table (the capped
+    *     variant would change minhash values and break replicability);
+    *     its quadratic risk is bounded separately by the (band, sig)
+    *     bucket guard in [[candidatesFromSigs]]. A shingle's df cannot
+    *     exceed the document count, so when `nDocs <= dfCap` the cap
+    *     PROVABLY binds nothing and the heavy-hitter probe job is skipped
+    *     outright — sub-web-scale corpora pay zero for the guard. (The
+    *     cap must stay far above any real near-dup cluster's df anyway:
+    *     the SQL oracle has no cap, so a binding cap at oracle scale
+    *     would be a correctness bug, not a tuning choice.) */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleN: Int = 3, bands: Int = DefaultBands, minJaccard: Double = 0.0,
                    dfCap: Int = 100000): DataFrame = graft.CacheScope.scoped {

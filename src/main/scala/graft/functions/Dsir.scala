@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** DSIR-style importance weighting: score every corpus document by how
@@ -32,9 +33,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *   profile and the scoring pass ([[graft.CacheScope]]), pre-keyed by
   *   document ([[graft.Spread.byKey]]) so the final per-doc aggregation
   *   reuses that partitioning and the broadcast join adds NO exchange.
-  * - Totals (Tt, Tr) fold on as one-row lazy broadcasts onto the
-  *   BUCKET-sized profile table — the TfIdf.scala scalar-subquery shape,
-  *   never a corpus-sized side.
+  * - Totals fold onto the BUCKET-sized profile table only — the corpus
+  *   total as a global window sum over the ≤B profile rows (so the
+  *   corpus-derived profile has exactly one consumer and the whole
+  *   operator is ONE action), the target total as a one-row lazy
+  *   broadcast (it must survive a disjoint bucket overlap) — never a
+  *   corpus-sized side.
   * - Per-occurrence ln-ratio terms are identical doubles on any engine
   *   (same IEEE division + ln operands) CAST TO DECIMAL(38,18) before
   *   the per-doc sum, so the distributed sum is exact and order-free —
@@ -82,33 +86,44 @@ object Dsir {
       graft.Spread.byKey(corpus, idCol)
         .select(F.col(idCol), F.explode(gramBuckets(F.col(textCol))).as("bkt")))
 
-    // Profiles are ≤`buckets` rows — cached so their multiple consumers
-    // (the ratio join AND the one-row totals) re-read B rows instead of
-    // re-folding the corpus-sized gram stream per consumer.
-    val rawProf = graft.CacheScope.materialize(
-      corpusGrams.groupBy(F.col("bkt"))
-        .agg(F.count(F.lit(1)).as("rc")))
-    val tgtProf = graft.CacheScope.materialize(
-      graft.Spread(target)
-        .select(F.explode(gramBuckets(F.col(textCol))).as("bkt"))
-        .groupBy(F.col("bkt")).agg(F.count(F.lit(1)).as("tc")))
-
-    // Smoothed log-ratio per bucket, on the ≤`buckets`-row profile table.
-    // Totals are one-row lazy broadcasts (BroadcastNestedLoopJoin over a
-    // single-row aggregate — the documented TfIdf/Sampling scalar shape)
-    // folded onto the BUCKET-sized side, never the corpus side. A bucket
-    // never hit by the target keeps tc = 0 (add-1 smoothing covers it);
-    // a bucket never hit by the corpus cannot appear in scoring, so the
-    // raw profile is the complete key set. Empty-target totals coalesce
+    // Profiles are ≤`buckets` rows. Each carries its own total as a
+    // GLOBAL WINDOW SUM over those B rows (bounded-small window class —
+    // one partition of ≤8192 rows), so each profile has exactly ONE
+    // consumer and nothing needs caching: the whole operator is a
+    // single action (r15; the r14 shape materialized both profiles as
+    // separate jobs, and those action barriers kept the corpus scan +
+    // byKey exchange from being ReuseExchange-shared with the scoring
+    // probe — the q_lm_score one-action precedent applied here).
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // The CORPUS profile carries its total as a global window sum over
+    // its own ≤B rows (bounded-small window class — one partition of
+    // ≤8192 rows), so it has exactly ONE consumer and nothing
+    // corpus-derived needs a second derivation or a cache.
+    val rawProf = corpusGrams.groupBy(F.col("bkt"))
+      .agg(F.count(F.lit(1)).as("rc"))
+      .select(F.col("bkt"), F.col("rc"), F.sum("rc").over(all).as("r_tot"))
+    val tgtProf = graft.Spread(target)
+      .select(F.explode(gramBuckets(F.col(textCol))).as("bkt"))
+      .groupBy(F.col("bkt")).agg(F.count(F.lit(1)).as("tc"))
+    // The TARGET total must survive even when no target bucket matches a
+    // corpus bucket (a window over the joined rows would lose it on a
+    // disjoint overlap), so it stays a one-row lazy broadcast — the
+    // TfIdf/Sampling scalar shape. The target is small by contract; its
+    // twice-consumed profile subtree shares its exchange via
+    // ReuseExchange inside the one action. Empty-target totals coalesce
     // to 0 and the weights degrade to a uniform-target model — defined,
     // not a crash.
+    val tTot = tgtProf.groupBy().agg(F.coalesce(F.sum("tc"), F.lit(0L)).as("t_tot"))
+
+    // Smoothed log-ratio per bucket, on the ≤`buckets`-row profile table.
+    // A bucket never hit by the target keeps tc = 0 (add-1 smoothing
+    // covers it); a bucket never hit by the corpus cannot appear in
+    // scoring, so the raw profile is the complete key set.
     val b = buckets.toDouble
     val ratio = rawProf
       .join(tgtProf, Seq("bkt"), "left")
-      .crossJoin(F.broadcast(
-        tgtProf.groupBy().agg(F.coalesce(F.sum("tc"), F.lit(0L)).as("t_tot"))))
-      .crossJoin(F.broadcast(
-        rawProf.groupBy().agg(F.coalesce(F.sum("rc"), F.lit(0L)).as("r_tot"))))
+      .crossJoin(F.broadcast(tTot))
       .select(
         F.col("bkt"),
         // identical IEEE op order on both engines: (cnt+1)/(tot+B) then

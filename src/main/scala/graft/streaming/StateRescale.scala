@@ -186,13 +186,52 @@ object StateRescale {
         throw new IllegalStateException(
           s"source $sourceIdx offset is not a file-source logOffset: $off"))
     val dir = s"$checkpointDir/sources/$sourceIdx"
-    listNames(dir).flatMap { n =>
-      val base = n.stripSuffix(".compact")
-      if (base.forall(_.isDigit) && base.nonEmpty && base.toLong <= logOffset)
-        "\"path\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
-          .findAllMatchIn(raw(s"$dir/$n")).map(_.group(1)).toSeq
-      else Seq.empty
-    }.distinct
+    val pathRe = "\"path\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val entries = listNames(dir)
+      .map(n => (n, n.stripSuffix(".compact"), n.endsWith(".compact")))
+      .collect { case (n, base, c) if base.nonEmpty && base.forall(_.isDigit) =>
+        (n, base.toLong, c) }
+    // Coverage check (ADVICE r14): a long-running query compacts every N
+    // batches and DELETES per-batch entries past minBatchesToRetain — if
+    // the newest retained data for batches <= logOffset lives only
+    // inside a compact whose index EXCEEDS logOffset, the naive
+    // "entries <= logOffset" union under-reports and an offset-derived
+    // resume would re-read (double-count) already-consumed files.
+    // Batch i is covered by a plain entry i, or by any compact >= i
+    // (a compact re-lists all earlier files).
+    val maxCompactLe = entries.collect { case (_, b, true) if b <= logOffset => b }
+      .foldLeft(-1L)(math.max)
+    val plainLe = entries.collect { case (_, b, false) if b <= logOffset => b }.toSet
+    val uncovered = ((maxCompactLe + 1) to logOffset).filterNot(plainLe.contains)
+    if (uncovered.isEmpty)
+      entries.flatMap { case (n, b, _) =>
+        if (b <= logOffset) pathRe.findAllMatchIn(raw(s"$dir/$n")).map(_.group(1)).toSeq
+        else Seq.empty
+      }.distinct
+    else {
+      // retention dropped per-batch entries: recover them from the
+      // OLDEST compact past logOffset, whose entries carry their batchId
+      val later = entries.collect { case (_, b, true) if b > logOffset => b }
+      if (later.isEmpty) throw new IllegalStateException(
+        s"source $sourceIdx metadata log is missing entries for batches " +
+          s"${uncovered.mkString(",")} (<= logOffset $logOffset) and has no " +
+          "later compact to recover them from — refusing to under-report " +
+          "consumed files (a resume would double-read them)")
+      val batchRe = "\"batchId\"\\s*:\\s*(-?\\d+)".r
+      val fromCompact = raw(s"$dir/${later.min}.compact").split("\n").toSeq
+        .flatMap { line => // one JSON entry per line; field order free
+          for {
+            p <- pathRe.findFirstMatchIn(line).map(_.group(1))
+            b <- batchRe.findFirstMatchIn(line).map(_.group(1).toLong)
+            if b <= logOffset
+          } yield p
+        }
+      val fromPlain = entries.flatMap { case (n, b, _) =>
+        if (b <= logOffset) pathRe.findAllMatchIn(raw(s"$dir/$n")).map(_.group(1)).toSeq
+        else Seq.empty
+      }
+      (fromCompact ++ fromPlain).distinct
+    }
   }
 
   private def offsetsFile(checkpointDir: String, batch: Long): String = {

@@ -246,18 +246,18 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // executed plan reads the cache, paying only that one
     InternalAudit("q_mix_weights", maxExchangeTotal = 7,
       allowedBnljPerFrame = 1),
-    // r14: the gram stream is re-derived per consumer (cache A/B'd a
-    // wash at sf0.1, and a corpus-sized cache must spill at scale), so
-    // the frames are the two B-row profile materializes (each printing
-    // its byKey gram scan: ≤2 exchanges each) + the terminal frame
-    // re-printing both profile builds under the ratio join and the two
-    // one-row totals (the TfIdf scalar-subquery shape, 2 BNLJ) — the
-    // EXECUTED plan pays each cached exchange once; the print total is
-    // the sum over consumer re-prints, same caveat as q_mix_weights.
-    // Scoring side itself adds NO exchange: the per-doc agg reuses the
-    // byKey partitioning through the broadcast ratio join.
-    InternalAudit("q_dsir_weights", maxExchangeTotal = 16,
-      allowedBnljPerFrame = 2, minFrames = 3),
+    // r15 one-action shape (the q_lm_score precedent): NO materializes —
+    // the corpus profile carries its total as a B-row global window, the
+    // target total rides as the one one-row BNLJ, and the single scoped
+    // terminal frame prints the corpus byKey exchange under BOTH its
+    // consumers (profile agg + scoring probe — ReuseExchange collapses
+    // them at execution), the profile/target agg exchanges, the window's
+    // single-partition exchange, and the tgt profile re-printed under
+    // its two consumers. The EXECUTED plan pays the corpus exchange
+    // once; the print total is the sum over re-prints (q_mix_weights
+    // caveat).
+    InternalAudit("q_dsir_weights", maxExchangeTotal = 10,
+      allowedBnljPerFrame = 2, minFrames = 1),
     // logistic GD: feature-cache build + one slim residual materialize
     // per iteration + the terminal scoring frame; broadcast weight joins
     // add no exchange, and cached builds re-print under consumers (the

@@ -833,4 +833,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("consumedFiles recovers batches compacted past the committed offset") {
+    import graft.streaming.StateRescale
+    // ADVICE r15: a long-running query compacts its file-source metadata
+    // log every N batches and deletes per-batch entries past
+    // minBatchesToRetain. If the only surviving record of batches
+    // <= logOffset is a compact whose INDEX exceeds logOffset, the naive
+    // "entries <= logOffset" union under-reports and a derived resume
+    // would double-read. The compact's entries carry their batchId —
+    // consumedFiles must filter on that instead.
+    val dir = Files.createTempDirectory("graft_compact_edge")
+    def put(rel: String, body: String): Unit = {
+      val f = dir.resolve(rel)
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, body); ()
+    }
+    put("ckpt/commits/1", "v1\n{}")
+    put("ckpt/offsets/1", "v1\n{\"batchWatermarkMs\":0}\n{\"logOffset\":1}")
+    // retention deleted sources/0/{0,1}; only the later compact survives
+    put("ckpt/sources/0/2.compact",
+      "v1\n" +
+        """{"path":"file:///in/a.parquet","timestamp":1,"batchId":0}""" + "\n" +
+        """{"path":"file:///in/b.parquet","timestamp":2,"batchId":1}""" + "\n" +
+        """{"path":"file:///in/c.parquet","timestamp":3,"batchId":2}""" + "\n")
+    val consumed = StateRescale.consumedFiles(dir.resolve("ckpt").toString).toSet
+    assert(consumed == Set("file:///in/a.parquet", "file:///in/b.parquet"),
+      s"compact recovery wrong: $consumed")
+  }
+
+  test("consumedFiles fails loudly on an unrecoverable metadata-log gap") {
+    import graft.streaming.StateRescale
+    val dir = Files.createTempDirectory("graft_compact_gap")
+    def put(rel: String, body: String): Unit = {
+      val f = dir.resolve(rel)
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, body); ()
+    }
+    put("ckpt/commits/1", "v1\n{}")
+    put("ckpt/offsets/1", "v1\n{\"batchWatermarkMs\":0}\n{\"logOffset\":1}")
+    // batch 0's entry is gone and there is no compact to recover it from
+    put("ckpt/sources/0/1",
+      "v1\n" + """{"path":"file:///in/b.parquet","timestamp":2,"batchId":1}""" + "\n")
+    val e = intercept[IllegalStateException] {
+      StateRescale.consumedFiles(dir.resolve("ckpt").toString)
+    }
+    assert(e.getMessage.contains("missing entries"), e.getMessage)
+  }
 }
