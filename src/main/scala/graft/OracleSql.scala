@@ -767,6 +767,109 @@ object OracleSql {
         |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_nums
         |FROM events""".stripMargin,
 
+    // C4 rule suite: the multi-line page SYNTHESIS (8-token lines, every
+    // 5th cut to 3 words, bare/./? terminators on (doc_id+line)%3, four
+    // id-cohort violator lines) is replayed verbatim, then the c4.py
+    // line rules (terminal punct, >=5 words, javascript, policy
+    // substrings) and page flags (lorem ipsum, '{', >=3 kept) — the
+    // cleaned text itself is part of the hash.
+    "q_c4_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |page AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_concat(list_concat(list_concat(list_concat(
+        |      [CASE ((doc_id + x['i'] - 1) % 3)
+        |         WHEN 0 THEN x['b'] WHEN 1 THEN x['b'] || '.'
+        |         ELSE x['b'] || '?' END
+        |       for x in [{'i': i, 'b': list_aggregate(
+        |           CASE WHEN ((i - 1) % 5) = 4 THEN w[(i-1)*8+1:(i-1)*8+3]
+        |                ELSE w[(i-1)*8+1:(i-1)*8+8] END, 'string_agg', ' ')}
+        |         for i in generate_series(1, CAST(floor((len(w) + 7) / 8) AS BIGINT))]],
+        |      CASE WHEN doc_id % 7 = 0 THEN ['please enable javascript in your browser.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 11 = 0 THEN ['we use cookies to improve service quality.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 13 = 0 THEN ['notice lorem ipsum text follows here.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 17 = 0 THEN ['config block { starts after this line.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      'string_agg', chr(10)) AS ptext
+        |  FROM tok),
+        |c4 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(ptext, chr(10))) AS BIGINT) AS n_lines,
+        |    list_filter([trim(l, ' ' || chr(9)) for l in string_split(ptext, chr(10))],
+        |      t -> len(t) > 0
+        |        AND right(t, 1) IN ('.', '!', '?', '"')
+        |        AND len(list_filter(string_split_regex(t, '[ \t]+'), x -> len(x) > 0)) >= 5
+        |        AND NOT contains(lower(t), 'javascript')
+        |        AND NOT contains(lower(t), 'terms of use')
+        |        AND NOT contains(lower(t), 'privacy policy')
+        |        AND NOT contains(lower(t), 'cookie policy')
+        |        AND NOT contains(lower(t), 'uses cookies')
+        |        AND NOT contains(lower(t), 'use of cookies')
+        |        AND NOT contains(lower(t), 'use cookies')) AS kept,
+        |    contains(lower(ptext), 'lorem ipsum') AS has_lorem,
+        |    contains(ptext, '{') AS has_brace
+        |  FROM page)
+        |SELECT doc_id,
+        |  COALESCE(list_aggregate(kept, 'string_agg', chr(10)), '') AS text_clean,
+        |  n_lines, CAST(len(kept) AS BIGINT) AS n_kept, has_lorem, has_brace,
+        |  (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS c4_keep
+        |FROM c4""".stripMargin,
+
+    // Corpus duplicate-line removal over the same synthesized pages:
+    // keep-first on exact line text ordered (doc_id, idx); rebuild via
+    // ordered string_agg — the trim_spans rebuild shape. Hash includes
+    // the rebuilt text.
+    "q_dedup_lines" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |page AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_concat(list_concat(list_concat(list_concat(
+        |      [CASE ((doc_id + x['i'] - 1) % 3)
+        |         WHEN 0 THEN x['b'] WHEN 1 THEN x['b'] || '.'
+        |         ELSE x['b'] || '?' END
+        |       for x in [{'i': i, 'b': list_aggregate(
+        |           CASE WHEN ((i - 1) % 5) = 4 THEN w[(i-1)*8+1:(i-1)*8+3]
+        |                ELSE w[(i-1)*8+1:(i-1)*8+8] END, 'string_agg', ' ')}
+        |         for i in generate_series(1, CAST(floor((len(w) + 7) / 8) AS BIGINT))]],
+        |      CASE WHEN doc_id % 7 = 0 THEN ['please enable javascript in your browser.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 11 = 0 THEN ['we use cookies to improve service quality.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 13 = 0 THEN ['notice lorem ipsum text follows here.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 17 = 0 THEN ['config block { starts after this line.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      'string_agg', chr(10)) AS ptext
+        |  FROM tok),
+        |l AS (
+        |  SELECT doc_id, u['i'] AS idx, u['line'] AS line FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i - 1, 'line': string_split(ptext, chr(10))[i]}
+        |              for i in generate_series(1, len(string_split(ptext, chr(10))))]) AS u
+        |    FROM page)),
+        |rk AS (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rk
+        |  FROM l)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY idx), '') AS clean_text
+        |FROM rk GROUP BY 1""".stripMargin,
+
+    // Token-balanced sharding: rank by (token count DESC, id) then snake
+    // (boustrophedon) assignment — the same arithmetic text as
+    // Sampling.shardByTokens.
+    "q_shard_by_tokens" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1 AS rk
+        |  FROM c)
+        |SELECT doc_id, n_tok,
+        |  CAST(CASE WHEN rk % 16 < 8 THEN rk % 16 ELSE 15 - (rk % 16) END AS BIGINT) AS shard
+        |FROM r""".stripMargin,
+
     // HTML extraction: the synthesis (title/style/script/comment/entity-
     // encoded body) and the strip/decode/normalize chain replayed
     // verbatim; '&amp;' decodes LAST on both sides.

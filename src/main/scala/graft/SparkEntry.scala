@@ -1420,6 +1420,67 @@ object SparkEntry {
         TFx.tokenCount(F.col("text_clean")).cast("long").as("n_tok"))
   }
 
+  /** Deterministic multi-line PAGE synthesis shared by the line-level
+    * gates (q_c4_rules, q_dedup_lines): the corpus text is newline-free,
+    * so line-granular operators need lines built identically in both
+    * engines (the attachMedia/qHtmlExtract pattern). Tokens chunk into
+    * 8-word lines; every 5th line is cut to 3 words (trips the C4
+    * min-words rule); line terminators rotate bare/./? on
+    * (doc_id + line) % 3 (bare trips the terminal-punctuation rule); and
+    * id-keyed cohorts append a javascript-boilerplate line, a
+    * cookie-policy line, a "lorem ipsum" line, and a '{'-bearing line —
+    * one violator per C4 rule, and (being identical across their
+    * cohorts) the corpus-duplicated lines q_dedup_lines removes. */
+  private def synthPage(id: org.apache.spark.sql.Column,
+                        text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = F.split(text, " ")
+    val nl = F.floor((F.size(toks) + 7) / F.lit(8)).cast("int")
+    val lines = F.transform(F.sequence(F.lit(0), nl - 1), i => {
+      val chunk = F.slice(toks, i * 8 + 1, F.lit(8))
+      val words = F.when(i % 5 === 4, F.slice(chunk, 1, 3)).otherwise(chunk)
+      val base = F.array_join(words, " ")
+      F.when((id + i) % 3 === 0, base)
+        .when((id + i) % 3 === 1, F.concat(base, F.lit(".")))
+        .otherwise(F.concat(base, F.lit("?")))
+    })
+    val none = F.array().cast("array<string>")
+    def extra(cond: org.apache.spark.sql.Column, s: String) =
+      F.when(cond, F.array(F.lit(s))).otherwise(none)
+    F.array_join(F.concat(lines,
+      extra(id % 7 === 0, "please enable javascript in your browser."),
+      extra(id % 11 === 0, "we use cookies to improve service quality."),
+      extra(id % 13 === 0, "notice lorem ipsum text follows here."),
+      extra(id % 17 === 0, "config block { starts after this line.")), "\n")
+  }
+
+  /** C4 cleaning rule suite ([[graft.functions.TextFunctions.c4Rules]])
+    * over synthesized multi-line pages: line-level terminal-punctuation /
+    * min-words / javascript / policy filters + page-level lorem-ipsum,
+    * curly-brace and min-kept-lines rules — each rule tripped by a
+    * synthesis cohort. Hash-exact INCLUDING the rebuilt cleaned text. */
+  private def qC4Rules(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.c4Rules(
+      T(s, dir, "documents").select(
+        F.col("doc_id"), synthPage(F.col("doc_id"), F.col("text")).as("text")))
+
+  /** Corpus duplicate-LINE removal ([[graft.dedup.Dedup.dedupLines]]):
+    * keep-first line dedup over the same synthesized pages — the
+    * appended boilerplate cohort lines (identical across docs) and any
+    * naturally colliding short lines survive only at their first
+    * (doc_id, idx) occurrence; every document is rebuilt from its
+    * surviving lines. Hash-exact INCLUDING the rebuilt text. */
+  private def qDedupLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(
+      T(s, dir, "documents").select(
+        F.col("doc_id"), synthPage(F.col("doc_id"), F.col("text")).as("text")))
+
+  /** Token-budget-balanced sharding
+    * ([[graft.operators.Sampling.shardByTokens]]): rank by (token count
+    * DESC, id) via the distributed GlobalIndex, deal boustrophedon —
+    * shard TOKEN totals near-equal, not doc counts. */
+  private def qShardByTokens(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shardByTokens(T(s, dir, "documents"), nShards = 8)
+
   /** Benchmark decontamination: training docs sharing any distinct 8-gram
     * with the eval slice (every 50th doc) — the pre-training-run
     * train/test-overlap audit. */
@@ -2122,6 +2183,9 @@ object SparkEntry {
     "q_pack" -> (qPack _),
     "q_scrub" -> (qScrub _),
     "q_html_extract" -> (qHtmlExtract _),
+    "q_c4_rules" -> (qC4Rules _),
+    "q_dedup_lines" -> (qDedupLines _),
+    "q_shard_by_tokens" -> (qShardByTokens _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),

@@ -747,6 +747,54 @@ object Dedup {
         F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"))
   }
 
+  /** Corpus-level duplicate-LINE removal, keep-first (the CCNet/Dolma
+    * line-dedup step real web pipelines run between extraction and
+    * document dedup: navigation bars, footers, and cookie banners repeat
+    * across thousands of pages and survive document-level dedup because
+    * the pages differ elsewhere). Every '\n'-line occurrence is kept iff
+    * it is the FIRST occurrence of that exact line text corpus-wide
+    * (order: (idCol, line index) ascending — deterministic and
+    * partitioning-free); all later copies are removed and each document
+    * is rebuilt from its surviving lines in original order.
+    *
+    * Granularity ladder: [[dedupKeep]] removes whole duplicate DOCS,
+    * [[trimDuplicateSpans]] removes duplicated k-token SPANS,
+    * [[dupParagraphFraction]] SCORES shared paragraphs — this REMOVES
+    * exact duplicated lines, the unit web boilerplate actually repeats
+    * at.
+    *
+    * Scale shape: positional line explode → ONE line-keyed exchange
+    * whose row_number window marks firsts (the single-pass
+    * corpus-frequency pattern — no self-join, hot lines stream through
+    * the spillable window buffer) → one doc-keyed aggregation rebuilds
+    * the text (array_sort over (idx, line) structs, the
+    * trimDuplicateSpans rebuild). Two key exchanges total, nothing
+    * quadratic, no driver state.
+    *
+    * Output: (idCol, n_lines, n_removed, clean_text) for EVERY input
+    * document (a fully-boilerplate doc survives with clean_text = "").
+    * Empty lines dedup like any other line text — '\n\n' runs beyond
+    * the corpus's first are boilerplate by this definition too. */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = graft.Spread(docs)
+      .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n")))
+      .toDF(idCol, "idx", "line")
+    val first = Window.partitionBy(F.col("line"))
+      .orderBy(F.col(idCol).asc, F.col("idx").asc)
+    lines
+      .withColumn("rk", F.row_number().over(first))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_lines"),
+        F.sum(F.when(F.col("rk") > 1, 1L).otherwise(0L)).as("n_removed"),
+        F.concat_ws("\n", F.transform(
+          F.array_sort(F.collect_list(
+            F.when(F.col("rk") === 1, F.struct(F.col("idx"), F.col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** Duplicated n-gram fraction per document: of a document's DISTINCT
     * word `shingleN`-grams, the fraction that also occur in at least one
     * OTHER document (corpus df >= 2) — the standard corpus-level

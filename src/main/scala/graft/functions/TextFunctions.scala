@@ -278,4 +278,38 @@ object TextFunctions {
           F.col("ok_bullets") && F.col("ok_ellipsis") && F.col("ok_alpha") &&
           F.col("ok_stopwords"))
   }
+
+  /** The C4 cleaning rule suite (Raffel et al. 2020 §2.2; c4.py
+    * constants) — the web-corpus LINE filter that complements
+    * [[gopherRules]]' document-statistics filter: per '\n'-line, keep
+    * only terminal-punctuated (. ! ? ") lines of ≥ 5 words that are
+    * neither javascript-enable boilerplate nor cookie/policy notices;
+    * per document, drop pages mentioning "lorem ipsum" or containing
+    * '{' (code), and require ≥ `minKeptLines` surviving lines.
+    *
+    * Output: (idCol, text_clean, n_lines, n_kept, has_lorem, has_brace,
+    * c4_keep) — the cleaned text is the kept lines re-joined with '\n',
+    * hash-exact vs the oracle INCLUDING the rebuilt text.
+    *
+    * Scale shape: scan-only — one single-pass native expression
+    * ([[graft.functions.expressions.C4StatsExpr]]; the HOF formulation
+    * is CodegenFallback) and zero exchanges beyond Spread. */
+  def c4Rules(docs: org.apache.spark.sql.DataFrame,
+              idCol: String = "doc_id", textCol: String = "text",
+              minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    val st = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.C4StatsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(F.col(textCol))))
+    graft.Spread(docs)
+      .select(F.col(idCol), st.as("st"))
+      .select(
+        F.col(idCol),
+        F.col("st.text_clean").as("text_clean"),
+        F.col("st.n_lines").cast("long").as("n_lines"),
+        F.col("st.n_kept").cast("long").as("n_kept"),
+        F.col("st.has_lorem").as("has_lorem"),
+        F.col("st.has_brace").as("has_brace"),
+        (F.col("st.n_kept") >= minKeptLines &&
+          !F.col("st.has_lorem") && !F.col("st.has_brace")).as("c4_keep"))
+  }
 }

@@ -65,6 +65,41 @@ object Sampling {
       .drop("_shuf_key")
   }
 
+  /** Token-budget-BALANCED sharding: assign documents to `nShards`
+    * training shards so shard TOKEN totals (not doc counts) come out
+    * near-equal — what a data-parallel training run actually needs, and
+    * what [[shuffleShard]]'s count-balanced round-robin does not give on
+    * a length-skewed corpus (one shard of books next to a shard of
+    * tweets starves its trainer).
+    *
+    * Algorithm: documents ranked by (token count DESC, id ASC — a total
+    * order, so the assignment is deterministic and partitioning-free),
+    * then dealt BOUSTROPHEDON (snake: 0,1,…,S−1,S−1,…,1,0,…) — the
+    * classic one-pass balancing heuristic: each round of 2S hands every
+    * shard exactly two documents whose sizes come from opposite ends of
+    * the round, bounding the total spread without LPT's sequential
+    * least-loaded lookup (which no engine can evaluate as a window).
+    *
+    * Scale shape: one token-count scan (native regexp count), then
+    * [[GlobalIndex.appendIndex]]'s distributed rank (range partition +
+    * zipWithIndex — NO single-partition window), then pure arithmetic.
+    *
+    * Output: (idCol, n_tok, shard). SQL-replicable: the oracle replays
+    * rank + snake arithmetic verbatim (q_shard_by_tokens, hash-exact). */
+  def shardByTokens(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val counted = docs.select(F.col(idCol),
+      graft.functions.TextFunctions.tokenCount(F.col(textCol)).as("n_tok"))
+    val ranked = GlobalIndex.appendIndex(
+      counted, Seq(F.col("n_tok").desc, F.col(idCol).asc), "_rank")
+    val c = F.col("_rank") % (2L * nShards)
+    ranked
+      .withColumn("shard",
+        F.when(c < nShards, c).otherwise(F.lit(2L * nShards - 1L) - c).cast("long"))
+      .drop("_rank")
+  }
+
   /** Leakage-safe train/val/test split: the fold key is the document's
     * DEDUP CLUSTER id (its own id when unclustered), so near-duplicates
     * can never straddle splits — the standard guard against training text

@@ -544,6 +544,78 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(wl == Map(10L -> false, 11L -> false), s"word-len bounds: $wl")
   }
 
+  test("c4Rules: each line and page rule trips on its crafted violator and only there") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val good = "this line has at least five words." // kept
+    val docs = Seq(
+      (1L, s"$good\n$good\n$good"), // clean page: 3 kept lines
+      (2L, s"$good\n$good\nno terminal punctuation line here"), // bare line dropped → 2 kept
+      (3L, s"$good\n$good\ntoo short."), // < 5 words dropped → 2 kept
+      (4L, s"$good\n$good\nplease enable JavaScript right now."), // js line dropped
+      (5L, s"$good\n$good\nwe use cookies on this site."), // policy line dropped
+      (6L, s"$good\n$good\n$good lorem ipsum."), // page flagged: lorem
+      (7L, s"$good\n$good\n$good { brace."), // page flagged: brace
+      (8L, s"  $good  \n$good\n$good") // stripping: spaces trimmed, line kept
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.c4Rules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("c4_keep") && r(1L).getAs[Long]("n_kept") == 3L,
+      s"clean page failed: ${r(1L)}")
+    for (id <- Seq(2L, 3L, 4L, 5L))
+      assert(!r(id).getAs[Boolean]("c4_keep") && r(id).getAs[Long]("n_kept") == 2L,
+        s"doc $id should keep 2 lines and fail the page rule: ${r(id)}")
+    assert(r(6L).getAs[Boolean]("has_lorem") && !r(6L).getAs[Boolean]("c4_keep"))
+    assert(r(7L).getAs[Boolean]("has_brace") && !r(7L).getAs[Boolean]("c4_keep"))
+    assert(r(8L).getAs[Boolean]("c4_keep") &&
+      r(8L).getAs[String]("text_clean") == s"$good\n$good\n$good",
+      s"stripped line must be kept and rebuilt stripped: ${r(8L)}")
+  }
+
+  test("dedupLines: keep-first corpus-wide, ordered rebuild, partition-invariant") {
+    import spark.implicits._
+    val boiler = "accept our cookies to continue."
+    val docs = Seq(
+      (1L, s"alpha unique one.\n$boiler\nalpha unique two."),
+      (2L, s"$boiler\nbeta unique one."),
+      (3L, s"gamma unique one.\n$boiler\n$boiler")
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.dedupLines(d).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_lines"),
+          x.getAs[Long]("n_removed"), x.getAs[String]("clean_text"))).sorted.toSeq
+    val r = run(docs)
+    // doc 1 owns the first occurrence; later copies (doc 2 once, doc 3
+    // twice) are removed; within-doc order is preserved in the rebuild
+    assert(r == Seq(
+      (1L, 3L, 0L, s"alpha unique one.\n$boiler\nalpha unique two."),
+      (2L, 2L, 1L, "beta unique one."),
+      (3L, 3L, 2L, "gamma unique one.")), s"keep-first wrong: $r")
+    assert(run(docs.repartition(7)) == r, "dedupLines moved under repartitioning")
+  }
+
+  test("shardByTokens: snake assignment balances token totals, partition-invariant") {
+    import spark.implicits._
+    // skewed lengths: doc i has 10*i tokens (i = 1..40)
+    val docs = (1 to 40).map(i => (i.toLong, Seq.fill(10 * i)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sampling.shardByTokens(d, nShards = 4).collect()
+        .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_tok"),
+          x.getAs[Long]("shard"))).sortBy(_._1).toSeq
+    val r = run(docs)
+    // exact snake: rank 0 = longest doc (40) → shard 0; rank 1 → 1; …
+    // rank 4 → 3; rank 7 → 0
+    val byDoc = r.map(x => x._1 -> x._3).toMap
+    assert(byDoc(40L) == 0L && byDoc(39L) == 1L && byDoc(36L) == 3L &&
+      byDoc(33L) == 0L, s"snake order wrong: $r")
+    // balance: with sizes 10..400 the snake keeps totals within ~5%
+    val totals = r.groupBy(_._3).view.mapValues(_.map(_._2).sum).values.toSeq
+    assert(totals.max - totals.min <= totals.max / 10,
+      s"token totals unbalanced: $totals")
+    assert(run(docs.repartition(7)) == r, "shardByTokens moved under repartitioning")
+  }
+
   test("trimDuplicateSpans removes the shared boilerplate, keeps unique content") {
     import spark.implicits._
     import graft.dedup.Dedup
