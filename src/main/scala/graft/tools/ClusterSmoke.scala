@@ -32,8 +32,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *   - ShingleExpr + decimal-exact DSIR sums        → q_dsir_weights
   *   - MediaDecoder factory (mapPartitions)         → q_multimodal_frames
   *   - NfcNormalizeExpr (r14 native expression)     → q_normalize_unicode
-  *   - Bpe trainer + encode flatMap closures (r14)  → q_bpe_encode
+  *   - Bpe trainer + encode flatMap closures (r14;
+  *     r15 memoized mapPartitions encode)           → q_bpe_encode
   *   - CentroidScoresExpr (r14, centroid ref-obj)   → q_ann_ivf
+  *   - C4StatsExpr (r15 native line-filter pass)    → q_c4_rules
+  *   - line window + ordered rebuild agg (r15)      → q_dedup_lines
+  *   - GlobalIndex zipWithIndex rank (r15 caller)   → q_shard_by_tokens
+  *   - DPP-pruned indexed IVF serve (r15: driver
+  *     quantizer cache + prelist-reconciled append) → q_ann_ivf_indexed
   *   - StatefulLogic batch path (flatMapGroups)     → q_stateful_map
   *   - StatefulLogic streaming (transformWithState,
   *     RocksDB provider on executors)               → q_stream_stateful
@@ -52,6 +58,7 @@ object ClusterSmoke {
     "q_fingerprint_winnow", "q_trim_spans", "q_tfidf",
     "q_ann_brute", "q_ann_pq", "q_lm_score", "q_dsir_weights",
     "q_normalize_unicode", "q_ann_ivf", "q_bpe_encode",
+    "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens", "q_ann_ivf_indexed",
     "q_multimodal_frames", "q_stateful_map", "q_stream_stateful")
 
   /** Canonical result hash: columns sorted by name, every value rendered
