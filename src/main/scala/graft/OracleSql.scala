@@ -870,6 +870,52 @@ object OracleSql {
         |  CAST(CASE WHEN rk % 16 < 8 THEN rk % 16 ELSE 15 - (rk % 16) END AS BIGINT) AS shard
         |FROM r""".stripMargin,
 
+    // Filter funnel: the same four stage flags (dedup-survivor window,
+    // the shared quality expression, the langId CASE chain, token
+    // count), prefix-conjoined, then the per-stage (n_in, n_out) rows.
+    "q_filter_funnel" ->
+      s"""WITH dk AS (
+         |  SELECT doc_id,
+         |    (doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))) AS f1
+         |  FROM documents),
+         |q AS (SELECT doc_id, (($qualityExpr) >= 0.3) AS f2 FROM documents),
+         |${langCtes("documents", Nil)},
+         |t AS (SELECT doc_id,
+         |  (len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) >= 80) AS f4
+         |  FROM documents),
+         |flags AS (
+         |  SELECT dk.doc_id, f1, f2, (pred_lang IN ('en', 'es')) AS f3, f4
+         |  FROM dk JOIN q USING (doc_id) JOIN langed USING (doc_id)
+         |    JOIN t USING (doc_id)),
+         |s AS (
+         |  SELECT COUNT(*) AS s0,
+         |    SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS s1,
+         |    SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS s2,
+         |    SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS s3,
+         |    SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS s4
+         |  FROM flags)
+         |SELECT CAST(1 AS BIGINT) AS stage_idx, 'dedup_exact' AS stage,
+         |  CAST(s0 AS BIGINT) AS n_in, CAST(s1 AS BIGINT) AS n_out FROM s
+         |UNION ALL SELECT 2, 'quality', CAST(s1 AS BIGINT), CAST(s2 AS BIGINT) FROM s
+         |UNION ALL SELECT 3, 'lang', CAST(s2 AS BIGINT), CAST(s3 AS BIGINT) FROM s
+         |UNION ALL SELECT 4, 'tokens', CAST(s3 AS BIGINT), CAST(s4 AS BIGINT) FROM s""".stripMargin,
+
+    // Corpus time travel: the synthesized change log (v0 all, v1 every
+    // 3rd, v2 tombstones every 5th, v3 every 7th) read as of version 2 —
+    // row_number replay of the max_by-per-id rule, tombstone winners
+    // suppressed.
+    "q_corpus_asof" ->
+      """WITH vlog AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS version, 'u' AS op, text FROM documents
+        |  UNION ALL SELECT doc_id, 1, 'u', text || ' v1' FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 2, 'd', CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, 3, 'u', text || ' v3' FROM documents WHERE doc_id % 7 = 0),
+        |w AS (
+        |  SELECT doc_id, version, op, text,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |  FROM vlog WHERE version <= 2)
+        |SELECT doc_id, version, text FROM w WHERE rn = 1 AND op <> 'd'""".stripMargin,
+
     // HTML extraction: the synthesis (title/style/script/comment/entity-
     // encoded body) and the strip/decode/normalize chain replayed
     // verbatim; '&amp;' decodes LAST on both sides.

@@ -1481,6 +1481,47 @@ object SparkEntry {
   private def qShardByTokens(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.shardByTokens(T(s, dir, "documents"), nShards = 8)
 
+  /** Filter-funnel attrition report ([[graft.operators.Funnel.report]]):
+    * the per-stage yield accounting over a realistic cleaning chain —
+    * exact-dedup survivorship (corpus-relative flag via a window,
+    * computed by the caller per the operator contract), quality-score
+    * gate, language allowlist, minimum length. One scan + one global
+    * aggregation; 4 output rows. */
+  private def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val TFx = graft.functions.TextFunctions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.sha2(F.col("text"), 256))
+    val d = T(s, dir, "documents").withColumn(
+      "f_dedup", F.col("doc_id") === F.min(F.col("doc_id")).over(w))
+    graft.operators.Funnel.report(d, Seq(
+      "dedup_exact" -> F.col("f_dedup"),
+      "quality" -> (TFx.qualityScore(F.col("text")) >= 0.3),
+      "lang" -> TFx.langId(F.col("text")).isin("en", "es"),
+      "tokens" -> (TFx.tokenCount(F.col("text")) >= 80L)))
+  }
+
+  /** Corpus time travel ([[graft.operators.Corpus.asOf]]): a versioned
+    * change log is synthesized from the corpus (v0 = every doc, v1 =
+    * every 3rd doc re-crawled, v2 = every 5th doc DELETED, v3 = every
+    * 7th doc re-crawled again — deterministic, both engines), then read
+    * as of version 2: the v3 refreshes must NOT appear, the v2
+    * tombstones must suppress their ids, everyone else serves their
+    * newest ≤2 content. The version filter reaches the scan as a
+    * pushed predicate. */
+  private def qCorpusAsof(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    def slice(mod: Int, v: Int, op: String, suffix: String) =
+      docs.filter(F.col("doc_id") % mod === 0).select(
+        F.col("doc_id"), F.lit(v.toLong).as("version"), F.lit(op).as("op"),
+        (if (op == "d") F.lit(null).cast("string")
+         else F.concat(F.col("text"), F.lit(suffix))).as("text"))
+    val log = slice(1, 0, "u", "")
+      .unionByName(slice(3, 1, "u", " v1"))
+      .unionByName(slice(5, 2, "d", ""))
+      .unionByName(slice(7, 3, "u", " v3"))
+    graft.operators.Corpus.asOf(log, version = 2L)
+  }
+
   /** Benchmark decontamination: training docs sharing any distinct 8-gram
     * with the eval slice (every 50th doc) — the pre-training-run
     * train/test-overlap audit. */
@@ -2186,6 +2227,8 @@ object SparkEntry {
     "q_c4_rules" -> (qC4Rules _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_shard_by_tokens" -> (qShardByTokens _),
+    "q_filter_funnel" -> (qFilterFunnel _),
+    "q_corpus_asof" -> (qCorpusAsof _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),

@@ -72,6 +72,40 @@ object Corpus {
       .select(F.col(idCol) +: rest.map(c => F.col(s"_w.$c").as(c)): _*)
   }
 
+  /** Corpus TIME TRAVEL: read a versioned change log "as of" `version` —
+    * per id, the row with the highest version ≤ `version`, with ids whose
+    * winning row is a tombstone (`opCol` = "d") absent — the
+    * reproducibility primitive a training pipeline needs to re-materialize
+    * EXACTLY the corpus a past run trained on from the append-only CDC
+    * log [[upsert]]-style refreshes produce ("train run 7 used corpus
+    * v12" must stay answerable after v13..v40 landed).
+    *
+    * Scale shape: the version predicate is a plain scan filter (PUSHED to
+    * parquet — old versions' row groups prune on their version stats),
+    * then the [[upsert]] aggregation shape: one hash exchange on the id,
+    * winner per key as a map-side-combinable `max_by` over the version —
+    * no window, no self-join, the exchange carries ~|ids| candidate rows.
+    *
+    * Contract: (idCol, versionCol) unique in the log — what an
+    * append-only CDC log guarantees by construction; ties would make the
+    * winner payload-ordering-dependent. Output: every log column except
+    * `opCol` (the surviving row's version rides along as the audit
+    * stamp). */
+  def asOf(log: DataFrame, version: Long, idCol: String = "doc_id",
+           versionCol: String = "version", opCol: String = "op"): DataFrame = {
+    val cols = log.columns.toSeq
+    require(cols.contains(idCol) && cols.contains(versionCol) && cols.contains(opCol),
+      s"log must carry $idCol, $versionCol and $opCol")
+    val rest = cols.filterNot(_ == idCol)
+    val payload = F.struct(rest.map(F.col): _*)
+    log.filter(F.col(versionCol) <= version)
+      .groupBy(F.col(idCol))
+      .agg(F.max_by(payload, F.col(versionCol)).as("_w"))
+      .filter(F.col(s"_w.$opCol") =!= "d")
+      .select(F.col(idCol) +:
+        rest.filterNot(_ == opCol).map(c => F.col(s"_w.$c").as(c)): _*)
+  }
+
   /** Snapshot diff: which ids were added, removed, or changed between
     * corpus snapshots `a` (old) and `b` (new), comparing `contentCol`
     * (pass a content hash for wide rows — the comparison only needs

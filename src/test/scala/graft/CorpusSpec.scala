@@ -76,4 +76,27 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(7L -> "changed", 13L -> "changed", 99L -> "added"))
   }
+
+  test("asOf serves each version's exact corpus from one change log") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 0L, "u", "a-v0"), (2L, 0L, "u", "b-v0"), (3L, 0L, "u", "c-v0"),
+      (2L, 1L, "u", "b-v1"),                 // refresh
+      (3L, 2L, "d", null.asInstanceOf[String]), // tombstone
+      (4L, 2L, "u", "d-v2"),                 // late insert
+      (3L, 3L, "u", "c-v3")                  // re-insert after delete
+    ).toDF("doc_id", "version", "op", "text")
+    def at(v: Long) = Corpus.asOf(log, v).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(at(0L) == Map(1L -> (0L, "a-v0"), 2L -> (0L, "b-v0"), 3L -> (0L, "c-v0")))
+    assert(at(1L) == Map(1L -> (0L, "a-v0"), 2L -> (1L, "b-v1"), 3L -> (0L, "c-v0")))
+    // v2: the tombstone suppresses id 3, the insert appears
+    assert(at(2L) == Map(1L -> (0L, "a-v0"), 2L -> (1L, "b-v1"), 4L -> (2L, "d-v2")))
+    // v3: re-insert after delete resurfaces id 3
+    assert(at(3L) == Map(1L -> (0L, "a-v0"), 2L -> (1L, "b-v1"),
+      3L -> (3L, "c-v3"), 4L -> (2L, "d-v2")))
+    // partitioning-invariant (the winner is a max_by, not arrival order)
+    assert(Corpus.asOf(log.repartition(7), 2L).collect().map(_.toString).sorted.toSeq ==
+      Corpus.asOf(log, 2L).collect().map(_.toString).sorted.toSeq)
+  }
 }

@@ -616,6 +616,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(run(docs.repartition(7)) == r, "shardByTokens moved under repartitioning")
   }
 
+  test("funnel report: prefix-conjoined stage counts, monotone, n_in chains") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, true, true, true),   // survives all
+      (2L, true, true, false),  // dies at stage 3
+      (3L, true, false, true),  // dies at stage 2 (stage-3 flag irrelevant)
+      (4L, false, true, true)   // dies at stage 1
+    ).toDF("doc_id", "a", "b", "c")
+    val r = graft.operators.Funnel.report(docs, Seq(
+      "a" -> F.col("a"), "b" -> F.col("b"), "c" -> F.col("c"))).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3))).sortBy(_._1).toSeq
+    assert(r == Seq((1L, "a", 4L, 3L), (2L, "b", 3L, 2L), (3L, "c", 2L, 1L)),
+      s"funnel rows wrong: $r")
+    // n_in of stage k == n_out of stage k-1 by construction; monotone
+    r.sliding(2).foreach { case Seq(p, n) => assert(p._4 == n._3) case _ => }
+  }
+
   test("trimDuplicateSpans removes the shared boilerplate, keeps unique content") {
     import spark.implicits._
     import graft.dedup.Dedup
