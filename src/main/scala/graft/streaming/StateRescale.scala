@@ -50,17 +50,48 @@ object StateRescale {
       .option("operatorId", operatorId)
       .load(checkpointDir)
 
+  /** [[readState]] pinned to an EXPLICIT committed batch — the form a
+    * zero-downtime migration's warm-up export must use while the old
+    * query is STILL RUNNING (docs/ZERO_DOWNTIME_MIGRATION.md phase 2):
+    * "latest" is a moving target against a live checkpoint (the store
+    * may commit batch N+1 between the reader's option resolution and its
+    * scan), but the snapshot files of an already-committed batch are
+    * immutable, so pinning `batchId` makes the concurrent read
+    * well-defined. Use [[lastCommittedBatch]] for the pin. */
+  def readStateAt(spark: SparkSession, checkpointDir: String,
+                  batchId: Long, operatorId: Int = 0): DataFrame =
+    spark.read.format("statestore")
+      .option("operatorId", operatorId)
+      .option("batchId", batchId)
+      .load(checkpointDir)
+
+  /** The newest batch id with a COMMIT record — the only version a
+    * concurrent state export may pin to (offsets/N exists BEFORE batch N
+    * runs; commits/N only after its state is durable). None when nothing
+    * ever committed. */
+  def lastCommittedBatch(checkpointDir: String): Option[Long] = {
+    val committed = listNames(s"$checkpointDir/commits")
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    if (committed.isEmpty) None else Some(committed.max)
+  }
+
   /** The typed (key, state) pairs of a flatMapGroupsWithState checkpoint —
     * the input `initialState` wants. The state source returns structs; a
     * single-field struct (primitive K or S) unwraps to the value itself,
     * a multi-field struct stays a struct and decodes via the encoder. */
   def keyedState[K: Encoder, S: Encoder](
       spark: SparkSession, checkpointDir: String,
-      operatorId: Int = 0): Dataset[(K, S)] = {
+      operatorId: Int = 0, batchId: Long = -1L): Dataset[(K, S)] = {
     implicit val ksEnc: Encoder[(K, S)] =
       org.apache.spark.sql.Encoders.tuple(
         implicitly[Encoder[K]], implicitly[Encoder[S]])
-    val raw = readState(spark, checkpointDir, operatorId)
+    // batchId >= 0 pins the read to that committed batch's immutable
+    // snapshot ([[readStateAt]]) — REQUIRED when exporting against a
+    // LIVE query (the zero-downtime warm-up); -1 = latest, the offline
+    // (stopped-query) default.
+    val raw =
+      if (batchId >= 0L) readStateAt(spark, checkpointDir, batchId, operatorId)
+      else readState(spark, checkpointDir, operatorId)
     import org.apache.spark.sql.types.StructType
     def unwrap(col: String): org.apache.spark.sql.Column = {
       var path = col
@@ -86,8 +117,8 @@ object StateRescale {
     * key into the new layout. */
   def initialStateFrom[K: Encoder, S: Encoder](
       spark: SparkSession, checkpointDir: String,
-      operatorId: Int = 0): KeyValueGroupedDataset[K, S] =
-    keyedState[K, S](spark, checkpointDir, operatorId)
+      operatorId: Int = 0, batchId: Long = -1L): KeyValueGroupedDataset[K, S] =
+    keyedState[K, S](spark, checkpointDir, operatorId, batchId)
       .groupByKey(_._1).mapValues(_._2)
 
   // Checkpoint-dir listings go through graft.HadoopFs (session conf) — a

@@ -834,6 +834,64 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SinkGate: nothing public until open, marker-last publish, idempotent replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sinkgate").toString
+    val gate = new graft.streaming.SinkGate(s"$dir/stage", s"$dir/public")
+    def pub() = Option(new java.io.File(s"$dir/public").listFiles())
+      .map(_.map(_.getName).sorted.toSeq).getOrElse(Nil)
+    // two batches arrive while the gate is CLOSED
+    gate.sink(Seq((1L, "a")).toDF("k", "v"), 0L)
+    gate.sink(Seq((2L, "b")).toDF("k", "v"), 1L)
+    assert(pub().isEmpty, s"gate closed but something published: ${pub()}")
+    // a replay of a staged batch is a no-op (marker short-circuits)
+    gate.sink(Seq((9L, "SHOULD NOT LAND")).toDF("k", "v"), 0L)
+    // cutover: open publishes the backlog, batch 0 keeps its FIRST content
+    gate.open()
+    assert(pub() == Seq("batch=0", "batch=1"), s"backlog not published: ${pub()}")
+    val b0 = spark.read.parquet(s"$dir/public/batch=0").as[(Long, String)].collect().toSeq
+    assert(b0 == Seq((1L, "a")), s"replayed batch overwrote the staged original: $b0")
+    // post-open batches publish straight through
+    gate.sink(Seq((3L, "c")).toDF("k", "v"), 2L)
+    assert(pub() == Seq("batch=0", "batch=1", "batch=2"))
+    // open is idempotent
+    gate.open()
+    assert(spark.read.parquet(s"$dir/public").count() == 3L)
+    // every published batch carries its marker (the reader visibility gate)
+    pub().foreach { b =>
+      assert(new java.io.File(s"$dir/public/$b/_SUCCESS").isFile, s"$b missing marker")
+    }
+  }
+
+  test("readStateAt pins the export to an explicit committed batch") {
+    import spark.implicits._
+    import graft.streaming.StateRescale
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_pinned_export").toString
+    val input = MemoryStream[SEvent]
+    val q = StatefulExec.stream[Long, SEvent, Long, STotal](
+      input.toDS(), _.k, runningSum)
+      .writeStream.format("memory").queryName("pinned_export")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    input.addData(SEvent(1, 10), SEvent(2, 5))
+    q.processAllAvailable()
+    input.addData(SEvent(1, 7), SEvent(3, 1))
+    q.processAllAvailable()
+    q.stop()
+    assert(StateRescale.lastCommittedBatch(s"$dir/ckpt").contains(1L))
+    def totals(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.selectExpr("key.value AS k", "value.groupState.value AS s")
+        .as[(Long, Long)].collect().toMap
+    // batch 0's snapshot: only the first micro-batch's state
+    assert(totals(StateRescale.readStateAt(spark, s"$dir/ckpt", 0L)) ==
+      Map(1L -> 10L, 2L -> 5L))
+    // batch 1 == latest
+    val at1 = totals(StateRescale.readStateAt(spark, s"$dir/ckpt", 1L))
+    assert(at1 == Map(1L -> 17L, 2L -> 5L, 3L -> 1L))
+    assert(totals(StateRescale.readState(spark, s"$dir/ckpt")) == at1)
+  }
+
   test("consumedFiles recovers batches compacted past the committed offset") {
     import graft.streaming.StateRescale
     // ADVICE r15: a long-running query compacts its file-source metadata
