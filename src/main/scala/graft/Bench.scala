@@ -36,7 +36,12 @@ object Bench {
     // corpus-proportional cost — the chained web pipeline and the BPE
     // corpus encode (rows-only gate, so no DuckDB ratio: wall-clock is
     // still tracked so its perf cannot rot silently).
-    "q_pipeline_web", "q_bpe_encode")
+    "q_pipeline_web", "q_bpe_encode",
+    // r15 rows with corpus-proportional cost: the C4 line-filter scan,
+    // the line-dedup window+rebuild, the global token-rank shard.
+    // q_filter_funnel / q_corpus_asof measured 0.18/0.31 s solo — the
+    // fixed-cost class, correctness-gated only.
+    "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

@@ -31,7 +31,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_trim_spans", "q_dsir_weights", "q_gopher_rules",
             "q_ann_ivf_indexed", "q_ccnet_buckets", "q_dsir_select",
             "q_clf_quality", "q_profile", "q_html_extract",
-            "q_pipeline_web", "q_bpe_encode"]
+            "q_pipeline_web", "q_bpe_encode",
+            "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens"]
 
 
 def main():
