@@ -394,11 +394,25 @@ object DataSelectionPipeline {
     graft.operators.Sampling.unimaxWeights(
       heurKeep, budgetTokens = 20000L, maxEpochs = 2).show()
 
-    // 6. Deterministic training order + shards for the selected corpus.
-    val sharded = graft.operators.Sampling.shuffleShard(
-      heurKeep.join(picked.select("doc_id"), Seq("doc_id"), "left_semi"),
-      nShards = 4)
+    // 6. Deterministic training order + shards for the selected corpus —
+    //    count-balanced (shuffleShard) or TOKEN-balanced (shardByTokens,
+    //    what a length-skewed corpus actually needs).
+    val selected = heurKeep.join(picked.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sharded = graft.operators.Sampling.shuffleShard(selected, nShards = 4)
     sharded.groupBy("shard").count().orderBy("shard").show()
+    graft.operators.Sampling.shardByTokens(selected, nShards = 4)
+      .groupBy("shard").agg(F.sum("n_tok").as("shard_tokens"))
+      .orderBy("shard").show()
+
+    // 7. The funnel report the pipeline dashboard draws: per-stage yields
+    //    of the whole selection chain in one aggregation.
+    val pickedIds = picked.select(F.col("doc_id"), F.lit(true).as("f_sel"))
+    val flagged = docs
+      .join(rules.select(F.col("doc_id"), F.col("passes")), Seq("doc_id"))
+      .join(pickedIds, Seq("doc_id"), "left")
+    graft.operators.Funnel.report(flagged, Seq(
+      "gopher" -> F.col("passes"),
+      "dsir_selected" -> F.coalesce(F.col("f_sel"), F.lit(false)))).show()
     spark.stop()
   }
 }

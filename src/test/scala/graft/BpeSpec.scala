@@ -109,6 +109,27 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incremental trainer matches the reference at deeper merge counts and richer alphabets") {
+    // the r15 trainer is a different algorithm (interned ids, delta pair
+    // counts, lazy-heap argmax) — push it past the 10-merge trials:
+    // deeper merge chains exercise merged-symbol-pair creation, heap
+    // staleness correction, and the append-only index's lazy validation.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 2) {
+      val alphabet = "abcdef"
+      val words = Seq.fill(300)(
+        (0 until (3 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(50).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val got = Bpe.train(docs, numMerges = 60)
+      val want = referenceTrain(words, 60)
+      assert(got == want,
+        s"trial $trial: first divergence at merge ${got.zip(want).indexWhere(p => p._1 != p._2)}: " +
+          s"engine ${got.take(5)}... != reference ${want.take(5)}...")
+    }
+  }
+
   test("tie-break is UTF-8 byte order: supplementary-plane vs BMP tie") {
     import spark.implicits._
     // Two pairs tied at count 2: (😀, a) and (U+E000, b). UTF-8 bytes:
