@@ -110,6 +110,19 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // regex chain runs once; review r14 caught the groupBy+join form
     // re-running it twice)
     Audit("q_pipeline_web", maxExchange = 1),
+    // r15 rows. C4: one native-expression scan (the spread is the only
+    // exchange); line dedup: spread + line window + doc rebuild agg;
+    // funnel: spread + dedup-flag window + the one-row global agg;
+    // time travel: the max_by key aggregation over the union legs, and
+    // no joins anywhere in it (maxBhj 0; the gate's version column is
+    // synthesized, so the pushdown claim is for persisted logs and not
+    // assertable here). q_shard_by_tokens is the GlobalIndex RDD-hop
+    // class (q_densify/q_shuffle_shard precedent) — its plan prints as
+    // an RDD scan, nothing to audit.
+    Audit("q_c4_rules", maxExchange = 1),
+    Audit("q_dedup_lines", maxExchange = 3),
+    Audit("q_filter_funnel", maxExchange = 3),
+    Audit("q_corpus_asof", maxExchange = 2, maxBhj = 0),
     Audit("q_chunk", maxExchange = 0),
     Audit("q_repetition", maxExchange = 0),
     Audit("q_json_extract", maxExchange = 0),
