@@ -432,13 +432,11 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
 
   private def indexSchema(spark: org.apache.spark.sql.SparkSession,
-                          path: String): org.apache.spark.sql.types.StructType = {
-    val stamp = centroidStamp(path)
+                          path: String, stamp: String): org.apache.spark.sql.types.StructType =
     schemaCache.compute(path, (_, prev) =>
       if (prev != null && prev._1 == stamp) prev
       else (stamp, spark.read.parquet(path).schema)
     )._2
-  }
 
   private def centroidStamp(path: String): String = {
     val (fs, p) = graft.HadoopFs.get(path + "_centroids")
@@ -448,15 +446,17 @@ object Ann {
   }
 
   private[graft] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-                                   path: String): Array[(Int, Seq[Double])] = {
-    val stamp = centroidStamp(path)
+                                   path: String): Array[(Int, Seq[Double])] =
+    loadCentroids(spark, path, centroidStamp(path))
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String, stamp: String): Array[(Int, Seq[Double])] =
     quantizerCache.compute(path, (_, prev) =>
       if (prev != null && prev._1 == stamp) prev
       else (stamp, spark.read.parquet(path + "_centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1)))
         .sortBy(_._1))
     )._2
-  }
 
   /** Every data file currently in the partitioned index (relative to
     * `path`, cell dirs included) — the reconciliation unit of
@@ -502,7 +502,14 @@ object Ann {
     * to pay a dedup exchange on EVERY serve) to the ingest path, where
     * it costs one file listing per batch and runs only on the rare
     * replay. Callers with their own crash story (a batch rebuild that
-    * re-inits on failure) omit it. */
+    * re-inits on failure) omit it.
+    *
+    * The ledger is strictly SINGLE-USE per batch: the caller MUST delete
+    * it once its own commit marker lands (ivfIngestStream does). A
+    * committed ledger that outlives its batch and is handed to a LATER
+    * append — a batch-id collision after a checkpoint reset — would make
+    * that append's "replay" branch delete every index file added since
+    * the stale listing. */
   def ivfIndexAppend(newVectors: DataFrame, path: String,
                      idCol: String = "vec_id", embCol: String = "embedding",
                      native: Boolean = true,
@@ -568,11 +575,14 @@ object Ann {
                      queries: DataFrame, idCol: String = "vec_id",
                      embCol: String = "embedding", k: Int = 5,
                      probes: Int = 4, native: Boolean = true): DataFrame = {
-    val centroids = loadCentroids(spark, path)
+    // ONE stamp listing per serve, shared by both caches (each computing
+    // its own would be two object-store round-trips — review r15)
+    val stamp = centroidStamp(path)
+    val centroids = loadCentroids(spark, path, stamp)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
       normCol(F.col(embCol), native).as("q_norm"),
       F.explode(probeCellsCol(centroids, F.col(embCol), probes, native)).as("cell"))
-    val c = spark.read.schema(indexSchema(spark, path)).parquet(path)
+    val c = spark.read.schema(indexSchema(spark, path, stamp)).parquet(path)
       .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
         normCol(F.col(embCol), native).as("c_norm"), F.col("cell"))
     ivfScore(c, q, k, native)

@@ -89,22 +89,6 @@ object Bpe {
     out.result()
   }
 
-  /** UTF-8 byte order — the order Spark's UTF8String comparisons (and the
-    * trainer's tie-break contract) use. Diverges from String.compareTo
-    * (UTF-16 code units) for supplementary-plane vs U+E000+ symbols. */
-  private def byteLt(a: String, b: String): Boolean = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c < 0
-      i += 1
-    }
-    x.length < y.length
-  }
-
   /** The one-corpus-scan word-count table `(word, n)` the trainer and
     * encoder both start from. */
   private def wordCounts(docs: DataFrame, textCol: String): DataFrame = {
@@ -148,8 +132,17 @@ object Bpe {
     // once, when — if ever — that pair wins a merge).
     val symId = scala.collection.mutable.HashMap.empty[String, Int]
     val symStr = scala.collection.mutable.ArrayBuffer.empty[String]
+    // UTF-8 bytes cached per interned symbol: the heap's tie comparator
+    // runs on count plateaus (BPE tails are count-2/count-3 heavy), and
+    // re-encoding two growing subword strings per sift step is pure
+    // allocation churn (review r15)
+    val symBytes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     def intern(s: String): Int =
-      symId.getOrElseUpdate(s, { symStr += s; symStr.length - 1 })
+      symId.getOrElseUpdate(s, {
+        symStr += s
+        symBytes += s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        symStr.length - 1
+      })
     val words = new Array[Array[Int]](vocab.length)
     val wn = new Array[Long](vocab.length)
     var wi = 0
@@ -161,7 +154,7 @@ object Bpe {
     def pkey(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
     val pairCount = new LongLongCounter(1 << 16)
     val pairWords = scala.collection.mutable.HashMap.empty[Long, IntList]
-    val heap = new PairHeap(symStr)
+    val heap = new PairHeap(symBytes)
     // `indexSym`: -1 indexes every pair (the initial build); otherwise
     // only pairs touching that symbol are (re-)indexed — merging never
     // creates an adjacency that does not involve the freshly merged
@@ -342,21 +335,31 @@ object Bpe {
 
   /** Binary max-heap of (count, pair-key) under the trainer's total
     * order — count DESC, then left/right symbol in UTF-8 byte order ASC
-    * (resolved through the intern table), then key ASC. Parallel long
-    * arrays, no boxing; entries may be stale (the pop site validates
-    * against the live count). */
-  private final class PairHeap(symStr: scala.collection.mutable.ArrayBuffer[String]) {
+    * (resolved through the intern table's CACHED byte encodings), then
+    * key ASC. Parallel long arrays, no boxing; entries may be stale
+    * (the pop site validates against the live count). */
+  private final class PairHeap(symBytes: scala.collection.mutable.ArrayBuffer[Array[Byte]]) {
     private var ns = new Array[Long](1 << 12)
     private var ks = new Array[Long](1 << 12)
     private var size = 0
     def nonEmpty: Boolean = size > 0
     /** true iff entry i outranks entry j */
+    private def bytesLt(x: Array[Byte], y: Array[Byte]): Boolean = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     private def prior(i: Int, j: Int): Boolean = {
       if (ns(i) != ns(j)) return ns(i) > ns(j)
       val li = (ks(i) >>> 32).toInt; val lj = (ks(j) >>> 32).toInt
-      if (li != lj) return byteLt(symStr(li), symStr(lj))
+      if (li != lj) return bytesLt(symBytes(li), symBytes(lj))
       val ri = ks(i).toInt; val rj = ks(j).toInt
-      if (ri != rj) return byteLt(symStr(ri), symStr(rj))
+      if (ri != rj) return bytesLt(symBytes(ri), symBytes(rj))
       ks(i) < ks(j)
     }
     private def swap(i: Int, j: Int): Unit = {

@@ -101,7 +101,11 @@ object C4StatsExpr {
             if (i < b) { words += 1; while (i < b && !isBlank(raw.charAt(i))) i += 1 }
           }
           if (words >= 5) {
-            val lineLower = lower.substring(a, b)
+            // lowercase the RAW slice, never a slice of the pre-lowered
+            // whole: lowercasing can change length (U+0130 'İ' expands
+            // to two chars), which would shift every offset after it and
+            // misalign the banned-substring window (review r15)
+            val lineLower = raw.substring(a, b).toLowerCase(java.util.Locale.ROOT)
             var banned = lineLower.contains("javascript")
             var pi = 0
             while (!banned && pi < policy.length) {

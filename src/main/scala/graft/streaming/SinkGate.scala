@@ -52,11 +52,18 @@ final class SinkGate(stageDir: String, publishDir: String) {
     val (fs, sp) = graft.HadoopFs.get(stageDir)
     if (!fs.exists(sp)) return
     val staged = fs.listStatus(sp).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter { p =>
+        val suffix = p.getName.stripPrefix("batch=")
+        p.getName.startsWith("batch=") && suffix.nonEmpty && suffix.forall(_.isDigit)
+      }
       // only FULLY staged batches publish; a mid-stage crash leaves no
       // _SUCCESS and the replay re-stages it first
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .sortBy(_.getName)
+      // NUMERIC batch order (lexicographic puts batch=10 before batch=2):
+      // a crash mid-open must leave a CONTIGUOUS published prefix, never
+      // later batches visible with earlier ones missing (review r15)
+      .sortBy(p => p.getName.stripPrefix("batch=").toLong)
     staged.foreach { src =>
       val dst = new org.apache.hadoop.fs.Path(s"$publishDir/${src.getName}")
       val marker = new org.apache.hadoop.fs.Path(dst, "_SUCCESS")

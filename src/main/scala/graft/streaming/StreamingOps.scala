@@ -174,11 +174,24 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(markerGatedId(outDir) { (batch, target, batchId) =>
+        val prelist = s"$outDir/prelist_batch=$batchId"
         graft.ann.Ann.ivfIndexAppend(
           batch.select(batch(idCol), batch(embCol)), indexPath,
-          prelistDir = Some(s"$outDir/prelist_batch=$batchId"))
+          prelistDir = Some(prelist))
         batch.select(batch(idCol))
           .write.mode(SaveMode.Overwrite).parquet(target)
+        // The ledger is SINGLE-USE: once the commit marker above exists,
+        // markerGated can never re-enter this batch, so the prelist is
+        // dead weight — and a STALE committed ledger is dangerous (a
+        // batch-id collision after a checkpoint reset would treat the
+        // old listing as this batch's pre-state and delete every file
+        // appended since — review r15). Delete it now; a crash between
+        // the marker and this delete leaves a harmless orphan that is
+        // never read again (the marker gates the only reader). This
+        // also bounds ledger storage at O(1) instead of one full index
+        // listing per batch over the stream's lifetime.
+        val (fs, p) = graft.HadoopFs.get(prelist)
+        fs.delete(p, true); ()
       })
       .start()
 

@@ -863,6 +863,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SinkGate: a crash mid-publish heals on the next open") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sinkgate_crash").toString
+    val gate = new graft.streaming.SinkGate(s"$dir/stage", s"$dir/public")
+    gate.sink(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    // simulate a crash mid-publish: a data file copied but NO _SUCCESS
+    // (the marker-last discipline guarantees this is the only possible
+    // partial state)
+    val staged = new java.io.File(s"$dir/stage/batch=0").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val half = new java.io.File(s"$dir/public/batch=0")
+    java.nio.file.Files.createDirectories(half.toPath)
+    java.nio.file.Files.copy(staged.toPath, half.toPath.resolve(staged.getName))
+    // a reader must not see the half-published batch as committed
+    assert(!new java.io.File(half, "_SUCCESS").isFile)
+    // recovery: the next open re-copies (overwrite) and completes it
+    gate.open()
+    assert(new java.io.File(half, "_SUCCESS").isFile, "publish did not complete")
+    val rows = spark.read.parquet(s"$dir/public/batch=0")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")), s"healed batch wrong: $rows")
+  }
+
   test("readStateAt pins the export to an explicit committed batch") {
     import spark.implicits._
     import graft.streaming.StateRescale
