@@ -394,6 +394,28 @@ object Bpe {
     }
   }
 
+  /** Persist a trained merge table as the tokenizer ARTIFACT a pipeline
+    * ships between the train job and every encode job: one parquet file
+    * of (merge_rank, left, right) — self-describing, engine-neutral,
+    * tiny (K rows). Overwrites. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("merge_rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[save]]d tokenizer. Merge ORDER is the tokenizer (BPE
+    * applies merges in training order), so the read sorts on the
+    * persisted rank rather than trusting file/row order. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Seq[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy(F.col("merge_rank").asc)
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
   /** Encode every document with a trained merge table: one row per
     * (doc, token) with the token's position — the tokenize-the-corpus
     * step. Pure flatMap over the scan (zero shuffle); merges ride the

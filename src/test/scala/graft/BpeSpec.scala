@@ -130,6 +130,22 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("save/load round-trips the tokenizer artifact, order preserved") {
+    import spark.implicits._
+    val docs = Seq((1L, "lowest lower low newest widest low low newest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 8)
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_artifact")
+      .resolve("tokenizer").toString
+    Bpe.save(spark, merges, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded == merges, s"artifact round-trip changed the tokenizer: $loaded vs $merges")
+    // the loaded tokenizer encodes identically (order is the tokenizer)
+    val a = Bpe.encode(docs, merges).collect().map(_.toString).sorted.toSeq
+    val b = Bpe.encode(docs, loaded).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("tie-break is UTF-8 byte order: supplementary-plane vs BMP tie") {
     import spark.implicits._
     // Two pairs tied at count 2: (😀, a) and (U+E000, b). UTF-8 bytes:
