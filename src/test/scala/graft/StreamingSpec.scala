@@ -149,6 +149,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"web-prep chain diverged on a stream: ${rows.toSeq}")
   }
 
+  test("c4Rules runs unchanged on a stream (scan-only native pass)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = graft.functions.TextFunctions.c4Rules(
+      input.toDS().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    val good = "this line has at least five words."
+    input.addData(
+      (1L, s"$good\n$good\n$good"),
+      (2L, s"$good\nplease enable javascript right now here."))
+    q.processAllAvailable()
+    val rows = spark.table("c4_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Boolean]("c4_keep"))).toMap
+    q.stop()
+    assert(rows == Map(1L -> ((3L, true)), 2L -> ((1L, false))),
+      s"streamed c4 diverged: $rows")
+  }
+
   test("dedupMinhashStream drops exact re-sends, keeps distinct docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
