@@ -594,6 +594,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(run(docs.repartition(7)) == r, "dedupLines moved under repartitioning")
   }
 
+  test("dedupLines matches a collections reference on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // a small line pool forces heavy cross-document duplication
+    val pool = (1 to 12).map(i => s"line number $i of the shared pool.")
+    for (trial <- 1 to 2) {
+      val docs = (0L until 40L).map { id =>
+        id -> (0 until (1 + rnd.nextInt(6))).map(_ => pool(rnd.nextInt(pool.size)))
+      }
+      // reference: first (doc_id, idx) occurrence of each line text wins
+      val firstOwner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for ((id, lines) <- docs; (l, i) <- lines.zipWithIndex) {
+        val cur = firstOwner.get(l)
+        val earlier = cur.forall { case (cid, ci) => id < cid || (id == cid && i < ci) }
+        if (earlier) firstOwner(l) = (id, i)
+      }
+      val want = docs.map { case (id, lines) =>
+        val kept = lines.zipWithIndex.collect {
+          case (l, i) if firstOwner(l) == ((id, i)) => l }
+        (id, lines.size.toLong, (lines.size - kept.size).toLong, kept.mkString("\n"))
+      }.sorted
+      val got = graft.dedup.Dedup.dedupLines(
+        docs.map { case (id, ls) => (id, ls.mkString("\n")) }.toDF("doc_id", "text")
+          .repartition(1 + trial * 3))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).sorted.toSeq
+      assert(got == want, s"trial $trial: first diff at " +
+        s"${got.zip(want).indexWhere(p => p._1 != p._2)}")
+    }
+  }
+
   test("shardByTokens: snake assignment balances token totals, partition-invariant") {
     import spark.implicits._
     // skewed lengths: doc i has 10*i tokens (i = 1..40)
