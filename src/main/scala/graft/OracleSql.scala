@@ -916,6 +916,25 @@ object OracleSql {
         |  FROM vlog WHERE version <= 2)
         |SELECT doc_id, version, text FROM w WHERE rn = 1 AND op <> 'd'""".stripMargin,
 
+    // Padding efficiency: same smallest-boundary CASE chain, truncation
+    // to the last boundary, one aggregation.
+    "q_padding_efficiency" ->
+      """WITH c AS (
+        |  SELECT CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT n,
+        |    CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |         WHEN n <= 192 THEN 192 ELSE 256 END AS seq_len,
+        |    least(n, 256) AS eff
+        |  FROM c)
+        |SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(eff) AS BIGINT) AS real_tokens,
+        |  CAST(COUNT(*) * seq_len AS BIGINT) AS padded_tokens,
+        |  round(CAST(SUM(eff) AS DOUBLE) / CAST(COUNT(*) * seq_len AS DOUBLE), 6) AS efficiency
+        |FROM b GROUP BY seq_len""".stripMargin,
+
     // HTML extraction: the synthesis (title/style/script/comment/entity-
     // encoded body) and the strip/decode/normalize chain replayed
     // verbatim; '&amp;' decodes LAST on both sides.

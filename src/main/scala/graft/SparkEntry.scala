@@ -1522,6 +1522,15 @@ object SparkEntry {
     graft.operators.Corpus.asOf(log, version = 2L)
   }
 
+  /** Padding-efficiency report
+    * ([[graft.operators.Packing.paddingEfficiency]]): price the
+    * candidate sequence-length buckets (64/128/192/256) on the corpus —
+    * docs land in the smallest boundary that fits, overflow truncates
+    * to the last, per-bucket real-vs-padded token accounting. */
+  private def qPaddingEfficiency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.paddingEfficiency(
+      T(s, dir, "documents"), Seq(64L, 128L, 192L, 256L))
+
   /** Benchmark decontamination: training docs sharing any distinct 8-gram
     * with the eval slice (every 50th doc) — the pre-training-run
     * train/test-overlap audit. */
@@ -2229,6 +2238,7 @@ object SparkEntry {
     "q_shard_by_tokens" -> (qShardByTokens _),
     "q_filter_funnel" -> (qFilterFunnel _),
     "q_corpus_asof" -> (qCorpusAsof _),
+    "q_padding_efficiency" -> (qPaddingEfficiency _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),

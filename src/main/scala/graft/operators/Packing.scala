@@ -79,4 +79,45 @@ object Packing {
         F.floor(F.col("__cum") / budget).as("bin"),
         (F.col("__cum") % budget).as("bin_pos"))
   }
+
+  /** Padding-efficiency report for sequence-length BUCKETING — the
+    * analysis a pretraining team runs before fixing its max_seq_len /
+    * bucket boundaries: every document lands in the SMALLEST boundary
+    * that fits it (documents past the last boundary are truncated to it
+    * — the standard max-length rule), and per bucket the report prices
+    * what batching at that length costs: real tokens vs padded slots
+    * and the efficiency ratio. Sweeping candidate boundary sets with
+    * this is how seq-len configs are actually chosen.
+    *
+    * Scale shape: one token-count scan + one map-side-combinable
+    * aggregation over ≤ |boundaries| groups. Output: (seq_len, n_docs,
+    * real_tokens, padded_tokens, efficiency) — efficiency rounded 6dp,
+    * real_tokens counts the TRUNCATED contribution for overflow docs
+    * (what actually trains). */
+  def paddingEfficiency(docs: DataFrame, boundaries: Seq[Long],
+                        textCol: String = "text"): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries && boundaries.head > 0,
+      s"boundaries must be positive, strictly increasing: $boundaries")
+    val nTok: Column = TextFunctions.tokenCount(F.col(textCol))
+    // smallest boundary >= n (else the last): a fold from the largest
+    // down keeps it a branch-free CASE chain
+    val last = boundaries.last
+    val bucket = boundaries.init.foldRight(F.lit(last): Column) { (b, els) =>
+      F.when(F.col("__n") <= b, F.lit(b)).otherwise(els)
+    }
+    graft.Spread(docs)
+      .select(nTok.as("__n"))
+      .select(F.col("__n"), bucket.as("seq_len"),
+        F.least(F.col("__n"), F.lit(last)).as("__eff_n"))
+      .groupBy(F.col("seq_len"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("__eff_n")).as("real_tokens"))
+      .select(
+        F.col("seq_len"), F.col("n_docs"), F.col("real_tokens"),
+        (F.col("n_docs") * F.col("seq_len")).as("padded_tokens"),
+        F.round(F.col("real_tokens").cast("double") /
+          (F.col("n_docs") * F.col("seq_len")).cast("double"), 6).as("efficiency"))
+  }
 }

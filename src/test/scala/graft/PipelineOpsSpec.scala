@@ -664,6 +664,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     r.sliding(2).foreach { case Seq(p, n) => assert(p._4 == n._3) case _ => }
   }
 
+  test("paddingEfficiency: smallest-fit buckets, overflow truncation, exact accounting") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("t").mkString(" "))
+    val docs = Seq(doc(1, 10), doc(2, 64), doc(3, 65), doc(4, 300))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Packing.paddingEfficiency(docs, Seq(64L, 128L))
+      .collect().map(x => x.getAs[Long]("seq_len") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("real_tokens"),
+          x.getAs[Long]("padded_tokens"), x.getAs[Double]("efficiency"))).toMap
+    // 10 and 64 fit the 64 bucket; 65 and the 300-overflow (truncated to
+    // 128) land in the last bucket
+    assert(r(64L) == ((2L, 74L, 128L, math.rint(74.0 / 128.0 * 1e6) / 1e6)), s"${r(64L)}")
+    assert(r(128L) == ((2L, 193L, 256L, math.rint(193.0 / 256.0 * 1e6) / 1e6)), s"${r(128L)}")
+    assert(r.size == 2, "empty buckets must be absent")
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.paddingEfficiency(docs, Seq(128L, 64L))
+    }
+  }
+
   test("trimDuplicateSpans removes the shared boilerplate, keeps unique content") {
     import spark.implicits._
     import graft.dedup.Dedup
