@@ -701,6 +701,23 @@ object OracleSql {
          |  ${graft.functions.Sketches.hllEstSql(256, "s_present", "n_present")} AS hll_est
          |FROM sfold""".stripMargin,
 
+    // Sketch-pruned exact heavy hitters: the engine's Count-Min pass is
+    // internal pruning with deterministically one-sided error, so the
+    // final answer IS the plain HAVING answer — the oracle needs no
+    // sketch, only the identical hot/cold key synthesis.
+    "q_heavy_hitters" ->
+      """WITH ks AS (
+        |  SELECT 'k' || (CASE WHEN event_id % 2 = 0
+        |      THEN CAST(user_id % 10 AS VARCHAR)
+        |      ELSE 'c' || CAST(event_id % 2000 AS VARCHAR) END) AS key
+        |  FROM events),
+        |ks2 AS (SELECT key FROM ks WHERE key IS NOT NULL),
+        |tot AS (SELECT COUNT(*) AS n FROM ks2)
+        |SELECT key, COUNT(*) AS cnt
+        |FROM ks2, tot
+        |GROUP BY key, n
+        |HAVING COUNT(*) >= CAST(ceil(0.01 * n) AS BIGINT)""".stripMargin,
+
     "q_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
@@ -1401,6 +1418,23 @@ object OracleSql {
         |WHERE md5(CAST(event_id AS VARCHAR)) <
         |  CASE event_type WHEN 'purchase' THEN 'ff' WHEN 'error' THEN '80'
         |    WHEN 'click' THEN '40' WHEN 'view' THEN '20' WHEN 'signup' THEN '10' END""".stripMargin,
+
+    // Priority sampling: u = (U56+1)/2^56 (exact power-of-two division),
+    // priority = w/u (one correctly-rounded IEEE division) — bit-identical
+    // to the Spark side; tau = the (k+1)-th priority; est = max(w, tau).
+    "q_sample_priority" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    CAST(n_chars AS DOUBLE) /
+        |      (CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT + 1 AS DOUBLE)
+        |        / 72057594037927936.0) AS priority
+        |  FROM documents),
+        |r AS (SELECT doc_id, weight, priority,
+        |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn FROM p),
+        |tau AS (SELECT MAX(CASE WHEN rn = 101 THEN priority END) AS t FROM r)
+        |SELECT doc_id, weight, priority,
+        |  greatest(weight, COALESCE(t, 0.0)) AS weight_est
+        |FROM r, tau WHERE rn <= 100""".stripMargin,
 
     // Temperature-scaled mixing weights: tempered powers summed in exact
     // decimal (order-free), every double from the same expression text.

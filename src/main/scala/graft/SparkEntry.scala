@@ -1117,6 +1117,26 @@ object SparkEntry {
     graft.functions.Sketches.quantileSketch(
       Tables.events(s, dir), Seq("event_type"), "value", "event_id")
 
+  /** Sketch-pruned EXACT heavy hitters
+    * ([[graft.functions.Sketches.heavyHitters]]): the Count-Min pass
+    * prunes the key stream so the exact recount shuffles candidates only;
+    * one-sided CM error makes the pruning deterministically lossless, so
+    * the output equals the plain HAVING answer the oracle runs. The key
+    * stream is synthesized hot/cold (identically in both engines — the
+    * attachMedia pattern, since every natural column here is either
+    * near-uniform or 31-token flat): half the events concentrate on 10
+    * hot keys (each ~5% of the stream), half spread over 2000 cold keys
+    * (~0.025% each) — at phi = 1% exactly the hot keys qualify and the
+    * prune drops the ~2000-key cold tail before the exchange. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val key = F.concat(F.lit("k"),
+      F.when(F.col("event_id") % 2 === 0,
+        (F.col("user_id") % 10).cast("string"))
+        .otherwise(F.concat(F.lit("c"), (F.col("event_id") % 2000).cast("string"))))
+    graft.functions.Sketches.heavyHitters(
+      Tables.events(s, dir).select(key.as("key")), "key", phi = 0.01)
+  }
+
   /** Exact percentiles per group (continuous interpolation — identical
     * arithmetic to quantile_cont). */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -1176,6 +1196,15 @@ object SparkEntry {
           "view" -> "20", "signup" -> "10"))
       .select(F.col("event_id"), F.col("event_type"),
         F.unix_micros(F.col("ts")).as("ts_us"), F.col("value"))
+
+  /** Priority sampling ([[graft.operators.Sampling.prioritySample]]):
+    * k = 100 docs weighted by character count, with the subset-sum
+    * estimator weights. Priorities cost two IEEE divisions (no libm), so
+    * the DuckDB oracle reproduces the selection AND the estimator
+    * bit-for-bit — a weighted sample as a pure function of the data. */
+  private def qSamplePriority(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.prioritySample(
+      T(s, dir, "documents"), "doc_id", F.col("n_chars"), k = 100)
 
   /** Temperature-scaled data-mixing weights (α = 0.5, 1M-token budget):
     * per-source token counts → tempered shares → allocated tokens and the
@@ -2219,6 +2248,7 @@ object SparkEntry {
     "q_dedup_components_dist" -> (qDedupComponentsDist _),
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_priority" -> (qSamplePriority _),
     "q_mix_weights" -> (qMixWeights _),
     "q_unimax" -> (qUnimax _),
     "q_mix_sample" -> (qMixSample _),
@@ -2272,6 +2302,7 @@ object SparkEntry {
     "q_distinct" -> (qDistinct _),
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_percentile_sketch" -> (qPercentileSketch _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),

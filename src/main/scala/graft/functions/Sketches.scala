@@ -200,4 +200,111 @@ object Sketches {
                      idCol: String, k: Int = 256,
                      qs: Seq[(String, Double)] = Seq("p50_est" -> 0.5, "p95_est" -> 0.95)): DataFrame =
     sampleQuantiles(bottomKSample(df, keys, valueCol, idCol, k), keys, valueCol, qs)
+
+  // ------------------------------------------- count-min frequency sketch
+
+  /** Deterministic, oracle-replicable Count-Min sketch (Cormode &
+    * Muthukrishnan 2005): `d` md5-derived hash rows × `w` buckets of
+    * occurrence counts. Register `(j, b)` sums every occurrence whose
+    * row-`j` hash lands in bucket `b`, so for any value
+    * `est(x) = min_j CM[j][b_j(x)]` satisfies `est(x) >= true(x)`
+    * ALWAYS — deterministically, not w.h.p.: each register contains the
+    * full true count plus non-negative collision mass. The w.h.p. side
+    * (`est <= true + N/w` per row, `min` over `d` rows) is the usual
+    * Markov bound. Like [[hllRegisters]], the bucket hash is derived from
+    * md5 hex so a SQL oracle computes bit-identical registers.
+    *
+    * Scale shape: one map-side-combinable aggregation over the value
+    * stream exploded ×`d`; at most `d·w` tiny rows survive the partial
+    * agg per task, and the final table is `<= d·w` rows regardless of
+    * data size. Registers SUM-merge across shards/partials
+    * ([[mergeCmRegisters]] — associative + commutative; SketchSpec proves
+    * shard-merge equality), which is what lets 1000 executors each sketch
+    * their shard and a coordinator add the tables. */
+  def cmRegisters(df: DataFrame, valueCol: String, d: Int = 4,
+                  w: Int = 1024): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    require(w >= 2 && w <= (1 << 20), s"w must be in [2, 2^20], got $w")
+    df.filter(F.col(valueCol).isNotNull)
+      .select(F.col(valueCol).cast("string").as("cm_v"))
+      .select(F.col("cm_v"),
+        F.explode(F.expr(s"sequence(0, ${d - 1})")).as("cm_j"))
+      .select(F.col("cm_j"), cmBucket(F.col("cm_j"), F.col("cm_v"), w).as("cm_b"))
+      .groupBy("cm_j", "cm_b").agg(F.count(F.lit(1)).as("cm_n"))
+  }
+
+  /** Merge [[cmRegisters]] tables: union then per-register SUM (the CM
+    * merge rule — counts are additive). */
+  def mergeCmRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy("cm_j", "cm_b").agg(F.sum("cm_n").as("cm_n"))
+
+  /** Row-`j` bucket of a value: first 8 md5 hex chars of `"j:value"` as a
+    * 32-bit integer, mod `w`. The oracle spells the identical arithmetic
+    * (`('0x' || substr(md5(...), 1, 8))::UBIGINT % w`). */
+  private def cmBucket(j: org.apache.spark.sql.Column,
+                       v: org.apache.spark.sql.Column, w: Int): org.apache.spark.sql.Column =
+    F.pmod(
+      F.conv(F.substring(F.md5(F.concat(j.cast("string"), F.lit(":"), v)), 1, 8), 16, 10)
+        .cast("long"),
+      F.lit(w.toLong)).cast("int")
+
+  /** The min-over-rows CM estimate of `valueCol` as a scan-local column,
+    * from a COLLECTED register table (`<= d·w` rows — the same bounded
+    * fixed-size collect class as the IVF centroid table; at the default
+    * 4×1024 it is a 32 KB array literal, constant in data size). Each hash
+    * row becomes one `element_at` into an array LITERAL, so the lookup
+    * runs inside the scan projection — no join, no shuffle, no
+    * per-row driver traffic. Absent registers read 0 (nothing ever hashed
+    * there). */
+  def cmEstimateCol(value: org.apache.spark.sql.Column,
+                    regs: Seq[(Int, Int, Long)], d: Int, w: Int): org.apache.spark.sql.Column = {
+    val tables = Array.fill(d)(new Array[Long](w))
+    regs.foreach { case (j, b, n) => tables(j)(b) = n }
+    val perRow = (0 until d).map { j =>
+      F.element_at(F.typedlit(tables(j).toSeq), cmBucket(F.lit(j), value, w) + 1)
+    }
+    if (d == 1) perRow.head else F.least(perRow: _*)
+  }
+
+  /** EXACT heavy hitters — every value of `valueCol` occurring at least
+    * `ceil(phi * N)` times, with its exact count — computed with a
+    * Count-Min pruning pass so the exact `groupBy` shuffles only sketch
+    * survivors, never the full key space:
+    *
+    *  1. sketch pass: [[cmRegisters]] over the stream (map-combinable,
+    *     `<= d·w` rows out);
+    *  2. prune pass: re-scan the stream keeping occurrences whose CM
+    *     estimate (a scan-local array-literal lookup, [[cmEstimateCol]])
+    *     reaches the threshold — deterministically LOSSLESS, because CM
+    *     overestimation is one-sided (no heavy value can be pruned);
+    *  3. exact recount of survivors only — removes the sketch's false
+    *     positives, so the output equals the plain
+    *     `GROUP BY … HAVING count >= ceil(phi*N)` answer.
+    *
+    * Why this matters at 100 TB: n-gram/URL/key frequency queries have
+    * key spaces in the billions; a direct groupBy shuffles every distinct
+    * key, while the candidate set here is bounded by `~ 1/phi + false
+    * positives` (collision mass `> thr·w/N` per row is Markov-bounded),
+    * so the exchange carries candidate occurrences only. Two stream scans
+    * is the price (the q_dsir_weights two-pass precedent: recompute beats
+    * caching a corpus-sized projection).
+    *
+    * `knownTotal`: callers that track N (every ingest pipeline does)
+    * skip the count job; -1 counts (one job).
+    * Output: (`valueCol`, cnt) — exact, HAVING-equivalent. */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double,
+                   d: Int = 4, w: Int = 1024, knownTotal: Long = -1L): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
+    val vals = df.filter(F.col(valueCol).isNotNull)
+      .select(F.col(valueCol).cast("string").as(valueCol))
+    val total = if (knownTotal >= 0L) knownTotal else vals.count()
+    val thr = math.ceil(phi * total).toLong.max(1L)
+    val regs = cmRegisters(vals, valueCol, d, w).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val est = cmEstimateCol(F.col(valueCol), regs, d, w)
+    vals.filter(est >= thr)
+      .groupBy(F.col(valueCol))
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .filter(F.col("cnt") >= thr)
+  }
 }

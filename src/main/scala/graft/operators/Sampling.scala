@@ -299,4 +299,57 @@ object Sampling {
     }
     df.filter(F.md5(F.col(idCol).cast("string")) < threshold)
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 54(6) 2007): a
+    * WEIGHTED sample without replacement of `k` rows plus the estimator
+    * that makes it useful — each survivor carries
+    * `weight_est = max(weight, tau)` (`tau` = the (k+1)-th priority), and
+    * the theorem is that `SUM(weight_est)` over the sample restricted to
+    * ANY predicate is an unbiased estimate of the predicate's true
+    * weighted total. That is the standard way a 100 TB corpus stays
+    * queryable from a bounded sample: sample once with priorities, answer
+    * arbitrary subset-sum questions later ("token mass of lang=en docs
+    * over quality 0.8?") without re-scanning the corpus.
+    *
+    * Priorities are `q_i = w_i / u_i`, `u_i` uniform in (0, 1]. Unlike
+    * Efraimidis–Spirakis keys (`u^(1/w)` — a libm `pow` whose last ulp is
+    * engine-dependent), `q_i` costs exactly TWO IEEE-754 divisions — the
+    * first by 2^56 (exact), the second correctly rounded by the standard —
+    * so priorities are bit-identical in any engine and the selected set is
+    * a pure function of the data: `u_i = (U56_i + 1) / 2^56` with `U56`
+    * the first 14 md5 hex chars of `seed:id` (the [[keep]] /
+    * [[bottomKSample]] determinism contract, oracle-replicable).
+    *
+    * Scale shape: priorities are scan-local; the global top-(k+1) plans as
+    * TakeOrderedAndProject (per-partition heaps, no full-sort exchange —
+    * the [[graft.dedup.Dedup]] q_dsir_select precedent); the rank window
+    * and one-row `tau` aggregate run on the `k+1`-row result, not on data.
+    * Groups of `n <= k` rows degrade exactly: everything is kept and
+    * `tau = 0`, so `weight_est = weight` and the estimator is exact. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u56 = F.conv(F.substring(
+      F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(idCol).cast("string"))),
+      1, 14), 16, 10).cast("long")
+    val u = (u56 + 1).cast("double") / F.lit(7.2057594037927936E16)
+    val top = df
+      .select(F.col(idCol), weightCol.cast("double").as("weight"),
+        (weightCol.cast("double") / u).as("priority"))
+      .orderBy(F.col("priority").desc, F.col(idCol).asc)
+      .limit(k + 1)
+    // Everything below runs on <= k+1 rows: the single-partition rank
+    // window and the one-row tau broadcast are bounded by construction
+    // (the documented small-frame exception class).
+    val ranked = top.withColumn("_rn", F.row_number().over(
+      Window.orderBy(F.col("priority").desc, F.col(idCol).asc)))
+    val tau = ranked.agg(
+      F.max(F.when(F.col("_rn") === k + 1, F.col("priority"))).as("_tau"))
+    ranked.filter(F.col("_rn") <= k)
+      .crossJoin(F.broadcast(tau))
+      .select(F.col(idCol), F.col("weight"), F.col("priority"),
+        F.greatest(F.col("weight"), F.coalesce(F.col("_tau"), F.lit(0.0)))
+          .as("weight_est"))
+  }
 }

