@@ -985,6 +985,27 @@ object OracleSql {
     // URL canonicalization: synthesis (mixed-case scheme/host, default +
     // explicit ports, unsorted params, fragment) and the extract/
     // lowercase/sort/rebuild chain replayed verbatim.
+    // Domain blocklist: the engine's bloom pre-filter is internal pruning
+    // (exact-join adjudicated), so the oracle is the plain suffix-match
+    // rule: blocked iff any >=2-label dot-suffix of the host is listed,
+    // most specific (longest) entry reported.
+    "q_url_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id, lower('WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.Bad-Ads.NET' ELSE '.Example.COM' END)) AS host
+        |  FROM documents),
+        |bl(domain) AS (VALUES ('bad-ads.net'), ('site17.example.com'), ('www.site23.example.com')),
+        |lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM u),
+        |sfx AS (
+        |  SELECT doc_id, host, array_to_string(labels[i:len(labels)], '.') AS s
+        |  FROM lab, unnest(generate_series(1, len(labels) - 1)) t(i)),
+        |m AS (
+        |  SELECT doc_id, arg_max(domain, len(domain)) AS matched_domain
+        |  FROM sfx JOIN bl ON s = domain GROUP BY doc_id)
+        |SELECT u.doc_id, u.host,
+        |  (m.matched_domain IS NOT NULL) AS blocked, m.matched_domain
+        |FROM u LEFT JOIN m ON u.doc_id = m.doc_id""".stripMargin,
+
     "q_url_canonical" ->
       """WITH u AS (
         |  SELECT doc_id,

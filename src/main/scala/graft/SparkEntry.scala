@@ -1393,6 +1393,28 @@ object SparkEntry {
       graft.functions.TextFunctions.canonicalUrl(url).as("url_canon"))
   }
 
+  /** Domain-blocklist filtering
+    * ([[graft.functions.TextFunctions.domainBlocklist]]): crawl URLs are
+    * synthesized with a mixed-case host over 50 site names × 2 TLD
+    * families (identically in both engines — the attachMedia pattern);
+    * the 3-entry blocklist exercises all three match granularities
+    * (a whole zone `bad-ads.net`, a registrable domain
+    * `site17.example.com`, an exact host `www.site23.example.com`).
+    * The engine's Bloom pre-filter is internal pruning with exact
+    * broadcast-join adjudication, so the oracle needs no bloom — just
+    * the same suffix-match rule. */
+  private def qUrlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val url = F.concat(F.lit("https://WWW.Site"), (id % 50).cast("string"),
+      F.when(id % 3 === 0, F.lit(".Bad-Ads.NET")).otherwise(F.lit(".Example.COM")),
+      F.lit("/p/"), id.cast("string"))
+    import s.implicits._
+    val blocklist = Seq("bad-ads.net", "site17.example.com", "www.site23.example.com")
+      .toDF("domain")
+    graft.functions.TextFunctions.domainBlocklist(
+      T(s, dir, "documents").select(F.col("doc_id"), url.as("url")), "url", blocklist)
+  }
+
   /** Unicode NFC normalization
     * ([[graft.functions.TextFunctions.nfcNormalize]]): the corpus text is
     * salted with DECOMPOSED combining sequences (e + U+0301 etc. —
@@ -2270,6 +2292,7 @@ object SparkEntry {
     "q_corpus_asof" -> (qCorpusAsof _),
     "q_padding_efficiency" -> (qPaddingEfficiency _),
     "q_url_canonical" -> (qUrlCanonical _),
+    "q_url_blocklist" -> (qUrlBlocklist _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),
     "q_bigrams" -> (qBigrams _),

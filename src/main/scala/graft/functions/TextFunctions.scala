@@ -211,6 +211,91 @@ object TextFunctions {
         .otherwise(F.concat(F.lit("?"), sortedQ)))
   }
 
+  /** The host of a URL, lowercased (port/userinfo-free) — the join key of
+    * domain-level crawl policy. */
+  def urlHost(url: Column): Column =
+    F.lower(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+
+  /** Domain-blocklist filtering — the UT1-style step every crawl pipeline
+    * runs before anything content-based: a URL is blocked iff its host or
+    * ANY parent dot-suffix (>= 2 labels) appears in `blocklist`
+    * (an `example.com` entry covers every subdomain; a bare TLD never
+    * matches — [[graft.functions.expressions.HostSuffixesExpr]]).
+    *
+    * Scale shape (the [[graft.dedup.Dedup.bloomContamination]] pattern):
+    * the blocklist builds a driver-side md5 Bloom bitset (bounded collect,
+    * `maxBlocklist` guard), and the corpus scan tests each host's suffix
+    * array against it with ONE codegen'd expression — no join, no
+    * exchange for the overwhelming clean majority. Only Bloom-POSITIVE
+    * rows (true matches + bounded false positives) explode their suffixes
+    * into a broadcast join against the real list for exact adjudication
+    * (most-specific = longest matching entry wins), so the output is
+    * EXACT — the sketch is pruning, not truth (the
+    * [[Sketches.heavyHitters]] discipline) — and the only exchange is the
+    * match-side aggregation, bounded by the blocked fraction of the
+    * corpus, never corpus-sized.
+    *
+    * Output: (`idCol`, host, blocked, matched_domain — null when clean).
+    */
+  def domainBlocklist(df: org.apache.spark.sql.DataFrame, urlCol: String,
+                      blocklist: org.apache.spark.sql.DataFrame,
+                      idCol: String = "doc_id", domainCol: String = "domain",
+                      mBits: Int = 1 << 20, kHashes: Int = 4,
+                      maxBlocklist: Int = 4000000): org.apache.spark.sql.DataFrame = {
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(kHashes >= 1 && kHashes * 8 <= 32, s"kHashes in 1..4, got $kHashes")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // blocklist -> driver bitset: bounded BEFORE the collect (limit max+1
+    // then require — the bloomContamination guard shape).
+    val domRows = blocklist.select(F.lower(F.col(domainCol))).limit(maxBlocklist + 1).collect()
+    require(domRows.length <= maxBlocklist,
+      s"blocklist exceeds $maxBlocklist entries; raise maxBlocklist deliberately")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val words = new Array[Long](mBits / 64)
+    domRows.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val digest = md5.digest(r.getString(0).getBytes("UTF-8"))
+        var j = 0
+        while (j < kHashes) {
+          var v = 0L; var b = 0
+          while (b < 4) { v = (v << 8) | (digest(j * 4 + b) & 0xffL); b += 1 }
+          val p = (v % mBits).toInt
+          words(p >>> 6) |= (1L << (p & 63))
+          j += 1
+        }
+        md5.reset()
+      }
+    }
+    // base projection once; the bloom test in a CHAINED select so the
+    // suffix array is computed a single time per row (CollapseProject
+    // keeps non-cheap expressions single-evaluation — the docShingleIndex
+    // precedent).
+    val sfx = ColumnBridge.column(graft.functions.expressions.HostSuffixesExpr(
+      ColumnBridge.expression(urlHost(F.col(urlCol)))))
+    val base = df
+      .select(F.col(idCol), urlHost(F.col(urlCol)).as("host"), sfx.as("_sfx"))
+      .select(F.col(idCol), F.col("host"), F.col("_sfx"),
+        // coalesce: a null url (null host/suffixes) is CLEAN, not dropped
+        // — without it the null _cand fails both filters below
+        F.coalesce(
+          ColumnBridge.column(graft.functions.expressions.BloomHitsExpr(
+            ColumnBridge.expression(F.col("_sfx")), words, mBits, kHashes)) >= 1,
+          F.lit(false)).as("_cand"))
+    val clean = base.filter(!F.col("_cand"))
+      .select(F.col(idCol), F.col("host"), F.lit(false).as("blocked"),
+        F.lit(null).cast("string").as("matched_domain"))
+    val decided = base.filter(F.col("_cand"))
+      .select(F.col(idCol), F.col("host"), F.explode(F.col("_sfx")).as("_s"))
+      .join(F.broadcast(blocklist.select(F.lower(F.col(domainCol)).as("_dom"))),
+        F.col("_s") === F.col("_dom"), "left")
+      .groupBy(F.col(idCol), F.col("host"))
+      .agg(F.max_by(F.col("_dom"), F.length(F.col("_dom"))).as("matched_domain"))
+      .select(F.col(idCol), F.col("host"),
+        F.col("matched_domain").isNotNull.as("blocked"), F.col("matched_domain"))
+    clean.unionByName(decided)
+  }
+
   /** Winnowing fingerprints: rolling-hash k-gram minima per w-window
     * (see [[graft.functions.expressions.WinnowExpr]]). array<bigint>. */
   def winnowFingerprints(text: Column, k: Int = 16, w: Int = 32): Column =

@@ -32,7 +32,8 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_gopher_rules", // GopherStatsExpr (r13; struct-valued single pass)
     "q_normalize_unicode", // NfcNormalizeExpr (r14; zero-alloc fast path)
     "q_dsir_weights", // DsirBucketsExpr (r14; byte-digest bucket ids)
-    "q_c4_rules" // C4StatsExpr (r15; struct-valued line-filter pass)
+    "q_c4_rules", // C4StatsExpr (r15; struct-valued line-filter pass)
+    "q_url_blocklist" // HostSuffixesExpr (r16; array-valued suffix fan)
   )
 
   private def rows(df: DataFrame): Seq[String] =

@@ -779,6 +779,41 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(a.map(_._2).sum / k > totalW / n)
   }
 
+  test("domainBlocklist: suffix semantics, most-specific match, clean/null rows preserved") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "https://ads.tracker.example.com/x"), // blocked via example.com
+      (2L, "https://sub.bad.example.com/y"), // blocked; bad.example.com beats example.com
+      (3L, "https://clean.other.org/z"), // clean
+      (4L, "https://com/w"), // single-label host: a bare-TLD entry must NOT match
+      (5L, null.asInstanceOf[String]), // null url: clean, not dropped
+      (6L, "https://EXAMPLE.COM/upper") // case-insensitive host
+    ).toDF("doc_id", "url")
+    val bl = Seq("example.com", "bad.example.com", "com").toDF("domain")
+    val out = TextFunctions.domainBlocklist(docs, "url", bl).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(out.size == 6, "rows must be preserved 1:1")
+    assert(out(1L) == ((true, Some("example.com"))))
+    assert(out(2L) == ((true, Some("bad.example.com"))), "most specific entry must win")
+    assert(out(3L) == ((false, None)))
+    assert(out(4L) == ((false, None)), "bare TLD must never match a single-label host")
+    assert(out(5L) == ((false, None)))
+    assert(out(6L) == ((true, Some("example.com"))))
+    // suffix generation contract (HostSuffixesExpr): >= 2 labels only,
+    // most-specific first by construction
+    import graft.functions.expressions.HostSuffixesExpr
+    import org.apache.spark.unsafe.types.UTF8String
+    def sfx(h: String): Seq[String] = {
+      val a = HostSuffixesExpr.suffixes(UTF8String.fromString(h))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(sfx("a.b.example.com") == Seq("a.b.example.com", "b.example.com", "example.com"))
+    assert(sfx("example.com") == Seq("example.com"))
+    assert(sfx("localhost") == Seq.empty)
+    assert(sfx("") == Seq.empty)
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
