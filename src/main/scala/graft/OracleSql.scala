@@ -1111,6 +1111,35 @@ object OracleSql {
         |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
+    // PMI collocations: exact unigram/bigram counts, the single ln under
+    // the shared expression text + round(.,6) (Collocations.pmiSql).
+    "q_pmi" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+         |  FROM documents),
+         |unic AS (
+         |  SELECT tok, COUNT(*) AS n_tok
+         |  FROM (SELECT unnest(w) AS tok FROM tok) GROUP BY 1),
+         |bgc AS (
+         |  SELECT bigram, COUNT(*) AS n_ab FROM (
+         |    SELECT unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+         |      for i in generate_series(1, len(w)-1)]) AS bigram
+         |    FROM tok WHERE len(w) >= 2) GROUP BY 1),
+         |tots AS (
+         |  SELECT (SELECT SUM(n_tok) FROM unic) AS n_uni_total,
+         |         (SELECT SUM(n_ab) FROM bgc) AS n_bg_total),
+         |sel AS (
+         |  SELECT string_split(bigram, ' ')[1] AS tok_a,
+         |         string_split(bigram, ' ')[2] AS tok_b, n_ab
+         |  FROM bgc WHERE n_ab >= 5)
+         |SELECT s.tok_a, s.tok_b, s.n_ab,
+         |  a.n_tok AS n_a, b.n_tok AS n_b,
+         |  ${graft.functions.Collocations.pmiSql("s.n_ab", "a.n_tok", "b.n_tok", "n_uni_total", "n_bg_total")} AS pmi
+         |FROM sel s
+         |JOIN unic a ON a.tok = s.tok_a
+         |JOIN unic b ON b.tok = s.tok_b
+         |CROSS JOIN tots""".stripMargin,
+
     // Fold = (first 2 md5 hex digits) mod 5, via digit arithmetic
     // (the simhash oracle's hex-digit trick — same numeric value as
     // Spark's conv(substr(md5, 1, 2), 16, 10)).

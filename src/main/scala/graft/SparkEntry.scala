@@ -1763,6 +1763,13 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** PMI collocations ([[graft.functions.Collocations.pmi]]): bigram
+    * pointwise mutual information with a count floor — phrase mining over
+    * the corpus vocabulary. Counts exact; the single `ln` rides the
+    * shared-expression-text + round(·,6) rule. */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Collocations.pmi(T(s, dir, "documents"), minCount = 5)
+
   // ---------------------------------------------------------- LLM pipeline
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -2296,6 +2303,7 @@ object SparkEntry {
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),
     "q_bigrams" -> (qBigrams _),
+    "q_pmi" -> (qPmi _),
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_trim_spans" -> (qTrimSpans _),

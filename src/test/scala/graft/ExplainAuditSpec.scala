@@ -176,6 +176,20 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // probe and under the total-agg scalar branch (8 printed) — AQE
     // reuses them at runtime, the q_mix_weights print-total caveat.
     Audit("q_lm_score", maxExchange = 8, allowedBnlj = 1),
+    // r16 rows. Heavy hitters: the CM registers are plan literals (the
+    // sketch pass ran at build time); the audited plan is the pruned
+    // recount — scan + ONE exchange. Blocklist: clean side join-free,
+    // candidate side one broadcast join + the bounded match aggregation.
+    // Priority sample: TakeOrderedAndProject (NO full-sort exchange) +
+    // the one-row tau broadcast BNLJ on the k+1-row frame. PMI: the
+    // STATIC plan quintuple-prints the token-stream subtrees (uni x3,
+    // bigram x2 — 12 printed exchanges); AQE ReuseExchange collapses the
+    // identical subtrees at runtime (the q_lm_score print-total caveat),
+    // and the two one-row totals ride BNLJ broadcasts.
+    Audit("q_heavy_hitters", maxExchange = 1),
+    Audit("q_url_blocklist", maxExchange = 1, minBhj = 1),
+    Audit("q_sample_priority", maxExchange = 0, allowedBnlj = 1),
+    Audit("q_pmi", maxExchange = 12, minBhj = 2, allowedBnlj = 2),
     )
 
   private val nodeRe =

@@ -814,6 +814,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(sfx("") == Seq.empty)
   }
 
+  test("pmi: bound pairs score high, independent pairs near zero, count floor binds") {
+    import graft.functions.Collocations
+    import spark.implicits._
+    // 'new york' always adjacent (a true collocation); filler tokens a/b/c
+    // are shuffled independently around it
+    val docs = (0 until 60).map { i =>
+      val filler = Seq("a", "b", "c")(i % 3)
+      val filler2 = Seq("b", "c", "a")(i % 3)
+      (i.toLong, s"$filler new york $filler2 $filler")
+    }.toDF("doc_id", "text")
+    val out = Collocations.pmi(docs, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    // p(new york) = p(new) = p(york) => pmi = ln(N_uni^2 * n_ab / (N_bg * n_a * n_b))
+    assert(out(("new", "york")) > out.filterNot(_._1 == ("new", "york")).values.max,
+      s"collocation must out-score filler pairs: $out")
+    // floor: a pair occurring < minCount never appears
+    val rare = Collocations.pmi(docs, minCount = 61)
+    assert(rare.count() == 0)
+    // every surviving count respects the floor
+    val all = Collocations.pmi(docs, minCount = 20).collect()
+    assert(all.forall(_.getLong(2) >= 20))
+  }
+
   test("tfidf ranks a document's distinctive token above corpus-wide ones") {
     import spark.implicits._
     val docs = Seq(
