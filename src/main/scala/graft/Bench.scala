@@ -41,7 +41,14 @@ object Bench {
     // the line-dedup window+rebuild, the global token-rank shard.
     // q_filter_funnel / q_corpus_asof measured 0.18/0.31 s solo — the
     // fixed-cost class, correctness-gated only.
-    "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens")
+    "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens",
+    // r16 rows: PMI's two token-count passes, the CM-pruned heavy-hitter
+    // recount, the blocklist scan, the priority-sample top-k scan — all
+    // corpus-proportional. The sketch/sample pair price Spark's per-job
+    // constants against DuckDB's trivial small-key-space HAVING/ORDER BY
+    // (sub-second absolute — the q_key_distribute fixed-cost class;
+    // see BASELINE.md's honest-reading section).
+    "q_pmi", "q_heavy_hitters", "q_url_blocklist", "q_sample_priority")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

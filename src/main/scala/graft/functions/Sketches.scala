@@ -203,16 +203,21 @@ object Sketches {
 
   // ------------------------------------------- count-min frequency sketch
 
-  /** Deterministic, oracle-replicable Count-Min sketch (Cormode &
-    * Muthukrishnan 2005): `d` md5-derived hash rows × `w` buckets of
-    * occurrence counts. Register `(j, b)` sums every occurrence whose
-    * row-`j` hash lands in bucket `b`, so for any value
-    * `est(x) = min_j CM[j][b_j(x)]` satisfies `est(x) >= true(x)`
-    * ALWAYS — deterministically, not w.h.p.: each register contains the
-    * full true count plus non-negative collision mass. The w.h.p. side
-    * (`est <= true + N/w` per row, `min` over `d` rows) is the usual
-    * Markov bound. Like [[hllRegisters]], the bucket hash is derived from
-    * md5 hex so a SQL oracle computes bit-identical registers.
+  /** Deterministic Count-Min sketch (Cormode & Muthukrishnan 2005): `d`
+    * seeded-xxhash64 rows × `w` buckets of occurrence counts. Register
+    * `(j, b)` sums every occurrence whose row-`j` hash lands in bucket
+    * `b`, so for any value `est(x) = min_j CM[j][b_j(x)]` satisfies
+    * `est(x) >= true(x)` ALWAYS — deterministically, not w.h.p.: each
+    * register contains the full true count plus non-negative collision
+    * mass. The w.h.p. side (`est <= true + N/w` per row, `min` over `d`
+    * rows) is the usual Markov bound.
+    *
+    * Unlike the md5-derived [[hllRegisters]]/[[bottomKSample]], the
+    * bucket hash is Spark's native codegen'd xxhash64 (seeded by the row
+    * index): CM never needs SQL-oracle register parity, because its one
+    * consumer ([[heavyHitters]]) adjudicates every candidate with an
+    * EXACT recount — the sketch prunes, the oracle checks the pruned
+    * answer, and the corpus scans skip md5's per-row digest cost.
     *
     * Scale shape: one map-side-combinable aggregation over the value
     * stream exploded ×`d`; at most `d·w` tiny rows survive the partial
@@ -238,15 +243,12 @@ object Sketches {
   def mergeCmRegisters(regs: DataFrame): DataFrame =
     regs.groupBy("cm_j", "cm_b").agg(F.sum("cm_n").as("cm_n"))
 
-  /** Row-`j` bucket of a value: first 8 md5 hex chars of `"j:value"` as a
-    * 32-bit integer, mod `w`. The oracle spells the identical arithmetic
-    * (`('0x' || substr(md5(...), 1, 8))::UBIGINT % w`). */
+  /** Row-`j` bucket of a value: xxhash64 seeded by the row index
+    * (`xxhash64(j, value)` — a pure function of the data, stable under
+    * any partitioning), mod `w`. */
   private def cmBucket(j: org.apache.spark.sql.Column,
                        v: org.apache.spark.sql.Column, w: Int): org.apache.spark.sql.Column =
-    F.pmod(
-      F.conv(F.substring(F.md5(F.concat(j.cast("string"), F.lit(":"), v)), 1, 8), 16, 10)
-        .cast("long"),
-      F.lit(w.toLong)).cast("int")
+    F.pmod(F.xxhash64(j, v), F.lit(w.toLong)).cast("int")
 
   /** The min-over-rows CM estimate of `valueCol` as a scan-local column,
     * from a COLLECTED register table (`<= d·w` rows — the same bounded
@@ -289,18 +291,20 @@ object Sketches {
     * is the price (the q_dsir_weights two-pass precedent: recompute beats
     * caching a corpus-sized projection).
     *
-    * `knownTotal`: callers that track N (every ingest pipeline does)
-    * skip the count job; -1 counts (one job).
+    * `knownTotal`: callers that track N pass it; -1 derives N for FREE
+    * from the sketch itself — every occurrence lands in exactly one
+    * row-0 register, so N = Σ_b CM[0][b]. No count job either way.
     * Output: (`valueCol`, cnt) — exact, HAVING-equivalent. */
   def heavyHitters(df: DataFrame, valueCol: String, phi: Double,
                    d: Int = 4, w: Int = 1024, knownTotal: Long = -1L): DataFrame = {
     require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
     val vals = df.filter(F.col(valueCol).isNotNull)
       .select(F.col(valueCol).cast("string").as(valueCol))
-    val total = if (knownTotal >= 0L) knownTotal else vals.count()
-    val thr = math.ceil(phi * total).toLong.max(1L)
     val regs = cmRegisters(vals, valueCol, d, w).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val total = if (knownTotal >= 0L) knownTotal
+      else regs.collect { case (0, _, n) => n }.sum
+    val thr = math.ceil(phi * total).toLong.max(1L)
     val est = cmEstimateCol(F.col(valueCol), regs, d, w)
     vals.filter(est >= thr)
       .groupBy(F.col(valueCol))

@@ -32,7 +32,9 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_ann_ivf_indexed", "q_ccnet_buckets", "q_dsir_select",
             "q_clf_quality", "q_profile", "q_html_extract",
             "q_pipeline_web", "q_bpe_encode",
-            "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens"]
+            "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens",
+            "q_pmi", "q_heavy_hitters", "q_url_blocklist",
+            "q_sample_priority"]
 
 
 def main():
