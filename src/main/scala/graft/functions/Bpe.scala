@@ -77,6 +77,64 @@ object Bpe {
     syms
   }
 
+  /** Rank-indexed segmentation — the K-INDEPENDENT encode (r16): instead
+    * of replaying all K merges over the word (O(K·len) — at a 32k-merge
+    * production vocabulary that is 32k scans per distinct word),
+    * repeatedly merge the present adjacent pair with the LOWEST merge
+    * rank, leftmost occurrence first, until no present pair is ranked.
+    * This is the standard BPE-encode equivalence (merging (l,r) can only
+    * create pairs involving the new symbol, never another (l,r), so
+    * rank-order occurrence-at-a-time reproduces the in-order full passes
+    * exactly); BpeSpec diffs it against [[segment]] on randomized merge
+    * tables. O(len²) map lookups per word with len ≈ word length —
+    * independent of K. Contract: `merges` must be a VALID trained table
+    * (merge i's parts exist before rank i — what [[train]] produces); a
+    * hand-built table whose early merge references a later-created symbol
+    * replays differently under [[segment]], and nothing can encode it
+    * consistently. */
+  def segmentByRank(word: String, ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]]): Vector[String] = {
+    var syms: Vector[String] = codePoints(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val rm = ranks.get(syms(i))
+        if (rm != null) {
+          val rk = rm.get(syms(i + 1))
+          if (rk != null && rk < bestRank) { bestRank = rk; bestI = i }
+        }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j == bestI) { out += (syms(j) + syms(j + 1)); j += 2 }
+          else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  /** The nested pair→rank lookup [[segmentByRank]] reads (built once per
+    * encode job, rides the task closure like the merge table). */
+  def rankIndex(merges: Seq[(String, String)]): java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      var inner = m.get(l)
+      if (inner == null) { inner = new java.util.HashMap[String, Integer](); m.put(l, inner) }
+      // first rank wins: a duplicate (l, r) later in the table can never
+      // apply (its occurrences were consumed by the earlier rank)
+      if (!inner.containsKey(r)) inner.put(r, Int.box(i))
+    }
+    m
+  }
+
   /** One string per Unicode code point (surrogate pairs stay whole). */
   private def codePoints(word: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -110,8 +168,21 @@ object Bpe {
     * `maxVocab` most frequent words (count DESC, word ASC — deterministic)
     * and is exact whenever the corpus vocabulary fits, which the default
     * comfortably covers at any tested scale. */
+  /** `applyParallelism` / `parallelThreshold` (r16): a merge whose
+    * candidate list is huge (adversarial corpora where one pair touches
+    * most of the vocabulary) applies across a thread pool — per-word
+    * rewrites are independent once the candidate list is DEDUPED, count
+    * updates are order-free sums merged from per-shard delta counters,
+    * and the heap's total-order comparator makes push order irrelevant,
+    * so the parallel path is BIT-EQUAL to the sequential one (BpeSpec
+    * forces it with parallelThreshold = 1 and diffs against the
+    * reference). Merges with small candidate lists (the common case —
+    * Zipf corpora) stay on the sequential path: below the threshold the
+    * fork/join overhead exceeds the work. */
   def train(docs: DataFrame, textCol: String = "text",
-            numMerges: Int = 16, maxVocab: Int = 4000000): Seq[(String, String)] = {
+            numMerges: Int = 16, maxVocab: Int = 4000000,
+            applyParallelism: Int = Runtime.getRuntime.availableProcessors(),
+            parallelThreshold: Int = 256): Seq[(String, String)] = {
     // THE distributed part: corpus → word histogram (map-side combinable,
     // one shuffle on the word), deterministically truncated.
     val vocab: Array[(String, Long)] =
@@ -153,7 +224,7 @@ object Bpe {
     }
     def pkey(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
     val pairCount = new LongLongCounter(1 << 16)
-    val pairWords = scala.collection.mutable.HashMap.empty[Long, IntList]
+    val pairWords = new LongObjMap(1 << 16)
     val heap = new PairHeap(symBytes)
     // `indexSym`: -1 indexes every pair (the initial build); otherwise
     // only pairs touching that symbol are (re-)indexed — merging never
@@ -163,20 +234,25 @@ object Bpe {
     // from when they first appeared. Without this the index re-listed
     // every pair of every touched word per merge: 15M candidate visits
     // for 1M real hits at 256 merges on the MicroBpe stress corpus.
+    // CREATED pairs of the current merge (every new adjacency involves
+    // the merged symbol) are collected here and heap-armed ONCE per merge
+    // at their exact post-merge count (r16 — the per-occurrence
+    // running-count pushes armed each created pair dozens of times and
+    // the resulting stale-entry churn dominated argmax at high merge
+    // counts: 2.4 s of 16 s on the 4k-merge stress run). A single exact
+    // push is trivially a valid non-stale entry, so the pop-time
+    // validation contract is unchanged.
+    val createdScratch = scala.collection.mutable.HashSet.empty[Long]
     def addPairs(idx: Int, syms: Array[Int], n: Long, indexSym: Int): Unit = {
       var i = 0
       while (i < syms.length - 1) {
         val k = pkey(syms(i), syms(i + 1))
-        val cur = pairCount.add(k, n)
+        pairCount.add(k, n)
         if (indexSym == -1 || syms(i) == indexSym || syms(i + 1) == indexSym) {
-          pairWords.getOrElseUpdate(k, new IntList).add(idx)
-          // arm the heap for CREATED pairs (every new adjacency involves
-          // the merged symbol): the running count is pushed per
-          // occurrence — the last push holds the final value, earlier
-          // (under-valued) duplicates are corrected at pop time. Stale
-          // entries for DECREASED pairs are likewise corrected at pop
-          // (they are overestimates, so they always surface in time).
-          if (indexSym != -1 && cur >= 2L) heap.push(cur, k)
+          var lst = pairWords.getOrNull(k).asInstanceOf[IntList]
+          if (lst == null) { lst = new IntList; pairWords.put(k, lst) }
+          lst.add(idx)
+          if (indexSym != -1) createdScratch += k
         }
         i += 1
       }
@@ -207,6 +283,12 @@ object Bpe {
     var continue = true
     val dbg = java.lang.Boolean.getBoolean("graft.bpe.debug")
     var tArgmax = 0L; var tApply = 0L; var nCand = 0L; var nHit = 0L
+    // parallel-apply scratch: a visit stamp dedups the append-only
+    // candidate list before sharding (two threads must never rewrite the
+    // same word); allocated once, O(1) amortized per merge
+    val stamp = new Array[Int](words.length)
+    java.util.Arrays.fill(stamp, -1)
+    var nParallel = 0L
     while (continue && merges.length < numMerges) {
       // global argmax with the total-order tie-break (count DESC, l ASC,
       // r ASC in UTF-8 byte order) — iteration order of the map cannot
@@ -228,45 +310,140 @@ object Bpe {
         val l = (bestK >>> 32).toInt; val r = bestK.toInt
         merges :+= ((symStr(l), symStr(r)))
         val lr = intern(symStr(l) + symStr(r))
-        val candidates = pairWords.get(bestK).map(_.toArray).getOrElse(Array.empty[Int])
+        val candidates = {
+          val lst = pairWords.getOrNull(bestK).asInstanceOf[IntList]
+          if (lst == null) Array.empty[Int] else lst.toArray
+        }
         if (dbg) nCand += candidates.length
-        var ai = 0
-        while (ai < candidates.length) {
-          val idx = candidates(ai)
-          val old = words(idx)
-          // lazy validation: the index is append-only, so this word may
-          // no longer (or twice-listed, no longer again) contain the pair
-          var hit = false
-          var j = 0
-          while (!hit && j < old.length - 1) {
-            if (old(j) == l && old(j + 1) == r) hit = true; j += 1
+        if (applyParallelism > 1 && candidates.length >= parallelThreshold) {
+          // ---- parallel apply (adversarial-fan merges only) ----
+          nParallel += 1
+          val round = merges.length - 1 // unique, monotone per merge
+          val dd = new IntList
+          var ci = 0
+          while (ci < candidates.length) {
+            val idx = candidates(ci)
+            if (stamp(idx) != round) { stamp(idx) = round; dd.add(idx) }
+            ci += 1
           }
-          if (hit) {
-            if (dbg) nHit += 1
-            val n = wn(idx)
-            // retract the old adjacency counts (index stays append-only)
-            dropPairs(old, n)
-            // apply THIS merge once, left-to-right — identical to the
-            // reference's per-round rewrite
-            val out = new Array[Int](old.length)
-            var oi = 0
-            var i = 0
-            while (i < old.length) {
-              if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
-                out(oi) = lr; oi += 1; i += 2
-              } else { out(oi) = old(i); oi += 1; i += 1 }
+          val uniq = dd.toArray
+          val nChunks = math.min(applyParallelism, math.max(1, uniq.length / 32))
+          val shards = new Array[ApplyShard](nChunks)
+          java.util.stream.IntStream.range(0, nChunks).parallel().forEach { c =>
+            val sh = new ApplyShard
+            val lo = (c.toLong * uniq.length / nChunks).toInt
+            val hi = ((c + 1).toLong * uniq.length / nChunks).toInt
+            var ai = lo
+            while (ai < hi) {
+              val idx = uniq(ai)
+              val old = words(idx)
+              var hit = false
+              var j = 0
+              while (!hit && j < old.length - 1) {
+                if (old(j) == l && old(j + 1) == r) hit = true; j += 1
+              }
+              if (hit) {
+                sh.nHit += 1
+                val n = wn(idx)
+                var i = 0
+                while (i < old.length - 1) {
+                  sh.delta.add(pkey(old(i), old(i + 1)), -n); i += 1
+                }
+                val out = new Array[Int](old.length)
+                var oi = 0
+                i = 0
+                while (i < old.length) {
+                  if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+                    out(oi) = lr; oi += 1; i += 2
+                  } else { out(oi) = old(i); oi += 1; i += 1 }
+                }
+                val neu = java.util.Arrays.copyOf(out, oi)
+                words(idx) = neu
+                i = 0
+                while (i < neu.length - 1) {
+                  val k = pkey(neu(i), neu(i + 1))
+                  sh.delta.add(k, n)
+                  if (neu(i) == lr || neu(i + 1) == lr) {
+                    sh.entryKeys.add(k); sh.entryIdxs.add(idx)
+                  }
+                  i += 1
+                }
+              }
+              ai += 1
             }
-            val neu = java.util.Arrays.copyOf(out, oi)
-            words(idx) = neu
-            addPairs(idx, neu, n, indexSym = lr)
+            shards(c) = sh
           }
-          ai += 1
+          // sequential merge in CHUNK order: counts are order-free sums,
+          // the index keeps per-occurrence entries exactly like the
+          // sequential path, and heap pushes happen once per created pair
+          // at its exact post-merge count (a valid, non-stale entry — the
+          // pop-time validation contract is unchanged)
+          val createdSet = scala.collection.mutable.HashSet.empty[Long]
+          var c2 = 0
+          while (c2 < nChunks) {
+            val sh = shards(c2)
+            if (dbg) nHit += sh.nHit
+            sh.delta.foreach { (k, d) => if (d != 0L) pairCount.add(k, d) }
+            var e = 0
+            while (e < sh.entryKeys.length) {
+              var lst = pairWords.getOrNull(sh.entryKeys.get(e)).asInstanceOf[IntList]
+              if (lst == null) { lst = new IntList; pairWords.put(sh.entryKeys.get(e), lst) }
+              lst.add(sh.entryIdxs.get(e))
+              createdSet += sh.entryKeys.get(e)
+              e += 1
+            }
+            c2 += 1
+          }
+          createdSet.foreach { k =>
+            val cur = pairCount.get(k)
+            if (cur >= 2L) heap.push(cur, k)
+          }
+        } else {
+          var ai = 0
+          while (ai < candidates.length) {
+            val idx = candidates(ai)
+            val old = words(idx)
+            // lazy validation: the index is append-only, so this word may
+            // no longer (or twice-listed, no longer again) contain the pair
+            var hit = false
+            var j = 0
+            while (!hit && j < old.length - 1) {
+              if (old(j) == l && old(j + 1) == r) hit = true; j += 1
+            }
+            if (hit) {
+              if (dbg) nHit += 1
+              val n = wn(idx)
+              // retract the old adjacency counts (index stays append-only)
+              dropPairs(old, n)
+              // apply THIS merge once, left-to-right — identical to the
+              // reference's per-round rewrite
+              val out = new Array[Int](old.length)
+              var oi = 0
+              var i = 0
+              while (i < old.length) {
+                if (i + 1 < old.length && old(i) == l && old(i + 1) == r) {
+                  out(oi) = lr; oi += 1; i += 2
+                } else { out(oi) = old(i); oi += 1; i += 1 }
+              }
+              val neu = java.util.Arrays.copyOf(out, oi)
+              words(idx) = neu
+              addPairs(idx, neu, n, indexSym = lr)
+            }
+            ai += 1
+          }
+          // batch heap arming at exact post-merge counts (see
+          // createdScratch above)
+          createdScratch.foreach { k =>
+            val cur = pairCount.get(k)
+            if (cur >= 2L) heap.push(cur, k)
+          }
+          createdScratch.clear()
         }
         if (dbg) tApply += System.nanoTime() - t1
       }
     }
     if (dbg) System.err.println(
-      f"[bpe-debug] merges=${merges.length} argmax=${tArgmax / 1e9}%.2fs apply=${tApply / 1e9}%.2fs cand=$nCand hit=$nHit syms=${symStr.length}")
+      f"[bpe-debug] merges=${merges.length} argmax=${tArgmax / 1e9}%.2fs apply=${tApply / 1e9}%.2fs cand=$nCand hit=$nHit syms=${symStr.length} parallelMerges=$nParallel")
     merges
   }
 
@@ -278,7 +455,73 @@ object Bpe {
       if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
       a(n) = x; n += 1
     }
+    def get(i: Int): Int = a(i)
+    def length: Int = n
     def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Append-only long list (no boxing). */
+  private final class LongList {
+    private var a = new Array[Long](8)
+    private var n = 0
+    def add(x: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = x; n += 1
+    }
+    def get(i: Int): Long = a(i)
+    def length: Int = n
+  }
+
+  /** Open-addressing long→AnyRef map (linear probing, power-of-2 capacity,
+    * no deletion) — the pair→occurrence-list index without per-op Long
+    * boxing (r16: `HashMap[Long, IntList]` boxed every key of the ~4M
+    * index operations a stress run performs). Keys non-negative. */
+  private final class LongObjMap(initCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(initCap, 16))
+    private var keys = java.util.Arrays.copyOf(Array.fill(cap)(-1L), cap)
+    private var vals = new Array[AnyRef](cap)
+    private var n = 0
+    private def idx(k: Long, c: Int): Int = {
+      var h = k * -7046029254386353131L
+      h ^= (h >>> 32)
+      (h & (c - 1)).toInt
+    }
+    def getOrNull(k: Long): AnyRef = {
+      var i = idx(k, cap)
+      while (keys(i) != k && keys(i) != -1L) i = (i + 1) & (cap - 1)
+      if (keys(i) == k) vals(i) else null
+    }
+    def put(k: Long, v: AnyRef): Unit = {
+      var i = idx(k, cap)
+      while (keys(i) != k && keys(i) != -1L) i = (i + 1) & (cap - 1)
+      if (keys(i) == -1L) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n * 4 > cap * 3) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap *= 2
+      keys = Array.fill(cap)(-1L); vals = new Array[AnyRef](cap); n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1L) {
+          var j = idx(ok(i), cap)
+          while (keys(j) != -1L) j = (j + 1) & (cap - 1)
+          keys(j) = ok(i); vals(j) = ov(i); n += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** Per-thread scratch of the parallel merge application: a local count
+    * delta (merged order-free), per-occurrence index entries, hit tally. */
+  private final class ApplyShard {
+    val delta = new LongLongCounter(1 << 8)
+    val entryKeys = new LongList
+    val entryIdxs = new IntList
+    var nHit = 0L
   }
 
   /** Open-addressing long→long counter (linear probing, power-of-2
@@ -437,10 +680,14 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = new java.util.HashMap[String, Array[String]]()
+        // rank-indexed segmentation (r16): per-word cost independent of
+        // the merge count — the in-order replay paid O(K) per DISTINCT
+        // word even with the memo, which at production K dominated encode
+        val ranks = rankIndex(merges)
         it.flatMap { case (id, w) =>
           var t = memo.get(w)
           if (t == null) {
-            t = segment(w, merges).toArray
+            t = segmentByRank(w, ranks).toArray
             if (memo.size < (1 << 20)) memo.put(w, t)
           }
           Iterator.tabulate(t.length)(i => (id, w, i, t(i)))

@@ -28,8 +28,13 @@ object MicroBpe {
     val hexed = graft.Tables(spark, sfDir, "documents")
       .select(F.col("doc_id"), F.concat_ws(" ",
         (0 until 16).map(i => F.md5(F.concat(F.col("text"), F.lit(i.toString)))): _*).as("text"))
-    // warm the JIT + parquet footers once
+    // warm the JIT + parquet footers once — INCLUDING the stress corpus's
+    // merge-loop shapes: a cold first stress run measures HotSpot
+    // compiling the trainer's inner loops (~15 s of C2 tax at 16k merges,
+    // r16), not the algorithm; a production train is long enough to be
+    // warm for all but its first seconds.
     graft.functions.Bpe.train(docs, numMerges = 4)
+    graft.functions.Bpe.train(hexed, numMerges = 512)
     for ((name, corpus) <- Seq(("documents", docs), ("md5hex_16x", hexed));
          k <- mergeCounts) {
       val t0 = System.nanoTime()

@@ -130,6 +130,51 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("parallel merge application is bit-equal to sequential and the reference") {
+    // parallelThreshold = 1 forces EVERY merge through the sharded path
+    // (dedup -> per-thread delta counters -> chunk-ordered merge) so the
+    // r16 parallel apply is diffed against both the sequential trainer
+    // and the independent reference on the same corpora
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 2) {
+      val alphabet = "abcde"
+      val words = Seq.fill(400)(
+        (0 until (2 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(40).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val par = Bpe.train(docs, numMerges = 40, parallelThreshold = 1)
+      val seq = Bpe.train(docs, numMerges = 40, applyParallelism = 1)
+      val want = referenceTrain(words, 40)
+      assert(par == seq,
+        s"trial $trial: parallel path diverged from sequential at merge " +
+          s"${par.zip(seq).indexWhere(p => p._1 != p._2)}")
+      assert(par == want, s"trial $trial: parallel path diverged from the reference")
+    }
+  }
+
+  test("rank-indexed segmentation equals in-order merge replay on trained tables") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcdef"
+      val words = Seq.fill(250)(
+        (0 until (2 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(50).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val merges = Bpe.train(docs, numMerges = 50)
+      val ranks = Bpe.rankIndex(merges)
+      // every trained word AND unseen words segment identically
+      val probes = words ++ Seq.fill(100)(
+        (0 until (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      probes.foreach { w =>
+        val a = Bpe.segment(w, merges)
+        val b = Bpe.segmentByRank(w, ranks)
+        assert(a == b, s"trial $trial word '$w': replay $a != ranked $b")
+      }
+    }
+  }
+
   test("save/load round-trips the tokenizer artifact, order preserved") {
     import spark.implicits._
     val docs = Seq((1L, "lowest lower low newest widest low low newest")).toDF("doc_id", "text")
