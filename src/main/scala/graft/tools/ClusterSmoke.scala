@@ -59,7 +59,11 @@ object ClusterSmoke {
     "q_ann_brute", "q_ann_pq", "q_lm_score", "q_dsir_weights",
     "q_normalize_unicode", "q_ann_ivf", "q_bpe_encode",
     "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens", "q_ann_ivf_indexed",
-    "q_multimodal_frames", "q_stateful_map", "q_stream_stateful")
+    "q_multimodal_frames", "q_stateful_map", "q_stream_stateful",
+    // r16: CM register array literals + blocklist bloom bitset + suffix
+    // expression + the parallel-apply BPE trainer's merges-in-closure
+    // encode all cross executor JVM boundaries here
+    "q_heavy_hitters", "q_url_blocklist", "q_sample_priority", "q_pmi")
 
   /** Canonical result hash: columns sorted by name, every value rendered
     * deterministically (binary → hex — Array.toString would be an object
