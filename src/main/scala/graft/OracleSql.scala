@@ -441,6 +441,22 @@ object OracleSql {
 
     // Stream-static enrichment: the streaming job's complete-mode output
     // must equal the plain batch join + aggregate.
+    // Streaming CM heavy hitters: the streamed register state drives a
+    // batch-exact recount, so the oracle is the same plain HAVING as
+    // q_heavy_hitters (sketch state is internal, its consumer exact).
+    "q_stream_heavy_hitters" ->
+      """WITH ks AS (
+        |  SELECT 'k' || (CASE WHEN event_id % 2 = 0
+        |      THEN CAST(user_id % 10 AS VARCHAR)
+        |      ELSE 'c' || CAST(event_id % 2000 AS VARCHAR) END) AS key
+        |  FROM events),
+        |ks2 AS (SELECT key FROM ks WHERE key IS NOT NULL),
+        |tot AS (SELECT COUNT(*) AS n FROM ks2)
+        |SELECT key, COUNT(*) AS cnt
+        |FROM ks2, tot
+        |GROUP BY key, n
+        |HAVING COUNT(*) >= CAST(ceil(0.01 * n) AS BIGINT)""".stripMargin,
+
     "q_stream_enrich" ->
       s"""SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
          |  $dec4sum AS sum_value

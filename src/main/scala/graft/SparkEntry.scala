@@ -314,6 +314,32 @@ object SparkEntry {
       "graft_stream_enrich", mode = "complete")
   }
 
+  /** STREAMING Count-Min maintenance + heavy hitters: the register table
+    * is maintained BY a real streaming aggregation — its bounded state
+    * (≤ d·w rows, however much stream passes: the whole point of a sketch
+    * at 100 TB/day) is [[graft.functions.Sketches.cmRegisters]] applied
+    * to the stream unchanged (CM counts sum-merge, and a streaming agg IS
+    * an incremental sum-merge). The streamed registers then drive the
+    * batch prune + exact recount over the same staged data
+    * ([[graft.functions.Sketches.heavyHittersFromRegisters]]), so they
+    * are LOAD-BEARING for the oracle-checked answer: an under-counted
+    * register would lose a heavy key and break the hash. Oracle = the
+    * q_heavy_hitters HAVING (same key synthesis). */
+  private def qStreamHeavyHitters(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val srcDir = stageEventsDir(dir)
+    def key(c: Column, u: Column) = F.concat(F.lit("k"),
+      F.when(c % 2 === 0, (u % 10).cast("string"))
+        .otherwise(F.concat(F.lit("c"), (c % 2000).cast("string"))))
+    val stream = eventsStream(s, srcDir)
+    val regs = graft.functions.Sketches.cmRegisters(
+      stream.select(key(F.col("event_id"), F.col("user_id")).as("key")), "key")
+    val regRows = runMemoryGate(s, regs, "graft_stream_hh", mode = "complete")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    graft.functions.Sketches.heavyHittersFromRegisters(
+      Tables.events(s, dir).select(key(F.col("event_id"), F.col("user_id")).as("key")),
+      "key", phi = 0.01, regRows, d = 4, w = 1024)
+  }
+
   /** The SAME epoch-window aggregation, executed as a real Structured
     * Streaming job (file stream → watermark → windowed agg → memory sink,
     * AvailableNow trigger) — proving the streaming path produces the
@@ -2326,6 +2352,7 @@ object SparkEntry {
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_profile" -> (qProfile _),
     "q_stream_enrich" -> (qStreamEnrich _),
+    "q_stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

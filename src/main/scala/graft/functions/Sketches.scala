@@ -297,11 +297,26 @@ object Sketches {
     * Output: (`valueCol`, cnt) — exact, HAVING-equivalent. */
   def heavyHitters(df: DataFrame, valueCol: String, phi: Double,
                    d: Int = 4, w: Int = 1024, knownTotal: Long = -1L): DataFrame = {
-    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
     val vals = df.filter(F.col(valueCol).isNotNull)
       .select(F.col(valueCol).cast("string").as(valueCol))
     val regs = cmRegisters(vals, valueCol, d, w).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    heavyHittersFromRegisters(vals, valueCol, phi, regs, d, w, knownTotal)
+  }
+
+  /** The prune + exact-recount half of [[heavyHitters]], against an
+    * ALREADY-BUILT register table — how a maintained sketch is consumed:
+    * the registers may come from this batch, a [[mergeCmRegisters]] of
+    * shard sketches, or a STREAMING aggregation whose bounded state IS
+    * the register table (q_stream_heavy_hitters). Correctness needs only
+    * that `regs` covers every occurrence the scanned `df` contains
+    * (over-coverage is fine — CM error is one-sided). */
+  def heavyHittersFromRegisters(df: DataFrame, valueCol: String, phi: Double,
+                                regs: Seq[(Int, Int, Long)], d: Int, w: Int,
+                                knownTotal: Long = -1L): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
+    val vals = df.filter(F.col(valueCol).isNotNull)
+      .select(F.col(valueCol).cast("string").as(valueCol))
     val total = if (knownTotal >= 0L) knownTotal
       else regs.collect { case (0, _, n) => n }.sum
     val thr = math.ceil(phi * total).toLong.max(1L)

@@ -149,6 +149,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"web-prep chain diverged on a stream: ${rows.toSeq}")
   }
 
+  test("cmRegisters as a streaming aggregation: bounded state equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketches
+    val input = MemoryStream[String]
+    val stream = input.toDS().toDF("key")
+    val q = Sketches.cmRegisters(stream, "key", d = 3, w = 32)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    val batch1 = Seq("a", "b", "a", "c", "a")
+    val batch2 = Seq("b", "d", "a", "d", "d", "d")
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.table("cm_stream").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    q.stop()
+    // the streaming agg's state after both batches == the batch sketch of
+    // the whole stream (CM sum-merge is the aggregation itself), and the
+    // register count is bounded by d*w regardless of stream size
+    val whole = Sketches.cmRegisters(
+      (batch1 ++ batch2).toDF("key"), "key", d = 3, w = 32).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == whole, s"streamed=$streamed batch=$whole")
+    assert(streamed.size <= 3 * 32)
+  }
+
   test("c4Rules runs unchanged on a stream (scan-only native pass)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
