@@ -1796,6 +1796,26 @@ object OracleSql {
       s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)}
          |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id FROM cells""".stripMargin,
 
+    // Prototypicality pruning (SSL-prototypes): per-vector assignment
+    // score from the shared Lloyd `scores` CTE, per-cluster keep the
+    // hardest (lowest-score) half; scores bit-identical by the
+    // CentroidScoresExpr arithmetic contract.
+    "q_prune_prototypes" ->
+      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
+         |asg AS (
+         |  SELECT vec_id, cid AS cell, sc FROM (
+         |    SELECT vec_id, cid, sc,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM scores) WHERE rn = 1),
+         |rk AS (
+         |  SELECT vec_id, cell, sc,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sc ASC, vec_id ASC) AS krn,
+         |    COUNT(*) OVER (PARTITION BY cell) AS n_cluster
+         |  FROM asg)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id, sc AS proto_score,
+         |  CAST(n_cluster AS BIGINT) AS n_cluster
+         |FROM rk WHERE krn <= CAST(ceil(0.5 * n_cluster) AS BIGINT)""".stripMargin,
+
     // Semantic dedup (SemDeDup shape): within-cell candidate pairs over
     // the shared Lloyd `cells`, exact rounded cosine >= 0.4 edges,
     // recursive min-label closure, survivors = everyone not a non-minimal

@@ -2122,6 +2122,13 @@ object SparkEntry {
   private def qClusterKmeans(s: SparkSession, dir: String): DataFrame =
     Ann.clusterKmeans(T(s, dir, "embeddings"), clusters = 16)
 
+  /** Prototypicality pruning ([[graft.ann.Ann.prunePrototypes]]): keep
+    * each k-means cluster's hardest half by assignment score — the SSL-
+    * prototypes data-pruning rule. Selection AND scores hash-exact vs the
+    * oracle's Lloyd CTEs (the CentroidScoresExpr arithmetic contract). */
+  private def qPrunePrototypes(s: SparkSession, dir: String): DataFrame =
+    Ann.prunePrototypes(T(s, dir, "embeddings"), keepFraction = 0.5)
+
   /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -2377,6 +2384,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_densify" -> (qDensify _),
     "q_cluster_kmeans" -> (qClusterKmeans _),
+    "q_prune_prototypes" -> (qPrunePrototypes _),
     "q_ann_pq" -> (qAnnPq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),

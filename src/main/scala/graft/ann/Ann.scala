@@ -317,6 +317,51 @@ object Ann {
         nearestCentroid(centroids, F.col(embCol), native).as("cluster_id"): _*)
   }
 
+  /** Prototypicality-based data PRUNING (Sorscher et al. 2022, "Beyond
+    * neural scaling laws" — the SSL-prototypes metric): cluster the
+    * embedding corpus with the deterministic Lloyd trainer, score every
+    * vector by its affinity to its OWN centroid (`2·dot − ‖c‖²`, the
+    * assignment score — monotone in −‖e−c‖² at fixed `e`), and per
+    * cluster KEEP the `keepFraction` LEAST prototypical (hardest) rows —
+    * the published rule for large datasets, where pruning easy/redundant
+    * examples beats random subsetting. `hardest = false` flips to
+    * keep-most-prototypical (their small-dataset rule).
+    *
+    * Scale shape: centroid training is the bounded driver sample every
+    * index build pays (corpus-size-independent); scoring is ONE
+    * broadcast-centroid scan (no join); the per-cluster rank is the only
+    * exchange, partitioned by cluster id. Scores are the same expression
+    * the assignment itself computes, so the DuckDB oracle reproduces
+    * selection AND scores bit-for-bit from its Lloyd CTEs.
+    *
+    * Output: (idCol, cluster_id, proto_score, n_cluster) for survivors. */
+  def prunePrototypes(corpus: DataFrame, idCol: String = "vec_id",
+                      embCol: String = "embedding", clusters: Int = 16,
+                      keepFraction: Double = 0.5, hardest: Boolean = true,
+                      native: Boolean = true, sampleN: Int = 512,
+                      iters: Int = 2): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, idCol, embCol, clusters, sampleN, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val scores = centroidScores(centroids, F.col(embCol), native)
+    val scored = graft.Spread(corpus)
+      .select(F.col(idCol), scores.as("_scs"))
+      .select(F.col(idCol),
+        (F.array_position(F.col("_scs"), F.array_max(F.col("_scs"))) - 1L)
+          .cast("int").as("cluster_id"),
+        F.array_max(F.col("_scs")).as("proto_score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(F.col("cluster_id"))
+    val order = if (hardest) F.col("proto_score").asc else F.col("proto_score").desc
+    scored
+      .withColumn("_rn", F.row_number().over(w.orderBy(order, F.col(idCol).asc)))
+      .withColumn("n_cluster", F.count(F.lit(1)).over(w).cast("long"))
+      .filter(F.col("_rn") <= F.ceil(F.lit(keepFraction) * F.col("n_cluster")))
+      .select(F.col(idCol), F.col("cluster_id"), F.col("proto_score"), F.col("n_cluster"))
+  }
+
   // top-`probes` cell ids per query: sort (score, idx) pairs descending.
   // The idx is NEGATED inside the sort struct so the reversed ascending
   // sort yields (score DESC, idx ASC) — the same lowest-id tie-break as

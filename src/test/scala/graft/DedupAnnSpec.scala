@@ -373,6 +373,45 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("prunePrototypes keeps the per-cluster hardest fraction, exactly and only") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val all = Ann.clusterKmeans(emb, clusters = 16).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kept = Ann.prunePrototypes(emb, clusters = 16, keepFraction = 0.5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // survivors agree with clusterKmeans on assignment
+    kept.foreach { case (id, cl, _, _) => assert(all(id) == cl) }
+    // per cluster: exactly ceil(0.5*n) survivors, and every kept score is
+    // <= every dropped score (hardest = lowest assignment score)
+    val byCluster = all.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    kept.groupBy(_._2).foreach { case (cl, rows) =>
+      val n = byCluster(cl).size
+      assert(rows.head._4 == n, s"cluster $cl: n_cluster must be $n")
+      assert(rows.length == math.ceil(0.5 * n).toLong,
+        s"cluster $cl: ${rows.length} kept of $n")
+    }
+    val keptIds = kept.map(_._1).toSet
+    val scoresOf = Ann.prunePrototypes(emb, clusters = 16, keepFraction = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    all.groupBy(_._2).foreach { case (cl, members) =>
+      val (k, d) = members.keys.partition(keptIds.contains)
+      if (k.nonEmpty && d.nonEmpty)
+        assert(k.map(scoresOf).max <= d.map(scoresOf).min + 1e-12,
+          s"cluster $cl: kept a more prototypical row than a dropped one")
+    }
+    // keepFraction = 1 keeps everything; hardest=false flips the rule
+    assert(scoresOf.size == all.size)
+    val easy = Ann.prunePrototypes(emb, clusters = 16, keepFraction = 0.5,
+      hardest = false).collect().map(r => r.getLong(0)).toSet
+    all.groupBy(_._2).foreach { case (cl, members) =>
+      if (members.size >= 2) {
+        val ordered = members.keys.toSeq.sortBy(id => (scoresOf(id), id))
+        assert(easy.contains(ordered.last),
+          s"cluster $cl: easy mode must keep the most prototypical row")
+      }
+    }
+  }
+
   test("IVF trained centroids keep cells balanced (max <= 4x mean)") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cells = 16
