@@ -190,6 +190,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_url_blocklist", maxExchange = 1, minBhj = 1),
     Audit("q_sample_priority", maxExchange = 0, allowedBnlj = 1),
     Audit("q_pmi", maxExchange = 12, minBhj = 2, allowedBnlj = 2),
+    // prototypes pruning: broadcast-centroid scoring scan (Spread is one
+    // exchange) + the per-cluster rank/count window exchange; no joins
+    Audit("q_prune_prototypes", maxExchange = 2, maxBhj = 0),
     )
 
   private val nodeRe =

@@ -490,4 +490,57 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(salted == plain, s"buckets=$buckets diverged")
     }
   }
+
+  test("count-min: estimates dominate exact counts and pruning is phi-monotone") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    val corpusGen = Gen.chooseNum(50, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 60).map(i => s"k$i")))
+    forSamples(corpusGen, n = 8) { keys =>
+      val df = keys.toDF("key")
+      val d = 3; val w = 64
+      val regs = Sketches.cmRegisters(df, "key", d, w).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = df.distinct()
+        .withColumn("est", Sketches.cmEstimateCol(F.col("key"), regs, d, w))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      est.foreach { case (k, e) =>
+        assert(e >= exact(k), s"$k: CM underestimated $e < " + exact(k))
+      }
+      // row-0 register sum == stream size (the free-total identity)
+      assert(regs.collect { case (0, _, n) => n }.sum == keys.size)
+      // phi-monotone: a larger threshold's answer is a subset
+      val lo = Sketches.heavyHitters(df, "key", 0.02)
+        .collect().map(_.getString(0)).toSet
+      val hi = Sketches.heavyHitters(df, "key", 0.1)
+        .collect().map(_.getString(0)).toSet
+      assert(hi.subsetOf(lo), s"phi=0.1 answer $hi not within phi=0.02 answer $lo")
+    }
+  }
+
+  test("priority sampling is invariant under uniform weight scaling") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val rowsGen = Gen.chooseNum(30, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 999L)).map(_.zipWithIndex.map {
+        case (w, i) => (i.toLong, w)
+      }))
+    forSamples(rowsGen, n = 8) { rows =>
+      val df = rows.toDF("id", "w")
+      def ids(wc: org.apache.spark.sql.Column) =
+        Sampling.prioritySample(df, "id", wc, k = 10)
+          .collect().map(_.getLong(0)).toSet
+      // priorities scale uniformly (w/u is linear in w), so the SELECTED
+      // SET is scale-free -- the invariance that makes "weight by tokens"
+      // and "weight by kilotokens" the same sample
+      assert(ids(F.col("w")) == ids(F.col("w") * 1000))
+      // zero-weight rows can never outrank any positive-weight row when
+      // k <= positive count (priority 0 sorts last)
+      val withZero = (rows.map { case (i, w) => (i, w) } :+ ((100000L, 0L))).toDF("id", "w")
+      val sel = Sampling.prioritySample(withZero, "id", F.col("w"), k = math.min(10, rows.size))
+        .collect().map(_.getLong(0)).toSet
+      assert(!sel.contains(100000L), "zero-weight row outranked positive rows")
+    }
+  }
 }
