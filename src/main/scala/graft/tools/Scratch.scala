@@ -24,6 +24,14 @@ object Scratch {
       val c = graft.SparkEntry.queries(q)(spark, sfDir).collect().length
       println(f"[scratch] $q run $i: ${(System.nanoTime() - t0) / 1e9}%6.3fs rows=$c")
     }
+    // Executed-plan summary: AQE-final node counts (did ReuseExchange
+    // fire? how many real shuffles survived?)
+    val df = graft.SparkEntry.queries(q)(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    def count(node: String) = node + "=" + plan.linesIterator.count(_.contains(node))
+    println("[scratch] executed: " + Seq("ShuffleExchange", "ReusedExchange",
+      "BroadcastExchange", "WholeStageCodegen").map(count).mkString(" "))
     spark.stop()
   }
 }
