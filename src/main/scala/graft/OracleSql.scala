@@ -1796,6 +1796,13 @@ object OracleSql {
       s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)}
          |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id FROM cells""".stripMargin,
 
+    // Layout-pruned scan: the oracle runs the identical filter+agg on the
+    // UNOPTIMIZED table — a layout rewrite must be content-invisible.
+    "q_layout_prune" ->
+      """SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'de' AND n_chars >= 200
+        |GROUP BY source""".stripMargin,
+
     // Prototypicality pruning (SSL-prototypes): per-vector assignment
     // score from the shared Lloyd `scores` CTE, per-cluster keep the
     // hardest (lowest-score) half; scores bit-identical by the

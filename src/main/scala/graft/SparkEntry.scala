@@ -207,6 +207,35 @@ object SparkEntry {
     srcDir
   }
 
+  /** Layout-optimized `documents` staging for [[qLayoutPrune]] — written
+    * once per source dir ([[graft.operators.Corpus.optimizeLayout]],
+    * clustered on (lang, n_chars)), reused across runs: the gate times
+    * the PRUNED READ, which is the recurring cost the layout buys down;
+    * the one-time rewrite is the investment, not the query. */
+  private def stageOptimizedDocs(s: SparkSession, dir: String): String = {
+    val key = f"${new java.io.File(dir).getAbsolutePath.hashCode}%08x"
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_layout_docs_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+      graft.operators.Corpus.optimizeLayout(
+        T(s, dir, "documents"), out.toString, Seq("lang", "n_chars"), ranges = 8)
+    out.toString
+  }
+
+  /** Stats-pruned scan over the range-clustered layout
+    * ([[graft.operators.Corpus.optimizeLayout]]): a selective
+    * (lang, n_chars) predicate over files whose min/max stats match it —
+    * the reader skips non-matching row groups wholesale (CorpusSpec pins
+    * the per-file clustering that makes the stats tight; ExplainAudit
+    * pins the pushdown). The oracle runs the same filter+agg on the
+    * UNOPTIMIZED table: a layout rewrite must be content-invisible. */
+  private def qLayoutPrune(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(stageOptimizedDocs(s, dir))
+      .filter(F.col("lang") === "de" && F.col("n_chars") >= 200)
+      .groupBy(F.col("source"))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("n_chars")).cast("long").as("sum_chars"))
+
   /** Fresh checkpoint dir for a gate streaming query, on tmpfs when the
     * box has one. The gates' memory-sink queries are non-durable by
     * construction (they ran on auto-deleted temp checkpoints before), so
@@ -2385,6 +2414,7 @@ object SparkEntry {
     "q_densify" -> (qDensify _),
     "q_cluster_kmeans" -> (qClusterKmeans _),
     "q_prune_prototypes" -> (qPrunePrototypes _),
+    "q_layout_prune" -> (qLayoutPrune _),
     "q_ann_pq" -> (qAnnPq _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),

@@ -134,4 +134,32 @@ object Corpus {
       .filter(F.col("status").isNotNull)
       .select(F.col(idCol), F.col("status"))
   }
+
+  /** Scan-LAYOUT optimization — the "sort your data for your queries"
+    * step every at-rest 100 TB corpus pays once so every later scan pays
+    * less: range-partition on `clusterCols` (one exchange) and sort
+    * within partitions, so each written parquet file covers a narrow
+    * `clusterCols` range and its row-group/file statistics (min/max)
+    * let a filtered scan SKIP everything outside the predicate — the
+    * lakehouse linear-clustering pattern (the single-column-prefix case
+    * of Z-ordering; hot filter columns like lang/source/quality-tier are
+    * exactly this shape). Content is untouched: a layout rewrite must be
+    * a no-op to every reader that doesn't filter (the q_layout_prune
+    * oracle runs against the UNOPTIMIZED table for precisely that
+    * reason). `ranges` bounds the file count from above by design —
+    * at scale pick it from targetBytes ≈ data / file-size, not task
+    * count, or every task fans a sliver into every range (the
+    * writeBucketedBy alignment lesson).
+    *
+    * Sorting WITHIN partitions costs nothing extra (the range exchange
+    * already moved the rows) and upgrades file-level pruning to
+    * row-group-level for secondary sort columns. */
+  def optimizeLayout(df: DataFrame, path: String, clusterCols: Seq[String],
+                     ranges: Int = 8): Unit = {
+    require(clusterCols.nonEmpty, "optimizeLayout needs at least one cluster column")
+    require(ranges >= 1, s"need ranges >= 1, got $ranges")
+    df.repartitionByRange(ranges, clusterCols.map(F.col): _*)
+      .sortWithinPartitions(clusterCols.map(F.col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
 }

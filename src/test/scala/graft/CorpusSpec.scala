@@ -99,4 +99,45 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(Corpus.asOf(log.repartition(7), 2L).collect().map(_.toString).sorted.toSeq ==
       Corpus.asOf(log, 2L).collect().map(_.toString).sorted.toSeq)
   }
+
+  test("optimizeLayout clusters files stats-tight and preserves content exactly") {
+    import org.apache.spark.sql.{functions => F}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_layout_spec_").toString
+    try {
+      Corpus.optimizeLayout(docs, out, Seq("lang", "n_chars"), ranges = 8)
+      // content preservation: the rewrite is invisible to a full reader
+      val back = spark.read.parquet(out)
+      assert(back.collect().map(_.toString).sorted.toSeq ==
+        docs.collect().map(_.toString).sorted.toSeq)
+      // file-level clustering: each written file covers a NARROW
+      // (lang, n_chars) range — at most 2 langs (range boundaries may
+      // straddle one value) — which is exactly what makes min/max footer
+      // stats prune a lang-filtered scan
+      val files = new java.io.File(out).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.nonEmpty && files.length <= 8)
+      files.foreach { f =>
+        val langs = spark.read.parquet(f).select("lang").distinct().count()
+        assert(langs <= 2, s"$f spans $langs langs — not clustered")
+      }
+      // the pruned scan reads fewer rows than the corpus: the de-filter
+      // over the clustered layout must touch only de-bearing row groups
+      val scan = spark.read.parquet(out).filter(F.col("lang") === "de")
+      val n = scan.count()
+      val exact = docs.filter(F.col("lang") === "de").count()
+      assert(n == exact)
+      val scanned = {
+        val plans = scan.queryExecution.executedPlan.collectLeaves()
+        plans.flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+      }
+      assert(scanned < docs.count(),
+        s"scan emitted $scanned rows — footer stats pruned nothing")
+    } finally {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
 }

@@ -193,6 +193,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // prototypes pruning: broadcast-centroid scoring scan (Spread is one
     // exchange) + the per-cluster rank/count window exchange; no joins
     Audit("q_prune_prototypes", maxExchange = 2, maxBhj = 0),
+    // layout-pruned scan: filter fully pushed to the clustered parquet
+    // (the whole point of the layout), one agg exchange
+    Audit("q_layout_prune", maxExchange = 1, requirePushdown = true),
     )
 
   private val nodeRe =
