@@ -48,7 +48,12 @@ object Bench {
     // constants against DuckDB's trivial small-key-space HAVING/ORDER BY
     // (sub-second absolute — the q_key_distribute fixed-cost class;
     // see BASELINE.md's honest-reading section).
-    "q_pmi", "q_heavy_hitters", "q_url_blocklist", "q_sample_priority")
+    "q_pmi", "q_heavy_hitters", "q_url_blocklist", "q_sample_priority",
+    // prototypes pruning is embedding-corpus-proportional (0.57 s solo);
+    // q_layout_prune (0.29 s) / q_filter_funnel / q_corpus_asof stay in
+    // the sub-0.35 s fixed-cost class, correctness-gated only, and
+    // q_stream_heavy_hitters joins the documented streaming-gate class
+    "q_prune_prototypes")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

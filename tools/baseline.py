@@ -34,7 +34,7 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_pipeline_web", "q_bpe_encode",
             "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens",
             "q_pmi", "q_heavy_hitters", "q_url_blocklist",
-            "q_sample_priority"]
+            "q_sample_priority", "q_prune_prototypes"]
 
 
 def main():
