@@ -1726,6 +1726,17 @@ object SparkEntry {
         F.sum(F.length(F.col("token")).cast("long")).as("n_token_chars"))
   }
 
+  /** Tokenizer fertility report ([[graft.functions.Bpe.fertilityReport]]):
+    * train 16 merges on the corpus, then the per-language fertility /
+    * compression table. Rows-only by the BPE contract (train+encode are
+    * not SQL-replicable); arithmetic pinned by BpeSpec's fertility test
+    * on a hand-computable corpus. */
+  private def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val merges = graft.functions.Bpe.train(docs, numMerges = 16)
+    graft.functions.Bpe.fertilityReport(docs, merges)
+  }
+
   /** Classifier CALIBRATION ([[graft.functions.Classifier.trainScore]]
     * output bucketed into score deciles): per decile, count, observed
     * positive rate, and decimal-exact mean predicted score — the
@@ -2381,6 +2392,7 @@ object SparkEntry {
     "q_clf_calibration" -> (qClfCalibration _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_fertility" -> (qBpeFertility _),
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_ivf_incremental" -> (qAnnIvfIncremental _),

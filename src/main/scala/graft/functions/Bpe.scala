@@ -637,6 +637,44 @@ object Bpe {
     }
   }
 
+  /** Tokenizer FERTILITY / compression report (r16) — the per-group table
+    * every tokenizer decision is made on: `fertility` (BPE tokens per
+    * whitespace word — Ács' multilingual-penalty metric; ~1.0 means the
+    * vocabulary covers the group's words whole, >>1 means the group pays
+    * more sequence length per word) and `chars_per_token` (compression —
+    * how much text a token carries), per language/source. Training a
+    * vocabulary and then READING THIS TABLE is how merge budgets and
+    * mixture decisions get made in practice.
+    *
+    * Scale shape: one [[encode]] pass (zero-shuffle flatMap) aggregated
+    * map-side to per-doc token counts, one id-keyed join to the doc's
+    * group metadata (bucketed corpora make it exchange-free), one tiny
+    * per-group aggregation. Ratios are single IEEE divisions rounded to
+    * 6 dp. The gate is rows-only by the BPE-not-SQL-replicable contract
+    * (BpeSpec's independent reference pins [[encode]]; BpeFertilitySpec
+    * pins this arithmetic on a hand-computable corpus). */
+  def fertilityReport(docs: DataFrame, merges: Seq[(String, String)],
+                      groupCol: String = "lang", idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val perDoc = encode(docs, merges, idCol, textCol)
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("_n_tok"))
+    val meta = docs.select(F.col(idCol), F.col(groupCol),
+      graft.functions.TextFunctions.tokenCount(F.col(textCol)).as("_n_words"),
+      F.length(F.col(textCol)).cast("long").as("_n_chars"))
+    meta.join(perDoc, Seq(idCol), "left")
+      .groupBy(F.col(groupCol))
+      .agg(
+        F.sum(F.col("_n_words")).as("n_words"),
+        F.sum(F.coalesce(F.col("_n_tok"), F.lit(0L))).as("n_tokens"),
+        F.sum(F.col("_n_chars")).as("n_chars"))
+      .select(F.col(groupCol), F.col("n_words"), F.col("n_tokens"), F.col("n_chars"),
+        F.expr("round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)")
+          .as("fertility"),
+        F.expr("round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)")
+          .as("chars_per_token"))
+  }
+
   /** Persist a trained merge table as the tokenizer ARTIFACT a pipeline
     * ships between the train job and every encode job: one parquet file
     * of (merge_rank, left, right) — self-describing, engine-neutral,

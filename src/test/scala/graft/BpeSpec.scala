@@ -175,6 +175,22 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fertilityReport: hand-computable corpus yields exact per-group metrics") {
+    import spark.implicits._
+    // merges = [(a,b)]: "ab" -> 1 token; "cd" -> 2 tokens (c, d)
+    val docs = Seq(
+      (1L, "X", "ab ab cd"), // 3 words, 1+1+2 = 4 tokens, 8 chars
+      (2L, "Y", "cd cd"), // 2 words, 4 tokens, 5 chars
+      (3L, "X", "ab") // 1 word, 1 token, 2 chars
+    ).toDF("doc_id", "lang", "text")
+    val rep = Bpe.fertilityReport(docs, Seq(("a", "b"))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rep("X") == ((4L, 5L, 10L, 1.25, 2.0)),
+      s"X: ${rep("X")}") // 5 tokens / 4 words; 10 chars / 5 tokens
+    assert(rep("Y") == ((2L, 4L, 5L, 2.0, 1.25)), s"Y: ${rep("Y")}")
+  }
+
   test("save/load round-trips the tokenizer artifact, order preserved") {
     import spark.implicits._
     val docs = Seq((1L, "lowest lower low newest widest low low newest")).toDF("doc_id", "text")
