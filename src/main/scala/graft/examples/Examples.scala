@@ -416,3 +416,60 @@ object DataSelectionPipeline {
     spark.stop()
   }
 }
+
+/** Round-16 additions end-to-end: curate a web corpus with the policy,
+  * sketch, sampling, and layout operators — the "prepare a pretraining
+  * mix" recipe a data team runs before every training cycle. */
+object WebCorpusCuration {
+  def main(args: Array[String]): Unit = {
+    val spark = ExampleSession()
+    import org.apache.spark.sql.{functions => F}
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val docs = graft.Tables(spark, dir, "documents")
+
+    // 1. Domain policy first — cheapest filter, run before any content
+    //    work. (URL synthesized here; a crawl carries its own.)
+    val url = F.concat(F.lit("https://www.site"), (F.col("doc_id") % 50).cast("string"),
+      F.when(F.col("doc_id") % 3 === 0, F.lit(".bad-ads.net")).otherwise(F.lit(".example.com")),
+      F.lit("/p/"), F.col("doc_id").cast("string"))
+    import spark.implicits._
+    val blocklist = Seq("bad-ads.net").toDF("domain")
+    val policy = graft.functions.TextFunctions.domainBlocklist(
+      docs.select(F.col("doc_id"), url.as("url")), "url", blocklist)
+    val allowed = docs.join(
+      policy.filter(!F.col("blocked")).select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // 2. Corpus diagnosis: the heavy-hitter tokens (boilerplate radar) —
+    //    exact answer, Count-Min-pruned shuffle.
+    graft.functions.Sketches.heavyHitters(
+      allowed.select(F.explode(F.split(F.lower(F.col("text")), "\\s+")).as("tok")),
+      "tok", phi = 0.02).orderBy(F.col("cnt").desc).show(5)
+
+    // 3. PMI collocations worth atomizing before tokenizer training.
+    graft.functions.Collocations.pmi(allowed, minCount = 5)
+      .orderBy(F.col("pmi").desc).show(5)
+
+    // 4. Weighted subsample: 100 docs by token mass, with the subset-sum
+    //    estimator weights for later unbiased accounting.
+    val sample = graft.operators.Sampling.prioritySample(
+      allowed, "doc_id", F.col("n_chars"), k = 100)
+    sample.agg(F.sum("weight_est").as("est_total_chars")).show()
+
+    // 5. Embedding-space pruning: keep each cluster's hardest half.
+    val emb = graft.Tables(spark, dir, "embeddings")
+    graft.ann.Ann.prunePrototypes(emb, keepFraction = 0.5)
+      .groupBy("cluster_id").count().orderBy("cluster_id").show(4)
+
+    // 6. Tokenizer diagnostics on the curated text: train a small merge
+    //    table, read the per-language fertility/compression report.
+    val merges = graft.functions.Bpe.train(allowed, numMerges = 16)
+    graft.functions.Bpe.fertilityReport(allowed, merges).orderBy("lang").show()
+
+    // 7. Lay the curated corpus down clustered on the hot filter columns
+    //    so every later scan prunes on footer stats.
+    val out = java.nio.file.Files.createTempDirectory("curated_").toString
+    graft.operators.Corpus.optimizeLayout(allowed, out, Seq("lang", "n_chars"))
+    spark.read.parquet(out).filter(F.col("lang") === "en").count()
+    spark.stop()
+  }
+}
