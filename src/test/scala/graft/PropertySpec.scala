@@ -543,4 +543,31 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(!sel.contains(100000L), "zero-weight row outranked positive rows")
     }
   }
+
+  test("domainBlocklist matches a brute-force suffix reference on random hosts") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val label = Gen.oneOf("a", "b", "c", "ads", "www", "x")
+    val hostGen = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, label)).map(_.mkString("."))
+    val trial = for {
+      hosts <- Gen.chooseNum(20, 60).flatMap(n => Gen.listOfN(n, hostGen))
+      bl <- Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, hostGen))
+    } yield (hosts, bl.filter(_.contains(".")).distinct)
+    forSamples(trial, n = 10) { case (hosts, bl) =>
+      if (bl.nonEmpty) {
+        val docs = hosts.zipWithIndex
+          .map { case (h, i) => (i.toLong, s"https://$h/p") }.toDF("doc_id", "url")
+        val got = TextFunctions.domainBlocklist(docs, "url", bl.toDF("domain"))
+          .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+        hosts.zipWithIndex.foreach { case (h, i) =>
+          // reference: longest >=2-label dot-suffix present in the list
+          val labels = h.split("\\.")
+          val suffixes = (0 until labels.length - 1).map(j => labels.drop(j).mkString("."))
+          val want = suffixes.filter(bl.contains).sortBy(-_.length).headOption
+          assert(got(i.toLong) == want,
+            s"host $h bl=$bl: got ${got(i.toLong)}, want $want")
+        }
+      }
+    }
+  }
 }
