@@ -734,6 +734,22 @@ object OracleSql {
         |GROUP BY key, n
         |HAVING COUNT(*) >= CAST(ceil(0.01 * n) AS BIGINT)""".stripMargin,
 
+    // Per-group heavy hitters: per-group HAVING over the same synthesis —
+    // the engine's composite-key CM + threshold-map prune is internal.
+    "q_heavy_hitters_grouped" ->
+      """WITH ks AS (
+        |  SELECT event_type AS grp,
+        |    'k' || (CASE WHEN event_id % 2 = 0
+        |      THEN CAST(user_id % 10 AS VARCHAR)
+        |      ELSE 'c' || CAST(event_id % 2000 AS VARCHAR) END) AS key
+        |  FROM events),
+        |ks2 AS (SELECT grp, key FROM ks WHERE key IS NOT NULL AND grp IS NOT NULL),
+        |tot AS (SELECT grp, COUNT(*) AS n FROM ks2 GROUP BY grp)
+        |SELECT k.grp, k.key, COUNT(*) AS cnt
+        |FROM ks2 k JOIN tot t ON k.grp = t.grp
+        |GROUP BY k.grp, k.key, t.n
+        |HAVING COUNT(*) >= CAST(ceil(0.04 * t.n) AS BIGINT)""".stripMargin,
+
     "q_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
         |FROM events GROUP BY event_type""".stripMargin,

@@ -1192,6 +1192,21 @@ object SparkEntry {
       Tables.events(s, dir).select(key.as("key")), "key", phi = 0.01)
   }
 
+  /** PER-GROUP sketch-pruned exact heavy hitters
+    * ([[graft.functions.Sketches.heavyHittersPerGroup]]): the same
+    * hot/cold synthesis, grouped by event_type — per-group thresholds
+    * ride a map literal, the composite-key CM prunes all five key spaces
+    * in one pass. Oracle = per-group HAVING. */
+  private def qHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
+    val key = F.concat(F.lit("k"),
+      F.when(F.col("event_id") % 2 === 0,
+        (F.col("user_id") % 10).cast("string"))
+        .otherwise(F.concat(F.lit("c"), (F.col("event_id") % 2000).cast("string"))))
+    graft.functions.Sketches.heavyHittersPerGroup(
+      Tables.events(s, dir).select(F.col("event_type").as("grp"), key.as("key")),
+      "grp", "key", phi = 0.04)
+  }
+
   /** Exact percentiles per group (continuous interpolation — identical
     * arithmetic to quantile_cont). */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
@@ -2409,6 +2424,7 @@ object SparkEntry {
     "q_distinct_sketch" -> (qDistinctSketch _),
     "q_percentile_sketch" -> (qPercentileSketch _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_heavy_hitters_grouped" -> (qHeavyHittersGrouped _),
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),

@@ -304,6 +304,41 @@ object Sketches {
     heavyHittersFromRegisters(vals, valueCol, phi, regs, d, w, knownTotal)
   }
 
+  /** PER-GROUP exact heavy hitters — every (group, value) whose count
+    * reaches `ceil(phi * N_group)` (frequent tokens PER LANGUAGE, hot
+    * keys PER shard): the same CM machinery keyed on the composite
+    * `group:value` string, with per-group thresholds dispatched
+    * scan-locally through a map LITERAL (groups are bounded by caller
+    * contract — languages, sources, shards — so the threshold map is a
+    * plan constant like the register arrays; `maxGroups` guards the
+    * collect). Same two-pass shape and the same deterministic
+    * losslessness as [[heavyHitters]]: the exchange carries candidate
+    * occurrences, never the per-group key spaces. */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                           phi: Double, d: Int = 4, w: Int = 1024,
+                           maxGroups: Int = 100000): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
+    val vals = df.filter(F.col(valueCol).isNotNull && F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).cast("string").as(groupCol),
+        F.col(valueCol).cast("string").as(valueCol))
+    // per-group totals: one tiny agg, bounded before the collect (the
+    // bloomContamination limit-then-require guard shape)
+    val gRows = vals.groupBy(F.col(groupCol)).agg(F.count(F.lit(1)).as("n"))
+      .limit(maxGroups + 1).collect()
+    require(gRows.length <= maxGroups,
+      s"more than $maxGroups groups; heavyHittersPerGroup thresholds are plan constants")
+    val thr: Map[String, Long] = gRows.map(r =>
+      r.getString(0) -> math.ceil(phi * r.getLong(1)).toLong.max(1L)).toMap
+    val composite = F.concat(F.col(groupCol), F.lit(":"), F.col(valueCol))
+    val regs = cmRegisters(vals.select(composite.as("_c")), "_c", d, w).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val thrCol = F.element_at(F.typedlit(thr), F.col(groupCol))
+    vals.filter(cmEstimateCol(composite, regs, d, w) >= thrCol)
+      .groupBy(F.col(groupCol), F.col(valueCol))
+      .agg(F.count(F.lit(1)).as("cnt"))
+      .filter(F.col("cnt") >= F.element_at(F.typedlit(thr), F.col(groupCol)))
+  }
+
   /** The prune + exact-recount half of [[heavyHitters]], against an
     * ALREADY-BUILT register table — how a maintained sketch is consumed:
     * the registers may come from this batch, a [[mergeCmRegisters]] of

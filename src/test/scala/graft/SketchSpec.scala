@@ -153,6 +153,26 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       s"CM prune kept $survivors of $distinctKeys keys — not pruning")
   }
 
+  test("per-group heavy hitters equal the direct per-group HAVING answer") {
+    import graft.functions.Sketches
+    val ev = Tables.events(spark, sf001).select(
+      F.col("event_type").as("grp"),
+      F.concat(F.lit("k"),
+        F.when(F.col("event_id") % 2 === 0, (F.col("user_id") % 10).cast("string"))
+          .otherwise(F.concat(F.lit("c"), (F.col("event_id") % 2000).cast("string"))))
+        .as("key"))
+    val totals = ev.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("grp", "key").count().collect()
+      .collect { case r if r.getLong(2) >= math.ceil(0.04 * totals(r.getString(0))).toLong =>
+        (r.getString(0), r.getString(1), r.getLong(2)) }.toSet
+    val pruned = Sketches.heavyHittersPerGroup(ev, "grp", "key", 0.04)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pruned == direct)
+    assert(direct.nonEmpty && direct.map(_._1).size >= 2,
+      "gate synthesis must produce heavy hitters in multiple groups")
+  }
+
   test("stream-static broadcast enrichment joins a stream against a dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
