@@ -196,6 +196,14 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // layout-pruned scan: filter fully pushed to the clustered parquet
     // (the whole point of the layout), one agg exchange
     Audit("q_layout_prune", maxExchange = 1, requirePushdown = true),
+    // grouped heavy hitters: same single-recount-exchange shape as
+    // q_heavy_hitters (registers + threshold map are plan literals)
+    Audit("q_heavy_hitters_grouped", maxExchange = 1),
+    // fertility report: encode flatMap + per-doc agg exchange + the
+    // broadcast metadata join + the tiny per-group agg exchange (plus
+    // the Spread); maxBhj pins the broadcast (a shuffled metadata join
+    // would double the corpus exchanges)
+    Audit("q_bpe_fertility", maxExchange = 3, minBhj = 1),
     )
 
   private val nodeRe =
