@@ -158,7 +158,7 @@ object Bench {
       }
       h
     }
-    val effectiveCores: Double = {
+    def probeEffectiveCores(): Double = {
       val iters = 150000000
       burnSink ^= burn(iters) // JIT warm + sink
       val t1 = System.nanoTime(); burnSink ^= burn(iters)
@@ -169,6 +169,7 @@ object Bench {
       val wide = (System.nanoTime() - t2).toDouble
       math.round(n.toDouble * solo / wide * 10.0) / 10.0
     }
+    val effectiveCores = probeEffectiveCores()
     System.err.println(s"[bench] effective_cores=$effectiveCores of " +
       s"${Runtime.getRuntime.availableProcessors()}")
 
@@ -378,8 +379,11 @@ object Bench {
     // stdout gets the COMPACT line (no per-shot diag, no per-query ratio
     // map) so it fits the driver's parse window; graft_bench.json keeps
     // the full diagnosis.
+    // capacity at suite END too — an 8-minute run spans host-contention
+    // phases, and a start-only probe can misattribute mid-run drift
+    val effectiveCoresEnd = probeEffectiveCores()
     val core =
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"effective_cores":$effectiveCores,"sf":"$sfDir""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"effective_cores":$effectiveCores,"effective_cores_end":$effectiveCoresEnd,"sf":"$sfDir""""
     println(s"{$core$ratioAgg}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("graft_bench.json"),
       s"""{$core,"diag":$diagJson$ratioAgg$ratioMap}""" + "\n")
