@@ -63,7 +63,9 @@ object ClusterSmoke {
     // r16: CM register array literals + blocklist bloom bitset + suffix
     // expression + the parallel-apply BPE trainer's merges-in-closure
     // encode all cross executor JVM boundaries here
-    "q_heavy_hitters", "q_url_blocklist", "q_sample_priority", "q_pmi")
+    "q_heavy_hitters", "q_url_blocklist", "q_sample_priority", "q_pmi",
+    // the threshold MAP literal is its own serialization surface
+    "q_heavy_hitters_grouped")
 
   /** Canonical result hash: columns sorted by name, every value rendered
     * deterministically (binary → hex — Array.toString would be an object
