@@ -213,7 +213,10 @@ object SparkEntry {
     * the PRUNED READ, which is the recurring cost the layout buys down;
     * the one-time rewrite is the investment, not the query. */
   private def stageOptimizedDocs(s: SparkSession, dir: String): String = {
-    val key = f"${new java.io.File(dir).getAbsolutePath.hashCode}%08x"
+    // stageKey (path hash + source mtime/size stamp) — in-place testdata
+    // regeneration flips the stamp, so a stale staged layout is discarded
+    // instead of silently graded against a fresh oracle table
+    val key = stageKey(dir, "documents.parquet")
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_layout_docs_$key")
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))

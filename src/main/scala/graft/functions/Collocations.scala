@@ -27,7 +27,17 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 object Collocations {
 
   /** The shared PMI expression text (Spark `expr` and DuckDB alike):
-    * ln( (n_ab · N_uni²) / (N_bg · n_a · n_b) ), rounded to 6 dp. */
+    * ln( (n_ab · N_uni²) / (N_bg · n_a · n_b) ), rounded to 6 dp.
+    *
+    * Boundary risk (documented, per review): the two engines evaluate
+    * `ln` with different libm implementations, so when the unrounded
+    * value sits within an ulp of a 6-dp rounding boundary the rounded
+    * outputs could differ — the same data-dependent flake surface the
+    * hllEstSql gate already accepts and documents. The ln ARGUMENT is an
+    * exact integer rational (counts only), so a boundary hit requires
+    * ln(p/q) to land within ~1e-16 of a multiple of 1e-6 — ~1e-10
+    * probability per bigram; with ~1e4 gate bigrams the flake odds are
+    * ~1e-6 per run, accepted under the hllEstSql precedent. */
   def pmiSql(nAb: String, nA: String, nB: String,
              nUni: String, nBg: String): String =
     s"round(ln((CAST($nAb AS DOUBLE) * CAST($nUni AS DOUBLE) * CAST($nUni AS DOUBLE)) / " +

@@ -212,9 +212,16 @@ object TextFunctions {
   }
 
   /** The host of a URL, lowercased (port/userinfo-free) — the join key of
-    * domain-level crawl policy. */
+    * domain-level crawl policy. The optional `userinfo@` authority prefix
+    * is skipped (real crawl URLs carry it; matching it as host would let
+    * `https://user@bad-ads.net/` sail past a blocklist), and a single
+    * trailing dot (the absolute-FQDN root marker) is stripped so
+    * `example.com.` joins the same policy row as `example.com`. */
   def urlHost(url: Column): Column =
-    F.lower(F.regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    F.lower(F.regexp_replace(
+      F.regexp_extract(url,
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]*)", 1),
+      "\\.$", ""))
 
   /** Domain-blocklist filtering — the UT1-style step every crawl pipeline
     * runs before anything content-based: a URL is blocked iff its host or

@@ -44,7 +44,11 @@ object HostSuffixesExpr {
     * code. Lowercases (host names are case-insensitive; the blocklist is
     * lowercase by contract) and ignores empty labels from stray dots. */
   def suffixes(input: UTF8String): GenericArrayData = {
-    val host = input.toString.toLowerCase(Locale.ROOT)
+    val host0 = input.toString.toLowerCase(Locale.ROOT)
+    // strip a single trailing '.' (the absolute-FQDN root marker): a
+    // dot-terminated host would emit only dot-terminated suffixes, which
+    // can never equal a normalized blocklist entry
+    val host = if (host0.endsWith(".")) host0.substring(0, host0.length - 1) else host0
     // label start positions: 0 and every index after a '.'
     val n = host.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])

@@ -8,11 +8,15 @@
 # Install: ln -sf ../../tools/leakguard.sh .git/hooks/pre-commit
 # (done by tools/install_hooks.sh; the repo's own round setup runs it).
 #
-# Driver-authored round artifacts are exempt: LEAKCHECK.json quotes the
-# strings it flags, and VERDICT/ADVICE may cite them when discussing hits.
+# Driver-authored round artifacts are exempt from BLOCKING, but
+# LEAKCHECK.json is SANITIZED in place before commit (hits stored as
+# sha256 digests, never quoted text): rounds 13-16 proved the scanner's
+# own quoted-hit artifact was the only leak carrier — each commit of it
+# re-entered the git log and re-matched next round, amplifying one
+# historical hostname into 107 hits. Hashing terminates the cascade.
 set -e
 
-exempt='^(LEAKCHECK\.json|COPYCHECK\.json|VERDICT\.md|ADVICE\.md|BASELINE\.(md|json)|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|bench_stages\.jsonl|baseline_times\.json)$'
+exempt='^(COPYCHECK\.json|VERDICT\.md|ADVICE\.md|BASELINE\.(md|json)|BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|PROGRESS\.jsonl|bench_stages\.jsonl|baseline_times\.json)$'
 
 # Line-wise read loop (IFS= read -r): a path with spaces must not
 # word-split its way past the scan as `for f in $list` would.
@@ -24,6 +28,17 @@ git diff --cached --name-only --diff-filter=ACMR > "$staged_list"
 fail=0
 while IFS= read -r f; do
   [ -z "$f" ] && continue
+  # LEAKCHECK.json: sanitize (quoted hits -> sha256) and re-stage instead
+  # of blocking — the artifact must land each round, just never carrying
+  # the matched text itself.
+  if [ "$f" = "LEAKCHECK.json" ]; then
+    if git show ":$f" | grep -Eq 'artifa[c]tory\.|\.cache/coursier/v1/https/'; then
+      python3 tools/leakcheck_sanitize.py "$f" >&2
+      git add "$f"
+      echo "leakguard: sanitized $f (hits stored as sha256 digests)" >&2
+    fi
+    continue
+  fi
   echo "$f" | grep -Eq "$exempt" && continue
   # Block raw log files outright, whatever they contain.
   case "$f" in
