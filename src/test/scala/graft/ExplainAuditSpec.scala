@@ -248,6 +248,20 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     if (a.requirePushdown)
       assert("PushedFilters: \\[[^\\]]*[A-Za-z]".r.findFirstIn(txt).isDefined,
         s"${a.name}: no non-empty PushedFilters on any scan:\n$txt")
+    // Global invariant (r17, VERDICT r16 #3): no UNPARTITIONED window
+    // anywhere in a gate plan. Designed-global bounded frames (unimax
+    // sources, priority-sample k+1, DSIR profile) carry a derived-
+    // constant partition spec precisely so this audit — and WindowExec's
+    // runtime warning — stay reserved for ACCIDENTAL corpus-sized
+    // single-partition windows.
+    val emptyWins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(emptyWins.isEmpty,
+      s"${a.name}: ${emptyWins.length} unpartitioned global Window(s) in " +
+        s"the optimized plan — partition bounded frames on a derived " +
+        s"constant:\n$txt")
   }
 
   /** Internal-plan audit for the CacheScope/checkpoint queries: run the
@@ -334,6 +348,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
         s"CartesianProduct in ${a.name} internal frame [$kind]:\n$txt")
       assert(n.getOrElse("BroadcastNestedLoopJoin", 0) <= a.allowedBnljPerFrame,
         s"unexpected BroadcastNestedLoopJoin in ${a.name} internal frame [$kind]:\n$txt")
+      // unpartitioned AND unordered window spec (the Dsir profile-total
+      // shape if its derived-constant key ever folds away) — the
+      // partitioned form prints a leading _w0/attr before the frame
+      assert(!txt.contains("windowspecdefinition(specifiedwindowframe"),
+        s"${a.name}: unpartitioned global Window in internal frame [$kind]:\n$txt")
       exchangeTotal += n.getOrElse("Exchange", 0)
     }
     assert(exchangeTotal <= a.maxExchangeTotal,
