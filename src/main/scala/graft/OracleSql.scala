@@ -1234,6 +1234,62 @@ object OracleSql {
     // POSITIONS carried via struct comprehensions; corpus occurrence
     // count as a window (the single-pass df pattern); removal = union of
     // [pos, pos+9] for duplicated starts; rebuild orders by token index.
+    // Variable-length exact substring dedup (Lee et al. ExactSubstr):
+    // the plain repeated-30-gram coverage rule — count per md5(gram)
+    // (the engine's 16-byte exchange key, mirrored so the gate is
+    // hash-exact including any 128-bit collision), starts merge into
+    // maximal regions via the lag-gap island rule, removal indices
+    // explode from disjoint islands, rebuild as in q_trim_spans.
+    "q_dedup_substring" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['s'] AS s FROM (
+        |    SELECT doc_id,
+        |      unnest([{'pos': i - 1, 's': list_aggregate(w[i:i+29], 'string_agg', ' ')}
+        |              for i in generate_series(1, len(w) - 29)]) AS u
+        |    FROM tok WHERE len(w) >= 30)),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY md5(s)) AS occ FROM sh)
+        |  WHERE occ >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, MIN(pos) AS sp, MAX(pos) + 30 AS ep
+        |  FROM isl2 GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans, SUM(ep - sp) AS n_rem
+        |  FROM spans GROUP BY 1),
+        |rem AS (
+        |  SELECT doc_id, unnest(generate_series(sp, ep - 1)) AS idx FROM spans),
+        |toki AS (
+        |  SELECT doc_id, u['idx'] AS idx, u['t'] AS t FROM (
+        |    SELECT doc_id, unnest([{'idx': i - 1, 't': w[i]} for i in generate_series(1, len(w))]) AS u
+        |    FROM tok)),
+        |kept AS (
+        |  SELECT toki.doc_id, idx, t FROM toki
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem
+        |                    WHERE rem.doc_id = toki.doc_id AND rem.idx = toki.idx)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT tok.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(n_rem, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(clean_text, '') AS clean_text
+        |FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q_trim_spans" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w

@@ -1680,6 +1680,15 @@ object SparkEntry {
   private def qTrimSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.trimDuplicateSpans(T(s, dir, "documents"), k = 10)
 
+  /** Variable-length exact substring dedup ([[Dedup.dedupSubstrings]],
+    * the Lee et al. 2022 ExactSubstr recipe): remove every position
+    * inside any repeated >= 30-token substring, report maximal
+    * variable-length duplicated regions. 30 keeps the published-scale
+    * threshold semantics distinct from q_trim_spans' k = 10 while the
+    * sf corpora still carry real >= 30-token repeats to exercise it. */
+  private def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(T(s, dir, "documents"), minLen = 30)
+
   /** Corpus-level duplicated-5-gram fraction per document
     * ([[Dedup.dupNgramFraction]]) — the cross-document boilerplate signal
     * (within-doc repetition is [[qRepetition]]). */
@@ -2398,6 +2407,7 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_trim_spans" -> (qTrimSpans _),
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),

@@ -747,6 +747,104 @@ object Dedup {
         F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"))
   }
 
+  /** Variable-length exact SUBSTRING dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) recipe: remove every token position lying inside ANY
+    * substring of >= `minLen` tokens that occurs more than once
+    * corpus-wide (within-doc repeats included), and report each
+    * document's maximal duplicated REGIONS with exact variable-length
+    * boundaries.
+    *
+    * Suffix-array semantics without the suffix array: a position i is
+    * inside some repeated substring of length >= L  ⟺  some repeated
+    * L-gram starts at p ∈ [i−L+1, i]. (⇐ the L-gram is itself such a
+    * substring; ⇒ any L-token window of the long repeat containing i
+    * recurs wherever the repeat does.) So the published removal set is
+    * EXACTLY the union of [p, p+L) over repeated-L-gram starts p — the
+    * per-position rule a distributed count can evaluate, no global index.
+    * [[trimDuplicateSpans]] (fixed k) computes the same union at k = L;
+    * what it cannot express is the published recipe's threshold semantics
+    * at practical L (its exchange carries k-token gram STRINGS — ~L
+    * tokens per corpus position at L = 50) and it reports no spans.
+    *
+    * Scale shape: ONE positional L-gram pass where the gram dies inside
+    * the scan stage and only `md5(gram)` (16 bytes) rides the count
+    * exchange — CHEAPER per position than trimDuplicateSpans' k = 10
+    * string key, and independent of L. Repeated starts then merge into
+    * maximal regions per doc (equal-length intervals: an island breaks
+    * exactly when `pos − lag(pos) > L`), removal indices explode from
+    * DISJOINT islands (no distinct), and the rebuild is the proven
+    * positional anti-join. Exchanges: gram-digest count, doc-keyed
+    * island window, (doc, idx) anti-join, doc rebuild agg — all keyed,
+    * nothing quadratic, no driver state.
+    *
+    * Exactness contract: dedup keys are md5 digests, so a 128-bit
+    * collision (odds ~2⁻⁶⁴ per pair) could over-remove one span; the
+    * digest convention is the pack's deterministic-md5 oracle discipline
+    * (minhash/HLL/Bloom precedent) and the DuckDB oracle computes the
+    * same md5, so the gate is hash-exact INCLUDING any collision.
+    *
+    * Output: (idCol, n_tokens, n_spans, n_removed, clean_text) for every
+    * input document; clean docs pass through with n_spans = n_removed = 0.
+    * n_spans counts maximal duplicated regions (a 60-token repeat is ONE
+    * span of 60, not 11 fused k-marks); token/rebuild conventions match
+    * [[trimDuplicateSpans]] (lowercased whitespace tokens, space-joined).
+    *
+    * Reference: published ExactSubstr practice; the reference engine has
+    * no equivalent (beyond-reference, LLM-pack). */
+  def dedupSubstrings(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", minLen: Int = 50): DataFrame = {
+    require(minLen >= 2, s"need minLen >= 2, got $minLen")
+    val base = graft.Spread(docs).select(
+      F.col(idCol), F.col(textCol),
+      F.coalesce(graft.functions.TextFunctions.tokens(F.col(textCol)),
+        F.array().cast("array<string>")).as("toks"))
+    // positional L-grams from the native ShingleExpr (codegen path); the
+    // gram string is consumed by md5 in the same projection and never
+    // reaches the exchange
+    val starts = base.select(
+      F.col(idCol), F.posexplode(ColumnBridge.column(
+        ShingleExpr(ColumnBridge.expression(F.col(textCol)), minLen))))
+      .toDF(idCol, "pos", "gram")
+      .select(F.col(idCol), F.col("pos"), F.md5(F.col("gram")).as("h"))
+    val dupStarts = starts
+      .withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+      .filter(F.col("occ") >= 2)
+      .select(F.col(idCol), F.col("pos"))
+    // maximal duplicated regions: fixed-length [pos, pos+L) intervals in
+    // pos order merge iff they overlap or touch — break on a true gap
+    val wDoc = Window.partitionBy(F.col(idCol)).orderBy(F.col("pos"))
+    val spans = dupStarts
+      .withColumn("brk", F.when(
+        F.col("pos") - F.lag("pos", 1).over(wDoc) > minLen, 1).otherwise(
+        F.when(F.lag("pos", 1).over(wDoc).isNull, 1).otherwise(0)))
+      .withColumn("island", F.sum("brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(F.col(idCol), F.col("island"))
+      .agg(F.min("pos").as("s"), (F.max("pos") + minLen).as("e"))
+    val spanStats = spans.groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_spans"),
+        F.sum((F.col("e") - F.col("s")).cast("long")).as("n_rem"))
+    // islands are disjoint by construction: no distinct needed
+    val removal = spans.select(F.col(idCol),
+      F.explode(F.sequence(F.col("s"), F.col("e") - 1)).as("idx"))
+    val kept = base
+      .select(F.col(idCol), F.posexplode(F.col("toks"))).toDF(idCol, "idx", "tok")
+      .join(removal, Seq(idCol, "idx"), "left_anti")
+      .groupBy(F.col(idCol))
+      .agg(F.concat_ws(" ", F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("tok")))),
+        s => s.getField("tok"))).as("clean_text"))
+    base.select(F.col(idCol), F.size(F.col("toks")).cast("long").as("n_tokens"))
+      .join(spanStats, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(
+        F.col(idCol), F.col("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0L)).as("n_spans"),
+        F.coalesce(F.col("n_rem"), F.lit(0L)).as("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"))
+  }
+
   /** Corpus-level duplicate-LINE removal, keep-first (the CCNet/Dolma
     * line-dedup step real web pipelines run between extraction and
     * document dedup: navigation bars, footers, and cookie banners repeat

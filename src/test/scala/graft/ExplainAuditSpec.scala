@@ -196,6 +196,15 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // layout-pruned scan: filter fully pushed to the clustered parquet
     // (the whole point of the layout), one agg exchange
     Audit("q_layout_prune", maxExchange = 1, requirePushdown = true),
+    // r17: variable-length substring dedup — the base scan feeds THREE
+    // column-pruned consumers (grams, token explode, n_tokens — the
+    // trimDuplicateSpans no-cache A/B), so the STATIC plan prints the
+    // digest-count window exchange, the doc-keyed island window + span
+    // agg exchanges, the (doc, idx) anti-join side, and the two id-keyed
+    // assembly joins' partials; the anti-join and assembly joins ride
+    // broadcasts at gate scale (removal/stats sides are duplication-
+    // sized). No cartesian, no BNLJ.
+    Audit("q_dedup_substring", maxExchange = 9, minBhj = 2),
     // grouped heavy hitters: same single-recount-exchange shape as
     // q_heavy_hitters (registers + threshold map are plan literals)
     Audit("q_heavy_hitters_grouped", maxExchange = 1),

@@ -707,6 +707,85 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       "entirely original charlie text with no duplication anywhere at all")))
   }
 
+  test("dedupSubstrings: published >=L threshold, variable-length maximal spans") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // A 24-token repeat shared by docs 1/2 and an unrelated 8-token repeat
+    // shared by docs 3/4 — the published recipe at L=20 removes ONLY the
+    // long repeat (both occurrences), keeps the short one. This is the
+    // policy row 106 (trimDuplicateSpans) cannot express without paying
+    // L-token gram strings through its exchange: its shipped k=10 gate
+    // removes BOTH repeats; dedupSubstrings' digest key is L-independent.
+    val long24 = (1 to 24).map(i => s"boiler$i").mkString(" ")
+    val short8 = "please accept all cookies to continue reading this"
+    val corpus = Seq(
+      (1L, s"alpha one two $long24 tail1 tail2"),
+      (2L, s"$long24 beta three four"),
+      (3L, s"gamma five $short8 six"),
+      (4L, s"delta seven $short8 eight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(corpus, minLen = 20).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // docs 1/2: exactly the 24-token region removed, as ONE variable-length
+    // span (not fused fixed-k marks) with exact boundaries
+    assert(out(1L) == ((29L, 1L, 24L, "alpha one two tail1 tail2")), s"$out")
+    assert(out(2L) == ((27L, 1L, 24L, "beta three four")), s"$out")
+    // docs 3/4: the 8-token repeat is BELOW the published threshold — kept
+    assert(out(3L)._3 == 0L && out(4L)._3 == 0L,
+      s"sub-threshold repeat must survive at L=20: $out")
+    assert(out(3L)._4.contains("accept all cookies"))
+    // contrast pin: the fixed-k=10 gate shape removes the short repeat too
+    val fixedK = Dedup.trimDuplicateSpans(corpus, k = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixedK(3L) >= 8L,
+      "fixed-k at k=8 must remove the short repeat (the policy difference)")
+  }
+
+  test("dedupSubstrings: within-doc overlapping repeat, doc shorter than L, empty text") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // doc 1: 30 copies of one token — every 5-gram repeats (overlapping
+    // occurrences included), the whole doc is one maximal span
+    val corpus = Seq(
+      (1L, Seq.fill(30)("spam").mkString(" ")),
+      (2L, "short doc under the gram length"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(corpus, minLen = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((30L, 1L, 30L, "")), s"periodic doc: $out")
+    assert(out(2L) == ((6L, 0L, 0L, "short doc under the gram length")))
+    assert(out(3L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("dedupSubstrings: coverage equivalence to trimDuplicateSpans at k = L") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // Suffix-array-semantics pin: position i lies inside a repeated
+    // substring of length >= L iff some repeated L-gram covers it, so the
+    // REMOVAL SET equals trimDuplicateSpans' at k = L — on any corpus.
+    // (What differs is the span report, the >=L threshold at practical L,
+    // and the 16-byte digest exchange.) Deterministic pseudo-random corpus
+    // with planted repeats of lengths straddling L.
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val planted = (1 to 3).map(j => (0 until 4 + 3 * j).map(i => s"p${j}_$i").mkString(" "))
+    val corpus = (0L until 24L).map { id =>
+      val words = (0 until 20 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val ins = if (id % 3 == 0) planted(((id / 3) % planted.size).toInt) else ""
+      (id, (words.take(10) ++ Seq(ins) ++ words.drop(10)).mkString(" ").trim)
+    }.toDF("doc_id", "text")
+    for (l <- Seq(5, 8)) {
+      val a = Dedup.dedupSubstrings(corpus, minLen = l).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+      val b = Dedup.trimDuplicateSpans(corpus, k = l).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(a == b, s"coverage mismatch at L=$l")
+    }
+  }
+
   test("shuffleShard: bijective reproducible permutation, balanced shards, partition-invariant") {
     import graft.operators.Sampling
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id")
