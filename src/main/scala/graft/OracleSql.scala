@@ -14,6 +14,52 @@ object OracleSql {
 
   private val dec4sum = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** The deterministic md5-register HLL oracle, shared verbatim by
+    * q_distinct_sketch (batch) and q_stream_distinct_sketch (the
+    * streaming-agg-maintained registers): streamed state ≡ batch sketch
+    * because HLL registers MAX-merge. */
+  private lazy val hllSketchSql: String =
+    s"""WITH hsk AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT::INTEGER AS hll_b,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14))::UBIGINT::BIGINT AS tail
+       |  FROM events WHERE user_id IS NOT NULL),
+       |rk AS (
+       |  SELECT event_type, hll_b,
+       |    CASE WHEN tail = 0 THEN 57 ELSE 57 - len(bin(tail)) END AS hll_r
+       |  FROM hsk),
+       |regs AS (SELECT event_type, hll_b, MAX(hll_r) AS hll_m FROM rk GROUP BY 1, 2),
+       |sfold AS (
+       |  SELECT event_type, COUNT(*) AS n_present,
+       |    SUM(CAST((1::BIGINT << (57 - hll_m)) AS DECIMAL(28,0))) AS s_present
+       |  FROM regs GROUP BY 1)
+       |SELECT event_type, CAST(n_present AS BIGINT) AS n_present,
+       |  CAST(256 - n_present AS BIGINT) AS v_zeros,
+       |  ${graft.functions.Sketches.hllEstSql(256, "s_present", "n_present")} AS hll_est
+       |FROM sfold""".stripMargin
+
+  /** The deterministic bottom-k KMV quantile oracle, shared verbatim by
+    * q_percentile_sketch (batch) and q_stream_percentile_sketch (the
+    * fMGWS-maintained sample): streamed state ≡ batch sample because
+    * bottom-k is a function of the set, not arrival order. */
+  private lazy val kmvSketchSql: String =
+    s"""WITH qsr AS (
+       |  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS qs_key
+       |  FROM events WHERE value IS NOT NULL),
+       |qrn AS (
+       |  SELECT event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qs_key) AS rn
+       |  FROM qsr),
+       |qsamp AS (SELECT event_type, value FROM qrn WHERE rn <= 256),
+       |qg AS (
+       |  SELECT event_type, list_sort(list(value)) AS qs_vals,
+       |    COUNT(*) AS n_sample
+       |  FROM qsamp GROUP BY event_type)
+       |SELECT event_type, CAST(n_sample AS BIGINT) AS n_sample,
+       |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.5, "n_sample")}] AS p50_est,
+       |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.95, "n_sample")}] AS p95_est
+       |FROM qg""".stripMargin
+
   /** The IVF top-k oracle, shared verbatim by q_ann_ivf (in-memory) and
     * q_ann_ivf_indexed (persisted cell-partitioned index): the two Spark
     * paths share one scoring tail and must serve identical answers. */
@@ -697,25 +743,17 @@ object OracleSql {
     // Deterministic md5-register HLL (functions.Sketches): bit-identical
     // registers, exact-integer harmonic sum, and the estimate expression
     // reuses the SAME SQL text the Spark side evaluates.
-    "q_distinct_sketch" ->
-      s"""WITH hsk AS (
-         |  SELECT event_type,
-         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT::INTEGER AS hll_b,
-         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14))::UBIGINT::BIGINT AS tail
-         |  FROM events WHERE user_id IS NOT NULL),
-         |rk AS (
-         |  SELECT event_type, hll_b,
-         |    CASE WHEN tail = 0 THEN 57 ELSE 57 - len(bin(tail)) END AS hll_r
-         |  FROM hsk),
-         |regs AS (SELECT event_type, hll_b, MAX(hll_r) AS hll_m FROM rk GROUP BY 1, 2),
-         |sfold AS (
-         |  SELECT event_type, COUNT(*) AS n_present,
-         |    SUM(CAST((1::BIGINT << (57 - hll_m)) AS DECIMAL(28,0))) AS s_present
-         |  FROM regs GROUP BY 1)
-         |SELECT event_type, CAST(n_present AS BIGINT) AS n_present,
-         |  CAST(256 - n_present AS BIGINT) AS v_zeros,
-         |  ${graft.functions.Sketches.hllEstSql(256, "s_present", "n_present")} AS hll_est
-         |FROM sfold""".stripMargin,
+    "q_distinct_sketch" -> hllSketchSql,
+
+    // STREAMING HLL maintenance: the register table lives as streaming-agg
+    // state (max-merge); streamed state ≡ batch sketch, so the oracle IS
+    // the batch HLL SQL.
+    "q_stream_distinct_sketch" -> hllSketchSql,
+
+    // STREAMING KMV maintenance: the bottom-k sample lives as fMGWS state
+    // (union + re-bottom-k); the final snapshot equals the batch sample
+    // (bottom-k is a function of the set), so the oracle IS the batch SQL.
+    "q_stream_percentile_sketch" -> kmvSketchSql,
 
     // Sketch-pruned exact heavy hitters: the engine's Count-Min pass is
     // internal pruning with deterministically one-sided error, so the
@@ -758,23 +796,7 @@ object OracleSql {
     // rows by md5(event_id) per group — the identical sample in any
     // engine — then nearest-rank selection with the SAME index
     // expression text the Spark side evaluates.
-    "q_percentile_sketch" ->
-      s"""WITH qsr AS (
-         |  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS qs_key
-         |  FROM events WHERE value IS NOT NULL),
-         |qrn AS (
-         |  SELECT event_type, value,
-         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qs_key) AS rn
-         |  FROM qsr),
-         |qsamp AS (SELECT event_type, value FROM qrn WHERE rn <= 256),
-         |qg AS (
-         |  SELECT event_type, list_sort(list(value)) AS qs_vals,
-         |    COUNT(*) AS n_sample
-         |  FROM qsamp GROUP BY event_type)
-         |SELECT event_type, CAST(n_sample AS BIGINT) AS n_sample,
-         |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.5, "n_sample")}] AS p50_est,
-         |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.95, "n_sample")}] AS p95_est
-         |FROM qg""".stripMargin,
+    "q_percentile_sketch" -> kmvSketchSql,
 
     // Chunking: same tokenizer; chunk i = tokens [i*stride+1, i*stride+size]
     // (inclusive list slice), k = ceil(max(n - overlap, 1) / stride).

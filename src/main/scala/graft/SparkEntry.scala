@@ -372,6 +372,49 @@ object SparkEntry {
       "key", phi = 0.01, regRows, d = 4, w = 1024)
   }
 
+  /** STREAMING HLL maintenance: the register table is maintained BY a
+    * real streaming aggregation — HLL registers MAX-merge, and a
+    * complete-mode streaming max IS an incremental max-merge, so the
+    * bounded state (≤ groups × 2^p rows, however much stream passes) is
+    * [[graft.functions.Sketches.hllRegisters]] applied to the stream
+    * unchanged (the row-143 CM pattern for the second sketch tier). The
+    * streamed registers then fold to the estimate
+    * ([[graft.functions.Sketches.hllEstimate]]), so they are LOAD-BEARING
+    * for the oracle-checked number: the oracle is q_distinct_sketch's
+    * batch HLL SQL verbatim — streamed state ≡ batch sketch. */
+  private def qStreamDistinctSketch(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val srcDir = stageEventsDir(dir)
+    val stream = eventsStream(s, srcDir)
+    val regs = graft.functions.Sketches.hllRegisters(
+      stream.select(F.col("event_type"), F.col("user_id")), Seq("event_type"), "user_id")
+    val regDf = runMemoryGate(s, regs, "graft_stream_hll", mode = "complete")
+    graft.functions.Sketches.hllEstimate(regDf, Seq("event_type"))
+  }
+
+  /** STREAMING KMV quantile-sketch maintenance
+    * ([[graft.streaming.StreamingOps.bottomKSampleStream]]): the bottom-k
+    * sample lives as flatMapGroupsWithState state (union + re-bottom-k is
+    * the KMV merge rule — bounded at groups × k entries), each
+    * micro-batch emits a versioned snapshot, and the FINAL snapshot
+    * (max cumulative-count `ver` per group) feeds the same nearest-rank
+    * selection as the batch sketch. Oracle = q_percentile_sketch's SQL
+    * verbatim: streamed state ≡ batch sample, because bottom-k is a
+    * function of the SET, not of arrival order. */
+  private def qStreamPercentileSketch(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    import org.apache.spark.sql.expressions.Window
+    val srcDir = stageEventsDir(dir)
+    val stream = eventsStream(s, srcDir)
+    val snaps = graft.streaming.StreamingOps.bottomKSampleStream(
+      stream, "event_type", "value", "event_id")
+    val collected = runMemoryGate(s, snaps, "graft_stream_kmv", mode = "append")
+    val latest = collected
+      .withColumn("_mx", F.max("ver").over(Window.partitionBy(F.col("event_type"))))
+      .filter(F.col("ver") === F.col("_mx"))
+      .select(F.col("event_type"), F.col("qs_key"), F.col("value"))
+    graft.functions.Sketches.sampleQuantiles(latest, Seq("event_type"), "value",
+      Seq("p50_est" -> 0.5, "p95_est" -> 0.95))
+  }
+
   /** The SAME epoch-window aggregation, executed as a real Structured
     * Streaming job (file stream → watermark → windowed agg → memory sink,
     * AvailableNow trigger) — proving the streaming path produces the
@@ -2429,6 +2472,8 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_heavy_hitters" -> (qStreamHeavyHitters _),
+    "q_stream_distinct_sketch" -> (qStreamDistinctSketch _),
+    "q_stream_percentile_sketch" -> (qStreamPercentileSketch _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

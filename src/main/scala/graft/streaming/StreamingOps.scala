@@ -216,4 +216,60 @@ object StreamingOps {
       val (fs, done) = graft.HadoopFs.get(s"$target/_SUCCESS")
       if (!fs.exists(done)) action(batch, target, batchId)
   }
+
+  /** STREAMING KMV bottom-k maintenance — the quantile-sketch face of the
+    * row-143 pattern (a sketch whose state is merge-closed can live AS
+    * streaming state): per group, the flatMapGroupsWithState state is the
+    * bottom-`k` (md5-rank, value) sample itself — union + re-bottom-k is
+    * the KMV merge rule ([[graft.functions.Sketches.mergeBottomK]]), so
+    * each micro-batch folds in with an O(k)-memory capped TreeSet and the
+    * state after ANY prefix of the stream equals the batch
+    * [[graft.functions.Sketches.bottomKSample]] of that prefix
+    * (order-free: bottom-k is a function of the SET). Bounded state by
+    * construction: groups × k entries, however much stream passes.
+    *
+    * Emission: one snapshot of the sample per (group, micro-batch) —
+    * `ver` is the group's cumulative row count, strictly increasing, so
+    * a downstream max-`ver` filter reads the FINAL sample off an
+    * append-mode sink (the memory-gate shape; a production job would
+    * read the same snapshot from its latest batch dir). The TreeSet
+    * collapses replayed (rank, value) pairs exactly as mergeBottomK's
+    * replay-idempotence contract; distinct ids give distinct md5 ranks
+    * by the same contract as the batch sketch.
+    *
+    * Output rows: (group, ver, qs_key, value) — feed the max-`ver` slice
+    * to [[graft.functions.Sketches.sampleQuantiles]]. */
+  def bottomKSampleStream(df: DataFrame, groupCol: String, valueCol: String,
+                          idCol: String, k: Int = 256): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .filter(F.col(valueCol).isNotNull && F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).cast("string"),
+        F.md5(F.col(idCol).cast("string")),
+        F.col(valueCol).cast("double"))
+      .as[(String, String, Double)]
+    implicit val ord: Ordering[(String, Double)] =
+      Ordering.Tuple2(Ordering.String, Ordering.Double.TotalOrdering)
+    prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(String, Double)]),
+                              (String, Long, String, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (g, it, gs) =>
+        val (n0, samp0) = gs.getOption.getOrElse((0L, Seq.empty[(String, Double)]))
+        val buf = scala.collection.mutable.TreeSet.empty[(String, Double)]
+        samp0.foreach(buf += _)
+        var n = n0
+        it.foreach { t =>
+          n += 1
+          buf += ((t._2, t._3))
+          if (buf.size > k) buf -= buf.last
+        }
+        val merged = buf.toSeq
+        gs.update((n, merged))
+        merged.iterator.map(x => (g, n, x._1, x._2))
+      }
+      .toDF(groupCol, "ver", "qs_key", valueCol)
+  }
 }

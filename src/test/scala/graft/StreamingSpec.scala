@@ -175,6 +175,68 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.size <= 3 * 32)
   }
 
+  test("hllRegisters as a streaming aggregation: max-merged state equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketches
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDS().toDF("g", "v")
+    val q = Sketches.hllRegisters(stream, Seq("g"), "v")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    val batch1 = (0L until 40L).map(i => ("x", i)) ++ Seq(("y", 1L), ("y", 2L))
+    val batch2 = (20L until 70L).map(i => ("x", i)) ++ Seq(("y", 2L), ("y", 9L))
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.table("hll_stream").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    q.stop()
+    val whole = Sketches.hllRegisters(
+      (batch1 ++ batch2).toDF("g", "v"), Seq("g"), "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(streamed == whole, s"streamed=$streamed batch=$whole")
+    assert(streamed.size <= 2 * 256, "state must stay bounded at groups x m")
+    // and the estimate folded from the streamed registers is the batch one
+    val estS = Sketches.hllEstimate(spark.createDataFrame(
+      streamed.toSeq.map(t => (t._1, t._2, t._3))).toDF("g", "hll_b", "hll_m"),
+      Seq("g")).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val estB = Sketches.hllCount((batch1 ++ batch2).toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(estS == estB)
+  }
+
+  test("bottomKSampleStream: fMGWS state equals the batch bottom-k after multiple batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketches
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDS().toDF("g", "id", "value")
+    val snaps = graft.streaming.StreamingOps.bottomKSampleStream(
+      stream, "g", "value", "id", k = 4)
+    val q = snaps.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append").start()
+    val batch1 = (0L until 10L).map(i => ("a", i, i * 1.5)) ++ Seq(("b", 100L, 7.0))
+    val batch2 = (10L until 25L).map(i => ("a", i, i * 0.5)) ++ Seq(("b", 101L, 3.0))
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    val rows = spark.table("kmv_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    q.stop()
+    // final snapshot per group = max cumulative-count version
+    val finalSamp = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val mx = rs.map(_._2).max
+      rs.filter(_._2 == mx).toSeq
+    }.map(t => (t._1, t._3, t._4)).toSet
+    val whole = Sketches.bottomKSample(
+      (batch1 ++ batch2).toDF("g", "id", "value"), Seq("g"), "value", "id", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getDouble(1))).toSet
+    assert(finalSamp == whole, s"streamed=$finalSamp batch=$whole")
+    // bounded: never more than k entries per group in any snapshot
+    rows.groupBy(r => (r._1, r._2)).foreach { case (gv, rs) =>
+      assert(rs.size <= 4, s"snapshot $gv exceeded k: ${rs.size}")
+    }
+  }
+
   test("c4Rules runs unchanged on a stream (scan-only native pass)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
