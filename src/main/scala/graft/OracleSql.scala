@@ -1820,6 +1820,15 @@ object OracleSql {
         """SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY id""".stripMargin),
 
+    // Same oracle again: the INCREMENTALLY-maintained label map (history
+    // clustering + frontier update from the arriving shard's pairs) must
+    // equal the batch closure over the union — the engine's history/new
+    // split is internal lifecycle, invisible to the answer.
+    "q_dedup_components_incremental" ->
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + componentsClosureCtes +
+        """SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY id""".stripMargin),
+
     // Mirrors SimhashExpr: per-token 64-bit hash = first 8 bytes of
     // md5(token), bit j = (byte[j/8] >> (j%8)) & 1; simhash bit j set iff
     // the bit-vote sum is >= 0. The impl's 4-band candidacy is COMPLETE at

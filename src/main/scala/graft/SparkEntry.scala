@@ -1284,6 +1284,23 @@ object SparkEntry {
     graft.dedup.Components.connectedComponentsStars(edges)
   }
 
+  /** INCREMENTAL components under ingest
+    * ([[graft.dedup.Components.incremental]]): the verified pair set is
+    * split into history (pairs among the resident corpus, doc_id % 10
+    * < 8 on both ends) and an arriving shard's pairs (any endpoint in
+    * the shard); the history clustering becomes the persisted label map
+    * and the shard's pairs update it through the label-frontier path —
+    * history edges unread. The oracle is the batch closure over ALL
+    * pairs (q_dedup_components' SQL verbatim): maintained map ≡ batch
+    * recompute. */
+  private def qDedupComponentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.ngramJaccard(T(s, dir, "documents"), minJaccard = 0.5)
+      .select("doc_a", "doc_b")
+    val isNew = (F.col("doc_a") % 10 >= 8) || (F.col("doc_b") % 10 >= 8)
+    val map0 = graft.dedup.Components.connectedComponents(edges.filter(!isNew))
+    graft.dedup.Components.incremental(edges.filter(isNew), map0)
+  }
+
   /** Leakage-safe split ([[graft.operators.Sampling.leakageSafeSplit]]):
     * train/val/test folds keyed by the dedup CLUSTER (q_dedup_components'
     * verified clustering), so near-duplicates never straddle splits. */
@@ -2418,6 +2435,7 @@ object SparkEntry {
     "q_dedup_keep_near" -> (qDedupKeepNear _),
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_components_dist" -> (qDedupComponentsDist _),
+    "q_dedup_components_incremental" -> (qDedupComponentsIncremental _),
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_priority" -> (qSamplePriority _),

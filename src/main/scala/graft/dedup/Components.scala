@@ -165,6 +165,84 @@ object Components {
       .distinct()
   }
 
+  /** The frontier graph of an incremental update: every new duplicate
+    * pair projected onto CLUSTER LABELS — (seed(a), seed(b)) where
+    * seed(x) is x's label in the persisted map, or x itself for a node
+    * the map has never seen. Existing clusters are internally connected
+    * by invariant, so connecting their labels is sufficient: the closure
+    * of (history ∪ new) equals the closure of (label graph of new). The
+    * output is at most |newEdges| rows — history EDGES are never read,
+    * which is the whole point at 100 TB of accumulated pairs. Self-loop
+    * label edges (both endpoints already in one cluster) are dropped;
+    * they cannot change any label. */
+  def reducedLabelEdges(newEdges: DataFrame, labelMap: DataFrame,
+                        srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    val m = labelMap.select(
+      F.col("doc_id").cast("long").as("_n"), F.col("cluster_id").cast("long").as("_l"))
+    val e = newEdges
+      .select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+      .filter(F.col("src").isNotNull && F.col("dst").isNotNull)
+    e.join(m.withColumnRenamed("_n", "src").withColumnRenamed("_l", "_la"), Seq("src"), "left")
+      .join(m.withColumnRenamed("_n", "dst").withColumnRenamed("_l", "_lb"), Seq("dst"), "left")
+      .select(
+        F.coalesce(F.col("_la"), F.col("src")).as("doc_a"),
+        F.coalesce(F.col("_lb"), F.col("dst")).as("doc_b"))
+      .filter(F.col("doc_a") =!= F.col("doc_b"))
+      .distinct()
+  }
+
+  /** INCREMENTAL connected components under ingest — the living-corpus
+    * lifecycle step: a persisted (doc_id, cluster_id) label map (from a
+    * prior [[connectedComponents]] run or earlier incremental calls) is
+    * updated with a shard's new duplicate pairs (e.g.
+    * [[Dedup.incremental]] output) WITHOUT recomputing from scratch:
+    *  1. seed the frontier — [[reducedLabelEdges]] projects the new pairs
+    *     onto cluster labels (≤ |newEdges| rows; history edges unread);
+    *  2. cluster the frontier — [[connectedComponents]] on that label
+    *     graph only (touched clusters + genuinely new nodes);
+    *  3. relabel — map rows whose label merged take the new component
+    *     min via a broadcast-sized join on the OLD label (the map is
+    *     rewritten by one id-keyed scan, no propagation over it), and
+    *     new-edge nodes absent from the map append with their component
+    *     label.
+    * Labels stay the component-min doc id, so the updated map is
+    * hash-equal to the batch closure over (history ∪ new) — the gate's
+    * oracle — and a replay of the same shard is a no-op (every replayed
+    * pair becomes a self-loop label edge and drops).
+    *
+    * Scale shape: the frontier clustering is duplication-of-the-shard
+    * sized, never corpus-sized; the relabel is one scan of the map with
+    * a broadcast of the merged-label table. At 100 TB the map is the
+    * only big side and it moves zero times. */
+  def incremental(newEdges: DataFrame, labelMap: DataFrame,
+                  srcCol: String = "doc_a", dstCol: String = "doc_b"): DataFrame = {
+    val red = reducedLabelEdges(newEdges, labelMap, srcCol, dstCol)
+    val comp = connectedComponents(red) // (doc_id = label-node, cluster_id)
+      .withColumnRenamed("doc_id", "_ln").withColumnRenamed("cluster_id", "_nl")
+    val mapped = labelMap
+      .select(F.col("doc_id").cast("long").as("doc_id"),
+        F.col("cluster_id").cast("long").as("cluster_id"))
+      .join(F.broadcast(comp), F.col("cluster_id") === F.col("_ln"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("_nl"), F.col("cluster_id")).as("cluster_id"))
+    val newNodes = newEdges
+      .select(F.col(srcCol).cast("long").as("doc_id"))
+      .union(newEdges.select(F.col(dstCol).cast("long").as("doc_id")))
+      .filter(F.col("doc_id").isNotNull)
+      .distinct()
+      .join(labelMap.select(F.col("doc_id").cast("long").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .join(F.broadcast(comp), F.col("doc_id") === F.col("_ln"), "left")
+      // a new node whose every edge was a self-loop after projection
+      // cannot exist (its own seed is itself, so it appears in red
+      // unless its only edges degenerated — which requires the OTHER
+      // endpoint to map to the node itself, impossible for an unseen
+      // node); coalesce is belt-and-braces for a (u, u) input pair
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("_nl"), F.col("doc_id")).as("cluster_id"))
+    mapped.unionByName(newNodes)
+  }
+
   /** Distributed min-label propagation (see object doc). */
   private def propagateDistributed(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges

@@ -707,6 +707,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       "entirely original charlie text with no duplication anywhere at all")))
   }
 
+  test("Components.incremental: maintained map = batch closure; history edges never re-propagated") {
+    import spark.implicits._
+    // history: a 6-node chain {1..6} (5 edges) and {10,11}; the arriving
+    // shard's pairs merge the two clusters (6-10) and add a new one (20,21)
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val fresh = Seq((6L, 10L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val map0 = Components.connectedComponents(hist)
+    // the frontier graph is label-projected and bounded by the SHARD's
+    // pairs — 2 rows here, though history carries 5 edges in one cluster:
+    // this is the history-edges-never-re-propagated proof
+    val red = Components.reducedLabelEdges(fresh, map0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(red == Set((1L, 10L), (20L, 21L)), s"frontier wrong: $red")
+    val inc = Components.incremental(fresh, map0)
+    val got = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Components.connectedComponents(hist.union(fresh))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch, s"incremental=$got batch=$batch")
+    // replayed shard: every pair projects to a self-loop — empty frontier,
+    // and the map is unchanged (idempotent under at-least-once delivery)
+    assert(Components.reducedLabelEdges(fresh, inc).count() == 0)
+    val got2 = Components.incremental(fresh, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+    // a second genuinely-new shard chains on the maintained map
+    val fresh2 = Seq((21L, 11L)).toDF("doc_a", "doc_b")
+    val got3 = Components.incremental(fresh2, inc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch3 = Components.connectedComponents(hist.union(fresh).union(fresh2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == batch3)
+  }
+
   test("dedupSubstrings: published >=L threshold, variable-length maximal spans") {
     import spark.implicits._
     import graft.dedup.Dedup
