@@ -83,6 +83,48 @@ object OracleSql {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
        |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
 
+  /** The REQUANTIZED-index oracle: a from-scratch build over the union of
+    * the original embeddings and a deterministically SHIFTED appended
+    * batch (every 4th vector negated, ids offset by 1e6 — a hard
+    * distribution shift), trained on [[graft.ann.Ann.ivfReindex]]'s
+    * md5-uniform re-sample (ROW_NUMBER over md5(id) re-indexed 0..511)
+    * instead of the dense-id head (which would never see the shifted
+    * data a retrain exists to adapt to), same serve tail as annIvfSql
+    * with neighbors drawn from the union. */
+  private lazy val annIvfRequantSql: String = {
+    val sampleCte =
+      """sample AS (
+        |  SELECT sid AS vec_id, embedding FROM (
+        |    SELECT embedding,
+        |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sid
+        |    FROM u0) WHERE sid < 512)""".stripMargin
+    s"""WITH u0 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(embedding, x -> -x) AS embedding
+       |  FROM embeddings WHERE vec_id % 4 = 0),
+       |${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64,
+                     corpusSrc = "u0", sampleCte = Some(sampleCte))},
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+       |    FROM scores WHERE vec_id < 20) WHERE rn <= 6),
+       |cand AS (
+       |  SELECT q.query_id, cl.vec_id AS neighbor_id
+       |  FROM qprobes q JOIN cells cl ON cl.cell = q.cell
+       |  WHERE cl.vec_id <> q.query_id),
+       |p AS (
+       |  SELECT cand.query_id, cand.neighbor_id, ${cosSql("qv.embedding", "cv.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN u0 qv ON qv.vec_id = cand.query_id
+       |  JOIN u0 cv ON cv.vec_id = cand.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+  }
+
   /** Unrolled full-batch logistic-GD CTE chain (mirrors
     * Classifier.trainScore step for step): hashed presence features with
     * the target-slice label, `iters` iterations of
@@ -215,7 +257,9 @@ object OracleSql {
     * and `cells` (per-vector nearest-centroid assignment, ties to the
     * lowest cid). Shared by q_ann_ivf and q_cluster_kmeans. No leading
     * WITH. */
-  private def kmeansCtes(cells: Int, sampleN: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(cells: Int, sampleN: Int, iters: Int, dim: Int,
+                         corpusSrc: String = "embeddings",
+                         sampleCte: Option[String] = None): String = {
     val steps = (1 to iters).flatMap { it =>
       val prev = if (it == 1) "cent0" else s"cent${it - 1}"
       Seq(
@@ -240,14 +284,15 @@ object OracleSql {
     }
     val dotVC = "list_sum(list_transform(list_zip(e.embedding, c.ce), s -> CAST(s[1] AS DOUBLE) * s[2]))"
     (Seq(
-      s"sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $sampleN)",
+      sampleCte.getOrElse(
+        s"sample AS (SELECT vec_id, embedding FROM $corpusSrc WHERE vec_id < $sampleN)"),
       s"""cent0 AS (
          |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
          |  FROM sample WHERE vec_id < $cells)""".stripMargin) ++ steps ++ Seq(
       s"centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent$iters)",
       s"""scores AS (
          |  SELECT e.vec_id, c.cid, $dotVC * 2 - c.c2 AS sc
-         |  FROM embeddings e, centn c)""".stripMargin,
+         |  FROM $corpusSrc e, centn c)""".stripMargin,
       s"""cells AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
@@ -2066,6 +2111,7 @@ object OracleSql {
     // the training sample window, so centroids, cells, and the served
     // top-k are all bit-identical to q_ann_ivf's.
     "q_ann_ivf_incremental" -> annIvfSql,
+    "q_ann_ivf_requantized" -> annIvfRequantSql,
     // Streaming ingest: the per-micro-batch frozen-quantizer appends must
     // land the index in the identical end state — same oracle again.
     "q_stream_ann_ingest" -> annIvfSql,

@@ -2175,6 +2175,41 @@ object SparkEntry {
     Ann.ivfTopKIndexed(s, path, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
   }
 
+  /** Last-built key of the staged REQUANTIZED IVF index. */
+  private val ivfReqStaged =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** IVF requantize lifecycle ([[graft.ann.Ann.ivfRequantize]]): build on
+    * the original embeddings, append a deterministically SHIFTED batch
+    * (every 4th vector negated, ids offset by 1e6 — the distribution
+    * shift [[graft.ann.Ann.ivfDriftReport]] exists to flag) with the
+    * quantizer frozen, then REQUANTIZE: retrain on the index's current
+    * content via the md5-uniform re-sample and rewrite every cell at a
+    * new path. Serving the requantized index is bit-equal to a
+    * from-scratch [[graft.ann.Ann.ivfReindex]] on the union (the oracle
+    * runs exactly that build in SQL). AnnRecallSpec carries the
+    * recall-before/after and drift-report pins. */
+  private def qAnnIvfRequantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val key = stageKey(dir, "embeddings.parquet")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = s"$tmp/graft_ivf_req_src_$key"
+    val req = s"$tmp/graft_ivf_req_$key"
+    val reuse = key == ivfReqStaged.get() &&
+      new java.io.File(req, "_SUCCESS").isFile
+    if (!reuse) {
+      ivfReqStaged.set(null) // invalidate while the index is in flux
+      val shifted = emb.filter(F.col("vec_id") % 4 === 0)
+        .select((F.col("vec_id") + 1000000L).as("vec_id"),
+          F.transform(F.col("embedding"), x => F.negate(x)).as("embedding"))
+      Ann.ivfIndexInit(emb, base, cells = 16)
+      Ann.ivfIndexAppend(shifted, base)
+      Ann.ivfRequantize(s, base, req, cells = 16)
+      ivfReqStaged.set(key)
+    }
+    Ann.ivfTopKIndexed(s, req, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
+  }
+
   /** STREAMING IVF ingest gate
     * ([[graft.streaming.StreamingOps.ivfIngestStream]]): the dense history
     * prefix (vec_id < 512 — the trainers' sample window) seeds the
@@ -2485,6 +2520,7 @@ object SparkEntry {
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),
     "q_ann_ivf_incremental" -> (qAnnIvfIncremental _),
+    "q_ann_ivf_requantized" -> (qAnnIvfRequantized _),
     "q_stream_ann_ingest" -> (qStreamAnnIngest _),
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_profile" -> (qProfile _),

@@ -438,24 +438,146 @@ object Ann {
                    embCol: String = "embedding", cells: Int = 16,
                    sampleN: Int = 512, iters: Int = 2,
                    native: Boolean = true): Unit = {
-    val spark = corpus.sparkSession
     val centroids: Array[(Int, Seq[Double])] =
       trainCentroids(corpus, idCol, embCol, cells, sampleN, iters)
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    writeIndex(corpus, centroids, path, idCol, embCol, native)
+  }
+
+  /** The shared index writer (init and [[ivfRequantize]]/[[ivfReindex]]):
+    * centroid table, cell-partitioned data, and the per-cell TRAINING
+    * SNAPSHOT stats ([[ivfDriftReport]]'s reference point).
+    *
+    * One file per cell (the r11 bucketed-write alignment): without the
+    * cell repartition every upstream task writes a sliver into every
+    * cell dir (~tasks x cells tiny files) and the partition-pruned
+    * serve fans out into as many near-empty scan tasks — measured 32
+    * tasks / ~50 files for a 6-cell probe at sf0.1. At real scale the
+    * files-per-cell lever is this same repartition with a finer key. */
+  private def writeIndex(corpus: DataFrame, centroids: Array[(Int, Seq[Double])],
+                         path: String, idCol: String, embCol: String,
+                         native: Boolean): Unit = {
+    val spark = corpus.sparkSession
     import spark.implicits._
     centroids.toSeq.toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path + "_centroids")
-    // One file per cell (the r11 bucketed-write alignment): without the
-    // cell repartition every upstream task writes a sliver into every
-    // cell dir (~tasks x cells tiny files) and the partition-pruned
-    // serve fans out into as many near-empty scan tasks — measured 32
-    // tasks / ~50 files for a 6-cell probe at sf0.1. At real scale the
-    // files-per-cell lever is this same repartition with a finer key.
     graft.Spread(corpus)
       .select(F.col(idCol), F.col(embCol),
         nearestCentroid(centroids, F.col(embCol), native).as("cell"))
       .repartition(F.col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    // training-time per-cell snapshot (occupancy + mean assignment
+    // score): the drift probe's reference. A separate tiny agg pass so
+    // the index data schema stays (id, emb, cell) — serving reads are
+    // untouched and the snapshot is one (cells)-row table.
+    cellStats(corpus, centroids, embCol, native)
+      .withColumnRenamed("n_vectors", "n_init")
+      .withColumnRenamed("mean_score", "mean_score_init")
+      .coalesce(1).write.mode("overwrite").parquet(path + "_stats")
+  }
+
+  /** Per-cell occupancy and mean ASSIGNMENT score (`2·dot − ‖c‖²`, the
+    * quantizer's own objective) of `corpus` under `centroids` — the
+    * health summary of a coarse quantizer over a data distribution. */
+  private def cellStats(corpus: DataFrame, centroids: Array[(Int, Seq[Double])],
+                        embCol: String, native: Boolean): DataFrame =
+    graft.Spread(corpus)
+      .select(centroidScores(centroids, F.col(embCol), native).as("_scs"))
+      .select(
+        (F.array_position(F.col("_scs"), F.array_max(F.col("_scs"))) - 1L)
+          .cast("int").as("cell"),
+        F.array_max(F.col("_scs")).as("_sc"))
+      .groupBy(F.col("cell"))
+      .agg(F.count(F.lit(1)).as("n_vectors"), F.avg(F.col("_sc")).as("mean_score"))
+
+  /** Quantizer DRIFT probe — the lifecycle guard [[ivfIndexAppend]]'s
+    * frozen-quantizer contract needs: per cell, the CURRENT occupancy and
+    * mean assignment score of the index content vs the training-time
+    * snapshot ([[writeIndex]]). Under distribution shift the arriving
+    * vectors crowd a few ill-fitting cells (occupancy ratio spikes) with
+    * poor affinity (mean score drops) — both visible here LONG before
+    * recall decays silently. Read it after every append batch (it costs
+    * one scan of the index + a cells-row join); alert on
+    * `occupancy_ratio` or `score_drop` beyond deployment thresholds and
+    * trigger [[ivfRequantize]].
+    *
+    * Output: (cell, n_now, n_init, occupancy_ratio, mean_score_now,
+    * mean_score_init, score_drop); cells absent from one side read 0/null
+    * (a cell newly crowded from emptiness is exactly the signal). */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession, path: String,
+                     embCol: String = "embedding",
+                     native: Boolean = true): DataFrame = {
+    val stamp = centroidStamp(path)
+    val centroids = loadCentroids(spark, path, stamp)
+    val cur = spark.read.schema(indexSchema(spark, path, stamp)).parquet(path)
+    // score each stored vector against its OWN stored cell's centroid
+    // (assignment is persisted — no re-argmax needed)
+    val now = cur
+      .select(F.col("cell"),
+        F.element_at(centroidScores(centroids, F.col(embCol), native),
+          F.col("cell") + 1).as("_sc"))
+      .groupBy(F.col("cell"))
+      .agg(F.count(F.lit(1)).as("n_now"), F.avg(F.col("_sc")).as("mean_score_now"))
+    now.join(spark.read.parquet(path + "_stats"), Seq("cell"), "full_outer")
+      .select(
+        F.col("cell"),
+        F.coalesce(F.col("n_now"), F.lit(0L)).as("n_now"),
+        F.coalesce(F.col("n_init"), F.lit(0L)).as("n_init"),
+        (F.coalesce(F.col("n_now"), F.lit(0L)).cast("double") /
+          F.greatest(F.col("n_init").cast("double"), F.lit(1.0))).as("occupancy_ratio"),
+        F.col("mean_score_now"), F.col("mean_score_init"),
+        (F.col("mean_score_init") - F.col("mean_score_now")).as("score_drop"))
+  }
+
+  /** From-scratch IVF build over an ARBITRARY-id corpus — the training
+    * sample is the bottom-`sampleN` rows by md5(id) (uniform over the
+    * corpus, deterministic, partition-layout-free, and SQL-replicable:
+    * `ROW_NUMBER() OVER (ORDER BY md5(id), id)`), re-indexed positionally
+    * for seeding. [[ivfIndexInit]]'s dense-id rule can't retrain a LIVING
+    * index (appended batches carry arbitrary id ranges, and a head-of-id
+    * sample would never see the shifted data a retrain exists to adapt
+    * to); this rule samples old and new content uniformly. */
+  def ivfReindex(corpus: DataFrame, outPath: String, idCol: String = "vec_id",
+                 embCol: String = "embedding", cells: Int = 16,
+                 sampleN: Int = 512, iters: Int = 2,
+                 native: Boolean = true): Unit = {
+    val sampled = corpus
+      .select(F.col(idCol).cast("long").as("_id"), F.col(embCol),
+        F.md5(F.col(idCol).cast("string")).as("_h"))
+      .orderBy(F.col("_h"), F.col("_id"))
+      .limit(sampleN)
+      .collect()
+      .sortBy(r => (r.getString(2), r.getLong(0)))
+    require(sampled.length >= cells,
+      s"IVF reindex needs >= $cells sample vectors, got ${sampled.length}")
+    val sample: Array[Array[Double]] = sampled.map(r => rowToDoubles(r, 1))
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroidsFromSample(sample, cells, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    writeIndex(corpus, centroids, outPath, idCol, embCol, native)
+  }
+
+  /** REQUANTIZE a persisted index: retrain the coarse quantizer on the
+    * index's CURRENT content ([[ivfReindex]]'s uniform md5 sample — old
+    * and appended vectors alike) and rewrite every cell under the new
+    * centroids at `outPath`. The answer to [[ivfDriftReport]] flagging
+    * drift: [[ivfIndexAppend]] deliberately freezes the quantizer per
+    * batch (comparable cell layout across appends), and this is the
+    * deliberate, occasional rebalance that re-fits it — the
+    * FAISS-practice retrain cycle. Serving from the result is bit-equal
+    * to [[ivfReindex]] run directly on the union corpus (spec-pinned):
+    * requantize(init + appends) ≡ from-scratch build on the same rows.
+    * Writes to a NEW path (single-writer lifecycle: build, verify, then
+    * swap the serving pointer — never rewrite under readers). */
+  def ivfRequantize(spark: org.apache.spark.sql.SparkSession, path: String,
+                    outPath: String, idCol: String = "vec_id",
+                    embCol: String = "embedding", cells: Int = 16,
+                    sampleN: Int = 512, iters: Int = 2,
+                    native: Boolean = true): Unit = {
+    val stamp = centroidStamp(path)
+    val content = spark.read.schema(indexSchema(spark, path, stamp)).parquet(path)
+      .select(F.col(idCol), F.col(embCol))
+    ivfReindex(content, outPath, idCol, embCol, cells, sampleN, iters, native)
   }
 
   /** Driver-side quantizer cache for the serving/ingest loop: one entry

@@ -54,6 +54,80 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       f"IVF recall@10 dropped to $recall%.3f — probe selection or cell assignment regressed")
   }
 
+  test("quantizer drift: report flags a shifted append; requantize restores recall") {
+    import spark.implicits._
+    // Controlled geometry (the published drift failure in miniature): the
+    // index trains on clusters A and B; a NEW cluster C arrives straddling
+    // the A/B Voronoi boundary, so the FROZEN quantizer splits C's members
+    // across cells a 1-probe query can't cover — recall decays silently,
+    // which is exactly what ivfDriftReport exists to catch and
+    // ivfRequantize exists to fix (C gets its own centroid from the
+    // md5-uniform re-sample).
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def around(center: Array[Double], id: Long): (Long, Array[Float]) =
+      (id, center.map(c => (c + (rnd.nextDouble() * 0.08 - 0.04)).toFloat))
+    val a = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val b = Array(0, 1.0, 0, 0, 0, 0, 0, 0)
+    val c = Array(0.72, 0.72, 0, 0, 0, 0, 0, 0)
+    val orig = ((0L until 200L).map(i => around(a, i)) ++
+      (200L until 400L).map(i => around(b, i))).toDF("vec_id", "embedding")
+    val fresh = (1000000L until 1000200L).map(i => around(c, i)).toDF("vec_id", "embedding")
+    val union = orig.unionByName(fresh)
+    val q = fresh.filter(F.col("vec_id") < 1000040L)
+    val truth = Ann.bruteTopK(union, q, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tmp = System.getProperty("java.io.tmpdir")
+    val base = s"$tmp/graft_drift_spec_base"
+    val req = s"$tmp/graft_drift_spec_req"
+    Ann.ivfIndexInit(orig, base, cells = 4, sampleN = 400)
+    Ann.ivfIndexAppend(fresh, base)
+    def recall(path: String): Double = {
+      val r = Ann.ivfTopKIndexed(spark, path, q, k = 10, probes = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      val byQ = r.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val per = truth.map { case (qq, t) => (byQ.getOrElse(qq, Set.empty) & t).size.toDouble / 10 }
+      per.sum / per.size
+    }
+    val before = recall(base)
+    info(f"recall@10, probes=1, frozen quantizer after shifted append: $before%.3f")
+    // measured 0.720 — C split across the A/B cells; a healthy index
+    // serves ~1.0 here, a total miss ~0.0
+    assert(before <= 0.9, f"shift did not degrade frozen-quantizer recall ($before%.3f)")
+    // the drift report flags the shift BEFORE recall is ever measured:
+    // crowded cells (occupancy ratio spikes) with degraded affinity
+    val drift = Ann.ivfDriftReport(spark, base).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(6)))
+    val worst = drift.maxBy(_._4)
+    info(s"drift report: $worst (cell, n_now, n_init, occupancy_ratio, score_drop)")
+    assert(worst._4 >= 1.5, s"occupancy ratio must flag the crowded cell: ${drift.mkString(",")}")
+    assert(worst._5 > 0.05, s"mean assignment score must drop in the crowded cell: $worst")
+    // requantize: retrain on the index's CURRENT content, rewrite cells
+    Ann.ivfRequantize(spark, base, req, cells = 4, sampleN = 400)
+    val after = recall(req)
+    info(f"recall@10, probes=1, requantized: $after%.3f")
+    // measured 1.000 — C owns a centroid again
+    assert(after >= before + 0.15,
+      f"requantize must restore recall (before=$before%.3f after=$after%.3f)")
+    // the fresh snapshot reads clean: no drift right after a retrain
+    val clean = Ann.ivfDriftReport(spark, req).collect()
+      .map(r => (r.getDouble(3), r.getDouble(6)))
+    assert(clean.forall { case (ratio, drop) => ratio == 1.0 && math.abs(drop) < 1e-9 },
+      s"requantized index must self-report no drift: ${clean.mkString(",")}")
+    // requantize(init + append) is bit-equal to a from-scratch ivfReindex
+    // on the union corpus — the lifecycle op is a real rebuild, not an
+    // approximation of one
+    val scratch = s"$tmp/graft_drift_spec_scratch"
+    Ann.ivfReindex(union, scratch, cells = 4, sampleN = 400)
+    val servedReq = Ann.ivfTopKIndexed(spark, req, q, k = 10, probes = 2)
+      .collect().map(_.toSeq).toSet
+    val servedScratch = Ann.ivfTopKIndexed(spark, scratch, q, k = 10, probes = 2)
+      .collect().map(_.toSeq).toSet
+    assert(servedReq == servedScratch,
+      "requantized serving must be bit-equal to a from-scratch build on the union")
+  }
+
   test("PQ+rerank recall@10 vs brute force stays above the gate") {
     VectorFunctions.registerAll(spark)
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
