@@ -50,10 +50,20 @@ object Bench {
     // see BASELINE.md's honest-reading section).
     "q_pmi", "q_heavy_hitters", "q_url_blocklist", "q_sample_priority",
     // prototypes pruning is embedding-corpus-proportional (0.57 s solo);
-    // q_layout_prune (0.29 s) / q_filter_funnel / q_corpus_asof stay in
-    // the sub-0.35 s fixed-cost class, correctness-gated only, and
-    // q_stream_heavy_hitters joins the documented streaming-gate class
-    "q_prune_prototypes")
+    // q_filter_funnel / q_corpus_asof stay in the sub-0.35 s fixed-cost
+    // class, correctness-gated only, and q_stream_heavy_hitters /
+    // q_stream_distinct_sketch / q_stream_percentile_sketch join the
+    // documented streaming-gate class
+    "q_prune_prototypes",
+    // r17 additions (VERDICT r16 #9 + the round's new corpus-proportional
+    // rows): grouped heavy hitters and the layout-pruned scan graduate to
+    // the headline; fertility is the rows-only BPE wall (tracked so its
+    // perf cannot rot); substring dedup is the L-gram digest pass +
+    // rebuild; incremental components rides the verified-pair build;
+    // requantized serving prices the warm partition-pruned probe.
+    "q_heavy_hitters_grouped", "q_layout_prune", "q_bpe_fertility",
+    "q_dedup_substring", "q_dedup_components_incremental",
+    "q_ann_ivf_requantized")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

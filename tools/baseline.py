@@ -34,7 +34,10 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_pipeline_web", "q_bpe_encode",
             "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens",
             "q_pmi", "q_heavy_hitters", "q_url_blocklist",
-            "q_sample_priority", "q_prune_prototypes"]
+            "q_sample_priority", "q_prune_prototypes",
+            "q_heavy_hitters_grouped", "q_layout_prune", "q_bpe_fertility",
+            "q_dedup_substring", "q_dedup_components_incremental",
+            "q_ann_ivf_requantized"]
 
 
 def main():
