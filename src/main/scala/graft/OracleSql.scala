@@ -1528,6 +1528,45 @@ object OracleSql {
         |FROM tf JOIN cnt USING (tok) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
 
+    // Stupid-backoff bigram LM (Brants et al. 2007): counts from the
+    // train slice, the held-out seventh scored with the exact expression
+    // text the Spark side evaluates — seen ln(c2/c1), unseen
+    // ln(0.4 * ((c_w + 1)/(N + V + 1))) — per-occurrence DECIMAL sums.
+    "q_lm_bigram" ->
+      """WITH tokt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |uni AS (
+        |  SELECT t AS tok, COUNT(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM tokt) GROUP BY 1),
+        |tot AS (SELECT COALESCE(SUM(c1), 0) AS n_total, COUNT(*) AS v_size FROM uni),
+        |bgc AS (
+        |  SELECT b, COUNT(*) AS c2 FROM (
+        |    SELECT unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+        |                   for i in generate_series(1, len(w) - 1)]) AS b
+        |    FROM tokt WHERE len(w) >= 2) GROUP BY 1),
+        |bgr AS (
+        |  SELECT bgc.b, CAST(bgc.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS r
+        |  FROM bgc JOIN uni u ON u.tok = string_split(bgc.b, ' ')[1]),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |occ AS (
+        |  SELECT doc_id, b, string_split(b, ' ')[2] AS tok FROM (
+        |    SELECT doc_id, unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+        |                           for i in generate_series(1, len(w) - 1)]) AS b
+        |    FROM toks WHERE len(w) >= 2))
+        |SELECT occ.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(
+        |    CASE WHEN bgr.r IS NOT NULL THEN ln(bgr.r)
+        |         ELSE ln(0.4 * ((CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0)
+        |                / (CAST(t.n_total AS DOUBLE) + CAST(t.v_size AS DOUBLE) + 1.0))) END
+        |    AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS lm2_score
+        |FROM occ LEFT JOIN bgr ON occ.b = bgr.b
+        |LEFT JOIN uni u ON occ.tok = u.tok
+        |CROSS JOIN tot t
+        |GROUP BY 1""".stripMargin,
+
     // Same shingle construction as q_contamination (RE2 \s tokenizer,
     // space-joined 5-grams, DISTINCT per doc); SUM over an int CASE is
     // HUGEINT in DuckDB -> cast to BIGINT to match Spark's long.

@@ -1749,6 +1749,18 @@ object SparkEntry {
   private def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupSubstrings(T(s, dir, "documents"), minLen = 30)
 
+  /** Stupid-backoff bigram LM scoring
+    * ([[graft.functions.BigramLm.scoreStupidBackoff]], Brants et al.
+    * 2007): counts train on six sevenths of the corpus, the held-out
+    * seventh scores against them — unseen bigrams take the α·u(w)
+    * backoff (the branch a self-scoring gate could never exercise). */
+  private def qLmBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.BigramLm.scoreStupidBackoff(
+      docs.filter(F.col("doc_id") % 7 =!= 0),
+      docs.filter(F.col("doc_id") % 7 === 0))
+  }
+
   /** Corpus-level duplicated-5-gram fraction per document
     * ([[Dedup.dupNgramFraction]]) — the cross-document boilerplate signal
     * (within-doc repetition is [[qRepetition]]). */
@@ -2507,6 +2519,7 @@ object SparkEntry {
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
+    "q_lm_bigram" -> (qLmBigram _),
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),

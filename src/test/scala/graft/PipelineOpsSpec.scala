@@ -707,6 +707,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       "entirely original charlie text with no duplication anywhere at all")))
   }
 
+  test("BigramLm.scoreStupidBackoff: hand-computed seen/backoff/OOV terms") {
+    import spark.implicits._
+    import graft.functions.BigramLm
+    // train counts: unigrams a:3 b:2 c:1 d:1 (N=7, V=4); bigrams
+    // "a b":2, "b a":1, "a c":1, "b d":1
+    val train = Seq((1L, "a b a c"), (2L, "a b d")).toDF("doc_id", "text")
+    // score doc: "a b x c" → "a b" seen (r=2/3), "b x" backoff with OOV x
+    // (u=(0+1)/(7+4+1)=1/12 → 0.4/12), "x c" backoff with seen c
+    // (u=(1+1)/12 → 0.4·2/12); a 1-token doc has no bigram → absent
+    val docs = Seq((100L, "a b x c"), (101L, "z")).toDF("doc_id", "text")
+    val out = BigramLm.scoreStupidBackoff(train, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(100L), s"1-token doc must be absent: $out")
+    val expected = (math.log(2.0 / 3.0) +
+      math.log(0.4 * (1.0 / 12.0)) +
+      math.log(0.4 * (2.0 / 12.0))) / 3.0
+    assert(out(100L)._1 == 3L)
+    assert(math.abs(out(100L)._2 - expected) < 1e-6,
+      s"got ${out(100L)._2}, expected $expected")
+  }
+
   test("Components.incremental: maintained map = batch closure; history edges never re-propagated") {
     import spark.implicits._
     // history: a 6-node chain {1..6} (5 edges) and {10,11}; the arriving
