@@ -60,6 +60,24 @@ object OracleSql {
        |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.95, "n_sample")}] AS p95_est
        |FROM qg""".stripMargin
 
+  /** The priority-sample oracle, shared verbatim by q_sample_priority
+    * (batch) and q_stream_sample_priority (the fMGWS-maintained top-(k+1)
+    * candidate set): streamed sample ≡ batch sample because top-m under a
+    * total order is merge-closed. */
+  private lazy val prioritySampleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT + 1 AS DOUBLE)
+      |        / 72057594037927936.0) AS priority
+      |  FROM documents),
+      |r AS (SELECT doc_id, weight, priority,
+      |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn FROM p),
+      |tau AS (SELECT MAX(CASE WHEN rn = 101 THEN priority END) AS t FROM r)
+      |SELECT doc_id, weight, priority,
+      |  greatest(weight, COALESCE(t, 0.0)) AS weight_est
+      |FROM r, tau WHERE rn <= 100""".stripMargin
+
   /** The IVF top-k oracle, shared verbatim by q_ann_ivf (in-memory) and
     * q_ann_ivf_indexed (persisted cell-partitioned index): the two Spark
     * paths share one scoring tail and must serve identical answers. */
@@ -1586,6 +1604,25 @@ object OracleSql {
         |FROM sh s JOIN df USING (shingle)
         |GROUP BY 1""".stripMargin,
 
+    // Soft deduplication: mean excess shingle document-frequency and the
+    // 1/(1 + mean_excess) sampling weight — two IEEE divisions and one
+    // multiply-add from exact integer counts, bit-identical in any engine.
+    "q_dedup_soft" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([list_aggregate(w[i:i+4], 'string_agg', ' ') for i in generate_series(1, len(w)-4)]) AS shingle
+        |  FROM tok WHERE len(w) >= 5),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT s.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(df.df - 1) AS BIGINT) AS sum_excess_df,
+        |  ROUND(CAST(SUM(df.df - 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_excess_df,
+        |  ROUND(1.0 / (1.0 + 1.0 * (CAST(SUM(df.df - 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))), 6) AS soft_weight
+        |FROM sh s JOIN df USING (shingle)
+        |GROUP BY 1""".stripMargin,
+
     // Paragraph-level cross-doc duplication: non-overlapping 10-token
     // blocks; a block is "dup" when it occurs in >= 2 DISTINCT documents.
     // Counts are per block OCCURRENCE (a doc's repeated shared block
@@ -1666,19 +1703,13 @@ object OracleSql {
     // Priority sampling: u = (U56+1)/2^56 (exact power-of-two division),
     // priority = w/u (one correctly-rounded IEEE division) — bit-identical
     // to the Spark side; tau = the (k+1)-th priority; est = max(w, tau).
-    "q_sample_priority" ->
-      """WITH p AS (
-        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
-        |    CAST(n_chars AS DOUBLE) /
-        |      (CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT + 1 AS DOUBLE)
-        |        / 72057594037927936.0) AS priority
-        |  FROM documents),
-        |r AS (SELECT doc_id, weight, priority,
-        |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn FROM p),
-        |tau AS (SELECT MAX(CASE WHEN rn = 101 THEN priority END) AS t FROM r)
-        |SELECT doc_id, weight, priority,
-        |  greatest(weight, COALESCE(t, 0.0)) AS weight_est
-        |FROM r, tau WHERE rn <= 100""".stripMargin,
+    "q_sample_priority" -> prioritySampleSql,
+
+    // STREAMING priority-sample maintenance: the top-(k+1) candidate set
+    // is merge-closed under (priority DESC, id ASC), lives as fMGWS state,
+    // and the final snapshot feeds the audited batch sampler — streamed
+    // sample ≡ batch sample, so the oracle IS the batch SQL.
+    "q_stream_sample_priority" -> prioritySampleSql,
 
     // Temperature-scaled mixing weights: tempered powers summed in exact
     // decimal (order-free), every double from the same expression text.

@@ -415,6 +415,32 @@ object SparkEntry {
       Seq("p50_est" -> 0.5, "p95_est" -> 0.95))
   }
 
+  /** STREAMING priority-sample maintenance
+    * ([[graft.streaming.StreamingOps.prioritySampleStream]]) — the
+    * row-143 pattern for the sampling tier: the top-(k+1) candidate set
+    * by (priority DESC, id ASC) is merge-closed under its total order, so
+    * it lives as flatMapGroupsWithState state (bounded at k+1 entries
+    * however much stream passes); the final snapshot's (id, weight) rows
+    * feed the audited batch [[graft.operators.Sampling.prioritySample]],
+    * which recomputes rank, tau and the subset-sum estimator on <= k+1
+    * rows. Streamed state is LOAD-BEARING (it decides the candidate set);
+    * oracle = q_sample_priority's SQL verbatim — streamed sample ≡ batch
+    * sample of the whole table. */
+  private def qStreamSamplePriority(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageStreamDir(dir, "documents")
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(srcDir.toString)
+    val snaps = graft.streaming.StreamingOps.prioritySampleStream(
+      stream.select("doc_id", "n_chars"), "doc_id", F.col("n_chars"), k = 100)
+    val collected = runMemoryGate(s, snaps, "graft_stream_psample", mode = "append")
+    val mx = collected.agg(F.max(F.col("ver")).as("_mx"))
+    val latest = collected.crossJoin(F.broadcast(mx))
+      .filter(F.col("ver") === F.col("_mx"))
+      .select(F.col("id").as("doc_id"), F.col("weight").as("n_chars"))
+    graft.operators.Sampling.prioritySample(latest, "doc_id", F.col("n_chars"), k = 100)
+  }
+
   /** The SAME epoch-window aggregation, executed as a real Structured
     * Streaming job (file stream → watermark → windowed agg → memory sink,
     * AvailableNow trigger) — proving the streaming path produces the
@@ -1767,6 +1793,15 @@ object SparkEntry {
   private def qDupNgrams(s: SparkSession, dir: String): DataFrame =
     Dedup.dupNgramFraction(T(s, dir, "documents"), shingleN = 5)
 
+  /** Soft deduplication ([[Dedup.softDedupWeights]]) — reweight instead
+    * of remove: per-doc mean excess shingle document-frequency and the
+    * `1/(1 + mean_excess)` sampling weight (a unique doc keeps weight 1;
+    * D verbatim copies get ~1/D each, preserving the family's total
+    * training mass). Pure IEEE arithmetic — oracle reproduces the
+    * weights bit-for-bit. */
+  private def qDedupSoft(s: SparkSession, dir: String): DataFrame =
+    Dedup.softDedupWeights(T(s, dir, "documents"), shingleN = 5, alpha = 1.0)
+
   /** Paragraph-level cross-document duplication
     * ([[Dedup.dupParagraphFraction]]) — shared-boilerplate fraction per
     * document at the granularity between doc-level exact dedup and
@@ -2517,6 +2552,7 @@ object SparkEntry {
     "q_trim_spans" -> (qTrimSpans _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dup_ngrams" -> (qDupNgrams _),
+    "q_dedup_soft" -> (qDedupSoft _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),
@@ -2541,6 +2577,7 @@ object SparkEntry {
     "q_stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "q_stream_distinct_sketch" -> (qStreamDistinctSketch _),
     "q_stream_percentile_sketch" -> (qStreamPercentileSketch _),
+    "q_stream_sample_priority" -> (qStreamSamplePriority _),
     "q_repetition" -> (qRepetition _),
     "q_histogram" -> (qHistogram _),
     "q_pivot" -> (qPivot _),

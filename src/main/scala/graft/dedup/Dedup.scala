@@ -950,6 +950,57 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** SOFT deduplication — reweight instead of remove (the SoftDeDup idea,
+    * ACL 2024: hard dedup throws away the information that a document was
+    * popular; soft dedup keeps every document but hands the SAMPLER a
+    * weight that shrinks with its duplication, so duplicated content
+    * contributes proportionally less training mass without a cliff).
+    *
+    * Per document: mean EXCESS document frequency of its distinct
+    * `shingleN`-gram shingles — `sum(df - 1) / n_grams`, 0 for fully
+    * unique content, (D-1) for a doc duplicated verbatim D times — and
+    * the sampling weight `1 / (1 + alpha * mean_excess)`: a unique doc
+    * keeps weight 1; D verbatim copies each get ~1/D at alpha = 1, so the
+    * FAMILY's total sampling mass stays ~1 (the hard-dedup keep-one
+    * answer) while rare partial overlaps are only slightly discounted.
+    * Pure IEEE arithmetic (two divisions, one multiply-add — no libm), so
+    * any engine reproduces the weights bit-for-bit.
+    *
+    * Scale shape = [[dupNgramFraction]] exactly: distinct per-doc shingle
+    * hashes (16-byte xxhash64, never shingle strings) ride ONE exchange
+    * where a window count computes df inline; one doc-keyed aggregation
+    * folds the excess sums. Two shuffles total, no self-join, no driver
+    * state. Weights feed [[graft.operators.Sampling.prioritySample]] /
+    * mixSample as the weight column (tokens x soft_weight = the doc's
+    * training mass).
+    *
+    * Output: (idCol, n_grams, sum_excess_df, mean_excess_df, soft_weight)
+    * for every doc with at least one shingle. */
+  def softDedupWeights(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       shingleN: Int = 5, alpha: Double = 1.0): DataFrame = graft.CacheScope.scoped {
+    val hashedDistinct = ColumnBridge.column(
+      graft.functions.expressions.XxHash64ArrayExpr(ColumnBridge.expression(
+        F.array_distinct(ColumnBridge.column(
+          ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))))))
+    val sh = graft.Spread(docs)
+      .select(F.col(idCol), F.explode_outer(hashedDistinct).as("h"))
+      .filter(F.col("h").isNotNull)
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val mean = F.col("sum_excess_df").cast("double") / F.col("n_grams").cast("double")
+    sh.repartition(p, F.col("h"))
+      .withColumn("df", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(F.col("h"))))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_grams"),
+        F.sum(F.col("df") - 1L).as("sum_excess_df"))
+      .select(F.col(idCol), F.col("n_grams"), F.col("sum_excess_df"),
+        F.round(mean, 6).as("mean_excess_df"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.lit(alpha) * mean), 6)
+          .as("soft_weight"))
+  }
+
   /** Paragraph-granularity cross-document duplication (round 9) — the
     * missing level between doc-level exact dedup and n-gram fractions in
     * the Gopher/MassiveText signal set: for each document, the fraction

@@ -334,17 +334,25 @@ object Sampling {
     * and one-row `tau` aggregate run on the `k+1`-row result, not on data.
     * Groups of `n <= k` rows degrade exactly: everything is kept and
     * `tau = 0`, so `weight_est = weight` and the estimator is exact. */
-  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
-                     k: Int, seed: String = "graft"): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
+  /** The priority `q_i = w_i / u_i` as a Column — shared expression text
+    * between the batch sampler and the streaming maintenance path
+    * ([[graft.streaming.StreamingOps.prioritySampleStream]]), so both
+    * produce bit-identical doubles for the same row. */
+  def priorityExpr(idCol: String, weightCol: Column, seed: String = "graft"): Column = {
     val u56 = F.conv(F.substring(
       F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(idCol).cast("string"))),
       1, 14), 16, 10).cast("long")
     val u = (u56 + 1).cast("double") / F.lit(7.2057594037927936E16)
+    weightCol.cast("double") / u
+  }
+
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
     val top = df
       .select(F.col(idCol), weightCol.cast("double").as("weight"),
-        (weightCol.cast("double") / u).as("priority"))
+        priorityExpr(idCol, weightCol, seed).as("priority"))
       .orderBy(F.col("priority").desc, F.col(idCol).asc)
       .limit(k + 1)
     // Everything below runs on <= k+1 rows: the single-partition rank

@@ -272,4 +272,67 @@ object StreamingOps {
       }
       .toDF(groupCol, "ver", "qs_key", valueCol)
   }
+
+  /** STREAMING priority-sample maintenance — the row-143 pattern for the
+    * sampling tier ([[graft.operators.Sampling.prioritySample]], Duffield–
+    * Lund–Thorup): the state a weighted-without-replacement sample needs
+    * is exactly the top-(k+1) rows by (priority DESC, id ASC), and top-m
+    * under a total order is merge-closed (top-m of a union = top-m of the
+    * merged per-part top-ms), so it lives as flatMapGroupsWithState state
+    * in an O(k) capped TreeSet — bounded at k+1 entries however much
+    * stream passes. Priorities are computed by the SAME expression text
+    * as the batch sampler ([[graft.operators.Sampling.priorityExpr]] —
+    * two IEEE divisions, no libm), so the streamed candidate set is
+    * bit-identical to the batch scan's.
+    *
+    * Emission: one snapshot of the candidate set per micro-batch with
+    * `ver` = cumulative row count (strictly increasing); the max-`ver`
+    * slice is the FINAL top-(k+1), and feeding those (id, weight) rows
+    * back through the batch [[graft.operators.Sampling.prioritySample]]
+    * recomputes rank, tau and `weight_est` on <= k+1 rows — the streamed
+    * state is load-bearing (it decides the candidate set), the estimator
+    * math is the audited batch operator, and the whole thing equals the
+    * batch sample of the full stream (spec-pinned across micro-batches).
+    * Replayed rows collapse in the TreeSet (same (priority, id, weight)
+    * triple), matching the md5-determinism contract.
+    *
+    * Output rows: (ver, id, weight) — slice max-`ver`, rename, and pass
+    * to `prioritySample`. */
+  def prioritySampleStream(df: DataFrame, idCol: String, weightCol: org.apache.spark.sql.Column,
+                           k: Int, seed: String = "graft"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df
+      .filter(F.col(idCol).isNotNull && weightCol.isNotNull)
+      .select(F.col(idCol).cast("long"),
+        weightCol.cast("double"),
+        graft.operators.Sampling.priorityExpr(idCol, weightCol, seed))
+      .as[(Long, Double, Double)]
+    // State tuple: (priority, id, weight). Total order: priority DESC,
+    // id ASC — the batch sampler's orderBy (priorities are positive
+    // finite, so negation under TotalOrdering preserves the order).
+    implicit val ord: Ordering[(Double, Long, Double)] =
+      Ordering.by[(Double, Long, Double), (Double, Long)](t => (-t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    prepared.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Seq[(Double, Long, Double)]),
+                              (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, it, gs) =>
+        val (n0, top0) = gs.getOption.getOrElse((0L, Seq.empty[(Double, Long, Double)]))
+        val buf = scala.collection.mutable.TreeSet.empty[(Double, Long, Double)]
+        top0.foreach(buf += _)
+        var n = n0
+        it.foreach { t =>
+          n += 1
+          buf += ((t._3, t._1, t._2))
+          if (buf.size > k + 1) buf -= buf.last
+        }
+        val merged = buf.toSeq
+        gs.update((n, merged))
+        merged.iterator.map(x => (n, x._2, x._3))
+      }
+      .toDF("ver", "id", "weight")
+  }
 }

@@ -39,6 +39,36 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((2L, 0L, 0.0)))
   }
 
+  test("softDedupWeights: verbatim copies split the family's mass, unique docs keep 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // verbatim family with doc 2
+      (2L, "a b c d e f"),
+      (3L, "p q r s t u"),        // fully unique
+      (4L, "a b c d e x"),        // shares one of two grams with the family
+      (5L, "nope")                // < 5 tokens: absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, shingleN = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(!out.contains(5L))
+    // docs 1/2: grams {"a b c d e", "b c d e f"}; df("a b c d e")=3 (docs
+    // 1,2,4), df("b c d e f")=2 → sum_excess=3, mean=1.5, w=1/2.5=0.4
+    assert(out(1L) == ((2L, 3L, 1.5, 0.4)))
+    assert(out(2L) == ((2L, 3L, 1.5, 0.4)))
+    // doc 3: unique → excess 0, weight 1.0
+    assert(out(3L) == ((2L, 0L, 0.0, 1.0)))
+    // doc 4: grams {"a b c d e" (df 3), "b c d e x" (df 1)} → sum 2,
+    // mean 1.0, w = 0.5
+    assert(out(4L) == ((2L, 2L, 1.0, 0.5)))
+    // a two-copy family with NO outside overlap splits mass exactly: add
+    // an isolated verbatim pair and check 1/D weights
+    val pair = Seq((10L, "z y x w v u t"), (11L, "z y x w v u t")).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(pair, shingleN = 5).collect()
+      .map(r => r.getDouble(4)).toSeq
+    assert(w == Seq(0.5, 0.5))
+  }
+
   test("UnigramLm.score: hand-computed mean log-prob, empty docs absent") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")

@@ -289,6 +289,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     InternalAudit("q_dedup_components", maxExchangeTotal = 5),
     // cache-free since round 9: ONE scoped frame, no materialize
     InternalAudit("q_dup_ngrams", maxExchangeTotal = 3, minFrames = 1),
+    // r17 soft dedup: the q_dup_ngrams plan shape exactly (shingle-hash
+    // exchange + window df + doc agg), one scoped frame
+    InternalAudit("q_dedup_soft", maxExchangeTotal = 3, minFrames = 1),
     // q_lm_score left this list in r14: the one-scan/one-tok-exchange
     // rework removed every CacheScope hop, so it audits as a plain
     // terminal plan (see `audits`).

@@ -237,6 +237,50 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("prioritySampleStream: fMGWS top-(k+1) state equals the batch priority sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDS().toDF("doc_id", "w")
+    val snaps = graft.streaming.StreamingOps.prioritySampleStream(
+      stream, "doc_id", F.col("w"), k = 5)
+    val q = snaps.writeStream.format("memory").queryName("psample_stream")
+      .outputMode("append").start()
+    val batch1 = (0L until 20L).map(i => (i, i % 7 + 1))
+    val batch2 = (20L until 45L).map(i => (i, i % 11 + 1))
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    // replay: a re-delivered batch collapses in the TreeSet — the
+    // candidate SET after replay must equal the set before it
+    input.addData(batch2: _*); q.processAllAvailable()
+    val rows = spark.table("psample_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // bounded: no snapshot version carries more than k+1 candidates
+    rows.groupBy(_._1).foreach { case (v, rs) =>
+      assert(rs.size <= 6, s"snapshot ver=$v exceeded k+1: ${rs.size}")
+    }
+    // replay idempotence: last two snapshots carry the same candidate set
+    val vers = rows.map(_._1).distinct.sorted
+    val mx = vers.last
+    val prev = vers(vers.length - 2)
+    assert(rows.filter(_._1 == mx).map(t => (t._2, t._3)).toSet ==
+      rows.filter(_._1 == prev).map(t => (t._2, t._3)).toSet,
+      "replayed batch changed the candidate set")
+    // final snapshot -> audited batch sampler == batch sample of the union
+    val latest = rows.filter(_._1 == mx).map(t => (t._2, t._3))
+      .toSeq.toDF("doc_id", "w")
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val streamedFinal = Sampling.prioritySample(latest, "doc_id", F.col("w"), k = 5)
+      .collect().map(keyOf).toSet
+    val whole = Sampling.prioritySample(
+      (batch1 ++ batch2).toDF("doc_id", "w"), "doc_id", F.col("w"), k = 5)
+      .collect().map(keyOf).toSet
+    assert(streamedFinal == whole, s"streamed=$streamedFinal batch=$whole")
+  }
+
   test("c4Rules runs unchanged on a stream (scan-only native pass)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
