@@ -1585,6 +1585,56 @@ object OracleSql {
         |CROSS JOIN tot t
         |GROUP BY 1""".stripMargin,
 
+    // DoReMi domain reweighting: same count tables / scored positions as
+    // q_lm_bigram, per-domain clipped excess ln(S/u) summed DECIMAL-exact,
+    // one softmax step from uniform (exp under the round-6 libm rule,
+    // totals in exact decimal — the mixWeights precedent).
+    "q_mix_doremi" ->
+      """WITH tokt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |uni AS (
+        |  SELECT t AS tok, COUNT(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM tokt) GROUP BY 1),
+        |tot AS (SELECT COALESCE(SUM(c1), 0) AS n_total, COUNT(*) AS v_size FROM uni),
+        |bgc AS (
+        |  SELECT b, COUNT(*) AS c2 FROM (
+        |    SELECT unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+        |                   for i in generate_series(1, len(w) - 1)]) AS b
+        |    FROM tokt WHERE len(w) >= 2) GROUP BY 1),
+        |bgr AS (
+        |  SELECT bgc.b, CAST(bgc.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS r
+        |  FROM bgc JOIN uni u ON u.tok = string_split(bgc.b, ' ')[1]),
+        |toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |occ AS (
+        |  SELECT doc_id, source, b, string_split(b, ' ')[2] AS tok FROM (
+        |    SELECT doc_id, source, unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+        |                           for i in generate_series(1, len(w) - 1)]) AS b
+        |    FROM toks WHERE len(w) >= 2)),
+        |scored AS (
+        |  SELECT occ.source,
+        |    CASE WHEN bgr.r IS NOT NULL THEN ln(bgr.r)
+        |         ELSE ln(0.4 * ((CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0)
+        |                / (CAST(t.n_total AS DOUBLE) + CAST(t.v_size AS DOUBLE) + 1.0))) END AS ln_s,
+        |    ln((CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0)
+        |       / (CAST(t.n_total AS DOUBLE) + CAST(t.v_size AS DOUBLE) + 1.0)) AS ln_u
+        |  FROM occ LEFT JOIN bgr ON occ.b = bgr.b
+        |  LEFT JOIN uni u ON occ.tok = u.tok
+        |  CROSS JOIN tot t),
+        |dom AS (
+        |  SELECT source, COUNT(*) AS n_positions,
+        |    CAST(SUM(CAST(greatest(0.0, ln_s - ln_u) AS DECIMAL(38,18))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS mean_ex
+        |  FROM scored GROUP BY 1),
+        |e AS (SELECT source, n_positions, mean_ex, exp(1.0 * mean_ex) AS ee FROM dom),
+        |etot AS (SELECT CAST(SUM(CAST(ee AS DECIMAL(28,10))) AS DOUBLE) AS e_tot,
+        |  COUNT(*) AS n_dom FROM e)
+        |SELECT source, n_positions, ROUND(mean_ex, 6) AS excess_loss,
+        |  ROUND((1.0 - 0.01) * (ee / e_tot) + 0.01 / CAST(n_dom AS DOUBLE), 6) AS doremi_weight
+        |FROM e, etot""".stripMargin,
+
     // Same shingle construction as q_contamination (RE2 \s tokenizer,
     // space-joined 5-grams, DISTINCT per doc); SUM over an int CASE is
     // HUGEINT in DuckDB -> cast to BIGINT to match Spark's long.

@@ -1787,6 +1787,18 @@ object SparkEntry {
       docs.filter(F.col("doc_id") % 7 === 0))
   }
 
+  /** DoReMi-style domain reweighting ([[graft.functions.Doremi]]): the
+    * training mixture tilted toward the domains where the bigram
+    * reference LM most outperforms its unigram proxy on held-out text
+    * (clipped excess loss → one multiplicative-weights step from uniform,
+    * smoothed). Same train/held-out convention as [[qLmBigram]]. */
+  private def qMixDoremi(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.Doremi.domainWeights(
+      docs.filter(F.col("doc_id") % 7 =!= 0),
+      docs.filter(F.col("doc_id") % 7 === 0))
+  }
+
   /** Corpus-level duplicated-5-gram fraction per document
     * ([[Dedup.dupNgramFraction]]) — the cross-document boilerplate signal
     * (within-doc repetition is [[qRepetition]]). */
@@ -2556,6 +2568,7 @@ object SparkEntry {
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),
+    "q_mix_doremi" -> (qMixDoremi _),
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),

@@ -41,7 +41,27 @@ object BigramLm {
 
   def scoreStupidBackoff(train: DataFrame, docs: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
-                         alpha: Double = 0.4): DataFrame = {
+                         alpha: Double = 0.4): DataFrame =
+    positionScores(train, docs, idCol, textCol, alpha)
+      .select(F.col(idCol), F.col("ln_s").cast("decimal(38,18)").as("term"))
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_bigrams"), F.sum(F.col("term")).as("ll"))
+      .select(F.col(idCol), F.col("n_bigrams"),
+        F.round(F.col("ll").cast("double") / F.col("n_bigrams").cast("double"), 6)
+          .as("lm2_score"))
+
+  /** The per-bigram-position scored stream both consumers fold from:
+    * (idCol, carry..., ln_s, ln_u) — `ln_s` the stupid-backoff log score,
+    * `ln_u` the add-one unigram log prob of the SAME position's word
+    * (what the score backs off TO, sans the α penalty). Shared expression
+    * text keeps every double bit-identical between [[scoreStupidBackoff]]
+    * and [[Doremi.domainWeights]]'s excess-loss consumer; `carry` columns
+    * (e.g. a domain label) ride the occurrence stream so consumers
+    * grouping by something other than the doc id pay no join-back. */
+  def positionScores(train: DataFrame, docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     alpha: Double = 0.4,
+                     carry: Seq[String] = Nil): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     import graft.functions.expressions.ShingleExpr
     def grams(df: DataFrame, n: Int) = ColumnBridge.column(
@@ -65,27 +85,21 @@ object BigramLm {
         (F.col("c2").cast("double") / F.col("c1").cast("double")).as("r"))
     // score stream: bigram occurrences with the backoff word carried
     val occ = graft.Spread(docs)
-      .select(docs(idCol), F.explode(grams(docs, 2)).as("bg"))
-      .select(F.col(idCol), F.col("bg"),
-        F.split(F.col("bg"), " ").getItem(1).as("tok"))
+      .select(docs(idCol) +: carry.map(docs(_)) :+ F.explode(grams(docs, 2)).as("bg"): _*)
+      .select(F.col(idCol) +: carry.map(F.col) :+ F.col("bg") :+
+        F.split(F.col("bg"), " ").getItem(1).as("tok"): _*)
       .repartition(F.col("bg"))
     // identical IEEE op order to the oracle: seen → ln(c2/c1-as-doubles);
-    // unseen → ln(alpha * ((c_w + 1.0) / (N + V + 1.0)))
-    val backoff = F.log(F.lit(alpha) *
-      ((F.coalesce(F.col("c1"), F.lit(0L)).cast("double") + F.lit(1.0)) /
-        (F.col("n_total").cast("double") + F.col("v_size").cast("double") + F.lit(1.0))))
+    // unseen → ln(alpha * u), with u = (c_w + 1.0) / (N + V + 1.0)
+    val u = (F.coalesce(F.col("c1"), F.lit(0L)).cast("double") + F.lit(1.0)) /
+      (F.col("n_total").cast("double") + F.col("v_size").cast("double") + F.lit(1.0))
     occ
       .join(bgRatio.hint("shuffle_hash"), Seq("bg"), "left")
       .join(uni, Seq("tok"), "left")
       .crossJoin(F.broadcast(totals))
-      .select(F.col(idCol),
+      .select(F.col(idCol) +: carry.map(F.col) :+
         F.when(F.col("r").isNotNull, F.log(F.col("r")))
-          .otherwise(backoff)
-          .cast("decimal(38,18)").as("term"))
-      .groupBy(F.col(idCol))
-      .agg(F.count(F.lit(1)).as("n_bigrams"), F.sum(F.col("term")).as("ll"))
-      .select(F.col(idCol), F.col("n_bigrams"),
-        F.round(F.col("ll").cast("double") / F.col("n_bigrams").cast("double"), 6)
-          .as("lm2_score"))
+          .otherwise(F.log(F.lit(alpha) * u)).as("ln_s") :+
+        F.log(u).as("ln_u"): _*)
   }
 }

@@ -728,6 +728,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       s"got ${out(100L)._2}, expected $expected")
   }
 
+  test("Doremi.domainWeights: clipped excess tilts weights toward the learnable domain") {
+    import spark.implicits._
+    import graft.functions.Doremi
+    // same train corpus as the BigramLm spec: unigrams a:3 b:2 c:1 d:1
+    // (N=7, V=4 → u(w) = (c+1)/12); bigram "a b" has r = 2/3
+    val train = Seq((1L, "a b a c"), (2L, "a b d")).toDF("doc_id", "text")
+    val held = Seq((100L, "web", "a b"), (101L, "chat", "x y"))
+      .toDF("doc_id", "source", "text")
+    val out = Doremi.domainWeights(train, held).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("web", "chat"), s"domains wrong: $out")
+    assert(out("web")._1 == 1L && out("chat")._1 == 1L)
+    // web: "a b" seen → excess = ln((2/3) / u(b)) = ln((2/3)/(3/12)) =
+    // ln(8/3); chat: the backoff position's ln(0.4·u) − ln(u) = ln 0.4 < 0
+    // clips to exactly 0 — the paper's clipped per-token excess
+    assert(out("chat")._2 == 0.0, s"backoff excess must clip to 0: $out")
+    assert(math.abs(out("web")._2 - math.log(8.0 / 3.0)) < 1e-6)
+    // one softmax step from uniform: e = (8/3, 1), share = (8/11, 3/11),
+    // smoothed 0.99·share + 0.005 → (0.725, 0.275); total mass exactly 1
+    assert(math.abs(out("web")._3 - 0.725) < 1e-6, s"web weight: $out")
+    assert(math.abs(out("chat")._3 - 0.275) < 1e-6, s"chat weight: $out")
+    assert(out("web")._3 > out("chat")._3)
+  }
+
   test("Components.incremental: maintained map = batch closure; history edges never re-propagated") {
     import spark.implicits._
     // history: a 6-node chain {1..6} (5 edges) and {10,11}; the arriving
