@@ -63,7 +63,13 @@ object Bench {
     // requantized serving prices the warm partition-pruned probe.
     "q_heavy_hitters_grouped", "q_layout_prune", "q_bpe_fertility",
     "q_dedup_substring", "q_dedup_components_incremental",
-    "q_ann_ivf_requantized")
+    "q_ann_ivf_requantized",
+    // r17 late additions, all corpus-proportional: the stupid-backoff
+    // bigram scorer (two count passes + two keyed joins), DoReMi's
+    // excess-loss pass over the same tables, soft dedup's shingle-df
+    // pass (the q_dup_ngrams plan shape). q_stream_sample_priority joins
+    // the documented streaming-gate class (correctness-gated only).
+    "q_lm_bigram", "q_mix_doremi", "q_dedup_soft")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

@@ -282,9 +282,49 @@ object Dedup {
                   buckets: Int = 32, knownNewCount: Long = -1L,
                   updateIndex: Boolean = true,
                   maxBucket: Int = 100000,
-                  knownIndexCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
-    val newSigs = materialize(
-      minhashSignaturesFromDocs(newDocs, idCol, textCol, shingleN, bands))
+                  knownIndexCount: Long = -1L): DataFrame = {
+    // Cache-free fast path (r17): the steady-state production probe —
+    // no append, both guard bounds supplied by the caller and under
+    // maxBucket — materializes NOTHING (see the newSigs branch and the
+    // candidatesFromSigs bound contract), so the CacheScope scope would
+    // only add its exit localCheckpoint: a whole extra action computing
+    // the plan once to write blocks the single consumer then re-reads.
+    // Run the body bare instead — ONE action end to end. Every other
+    // shape (append's three-consumer materialize, an engaged heavy-bucket
+    // guard, unknown counts) still scopes, because something persists
+    // inside and must be released behind a checkpointed result.
+    val cacheFree = !updateIndex &&
+      knownNewCount >= 0L && knownNewCount <= maxBucket &&
+      knownIndexCount >= 0L &&
+      knownIndexCount / bands.toLong.max(1L) <= maxBucket
+    def body(): DataFrame = incrementalBody(newDocs, indexTable, idCol, textCol,
+      shingleN, bands, buckets, knownNewCount, updateIndex, maxBucket, knownIndexCount)
+    if (cacheFree) body() else graft.CacheScope.scoped(body())
+  }
+
+  private def incrementalBody(newDocs: DataFrame, indexTable: String, idCol: String,
+                  textCol: String, shingleN: Int, bands: Int,
+                  buckets: Int, knownNewCount: Long,
+                  updateIndex: Boolean,
+                  maxBucket: Int,
+                  knownIndexCount: Long): DataFrame = {
+    // Signature sharing is cost-based on the consumer set (r17; shaved
+    // the steady-state probe's one fixed-cost job):
+    //  - updateIndex = true → THREE consumers, one of which (the index
+    //    append) is a separate WRITE job that cannot reuse a sibling
+    //    job's exchange — persist the fold once (materialize).
+    //  - updateIndex = false → TWO consumers (index probe join +
+    //    within-shard buckets), both requiring (band, sig) clustering:
+    //    repartition to the index's bucket count and they share ONE
+    //    IDENTICAL exchange subtree — ReuseExchange computes the
+    //    shingle+minhash fold once with NO extra action (the q_lm_score
+    //    one-action pattern), and the probe side lands already
+    //    partitioned to the bucketed table's layout.
+    val newSigs =
+      if (updateIndex) materialize(
+        minhashSignaturesFromDocs(newDocs, idCol, textCol, shingleN, bands))
+      else minhashSignaturesFromDocs(newDocs, idCol, textCol, shingleN, bands)
+        .repartition(buckets, F.col("band"), F.col("sig"))
     val index = newDocs.sparkSession.table(indexTable)
     // The probe needs the SAME degenerate-bucket guard as the batch path
     // (candidatesFromSigs): one pathological signature accumulated in a

@@ -193,6 +193,17 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // prototypes pruning: broadcast-centroid scoring scan (Spread is one
     // exchange) + the per-cluster rank/count window exchange; no joins
     Audit("q_prune_prototypes", maxExchange = 2, maxBhj = 0),
+    // r17 one-action steady-state probe (cache-free fast path — no
+    // CacheScope frame, so this audits as a TERMINAL plan): the shard's
+    // signature subtree (Spread + the shared (band, sig) repartition)
+    // prints once under EACH union branch — 4 printed, ReuseExchange
+    // collapses to 2 at runtime (the q_lm_score print-total caveat) —
+    // plus the final distinct = 5. The index side stays exchange-free
+    // (BucketedJoinSpec pins that by name): at gate scale the tiny shard
+    // side broadcasts into the index scan, at shard scale AQE falls back
+    // to the bucketed SMJ. The updateIndex = true three-consumer
+    // materialize path is BucketedJoinSpec's append tests.
+    Audit("q_dedup_incremental", maxExchange = 5),
     // layout-pruned scan: filter fully pushed to the clustered parquet
     // (the whole point of the layout), one agg exchange
     Audit("q_layout_prune", maxExchange = 1, requirePushdown = true),
@@ -302,7 +313,6 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // round 11: newSigs materialize + the pairs frame (index probe join,
     // within-shard buckets, distinct) — the bucketed index side must not
     // add an exchange (BucketedJoinSpec pins that side separately)
-    InternalAudit("q_dedup_incremental", maxExchangeTotal = 7),
     // assigned-cells materialize (broadcast-centroid scan: spread only)
     // + survivors frame (cell self-join, components label agg, anti join)
     InternalAudit("q_dedup_semantic", maxExchangeTotal = 7),
