@@ -1872,6 +1872,38 @@ object SparkEntry {
         F.sum(F.length(F.col("token")).cast("long")).as("n_token_chars"))
   }
 
+  /** Unigram-LM tokenizer TRAINING ([[graft.functions.Spm.train]], the
+    * SentencePiece algorithm — Kudo 2018): one corpus scan to the word
+    * histogram, then seed/EM/prune driver-side over vocabulary-scale
+    * state. Rows-only by design (lattice EM has no SQL oracle; SpmSpec
+    * pins Viterbi optimality by brute-force enumeration, hand-computed EM
+    * posteriors, normalization and coverage — the BPE precedent). Output
+    * = the trained vocabulary with ln-probs. */
+  private def qSpmTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Spm.train(T(s, dir, "documents"), vocabSize = 400)
+      .map { case (piece, lp) =>
+        (piece, BigDecimal(lp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          piece.codePointCount(0, piece.length).toLong)
+      }
+      .toDF("piece", "log_prob", "n_cp")
+  }
+
+  /** Unigram-LM ENCODE with the trained model ([[graft.functions.Spm
+    * .encode]], Viterbi max-likelihood segmentation): per-doc token
+    * counts + the losslessness checksum inputs, the [[qBpeEncode]]
+    * shape. Rows-only. */
+  private def qSpmEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = graft.functions.Spm.train(docs, vocabSize = 400)
+    graft.functions.Spm.encode(docs, model)
+      .groupBy(F.col("doc_id"))
+      .agg(
+        F.count(F.lit(1)).as("n_spm_tokens"),
+        F.countDistinct(F.col("token")).as("n_distinct_tokens"),
+        F.sum(F.length(F.col("token")).cast("long")).as("n_token_chars"))
+  }
+
   /** Tokenizer fertility report ([[graft.functions.Bpe.fertilityReport]]):
     * train 16 merges on the corpus, then the per-language fertility /
     * compression table. Rows-only by the BPE contract (train+encode are
@@ -2577,6 +2609,8 @@ object SparkEntry {
     "q_clf_quality" -> (qClfQuality _),
     "q_clf_calibration" -> (qClfCalibration _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_spm_train" -> (qSpmTrain _),
+    "q_spm_encode" -> (qSpmEncode _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_fertility" -> (qBpeFertility _),
     "q_langid_eval" -> (qLangIdEval _),

@@ -136,7 +136,7 @@ object Bpe {
   }
 
   /** One string per Unicode code point (surrogate pairs stay whole). */
-  private def codePoints(word: String): Vector[String] = {
+  private[functions] def codePoints(word: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < word.length) {
@@ -149,7 +149,7 @@ object Bpe {
 
   /** The one-corpus-scan word-count table `(word, n)` the trainer and
     * encoder both start from. */
-  private def wordCounts(docs: DataFrame, textCol: String): DataFrame = {
+  private[functions] def wordCounts(docs: DataFrame, textCol: String): DataFrame = {
     val toks = ColumnBridge.column(
       graft.functions.expressions.ShingleExpr(
         ColumnBridge.expression(F.col(textCol)), 1))
