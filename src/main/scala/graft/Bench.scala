@@ -69,7 +69,7 @@ object Bench {
     // excess-loss pass over the same tables, soft dedup's shingle-df
     // pass (the q_dup_ngrams plan shape). q_stream_sample_priority joins
     // the documented streaming-gate class (correctness-gated only).
-    "q_lm_bigram", "q_mix_doremi", "q_dedup_soft",
+    "q_lm_bigram", "q_lm_kn", "q_mix_doremi", "q_dedup_soft",
     // unigram-LM tokenizer corpus encode (train included, the q_bpe_encode
     // shape) — rows-only wall, tracked so its perf cannot rot
     "q_spm_encode")

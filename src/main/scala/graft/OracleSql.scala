@@ -1585,6 +1585,56 @@ object OracleSql {
         |CROSS JOIN tot t
         |GROUP BY 1""".stripMargin,
 
+    // Interpolated Kneser-Ney bigram: absolute discount D=0.75 with
+    // continuation-count redistribution — every ratio from integer count
+    // tables with identical IEEE op order, one ln per position,
+    // DECIMAL-exact sums.
+    "q_lm_kn" ->
+      """WITH tokt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |uni AS (
+        |  SELECT t AS tok, COUNT(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM tokt) GROUP BY 1),
+        |bgx AS (
+        |  SELECT b, COUNT(*) AS c2,
+        |    string_split(ANY_VALUE(b), ' ')[1] AS v,
+        |    string_split(ANY_VALUE(b), ' ')[2] AS wd
+        |  FROM (
+        |    SELECT unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+        |                   for i in generate_series(1, len(w) - 1)]) AS b
+        |    FROM tokt WHERE len(w) >= 2) GROUP BY b),
+        |ctx AS (SELECT v, SUM(c2) AS cv, COUNT(*) AS n1f FROM bgx GROUP BY 1),
+        |bwd AS (SELECT wd, COUNT(*) AS n1b FROM bgx GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT COUNT(*) FROM bgx) AS n_bg,
+        |    (SELECT COUNT(*) FROM uni) AS v_size),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |occ AS (
+        |  SELECT doc_id, b, string_split(b, ' ')[1] AS v, string_split(b, ' ')[2] AS wd FROM (
+        |    SELECT doc_id, unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+        |                           for i in generate_series(1, len(w) - 1)]) AS b
+        |    FROM toks WHERE len(w) >= 2)),
+        |scored AS (
+        |  SELECT occ.doc_id,
+        |    CASE WHEN ctx.cv IS NOT NULL THEN
+        |      greatest(CAST(COALESCE(bgx.c2, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cv AS DOUBLE)
+        |      + (0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cv AS DOUBLE))
+        |        * ((CAST(COALESCE(bwd.n1b, 0) AS DOUBLE) + 1.0)
+        |           / (CAST(t.n_bg AS DOUBLE) + CAST(t.v_size AS DOUBLE) + 1.0))
+        |    ELSE ((CAST(COALESCE(bwd.n1b, 0) AS DOUBLE) + 1.0)
+        |          / (CAST(t.n_bg AS DOUBLE) + CAST(t.v_size AS DOUBLE) + 1.0)) END AS p
+        |  FROM occ LEFT JOIN bgx ON occ.b = bgx.b
+        |  LEFT JOIN ctx ON occ.v = ctx.v
+        |  LEFT JOIN bwd ON occ.wd = bwd.wd
+        |  CROSS JOIN tot t)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(ln(p) AS DECIMAL(38,18))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS kn_score
+        |FROM scored GROUP BY 1""".stripMargin,
+
     // DoReMi domain reweighting: same count tables / scored positions as
     // q_lm_bigram, per-domain clipped excess ln(S/u) summed DECIMAL-exact,
     // one softmax step from uniform (exp under the round-6 libm rule,

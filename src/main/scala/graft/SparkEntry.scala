@@ -1787,6 +1787,19 @@ object SparkEntry {
       docs.filter(F.col("doc_id") % 7 === 0))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring
+    * ([[graft.functions.BigramLm.scoreKneserNey]]) — the benchmark
+    * smoother above stupid backoff: absolute discounting with
+    * continuation-count redistribution, all rational from integer count
+    * tables (one final ln), hash-exact. Same train/held-out split as
+    * [[qLmBigram]]. */
+  private def qLmKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.BigramLm.scoreKneserNey(
+      docs.filter(F.col("doc_id") % 7 =!= 0),
+      docs.filter(F.col("doc_id") % 7 === 0))
+  }
+
   /** DoReMi-style domain reweighting ([[graft.functions.Doremi]]): the
     * training mixture tilted toward the domains where the bigram
     * reference LM most outperforms its unigram proxy on held-out text
@@ -2601,6 +2614,7 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),
     "q_mix_doremi" -> (qMixDoremi _),
+    "q_lm_kn" -> (qLmKn _),
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),

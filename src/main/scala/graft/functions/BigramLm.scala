@@ -50,6 +50,91 @@ object BigramLm {
         F.round(F.col("ll").cast("double") / F.col("n_bigrams").cast("double"), 6)
           .as("lm2_score"))
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen–Goodman 1999 benchmark smoother, the published tier above
+    * [[scoreStupidBackoff]]): instead of a fixed backoff penalty, absolute
+    * discounting with the mass redistributed by CONTINUATION counts — how
+    * many distinct contexts a word follows, the "San Francisco" fix
+    * (|Francisco| is frequent but only ever follows |San|, so its unigram
+    * weight should be tiny).
+    *
+    * Model, all rational from integer count tables (one final ln — the
+    * same hash-exact discipline as the rest of the LM tier):
+    *   P(w|v) = max(c(vw) − D, 0)/c(v·) + (D·N1+(v·)/c(v·))·Pc(w)
+    *            when the context v was seen (c(v·) > 0);
+    *   P(w|v) = Pc(w) for an unseen/OOV context;
+    *   Pc(w)  = (N1+(·w) + 1) / (N1+(··) + V + 1)
+    * with c(v·) = Σ_w c(vw) (context totals), N1+(v·)/N1+(·w) the
+    * forward/backward distinct-neighbor counts, N1+(··) the distinct
+    * bigram count, and the add-one in Pc the row-152 OOV convention (an
+    * unseen word scores finite). D = 0.75 (the Chen–Goodman fixed
+    * discount; exactly representable, so every product is reproducible).
+    *
+    * Scale shape: FOUR vocabulary-sized count tables (bigram, context
+    * totals, fwd/bwd distinct-neighbor counts — the latter three all fold
+    * FROM the bigram table, ReuseExchange-shared, never re-scanning the
+    * corpus), ratios pre-joined where keyed alike; the corpus-sized score
+    * stream pays three keyed joins (bg, prev-token, word) + a one-row
+    * totals broadcast. Per-doc mean ln P over bigram positions,
+    * DECIMAL(38,18) sums, round 6.
+    *
+    * Output: (idCol, n_bigrams, kn_score) per scored doc with >= 1
+    * bigram. */
+  def scoreKneserNey(train: DataFrame, docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount in (0, 1), got $discount")
+    import graft.functions.expressions.ShingleExpr
+    def grams(df: DataFrame, n: Int) = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(df(textCol)), n))
+    val uni = graft.Spread(train)
+      .select(F.explode(grams(train, 1)).as("tok"))
+      .groupBy(F.col("tok")).agg(F.count(F.lit(1)).as("c1"))
+    val bgCounts = graft.Spread(train)
+      .select(F.explode(grams(train, 2)).as("bg"))
+      .groupBy(F.col("bg")).agg(F.count(F.lit(1)).as("c2"))
+      .select(F.col("bg"), F.col("c2"),
+        F.split(F.col("bg"), " ").getItem(0).as("v"),
+        F.split(F.col("bg"), " ").getItem(1).as("w"))
+    // the three derived tables fold from the SAME bigram aggregate —
+    // vocabulary-sized, no extra corpus scan
+    val ctx = bgCounts.groupBy(F.col("v"))
+      .agg(F.sum(F.col("c2")).as("cv"), F.count(F.lit(1)).as("n1f"))
+    val bwd = bgCounts.groupBy(F.col("w"))
+      .agg(F.count(F.lit(1)).as("n1b"))
+    val totals = bgCounts.agg(F.count(F.lit(1)).as("n_bg"))
+      .crossJoin(F.broadcast(uni.agg(F.count(F.lit(1)).as("v_size"))))
+    val occ = graft.Spread(docs)
+      .select(docs(idCol), F.explode(grams(docs, 2)).as("bg"))
+      .select(F.col(idCol), F.col("bg"),
+        F.split(F.col("bg"), " ").getItem(0).as("v"),
+        F.split(F.col("bg"), " ").getItem(1).as("w"))
+      .repartition(F.col("bg"))
+    // identical IEEE op order to the oracle: Pc from longs, then the
+    // discounted interpolation, both sides double division
+    val pc = (F.coalesce(F.col("n1b"), F.lit(0L)).cast("double") + F.lit(1.0)) /
+      (F.col("n_bg").cast("double") + F.col("v_size").cast("double") + F.lit(1.0))
+    val cvD = F.col("cv").cast("double")
+    val seenCtx =
+      F.greatest(F.coalesce(F.col("c2"), F.lit(0L)).cast("double") - F.lit(discount),
+        F.lit(0.0)) / cvD +
+      (F.lit(discount) * F.col("n1f").cast("double") / cvD) * pc
+    occ
+      .join(bgCounts.select(F.col("bg"), F.col("c2")).hint("shuffle_hash"),
+        Seq("bg"), "left")
+      .join(ctx, Seq("v"), "left")
+      .join(bwd, Seq("w"), "left")
+      .crossJoin(F.broadcast(totals))
+      .select(F.col(idCol),
+        F.log(F.when(F.col("cv").isNotNull, seenCtx).otherwise(pc))
+          .cast("decimal(38,18)").as("term"))
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_bigrams"), F.sum(F.col("term")).as("ll"))
+      .select(F.col(idCol), F.col("n_bigrams"),
+        F.round(F.col("ll").cast("double") / F.col("n_bigrams").cast("double"), 6)
+          .as("kn_score"))
+  }
+
   /** The per-bigram-position scored stream both consumers fold from:
     * (idCol, carry..., ln_s, ln_u) — `ln_s` the stupid-backoff log score,
     * `ln_u` the add-one unigram log prob of the SAME position's word

@@ -728,6 +728,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       s"got ${out(100L)._2}, expected $expected")
   }
 
+  test("BigramLm.scoreKneserNey: hand-computed discount/continuation/OOV terms") {
+    import spark.implicits._
+    import graft.functions.BigramLm
+    // train bigrams: "a b":2, "b a":1, "a c":1, "b d":1 → n_bg=4, V=4;
+    // ctx a: cv=3, n1f=2; ctx b: cv=2, n1f=2; every seen word has n1b=1
+    // → Pc(seen)=2/9, Pc(OOV)=1/9
+    val train = Seq((1L, "a b a c"), (2L, "a b d")).toDF("doc_id", "text")
+    val docs = Seq((100L, "a b x c"), (101L, "z")).toDF("doc_id", "text")
+    val out = BigramLm.scoreKneserNey(train, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(100L), s"1-token doc must be absent: $out")
+    // "a b": max(2-.75,0)/3 + (.75·2/3)·(2/9) = 19/36 (discounted + interp)
+    // "b x": 0/2 + (.75·2/2)·(1/9) = 1/12 (unseen bigram, seen context)
+    // "x c": Pc(c) = 2/9 (unseen context backs off to continuation)
+    val expected = (math.log(19.0 / 36.0) + math.log(1.0 / 12.0) +
+      math.log(2.0 / 9.0)) / 3.0
+    assert(out(100L)._1 == 3L)
+    assert(math.abs(out(100L)._2 - expected) < 1e-6,
+      s"got ${out(100L)._2}, expected $expected")
+  }
+
   test("Doremi.domainWeights: clipped excess tilts weights toward the learnable domain") {
     import spark.implicits._
     import graft.functions.Doremi

@@ -38,7 +38,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_heavy_hitters_grouped", "q_layout_prune", "q_bpe_fertility",
             "q_dedup_substring", "q_dedup_components_incremental",
             "q_ann_ivf_requantized",
-            "q_lm_bigram", "q_mix_doremi", "q_dedup_soft", "q_spm_encode"]
+            "q_lm_bigram", "q_lm_kn", "q_mix_doremi", "q_dedup_soft",
+            "q_spm_encode"]
 
 
 def main():
