@@ -72,7 +72,10 @@ object Bench {
     "q_lm_bigram", "q_lm_kn", "q_mix_doremi", "q_dedup_soft",
     // unigram-LM tokenizer corpus encode (train included, the q_bpe_encode
     // shape) — rows-only wall, tracked so its perf cannot rot
-    "q_spm_encode")
+    "q_spm_encode",
+    // D4: SemDeDup + survivor-retrained prototypes pruning (two Lloyd
+    // trainings + the within-cell pairing — embedding-corpus-proportional)
+    "q_pipeline_d4")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

@@ -277,44 +277,50 @@ object OracleSql {
     * WITH. */
   private def kmeansCtes(cells: Int, sampleN: Int, iters: Int, dim: Int,
                          corpusSrc: String = "embeddings",
-                         sampleCte: Option[String] = None): String = {
+                         sampleCte: Option[String] = None,
+                         prefix: String = ""): String = {
+    // `prefix` namespaces every internal CTE so two independent Lloyd
+    // trainings can live in ONE query (the D4 pipeline: stage-2 retrains
+    // on stage-1's survivors). A caller-supplied sampleCte must define
+    // `${prefix}sample`.
+    val P = prefix
     val steps = (1 to iters).flatMap { it =>
-      val prev = if (it == 1) "cent0" else s"cent${it - 1}"
+      val prev = if (it == 1) s"${P}cent0" else s"${P}cent${it - 1}"
       Seq(
-        s"cn$it AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM $prev)",
-        s"""sc$it AS (
+        s"${P}cn$it AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM $prev)",
+        s"""${P}sc$it AS (
            |  SELECT s.vec_id, c.cid,
            |    list_sum(list_transform(list_zip(s.embedding, c.ce), p -> CAST(p[1] AS DOUBLE) * p[2])) * 2 - c.c2 AS sc
-           |  FROM sample s, cn$it c)""".stripMargin,
-        s"""a$it AS (
+           |  FROM ${P}sample s, ${P}cn$it c)""".stripMargin,
+        s"""${P}a$it AS (
            |  SELECT vec_id, cid AS cell FROM (
            |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
-           |    FROM sc$it) WHERE rn = 1)""".stripMargin,
-        s"""m$it AS (
+           |    FROM ${P}sc$it) WHERE rn = 1)""".stripMargin,
+        s"""${P}m$it AS (
            |  SELECT a.cell, d.d,
            |    list_sum(list(CAST(s.embedding[d.d] AS DOUBLE) ORDER BY s.vec_id)) / COUNT(*) AS mu
-           |  FROM a$it a JOIN sample s USING (vec_id),
+           |  FROM ${P}a$it a JOIN ${P}sample s USING (vec_id),
            |       (SELECT unnest(generate_series(1, $dim)) AS d) d
            |  GROUP BY a.cell, d.d)""".stripMargin,
-        s"""cent$it AS (
+        s"""${P}cent$it AS (
            |  SELECT c0.cid, COALESCE(m.ce, c0.ce) AS ce FROM $prev c0
-           |  LEFT JOIN (SELECT cell AS cid, list(mu ORDER BY d) AS ce FROM m$it GROUP BY cell) m USING (cid))""".stripMargin)
+           |  LEFT JOIN (SELECT cell AS cid, list(mu ORDER BY d) AS ce FROM ${P}m$it GROUP BY cell) m USING (cid))""".stripMargin)
     }
     val dotVC = "list_sum(list_transform(list_zip(e.embedding, c.ce), s -> CAST(s[1] AS DOUBLE) * s[2]))"
     (Seq(
       sampleCte.getOrElse(
-        s"sample AS (SELECT vec_id, embedding FROM $corpusSrc WHERE vec_id < $sampleN)"),
-      s"""cent0 AS (
+        s"${P}sample AS (SELECT vec_id, embedding FROM $corpusSrc WHERE vec_id < $sampleN)"),
+      s"""${P}cent0 AS (
          |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-         |  FROM sample WHERE vec_id < $cells)""".stripMargin) ++ steps ++ Seq(
-      s"centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM cent$iters)",
-      s"""scores AS (
+         |  FROM ${P}sample WHERE vec_id < $cells)""".stripMargin) ++ steps ++ Seq(
+      s"${P}centn AS (SELECT cid, ce, list_sum(list_transform(ce, x -> x * x)) AS c2 FROM ${P}cent$iters)",
+      s"""${P}scores AS (
          |  SELECT e.vec_id, c.cid, $dotVC * 2 - c.c2 AS sc
-         |  FROM $corpusSrc e, centn c)""".stripMargin,
-      s"""cells AS (
+         |  FROM $corpusSrc e, ${P}centn c)""".stripMargin,
+      s"""${P}cells AS (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
-         |    FROM scores) WHERE rn = 1)""".stripMargin)).mkString(",\n")
+         |    FROM ${P}scores) WHERE rn = 1)""".stripMargin)).mkString(",\n")
   }
 
   /** Per-language stopword-hit expression (mirrors TextFunctions.stopwordHits,
@@ -2164,6 +2170,56 @@ object OracleSql {
          |closers AS (SELECT id FROM creach GROUP BY id HAVING id <> MIN(lbl))
          |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell FROM cells c
          |WHERE c.vec_id NOT IN (SELECT id FROM closers)""".stripMargin,
+
+    // D4 pipeline: the SemDeDup closure (stage 1, default-prefix Lloyd
+    // CTEs) feeds a SECOND, p2-prefixed Lloyd training over the survivor
+    // set (md5-rank sample — survivor ids have holes), then the
+    // prototypes keep-hardest rank. Two independent trainings in one
+    // query via the kmeansCtes prefix.
+    "q_pipeline_d4" -> {
+      val p2sample =
+        """p2sample AS (
+          |  SELECT sid AS vec_id, embedding FROM (
+          |    SELECT embedding,
+          |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sid
+          |    FROM d4kept) WHERE sid < 512)""".stripMargin
+      s"""WITH RECURSIVE ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
+         |cpairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |cedges AS (
+         |  SELECT p.va, p.vb FROM cpairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.va
+         |  JOIN embeddings eb ON eb.vec_id = p.vb
+         |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4),
+         |csym AS (SELECT va AS src, vb AS dst FROM cedges
+         |         UNION ALL SELECT vb, va FROM cedges),
+         |creach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM csym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM csym s JOIN creach r ON r.id = s.dst),
+         |closers AS (SELECT id FROM creach GROUP BY id HAVING id <> MIN(lbl)),
+         |d4kept AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  JOIN cells c ON c.vec_id = e.vec_id
+         |  WHERE e.vec_id NOT IN (SELECT id FROM closers)),
+         |${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64,
+                       corpusSrc = "d4kept", sampleCte = Some(p2sample),
+                       prefix = "p2")},
+         |p2asg AS (
+         |  SELECT vec_id, cid AS cell, sc FROM (
+         |    SELECT vec_id, cid, sc,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM p2scores) WHERE rn = 1),
+         |p2rk AS (
+         |  SELECT vec_id, cell, sc,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sc ASC, vec_id ASC) AS krn,
+         |    COUNT(*) OVER (PARTITION BY cell) AS n_cluster
+         |  FROM p2asg)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id, sc AS proto_score,
+         |  CAST(n_cluster AS BIGINT) AS n_cluster
+         |FROM p2rk WHERE krn <= CAST(ceil(0.5 * n_cluster) AS BIGINT)""".stripMargin
+    },
 
     // Product quantization: per-subspace k-means (the IVF training CTEs on
     // SLICED embeddings), per-vector nearest-centroid codes, ADC first

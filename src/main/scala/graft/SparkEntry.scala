@@ -2395,6 +2395,21 @@ object SparkEntry {
   private def qPrunePrototypes(s: SparkSession, dir: String): DataFrame =
     Ann.prunePrototypes(T(s, dir, "embeddings"), keepFraction = 0.5)
 
+  /** D4 pipeline (Tirumala et al. 2023, "D4: Improving LLM Pretraining
+    * via Document De-Duplication and Diversification"): SemDeDup first
+    * ([[Dedup.semantic]] — drop near-duplicate embedding-cluster
+    * members), then SSL-prototypes pruning over the SURVIVORS
+    * ([[Ann.prunePrototypes]] retrained on the deduped corpus via the
+    * md5-uniform sample — survivor ids have holes, so the dense-id head
+    * rule cannot seed). Both stages' selections and scores are
+    * SQL-replicable, so the composed pipeline is hash-exact. */
+  private def qPipelineD4(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val surv = Dedup.semantic(emb)
+    val kept = emb.join(surv.select("vec_id"), Seq("vec_id"))
+    Ann.prunePrototypes(kept, keepFraction = 0.5, uniformSample = true)
+  }
+
   /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -2610,6 +2625,7 @@ object SparkEntry {
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dedup_soft" -> (qDedupSoft _),
+    "q_pipeline_d4" -> (qPipelineD4 _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

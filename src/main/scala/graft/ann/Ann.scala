@@ -339,11 +339,19 @@ object Ann {
                       embCol: String = "embedding", clusters: Int = 16,
                       keepFraction: Double = 0.5, hardest: Boolean = true,
                       native: Boolean = true, sampleN: Int = 512,
-                      iters: Int = 2): DataFrame = {
+                      iters: Int = 2,
+                      uniformSample: Boolean = false): DataFrame = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,
       s"keepFraction must be in (0, 1], got $keepFraction")
+    // uniformSample: the md5-rank training collect for ARBITRARY-id
+    // corpora (a dedup-survivor subset has holes, so the dense-id head
+    // rule can neither seed positionally nor even pass its own check) —
+    // the [[ivfReindex]] rule, same SQL-replicable contract.
+    val sample =
+      if (uniformSample) collectUniformSample(corpus, idCol, embCol, sampleN, clusters)
+      else collectDenseSample(corpus, idCol, embCol, sampleN, clusters)
     val centroids: Array[(Int, Seq[Double])] =
-      trainCentroids(corpus, idCol, embCol, clusters, sampleN, iters)
+      trainCentroidsFromSample(sample, clusters, iters)
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     val scores = centroidScores(centroids, F.col(embCol), native)
     val scored = graft.Spread(corpus)
@@ -541,6 +549,22 @@ object Ann {
                  embCol: String = "embedding", cells: Int = 16,
                  sampleN: Int = 512, iters: Int = 2,
                  native: Boolean = true): Unit = {
+    val sample = collectUniformSample(corpus, idCol, embCol, sampleN, cells)
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroidsFromSample(sample, cells, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    writeIndex(corpus, centroids, outPath, idCol, embCol, native)
+  }
+
+  /** [[ivfReindex]]'s md5-uniform bounded training collect, shared by
+    * every trainer that must sample an ARBITRARY-id corpus (reindex,
+    * survivor-subset pruning): bottom-`sampleN` rows by (md5(id), id) —
+    * uniform, deterministic, partition-layout-free, SQL-replicable as
+    * `ROW_NUMBER() OVER (ORDER BY md5(id), id)` — re-indexed positionally
+    * for seeding. */
+  private[ann] def collectUniformSample(corpus: DataFrame, idCol: String,
+                                        embCol: String, sampleN: Int,
+                                        cells: Int): Array[Array[Double]] = {
     val sampled = corpus
       .select(F.col(idCol).cast("long").as("_id"), F.col(embCol),
         F.md5(F.col(idCol).cast("string")).as("_h"))
@@ -549,12 +573,8 @@ object Ann {
       .collect()
       .sortBy(r => (r.getString(2), r.getLong(0)))
     require(sampled.length >= cells,
-      s"IVF reindex needs >= $cells sample vectors, got ${sampled.length}")
-    val sample: Array[Array[Double]] = sampled.map(r => rowToDoubles(r, 1))
-    val centroids: Array[(Int, Seq[Double])] =
-      trainCentroidsFromSample(sample, cells, iters)
-        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    writeIndex(corpus, centroids, outPath, idCol, embCol, native)
+      s"uniform-sample training needs >= $cells vectors, got ${sampled.length}")
+    sampled.map(r => rowToDoubles(r, 1))
   }
 
   /** REQUANTIZE a persisted index: retrain the coarse quantizer on the

@@ -442,6 +442,29 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("prunePrototypes uniformSample: arbitrary-id corpora train where the dense rule cannot") {
+    // survivor-style id set with holes and no 0..15 head: the dense-id
+    // rule must refuse (it would seed from ids that don't exist), the
+    // md5-uniform rule must train and keep ceil(0.5·n) per cluster
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter(F.col("vec_id") % 3 =!= 0)
+      .filter(F.col("vec_id") >= 20)
+    intercept[IllegalArgumentException] {
+      Ann.prunePrototypes(emb, clusters = 16, keepFraction = 0.5)
+    }
+    val kept = Ann.prunePrototypes(emb, clusters = 16, keepFraction = 0.5,
+      uniformSample = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val inputIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet.subsetOf(inputIds), "kept a non-survivor id")
+    kept.groupBy(_._2).foreach { case (cl, rows) =>
+      val n = rows.head._3
+      assert(rows.length == math.ceil(0.5 * n).toLong,
+        s"cluster $cl: ${rows.length} kept of $n")
+    }
+  }
+
   test("IVF trained centroids keep cells balanced (max <= 4x mean)") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cells = 16

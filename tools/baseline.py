@@ -39,7 +39,7 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_dedup_substring", "q_dedup_components_incremental",
             "q_ann_ivf_requantized",
             "q_lm_bigram", "q_lm_kn", "q_mix_doremi", "q_dedup_soft",
-            "q_spm_encode"]
+            "q_spm_encode", "q_pipeline_d4"]
 
 
 def main():
