@@ -1833,6 +1833,36 @@ object OracleSql {
         |  END AS epochs
         |FROM mw, mtot""".stripMargin,
 
+    // Data-constrained scaling plan: uniform split, repeat-decay
+    // effective tokens D' = U + U·R*·(1 − e^(−R/R*)) with R* = 15.4 —
+    // floor for the long alloc (both engines agree on floor; bare casts
+    // diverge), exp under the round-6 libm rule, identical IEEE order.
+    "q_mix_constrained" ->
+      """WITH mt AS (
+        |  SELECT source, CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS u_tokens
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT COUNT(*) AS n_sources FROM mt),
+        |al AS (
+        |  SELECT source, u_tokens,
+        |    CAST(floor(26000 / n_sources) AS BIGINT) AS alloc_tokens
+        |  FROM mt, k)
+        |SELECT source, u_tokens, alloc_tokens,
+        |  CASE WHEN u_tokens = 0 THEN 0.0
+        |       ELSE round(CAST(alloc_tokens AS DOUBLE) / CAST(u_tokens AS DOUBLE), 6) END AS epochs,
+        |  CASE WHEN u_tokens = 0 THEN 0.0
+        |       ELSE round(greatest(0.0, CAST(alloc_tokens AS DOUBLE) / CAST(u_tokens AS DOUBLE) - 1.0), 6) END AS repeats,
+        |  round(CASE WHEN u_tokens = 0 THEN 0.0
+        |       WHEN CAST(alloc_tokens AS DOUBLE) <= CAST(u_tokens AS DOUBLE) THEN CAST(alloc_tokens AS DOUBLE)
+        |       ELSE CAST(u_tokens AS DOUBLE) + CAST(u_tokens AS DOUBLE) * 15.4 *
+        |         (1.0 - exp((-(CAST(alloc_tokens AS DOUBLE) / CAST(u_tokens AS DOUBLE) - 1.0)) / 15.4)) END, 6) AS eff_tokens,
+        |  CASE WHEN alloc_tokens = 0 THEN 0.0
+        |       ELSE round(CASE WHEN u_tokens = 0 THEN 0.0
+        |         WHEN CAST(alloc_tokens AS DOUBLE) <= CAST(u_tokens AS DOUBLE) THEN CAST(alloc_tokens AS DOUBLE)
+        |         ELSE CAST(u_tokens AS DOUBLE) + CAST(u_tokens AS DOUBLE) * 15.4 *
+        |           (1.0 - exp((-(CAST(alloc_tokens AS DOUBLE) / CAST(u_tokens AS DOUBLE) - 1.0)) / 15.4)) END
+        |         / CAST(alloc_tokens AS DOUBLE), 6) END AS efficiency
+        |FROM al""".stripMargin,
+
     // UniMax water-filling: the capped set is decided in pure BIGINT
     // arithmetic (cap*(L-i+1) <= B - prefix), so it is exact on both
     // engines; the only double is the uncapped share division, mirrored

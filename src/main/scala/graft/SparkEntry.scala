@@ -1371,6 +1371,16 @@ object SparkEntry {
   private def qMixWeights(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.mixWeights(T(s, dir, "documents"))
 
+  /** Data-constrained scaling plan
+    * ([[graft.operators.Sampling.dataConstrainedPlan]]): per-source
+    * effective-token value of a uniform budget split under the published
+    * repeat-decay law — the 26k budget puts some sources under one epoch
+    * (full value) and the rest into repetition (decayed value), so both
+    * branches are oracle-checked. */
+  private def qMixConstrained(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.dataConstrainedPlan(
+      T(s, dir, "documents"), budgetTokens = 26000L)
+
   /** UniMax epoch-capped budget allocation
     * ([[graft.operators.Sampling.unimaxWeights]]) — water-filling in
     * exact long arithmetic, the cap-aware companion of q_mix_weights. */
@@ -2626,6 +2636,7 @@ object SparkEntry {
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dedup_soft" -> (qDedupSoft _),
     "q_pipeline_d4" -> (qPipelineD4 _),
+    "q_mix_constrained" -> (qMixConstrained _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

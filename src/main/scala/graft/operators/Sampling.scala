@@ -174,6 +174,60 @@ object Sampling {
           .as("epochs"))
   }
 
+  /** Data-constrained scaling plan (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): when the budget forces REPEATED
+    * epochs over a source, repeated tokens are worth less than fresh
+    * ones, decaying as the paper's fitted law — effective tokens
+    *   D' = U + U·R*·(1 − e^(−R/R*)),  R = D/U − 1  (repeats past the
+    * first epoch), R* = 15.4 (the paper's fitted half-value constant in
+    * repetition units). A source allocated under one epoch is worth
+    * exactly what it is allocated; ~4 epochs are nearly free (e^(−R/R*)
+    * ≈ 1 − R/R* for small R), and by tens of epochs the marginal value
+    * collapses — the published answer to "should I repeat my small
+    * high-quality source or add more crawl?".
+    *
+    * Allocation here is the UNIFORM per-source split (budget/k each, the
+    * UniMax-flavored baseline that makes small sources repeat), so the
+    * report directly compares what each source's repetition costs:
+    * (u_tokens, alloc_tokens, epochs, repeats, eff_tokens, efficiency =
+    * eff/alloc). The one corpus-sized pass is the [[mixWeights]]
+    * tokenize aggregation; everything after is sources-sized. The exp
+    * rides the shared-expression-text + round(·,6) rule (the pmi/hllEst
+    * precedent); every other double is one IEEE division from exact
+    * longs. */
+  def dataConstrainedPlan(docs: DataFrame, sourceCol: String = "source",
+                          textCol: String = "text",
+                          budgetTokens: Long = 4000000L,
+                          rStar: Double = 15.4): DataFrame = graft.CacheScope.scoped {
+    require(budgetTokens > 0L, s"budget must be positive, got $budgetTokens")
+    require(rStar > 0.0, s"rStar must be positive, got $rStar")
+    val t = graft.CacheScope.materialize(graft.Spread(docs)
+      .groupBy(F.col(sourceCol))
+      .agg(F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))).as("u_tokens")))
+    val k = t.agg(F.count(F.lit(1)).as("n_sources"))
+    val u = F.col("u_tokens").cast("double")
+    // floor, not a bare long cast: Spark's double->long cast truncates
+    // while DuckDB's CAST rounds — floor is the one op both agree on
+    val alloc = F.floor(F.lit(budgetTokens) / F.col("n_sources")).cast("long")
+    val allocD = F.col("alloc_tokens").cast("double")
+    val repeats = F.greatest(F.lit(0.0), allocD / u - F.lit(1.0))
+    val eff = F.when(F.col("u_tokens") === 0, F.lit(0.0))
+      .when(allocD <= u, allocD)
+      .otherwise(u + u * F.lit(rStar) *
+        (F.lit(1.0) - F.exp(-(allocD / u - F.lit(1.0)) / F.lit(rStar))))
+    t.crossJoin(F.broadcast(k))
+      .withColumn("alloc_tokens", alloc)
+      .select(
+        F.col(sourceCol), F.col("u_tokens"), F.col("alloc_tokens"),
+        F.when(F.col("u_tokens") === 0, F.lit(0.0))
+          .otherwise(F.round(allocD / u, 6)).as("epochs"),
+        F.when(F.col("u_tokens") === 0, F.lit(0.0))
+          .otherwise(F.round(repeats, 6)).as("repeats"),
+        F.round(eff, 6).as("eff_tokens"),
+        F.when(F.col("alloc_tokens") === 0, F.lit(0.0))
+          .otherwise(F.round(eff / allocD, 6)).as("efficiency"))
+  }
+
   /** UniMax budget allocation (Chung et al. 2023): distribute a token
     * budget across sources as UNIFORMLY as possible subject to a
     * per-source repetition cap — never take more than `maxEpochs` passes

@@ -429,6 +429,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dataConstrainedPlan: hand-computed repeat-decay effective tokens") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // source A: 2 tokens, source B: 10 tokens; budget 12 → alloc 6 each.
+    // A: epochs 3, R = 2, eff = 2 + 2·15.4·(1 − e^(−2/15.4));
+    // B: alloc 6 <= 10 → fresh data, eff = alloc, efficiency exactly 1.
+    val docs = Seq(
+      (1L, "A", "t1 t2"), (2L, "B", "w1 w2 w3 w4 w5"),
+      (3L, "B", "w6 w7 w8 w9 w10")).toDF("doc_id", "source", "text")
+    val out = Sampling.dataConstrainedPlan(docs, budgetTokens = 12L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out.keySet == Set("A", "B"))
+    assert(out("A")._1 == 2L && out("B")._1 == 10L)
+    assert(out("A")._2 == 6L && out("B")._2 == 6L)
+    assert(out("A")._3 == 3.0 && out("A")._4 == 2.0)
+    val effA = 2.0 + 2.0 * 15.4 * (1.0 - math.exp(-2.0 / 15.4))
+    assert(math.abs(out("A")._5 - effA) < 1e-5, s"eff(A): ${out("A")}")
+    // repetition must cost: effective < allocated, efficiency < 1
+    assert(out("A")._5 < 6.0 && out("A")._6 < 1.0)
+    // fresh data at full value
+    assert(out("B")._4 == 0.0 && out("B")._5 == 6.0 && out("B")._6 == 1.0)
+  }
+
   test("unimaxWeights: water-filling invariants on crafted and real sources") {
     import spark.implicits._
     import graft.operators.Sampling
