@@ -2511,6 +2511,23 @@ object SparkEntry {
       .toDF()
       .select(F.col("doc_id"), F.col("n_bytes"), F.col("width"), F.col("height"), F.col("feature"))
 
+  /** Perceptual-hash image near-dedup ([[Multimodal.imageNearDups]]):
+    * real PNG decode → 64-bit dHash → banded Hamming bucket join (the
+    * simhash machinery on the image modality). The gate unions the base
+    * corpus's images with a one-pixel-jittered copy of every fifth image
+    * (ids offset by 1e6) — planted near-duplicates a byte-level dedup
+    * cannot see; the detector must surface them at small Hamming
+    * distance. Rows-only (PNG bytes are not SQL-replicable); semantics
+    * spec-pinned on crafted images. */
+  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val base = Multimodal.attachPngMedia(docs, noisy = true)
+    val near = Multimodal.attachPngMedia(
+      docs.filter(F.col("doc_id") % 5 === 0), idOffset = 1000000L, jitter = 64,
+      noisy = true)
+    Multimodal.imageNearDups(base.unionByName(near), maxHamming = 4)
+  }
+
   /** End-to-end LLM-data cleaning pipeline in one dataflow: exact-dedup
     * survivors → quality gate → language ID → per-language corpus stats.
     * The composition every operator above exists to serve. */
@@ -2684,6 +2701,7 @@ object SparkEntry {
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute" -> (qAnnBrute _),

@@ -1221,14 +1221,6 @@ object Dedup {
     * `bands` independent buckets keyed by different hash slices. */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         maxHamming: Int = 3, bands: Int = 4): DataFrame = graft.CacheScope.scoped {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
-    val width = 64 / bands
-    val mask = (1L << width) - 1L
-    val slices = F.array((0 until bands).map { b =>
-      F.struct(
-        F.lit(b).as("band"),
-        F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(mask).as("bsig"))
-    }: _*)
     // Cache the UNEXPLODED (id, simhash) table: the not-null filter and
     // the band explode then read a stored column — with the filter below
     // the cache, Catalyst pushes it past the repartition and re-evaluates
@@ -1241,15 +1233,38 @@ object Dedup {
     val shTable = materialize(
       graft.Spread(docs)
         .select(F.col(idCol), sh.as("simhash")))
-    val banded = shTable
-      .filter(F.col("simhash").isNotNull)
-      .select(F.col(idCol), F.col("simhash"), F.explode(slices).as("bs"))
-      .select(F.col(idCol), F.col("simhash"),
+    hashBandCandidates(shTable, idCol, "simhash", maxHamming, bands)
+  }
+
+  /** Banded Hamming-candidate pairs over ANY (id, 64-bit hash) table —
+    * the generic tail [[simhashCandidates]] (text) and the multimodal
+    * perceptual-hash dedup (images) share: split the hash into `bands`
+    * equal slices, bucket-join on (band, slice) — by pigeonhole every
+    * pair within Hamming `bands − 1` collides in at least one band — and
+    * verify with one exact `bit_count(xor)`. Never all-pairs; bucket
+    * sizes bounded by true-near-duplicate cluster sizes. Recall is
+    * GUARANTEED (pigeonhole) only for `maxHamming < bands`; a larger
+    * threshold still filters exactly but may miss pairs whose differing
+    * bits spread across every band (the spec pins both regimes). */
+  def hashBandCandidates(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int, bands: Int): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val slices = F.array((0 until bands).map { b =>
+      F.struct(
+        F.lit(b).as("band"),
+        F.shiftrightunsigned(F.col(hashCol), b * width).bitwiseAND(mask).as("bsig"))
+    }: _*)
+    val banded = hashes
+      .filter(F.col(hashCol).isNotNull)
+      .select(F.col(idCol), F.col(hashCol), F.explode(slices).as("bs"))
+      .select(F.col(idCol), F.col(hashCol),
         F.col("bs.band").as("band"), F.col("bs.bsig").as("bsig"))
     val a = banded.select(F.col("band"), F.col("bsig"),
-      F.col(idCol).as("doc_a"), F.col("simhash").as("sh_a"))
+      F.col(idCol).as("doc_a"), F.col(hashCol).as("sh_a"))
     val b = banded.select(F.col("band"), F.col("bsig"),
-      F.col(idCol).as("doc_b"), F.col("simhash").as("sh_b"))
+      F.col(idCol).as("doc_b"), F.col(hashCol).as("sh_b"))
     a.join(b, Seq("band", "bsig"))
       .filter(F.col("doc_a") < F.col("doc_b"))
       // a pair can collide in several bands — dedup before the hamming test

@@ -87,7 +87,9 @@ object Multimodal {
     * Scale shape: pure mapPartitions over the scan — no shuffle, no
     * driver involvement; the codec work distributes like any decode. */
   def attachPngMedia(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     idOffset: Long = 0L, jitter: Int = 0,
+                     noisy: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       // NULL id/text would throw in the non-nullable tuple deserializer
@@ -108,7 +110,27 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val v = ((id * 31 + x * 7 + y * 13 + len) & 0xFF).toInt
+              // `jitter` perturbs ONLY the top-left pixel: the emitted id
+              // is offset but the PIXELS are those of the base image plus
+              // one localized change — a planted near-duplicate for the
+              // perceptual-hash gate (a real pipeline's re-encoded or
+              // lightly-edited copy). `noisy` swaps the smooth gradient
+              // for a per-pixel integer mix: gradient images all share a
+              // near-constant dHash (every x-step adds 7), so the
+              // perceptual-hash gate needs images whose hashes SEPARATE —
+              // like real photos do — for planted pairs to stand out.
+              val j = if (jitter != 0 && x == 0 && y == 0) jitter else 0
+              val v =
+                if (noisy) {
+                  // joint murmur-style finalizer: an XOR-of-per-coordinate
+                  // mixes decomposes (v = K ^ X(x) ^ Y(y)), making images
+                  // that share one key byte hash-identical — multiply-mix
+                  // the combined coordinate instead
+                  var m = id * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+                    y * 0x165667B19E3779F9L + len * 0x27D4EB2F165667C5L
+                  m ^= m >>> 33; m *= 0xFF51AFD7ED558CCDL; m ^= m >>> 33
+                  ((m & 0xFF).toInt + j) & 0xFF
+                } else ((id * 31 + x * 7 + y * 13 + len + j) & 0xFF).toInt
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
               x += 1
             }
@@ -116,10 +138,82 @@ object Multimodal {
           }
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
-          MediaRecord(id, bos.toByteArray, "image/png", w, h)
+          MediaRecord(id + idOffset, bos.toByteArray, "image/png", w, h)
         }
       }.toDF()
   }
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint: Krawetz's gradient hash, the pHash-family member real
+    * image-dedup pipelines run first): decode, sample to a 9×8 grayscale
+    * grid with integer nearest-neighbor arithmetic (deterministic across
+    * JVMs — no AWT filtering in the hash path), emit one bit per
+    * horizontal gradient (left < right). Near-identical images — crops
+    * aside — differ in a few bits; Hamming distance ranks the match.
+    * Undecodable payloads drop (the package contract).
+    *
+    * Scale shape: pure mapPartitions over the media scan — the decode
+    * distributes like any codec pass, no shuffle, no driver state. */
+  def dHash(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(F.col("media").isNotNull)
+      .select(F.col("doc_id").cast("long"), F.col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIoDecoder.init()
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1) Iterator.empty
+          else {
+            val gw = 9; val gh = 8
+            val g = new Array[Int](gw * gh)
+            var y = 0
+            while (y < gh) {
+              var x = 0
+              while (x < gw) {
+                val sx = x * img.getWidth / gw
+                val sy = y * img.getHeight / gh
+                val rgb = img.getRGB(sx, sy)
+                val r = (rgb >> 16) & 0xFF; val gr = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+                g(y * gw + x) = (r * 299 + gr * 587 + b * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var bit = 0
+            y = 0
+            while (y < gh) {
+              var x = 0
+              while (x < 8) {
+                if (g(y * gw + x) < g(y * gw + x + 1)) hash |= (1L << bit)
+                bit += 1
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single((id, hash))
+          }
+        }
+      }
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: [[dHash]] each image,
+    * then the banded Hamming bucket join
+    * ([[graft.dedup.Dedup.hashBandCandidates]] — the simhash machinery on
+    * a different modality; by pigeonhole, `bands` = 8 catches every pair
+    * within Hamming 7, verified exactly with one bit_count(xor)). The
+    * image-dedup step multimodal training corpora run after exact byte
+    * dedup: re-encoded, resized, or lightly-edited copies share a dhash
+    * within a few bits while byte hashes differ. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 6,
+                    bands: Int = 8): DataFrame =
+    graft.dedup.Dedup.hashBandCandidates(
+      dHash(media), "doc_id", "dhash", maxHamming, bands)
 
   /** Resize stub: deterministic payload transform + metadata update — the
     * plumbing of an image resize without the codec (truncate/pad bytes to

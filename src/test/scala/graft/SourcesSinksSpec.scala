@@ -229,6 +229,47 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(tf.map(_.doc_id).toSeq == Seq(11L)) // corrupt dropped, good kept
   }
 
+  test("dHash/imageNearDups: exact copies at Hamming 0, edits nearby, unrelated apart") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    def noisePng(seed: Int, w: Int = 16, h: Int = 12, edit: Boolean = false): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = r.nextInt(256)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (edit) img.setRGB(0, 0, 0xffffff) // one-pixel edit
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, noisePng(100)), (2L, noisePng(100)),          // exact copies
+      (3L, noisePng(200)), (4L, noisePng(200, edit = true)), // near pair
+      (5L, noisePng(300)), (6L, noisePng(400))           // unrelated
+    ).toDF("doc_id", "media")
+    // dHash is deterministic and byte-stable
+    val h1 = Multimodal.dHash(media).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.dHash(media).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2, "dHash not deterministic")
+    assert(h1(1L) == h1(2L), "exact copies must hash identically")
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)), s"exact pair missed: $pairs")
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0)
+    assert(pairSet.contains((3L, 4L)), s"edited near-pair missed: $pairs")
+    assert(!pairSet.exists(p => Set(5L, 6L).contains(p._1) && Set(5L, 6L).contains(p._2)),
+      s"unrelated images paired: $pairs")
+    // undecodable payloads drop rather than failing the job
+    val dirty = Seq((9L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "media")
+    assert(Multimodal.dHash(dirty).count() == 0L)
+  }
+
   test("attachPngMedia encodes real PNGs that the real decoder round-trips (gate-query path)") {
     import graft.multimodal.{ImageIoDecoder, Multimodal}
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
