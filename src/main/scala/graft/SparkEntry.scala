@@ -1590,6 +1590,40 @@ object SparkEntry {
     * identically in both engines; the attachMedia pattern, since the
     * synthetic corpus is pure ASCII) and composed back to canonical form;
     * character counts before/after prove composition happened. */
+  /** Mojibake repair gate ([[graft.functions.TextFunctions
+    * .repairMojibake]]): every doc gets a non-ASCII suffix, then a third
+    * of the corpus is single-mojibaked and a third double-mojibaked
+    * (deterministic cp1252 misdecodes of the real UTF-8 bytes — what
+    * broken extractors actually emit); the fixer must restore EVERY row
+    * to the original (`repaired_ok` all-true is the self-checking
+    * content) while leaving the clean third untouched. Rows-only (DuckDB
+    * has no cp1252 codec); the repair∘corrupt identity and the
+    * no-false-positive rule are additionally spec-pinned. */
+  private def qFixMojibake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents")
+      .select(F.col("doc_id").cast("long"), F.col("text")).as[(Long, String)]
+    val planted = docs.map { case (id, t) =>
+      val orig = (if (t == null) "" else t) + " café — naïve œuvre"
+      val depth = (id % 3).toInt
+      var c = orig
+      var i = 0
+      while (i < depth) {
+        // sloppy decode — what a lenient broken extractor emits (Java's
+        // strict cp1252 decoder would destroy the 5 undefined bytes)
+        c = graft.functions.expressions.MojibakeRepairExpr.sloppyCp1252Decode(
+          c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+      (id, depth, orig, c)
+    }.toDF("doc_id", "depth", "orig", "corrupted")
+    planted.select(
+      F.col("doc_id"), F.col("depth"),
+      (F.col("corrupted") =!= F.col("orig")).as("was_mojibake"),
+      (graft.functions.TextFunctions.repairMojibake(F.col("corrupted")) ===
+        F.col("orig")).as("repaired_ok"))
+  }
+
   private def qNormalizeUnicode(s: SparkSession, dir: String): DataFrame = {
     val dirty = F.concat(F.col("text"),
       F.lit(" Cafe\u0301 nai\u0308ve A\u030Angstro\u0308m"))
@@ -2702,6 +2736,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_multimodal_phash" -> (qMultimodalPhash _),
+    "q_fix_mojibake" -> (qFixMojibake _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute" -> (qAnnBrute _),

@@ -184,6 +184,16 @@ object TextFunctions {
       graft.functions.expressions.NfcNormalizeExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** ftfy-style mojibake repair ([[graft.functions.expressions
+    * .MojibakeRepairExpr]]): fix UTF-8 text that an upstream system
+    * decoded as cp1252 ("cafÃ©" → "café"), up to two layers deep; text
+    * that is not mojibake by the strict-decode rule passes through
+    * unchanged. Run BEFORE [[nfcNormalize]] in extraction order. */
+  def repairMojibake(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.MojibakeRepairExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** URL canonicalization — the key-normalization step URL-level crawl
     * dedup needs before any exact grouping: lowercase scheme + host
     * (path/query case is significant, so left alone), strip the scheme's

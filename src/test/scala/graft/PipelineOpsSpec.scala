@@ -252,6 +252,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(keys(0) == keys(1), "visually-identical text still hashes apart after NFC")
   }
 
+  test("repairMojibake: repair∘corrupt = identity at depths 1-2, no false positives") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // the sloppy decode IS what a lenient broken extractor emits; Java's
+    // strict cp1252 decoder would lose the five undefined bytes to U+FFFD
+    def corrupt(s: String): String =
+      graft.functions.expressions.MojibakeRepairExpr.sloppyCp1252Decode(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // randomized identity property over mixed-script strings
+    val rnd = new scala.util.Random(11)
+    val pool = "aé€ü“ş试ёñ—œŸ " // ASCII, latin-1, cp1252 specials, CJK, control
+    val originals = (1 to 40).map(_ =>
+      (1 to 1 + rnd.nextInt(12)).map(_ => pool(rnd.nextInt(pool.length))).mkString)
+    val cases =
+      originals.map(o => (o, corrupt(o))) ++          // depth 1
+      originals.map(o => (o, corrupt(corrupt(o)))) ++ // depth 2
+      Seq(
+        ("São Paulo é ótimo", "São Paulo é ótimo"),   // legit accents: untouched
+        ("plain ascii", "plain ascii"),
+        ("", ""))
+    val out = cases.toDF("orig", "c")
+      .select(F.col("orig"), TextFunctions.repairMojibake(F.col("c")).as("r"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (o, r) =>
+      assert(r == o, s"repair failed: orig=${o.map(_.toInt)} got=${r.map(_.toInt)}")
+    }
+    // the canonical example, end to end
+    val one = Seq(Tuple1("cafÃ©")).toDF("c")
+      .select(TextFunctions.repairMojibake(F.col("c"))).head().getString(0)
+    assert(one == "café", s"got $one")
+  }
+
   test("contamination flags planted n-gram overlap and nothing else") {
     import spark.implicits._
     import graft.dedup.Dedup
