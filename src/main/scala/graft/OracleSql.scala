@@ -60,6 +60,71 @@ object OracleSql {
        |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.95, "n_sample")}] AS p95_est
        |FROM qg""".stripMargin
 
+  /** Variable-length exact substring dedup (Lee et al. 2022) — the shared
+    * skeleton; only the dup CTE differs: remove-all (every occurrence of
+    * a repeated gram) vs keep-first (the corpus-wide (doc_id, pos)-first
+    * occurrence survives, the published removal rule). */
+  private def substrDedupSql(keepFirst: Boolean): String = {
+    val dupCte =
+      if (keepFirst)
+        """dup AS (
+          |  SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY md5(s)) AS occ,
+          |      ROW_NUMBER() OVER (PARTITION BY md5(s) ORDER BY doc_id ASC, pos ASC) AS rk
+          |    FROM sh)
+          |  WHERE occ >= 2 AND rk > 1)""".stripMargin
+      else
+        """dup AS (
+          |  SELECT doc_id, pos FROM (
+          |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY md5(s)) AS occ FROM sh)
+          |  WHERE occ >= 2)""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['s'] AS s FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i - 1, 's': list_aggregate(w[i:i+29], 'string_agg', ' ')}
+       |              for i in generate_series(1, len(w) - 29)]) AS u
+       |    FROM tok WHERE len(w) >= 30)),
+       |$dupCte,
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |           OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM dup),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, island, MIN(pos) AS sp, MAX(pos) + 30 AS ep
+       |  FROM isl2 GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans, SUM(ep - sp) AS n_rem
+       |  FROM spans GROUP BY 1),
+       |rem AS (
+       |  SELECT doc_id, unnest(generate_series(sp, ep - 1)) AS idx FROM spans),
+       |toki AS (
+       |  SELECT doc_id, u['idx'] AS idx, u['t'] AS t FROM (
+       |    SELECT doc_id, unnest([{'idx': i - 1, 't': w[i]} for i in generate_series(1, len(w))]) AS u
+       |    FROM tok)),
+       |kept AS (
+       |  SELECT toki.doc_id, idx, t FROM toki
+       |  WHERE NOT EXISTS (SELECT 1 FROM rem
+       |                    WHERE rem.doc_id = toki.doc_id AND rem.idx = toki.idx)),
+       |agg AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS clean_text
+       |  FROM kept GROUP BY 1)
+       |SELECT tok.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(n_rem, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(clean_text, '') AS clean_text
+       |FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** The priority-sample oracle, shared verbatim by q_sample_priority
     * (batch) and q_stream_sample_priority (the fMGWS-maintained top-(k+1)
     * candidate set): streamed sample ≡ batch sample because top-m under a
@@ -1331,56 +1396,16 @@ object OracleSql {
     // hash-exact including any 128-bit collision), starts merge into
     // maximal regions via the lag-gap island rule, removal indices
     // explode from disjoint islands, rebuild as in q_trim_spans.
-    "q_dedup_substring" ->
-      """WITH tok AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, u['pos'] AS pos, u['s'] AS s FROM (
-        |    SELECT doc_id,
-        |      unnest([{'pos': i - 1, 's': list_aggregate(w[i:i+29], 'string_agg', ' ')}
-        |              for i in generate_series(1, len(w) - 29)]) AS u
-        |    FROM tok WHERE len(w) >= 30)),
-        |dup AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY md5(s)) AS occ FROM sh)
-        |  WHERE occ >= 2),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |           OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM dup),
-        |isl2 AS (
-        |  SELECT doc_id, pos,
-        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM isl),
-        |spans AS (
-        |  SELECT doc_id, island, MIN(pos) AS sp, MAX(pos) + 30 AS ep
-        |  FROM isl2 GROUP BY 1, 2),
-        |stats AS (
-        |  SELECT doc_id, COUNT(*) AS n_spans, SUM(ep - sp) AS n_rem
-        |  FROM spans GROUP BY 1),
-        |rem AS (
-        |  SELECT doc_id, unnest(generate_series(sp, ep - 1)) AS idx FROM spans),
-        |toki AS (
-        |  SELECT doc_id, u['idx'] AS idx, u['t'] AS t FROM (
-        |    SELECT doc_id, unnest([{'idx': i - 1, 't': w[i]} for i in generate_series(1, len(w))]) AS u
-        |    FROM tok)),
-        |kept AS (
-        |  SELECT toki.doc_id, idx, t FROM toki
-        |  WHERE NOT EXISTS (SELECT 1 FROM rem
-        |                    WHERE rem.doc_id = toki.doc_id AND rem.idx = toki.idx)),
-        |agg AS (
-        |  SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS clean_text
-        |  FROM kept GROUP BY 1)
-        |SELECT tok.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        |  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
-        |  CAST(COALESCE(n_rem, 0) AS BIGINT) AS n_removed,
-        |  COALESCE(clean_text, '') AS clean_text
-        |FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_dedup_substring" -> substrDedupSql(keepFirst = false),
 
+    // keep-first (the Lee et al. published removal rule): the corpus-wide
+    // first occurrence of each repeated gram survives; only the dup CTE's
+    // rank filter differs from the remove-all variant.
+    "q_dedup_substring_keepfirst" -> substrDedupSql(keepFirst = true),
+
+    // keep-first (the Lee et al. published removal rule): the corpus-wide
+    // first occurrence of each repeated gram survives; only the dup CTE's
+    // rank filter differs from the remove-all variant.
     "q_trim_spans" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w

@@ -1819,6 +1819,13 @@ object SparkEntry {
   private def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupSubstrings(T(s, dir, "documents"), minLen = 30)
 
+  /** The published keep-first removal rule (Lee et al. 2022: of each
+    * repeated substring, the corpus-wide first occurrence SURVIVES and
+    * later copies are removed) — [[qDedupSubstring]]'s remove-all is the
+    * stricter scrub variant; this is the fidelity variant. */
+  private def qDedupSubstringKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(T(s, dir, "documents"), minLen = 30, keepFirst = true)
+
   /** Stupid-backoff bigram LM scoring
     * ([[graft.functions.BigramLm.scoreStupidBackoff]], Brants et al.
     * 2007): counts train on six sevenths of the corpus, the held-out
@@ -2684,6 +2691,7 @@ object SparkEntry {
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_trim_spans" -> (qTrimSpans _),
     "q_dedup_substring" -> (qDedupSubstring _),
+    "q_dedup_substring_keepfirst" -> (qDedupSubstringKeepFirst _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dedup_soft" -> (qDedupSoft _),
     "q_pipeline_d4" -> (qPipelineD4 _),

@@ -833,7 +833,8 @@ object Dedup {
     * Reference: published ExactSubstr practice; the reference engine has
     * no equivalent (beyond-reference, LLM-pack). */
   def dedupSubstrings(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text", minLen: Int = 50): DataFrame = {
+                      textCol: String = "text", minLen: Int = 50,
+                      keepFirst: Boolean = false): DataFrame = {
     require(minLen >= 2, s"need minLen >= 2, got $minLen")
     val base = graft.Spread(docs).select(
       F.col(idCol), F.col(textCol),
@@ -847,9 +848,22 @@ object Dedup {
         ShingleExpr(ColumnBridge.expression(F.col(textCol)), minLen))))
       .toDF(idCol, "pos", "gram")
       .select(F.col(idCol), F.col("pos"), F.md5(F.col("gram")).as("h"))
-    val dupStarts = starts
-      .withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
-      .filter(F.col("occ") >= 2)
+    // keepFirst = the Lee et al. 2022 published removal rule: of each
+    // repeated substring, the corpus-wide FIRST occurrence (ordered
+    // (idCol, pos) ascending — deterministic, partitioning-free, the
+    // dedupLines keep-first convention) survives and every later copy is
+    // removed; the default removes ALL occurrences (the stricter
+    // boilerplate-scrub variant). Same single h-keyed exchange — the
+    // rank rides the window the occurrence count already pays for.
+    val wH = Window.partitionBy("h")
+    val marked = starts
+      .withColumn("occ", F.count(F.lit(1)).over(wH))
+    val dupStarts = (
+      if (keepFirst)
+        marked.withColumn("rk", F.row_number().over(
+            wH.orderBy(F.col(idCol).asc, F.col("pos").asc)))
+          .filter(F.col("occ") >= 2 && F.col("rk") > 1)
+      else marked.filter(F.col("occ") >= 2))
       .select(F.col(idCol), F.col("pos"))
     // maximal duplicated regions: fixed-length [pos, pos+L) intervals in
     // pos order merge iff they overlap or touch — break on a true gap

@@ -900,6 +900,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       "fixed-k at k=8 must remove the short repeat (the policy difference)")
   }
 
+  test("dedupSubstrings keepFirst: first occurrence survives, later copies removed") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val long24 = (1 to 24).map(i => s"boiler$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha one two $long24 tail1 tail2"), // FIRST occurrence
+      (2L, s"$long24 beta three four"),           // later copy
+      (5L, s"third copy here $long24 omega")      // another later copy
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(corpus, minLen = 20, keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getString(4)))).toMap
+    // doc 1 holds the corpus-wide first occurrence: NOTHING removed
+    assert(out(1L) == ((29L, 0L, s"alpha one two $long24 tail1 tail2")),
+      s"first occurrence must survive intact: $out")
+    // every later copy loses exactly the repeated region
+    assert(out(2L) == ((27L, 24L, "beta three four")), s"$out")
+    assert(out(5L) == ((28L, 24L, "third copy here omega")), s"$out")
+    // remove-all contrast: the default strips doc 1's copy too
+    val all = Dedup.dedupSubstrings(corpus, minLen = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(all(1L) == 24L, "remove-all must strip the first occurrence as well")
+  }
+
   test("dedupSubstrings: within-doc overlapping repeat, doc shorter than L, empty text") {
     import spark.implicits._
     import graft.dedup.Dedup
