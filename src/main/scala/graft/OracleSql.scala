@@ -2226,6 +2226,21 @@ object OracleSql {
          |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell FROM cells c
          |WHERE c.vec_id NOT IN (SELECT id FROM closers)""".stripMargin,
 
+    // In-context pretraining order: the shared Lloyd cells, then a global
+    // (cell ASC, affinity DESC, id ASC) dense rank — mirrors the
+    // distributed range-partition index bit-for-bit (total order, no
+    // score ties unassigned).
+    "q_order_incontext" ->
+      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
+         |asg AS (
+         |  SELECT vec_id, cid AS cell, sc FROM (
+         |    SELECT vec_id, cid, sc,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM scores) WHERE rn = 1)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id, sc AS affinity,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY cell ASC, sc DESC, vec_id ASC) - 1 AS BIGINT) AS train_pos
+         |FROM asg""".stripMargin,
+
     // D4 pipeline: the SemDeDup closure (stage 1, default-prefix Lloyd
     // CTEs) feeds a SECOND, p2-prefixed Lloyd training over the survivor
     // set (md5-rank sample — survivor ids have holes), then the

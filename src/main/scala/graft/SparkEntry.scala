@@ -2461,6 +2461,15 @@ object SparkEntry {
     Ann.prunePrototypes(kept, keepFraction = 0.5, uniformSample = true)
   }
 
+  /** In-context pretraining order ([[Ann.orderInContext]]): cluster the
+    * embedding corpus and rank most-central-first within cells → a dense
+    * 0..N-1 training order where related documents are adjacent (the
+    * published cluster-then-chain approximation); the global rank is the
+    * distributed range-partition index, never a single-partition
+    * window. */
+  private def qOrderIncontext(s: SparkSession, dir: String): DataFrame =
+    Ann.orderInContext(T(s, dir, "embeddings"))
+
   /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -2696,6 +2705,7 @@ object SparkEntry {
     "q_dedup_soft" -> (qDedupSoft _),
     "q_pipeline_d4" -> (qPipelineD4 _),
     "q_mix_constrained" -> (qMixConstrained _),
+    "q_order_incontext" -> (qOrderIncontext _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

@@ -370,6 +370,43 @@ object Ann {
       .select(F.col(idCol), F.col("cluster_id"), F.col("proto_score"), F.col("n_cluster"))
   }
 
+  /** In-context pretraining document ORDER (Shi et al. 2023, "In-Context
+    * Pretraining: Language Modeling Beyond Document Boundaries"): related
+    * documents should be ADJACENT in the training stream so each context
+    * window spans coherent content instead of random concatenation. The
+    * paper's greedy kNN path is inherently sequential; the scalable
+    * approximation — cluster, then order within clusters — is what this
+    * computes: deterministic Lloyd cells group related docs, within each
+    * cell docs run most-central-first (centroid affinity DESC — the
+    * cluster's topic core leads, its periphery trails into the next
+    * cell), and the global position is the distributed range-partition
+    * rank ([[graft.operators.GlobalIndex.appendIndex]] — NO
+    * single-partition global window at corpus size).
+    *
+    * Output: (idCol, cluster_id, affinity, train_pos) with train_pos a
+    * dense 0..N-1 total order (ties broken by id — partitioning-free).
+    * Feed train_pos to the packing/sharding tier (rows 63/64/107) as the
+    * read order. */
+  def orderInContext(corpus: DataFrame, idCol: String = "vec_id",
+                     embCol: String = "embedding", clusters: Int = 16,
+                     native: Boolean = true, sampleN: Int = 512,
+                     iters: Int = 2): DataFrame = {
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, idCol, embCol, clusters, sampleN, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val scores = centroidScores(centroids, F.col(embCol), native)
+    val scored = graft.Spread(corpus)
+      .select(F.col(idCol), scores.as("_scs"))
+      .select(F.col(idCol),
+        (F.array_position(F.col("_scs"), F.array_max(F.col("_scs"))) - 1L)
+          .cast("int").as("cluster_id"),
+        F.array_max(F.col("_scs")).as("affinity"))
+    graft.operators.GlobalIndex.appendIndex(
+      scored,
+      Seq(F.col("cluster_id").asc, F.col("affinity").desc, F.col(idCol).asc),
+      "train_pos")
+  }
+
   // top-`probes` cell ids per query: sort (score, idx) pairs descending.
   // The idx is NEGATED inside the sort struct so the reversed ascending
   // sort yields (score DESC, idx ASC) — the same lowest-id tie-break as

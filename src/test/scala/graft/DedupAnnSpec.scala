@@ -465,6 +465,31 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("orderInContext: dense total order, clusters contiguous, most-central first") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val out = Ann.orderInContext(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val n = emb.count()
+    // dense 0..N-1 with no gaps or duplicates
+    assert(out.map(_._4).sorted.toSeq == (0L until n).toSeq, "train_pos not dense")
+    // same-cluster docs occupy a CONTIGUOUS position range (the whole
+    // point: a context window reads related docs)
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      val ps = rows.map(_._4)
+      assert(ps.max - ps.min + 1 == rows.length,
+        s"cluster $cl not contiguous in the training order")
+    }
+    // within a cluster: affinity non-increasing along the order
+    out.groupBy(_._2).foreach { case (cl, rows) =>
+      val byPos = rows.sortBy(_._4).map(_._3)
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a >= b },
+        s"cluster $cl not most-central-first")
+    }
+    // assignment agrees with clusterKmeans (shared centroid machinery)
+    val km = Ann.clusterKmeans(emb).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, cl, _, _) => assert(km(id) == cl) }
+  }
+
   test("IVF trained centroids keep cells balanced (max <= 4x mean)") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val cells = 16
