@@ -1754,6 +1754,37 @@ object OracleSql {
         |FROM sh s JOIN df USING (shingle)
         |GROUP BY 1""".stripMargin,
 
+    // Duplication-aware sampling: the soft-dedup weights consumed by the
+    // priority sampler — mass = soft_weight x chars, then the standard
+    // u = (U56+1)/2^56 priority, rank <= 100, tau at 101.
+    "q_sample_soft" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([list_aggregate(w[i:i+4], 'string_agg', ' ') for i in generate_series(1, len(w)-4)]) AS shingle
+        |  FROM tok WHERE len(w) >= 5),
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+        |sw AS (
+        |  SELECT s.doc_id,
+        |    ROUND(1.0 / (1.0 + 1.0 * (CAST(SUM(df.df - 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))), 6) AS soft_weight
+        |  FROM sh s JOIN df USING (shingle) GROUP BY 1),
+        |mass AS (
+        |  SELECT sw.doc_id, sw.soft_weight * CAST(d.n_chars AS DOUBLE) AS m
+        |  FROM sw JOIN documents d USING (doc_id)),
+        |p AS (
+        |  SELECT doc_id, m AS weight,
+        |    m / (CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 14))::UBIGINT::BIGINT + 1 AS DOUBLE)
+        |        / 72057594037927936.0) AS priority
+        |  FROM mass),
+        |r AS (SELECT doc_id, weight, priority,
+        |    ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rn FROM p),
+        |tau AS (SELECT MAX(CASE WHEN rn = 101 THEN priority END) AS t FROM r)
+        |SELECT doc_id, weight, priority,
+        |  greatest(weight, COALESCE(t, 0.0)) AS weight_est
+        |FROM r, tau WHERE rn <= 100""".stripMargin,
+
     // Paragraph-level cross-doc duplication: non-overlapping 10-token
     // blocks; a block is "dup" when it occurs in >= 2 DISTINCT documents.
     // Counts are per block OCCURRENCE (a doc's repeated shared block

@@ -1878,6 +1878,21 @@ object SparkEntry {
   private def qDedupSoft(s: SparkSession, dir: String): DataFrame =
     Dedup.softDedupWeights(T(s, dir, "documents"), shingleN = 5, alpha = 1.0)
 
+  /** Duplication-aware sampling — the SoftDeDup weights CONSUMED (the
+    * paper's training-time use): each doc's sampling mass =
+    * soft_weight × chars, fed to the row-140 priority sampler, so a
+    * D-copy family competes for slots with ~one doc's total mass instead
+    * of D. Composition is fully SQL-expressible → hash-exact, estimator
+    * doubles included. */
+  private def qSampleSoft(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val mass = Dedup.softDedupWeights(docs, shingleN = 5, alpha = 1.0)
+      .join(docs.select(F.col("doc_id"), F.col("n_chars")), Seq("doc_id"))
+      .select(F.col("doc_id"),
+        (F.col("soft_weight") * F.col("n_chars").cast("double")).as("mass"))
+    graft.operators.Sampling.prioritySample(mass, "doc_id", F.col("mass"), k = 100)
+  }
+
   /** Paragraph-level cross-document duplication
     * ([[Dedup.dupParagraphFraction]]) — shared-boilerplate fraction per
     * document at the granularity between doc-level exact dedup and
@@ -2703,6 +2718,7 @@ object SparkEntry {
     "q_dedup_substring_keepfirst" -> (qDedupSubstringKeepFirst _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_dedup_soft" -> (qDedupSoft _),
+    "q_sample_soft" -> (qSampleSoft _),
     "q_pipeline_d4" -> (qPipelineD4 _),
     "q_mix_constrained" -> (qMixConstrained _),
     "q_order_incontext" -> (qOrderIncontext _),

@@ -69,6 +69,30 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(w == Seq(0.5, 0.5))
   }
 
+  test("soft weights compose with the priority sampler: family mass splits") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // verbatim pair (soft_weight 0.5 each) + a unique doc (weight 1.0),
+    // equal lengths; with k >= n everything survives and weight_est =
+    // weight, so the sampler's mass column IS soft_weight x chars
+    val docs = Seq(
+      (10L, "z y x w v u t"), (11L, "z y x w v u t"),
+      (20L, "a b c d e f g")).toDF("doc_id", "text")
+    val chars = docs.select(F.col("doc_id"),
+      F.length(F.col("text")).cast("long").as("n_chars"))
+    val mass = graft.dedup.Dedup.softDedupWeights(docs, shingleN = 5)
+      .join(chars, Seq("doc_id"))
+      .select(F.col("doc_id"),
+        (F.col("soft_weight") * F.col("n_chars").cast("double")).as("mass"))
+    val out = Sampling.prioritySample(mass, "doc_id", F.col("mass"), k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10L, 11L, 20L))
+    // the family's TOTAL mass equals the unique doc's (13 chars each)
+    assert(out(10L)._1 == 6.5 && out(11L)._1 == 6.5 && out(20L)._1 == 13.0, s"$out")
+    // n <= k: estimator exact (weight_est = weight)
+    out.values.foreach { case (w, est) => assert(w == est) }
+  }
+
   test("UnigramLm.score: hand-computed mean log-prob, empty docs absent") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "   ")).toDF("doc_id", "text")
