@@ -2257,6 +2257,29 @@ object OracleSql {
          |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell FROM cells c
          |WHERE c.vec_id NOT IN (SELECT id FROM closers)""".stripMargin,
 
+    // Scalar int8 quantization: per-dim min/max + floor((v-mn)/(mx-mn)*255
+    // + 0.5) coding (floor, not round — half-even vs half-up diverges
+    // across engines), max reconstruction error per vector.
+    "q_ann_sq8" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |st AS (
+        |  SELECT d.d, MIN(CAST(e.embedding[d.d] AS DOUBLE)) AS mn,
+        |    MAX(CAST(e.embedding[d.d] AS DOUBLE)) AS mx
+        |  FROM embeddings e, dims d GROUP BY d.d),
+        |sa AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM st),
+        |q AS (
+        |  SELECT e.vec_id, e.embedding, sa.mns, sa.mxs,
+        |    [CASE WHEN sa.mxs[i] = sa.mns[i] THEN 0
+        |          ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - sa.mns[i])
+        |            / (sa.mxs[i] - sa.mns[i]) * 255.0 + 0.5) AS INTEGER) END
+        |     for i in generate_series(1, len(e.embedding))] AS sq8_codes
+        |  FROM embeddings e, sa)
+        |SELECT vec_id, sq8_codes,
+        |  ROUND(list_max([abs((mns[i] + CAST(sq8_codes[i] AS DOUBLE) / 255.0
+        |      * (mxs[i] - mns[i])) - CAST(embedding[i] AS DOUBLE))
+        |    for i in generate_series(1, len(embedding))]), 6) AS max_abs_err
+        |FROM q""".stripMargin,
+
     // In-context pretraining order: the shared Lloyd cells, then a global
     // (cell ASC, affinity DESC, id ASC) dense rank — mirrors the
     // distributed range-partition index bit-for-bit (total order, no

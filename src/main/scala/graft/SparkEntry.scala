@@ -2485,6 +2485,13 @@ object SparkEntry {
   private def qOrderIncontext(s: SparkSession, dir: String): DataFrame =
     Ann.orderInContext(T(s, dir, "embeddings"))
 
+  /** Scalar int8 embedding quantization ([[Ann.sq8Quantize]]): per-dim
+    * corpus min/max stats + floor-based coding (engine-agnostic rounding)
+    * with the per-vector reconstruction-error report. The 4x storage
+    * tier between raw float32 and PQ's 16x. */
+  private def qAnnSq8(s: SparkSession, dir: String): DataFrame =
+    Ann.sq8Quantize(T(s, dir, "embeddings"))
+
   /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -2722,6 +2729,7 @@ object SparkEntry {
     "q_pipeline_d4" -> (qPipelineD4 _),
     "q_mix_constrained" -> (qMixConstrained _),
     "q_order_incontext" -> (qOrderIncontext _),
+    "q_ann_sq8" -> (qAnnSq8 _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

@@ -370,6 +370,60 @@ object Ann {
       .select(F.col(idCol), F.col("cluster_id"), F.col("proto_score"), F.col("n_cluster"))
   }
 
+  /** Scalar int8 quantization of the embedding corpus (the FAISS SQ8
+    * storage tier — 4× smaller vectors than float32, the standard
+    * at-rest format when PQ's (row 56) lossier 16× is too aggressive):
+    * per-DIMENSION corpus min/max (trained statistics — one 64-key
+    * aggregation, never a collect), then each value maps to
+    * floor((v−mn)/(mx−mn)·255 + 0.5) ∈ [0, 255]. `floor(x + 0.5)` and
+    * not a round(): IEEE round-half-even vs half-up diverges across
+    * engines on exact .5 boundaries, floor agrees everywhere — the
+    * dataConstrainedPlan cast lesson. A constant dimension (mx = mn)
+    * codes to 0 and reconstructs exactly.
+    *
+    * Scale shape: the stats are a 64-row one-exchange aggregation folded
+    * to one broadcast row (arrays indexed by dim); coding is a
+    * zero-shuffle scan of nested zip_withs. Output: (idCol, sq8_codes,
+    * max_abs_err) — the per-vector reconstruction-error report a storage
+    * migration is judged by. */
+  def sq8Quantize(corpus: DataFrame, idCol: String = "vec_id",
+                  embCol: String = "embedding"): DataFrame = {
+    val stats = graft.Spread(corpus)
+      .select(F.posexplode(F.col(embCol)))
+      .toDF("d", "v")
+      .groupBy(F.col("d"))
+      .agg(F.min(F.col("v").cast("double")).as("mn"),
+        F.max(F.col("v").cast("double")).as("mx"))
+    val statRow = stats.agg(
+      F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("mn")))),
+        s => s.getField("mn")).as("mns"),
+      F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("mx")))),
+        s => s.getField("mx")).as("mxs"))
+    val vm = F.zip_with(F.col(embCol), F.col("mns"),
+      (v, mn) => F.struct(v.cast("double").as("v"), mn.as("mn")))
+    val codes = F.zip_with(vm, F.col("mxs"), (s, mx) =>
+      F.when(mx === s.getField("mn"), F.lit(0L))
+        .otherwise(F.floor((s.getField("v") - s.getField("mn")) /
+          (mx - s.getField("mn")) * F.lit(255.0) + F.lit(0.5)))
+        .cast("int"))
+    val errs = F.zip_with(
+      F.zip_with(F.col(embCol), F.col("mns"),
+        (v, mn) => F.struct(v.cast("double").as("v"), mn.as("mn"))),
+      F.zip_with(F.col("sq8_codes"), F.col("mxs"),
+        (c, mx) => F.struct(c.as("c"), mx.as("mx"))),
+      (a, b) => F.abs(
+        (a.getField("mn") + b.getField("c").cast("double") / F.lit(255.0) *
+          (b.getField("mx") - a.getField("mn"))) - a.getField("v")))
+    graft.Spread(corpus)
+      .crossJoin(F.broadcast(statRow))
+      .select(F.col(idCol), F.col(embCol), F.col("mns"), F.col("mxs"),
+        codes.as("sq8_codes"))
+      .select(F.col(idCol), F.col("sq8_codes"),
+        F.round(F.array_max(errs), 6).as("max_abs_err"))
+  }
+
   /** In-context pretraining document ORDER (Shi et al. 2023, "In-Context
     * Pretraining: Language Modeling Beyond Document Boundaries"): related
     * documents should be ADJACENT in the training stream so each context

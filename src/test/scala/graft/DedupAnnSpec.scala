@@ -489,6 +489,35 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sq8Quantize: codes in range, error within half a step, constant dims exact") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0.0f, 10.0f, 5.0f)),
+      (2L, Array(1.0f, 10.0f, -5.0f)),
+      (3L, Array(0.5f, 10.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Ann.sq8Quantize(emb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    assert(out.length == 3)
+    out.foreach { case (_, codes, err) =>
+      assert(codes.length == 3)
+      assert(codes.forall(c => c >= 0 && c <= 255), s"code out of range: $codes")
+      // dim ranges: (0..1), constant, (-5..5): worst half-step = 10/255/2
+      // (+1e-6: the reported error is rounded to 6 dp, which can tip just
+      // past the exact bound)
+      assert(err <= 10.0 / 255.0 / 2.0 + 1e-6, s"error too large: $err")
+    }
+    // constant dimension codes to 0 everywhere and reconstructs exactly
+    assert(out.forall(_._2(1) == 0))
+    // endpoints code to the extremes
+    val byId = out.map(t => t._1 -> t._2).toMap
+    assert(byId(1L)(0) == 0 && byId(2L)(0) == 255)
+    assert(byId(2L)(2) == 0 && byId(1L)(2) == 255)
+    // deterministic
+    val again = Ann.sq8Quantize(emb).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("orderInContext: dense total order, clusters contiguous, most-central first") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val out = Ann.orderInContext(emb).collect()
