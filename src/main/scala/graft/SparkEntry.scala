@@ -1994,6 +1994,17 @@ object SparkEntry {
     graft.functions.Bpe.fertilityReport(docs, merges)
   }
 
+  /** Unigram-tokenizer fertility report ([[graft.functions.Spm
+    * .fertilityReport]]) — the row-146 table for the SECOND tokenizer
+    * family, on the shared arithmetic, so a vocabulary decision can read
+    * BPE vs unigram like for like. Rows-only by the tokenizer
+    * contract. */
+  private def qSpmFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = graft.functions.Spm.train(docs, vocabSize = 400)
+    graft.functions.Spm.fertilityReport(docs, model)
+  }
+
   /** Classifier CALIBRATION ([[graft.functions.Classifier.trainScore]]
     * output bucketed into score deciles): per decile, count, observed
     * positive rate, and decimal-exact mean predicted score — the
@@ -2745,6 +2756,7 @@ object SparkEntry {
     "q_bpe_train" -> (qBpeTrain _),
     "q_spm_train" -> (qSpmTrain _),
     "q_spm_encode" -> (qSpmEncode _),
+    "q_spm_fertility" -> (qSpmFertility _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_fertility" -> (qBpeFertility _),
     "q_langid_eval" -> (qLangIdEval _),

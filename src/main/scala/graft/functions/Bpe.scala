@@ -655,8 +655,19 @@ object Bpe {
     * pins this arithmetic on a hand-computable corpus). */
   def fertilityReport(docs: DataFrame, merges: Seq[(String, String)],
                       groupCol: String = "lang", idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val perDoc = encode(docs, merges, idCol, textCol)
+                      textCol: String = "text"): DataFrame =
+    fertilityFromEncode(docs, encode(docs, merges, idCol, textCol),
+      groupCol, idCol, textCol)
+
+  /** The tokenizer-agnostic fertility tail: any (idCol, ..., token) encode
+    * stream folds to the same per-group fertility / compression table —
+    * shared by the BPE (row 146) and unigram-LM ([[Spm.fertilityReport]])
+    * reports so the two tokenizer families are compared on IDENTICAL
+    * arithmetic. */
+  private[functions] def fertilityFromEncode(docs: DataFrame, encoded: DataFrame,
+                                             groupCol: String, idCol: String,
+                                             textCol: String): DataFrame = {
+    val perDoc = encoded
       .groupBy(F.col(idCol))
       .agg(F.count(F.lit(1)).as("_n_tok"))
     val meta = docs.select(F.col(idCol), F.col(groupCol),

@@ -290,6 +290,16 @@ object Spm {
     if (model.isEmpty) math.log(1e-9)
     else model.iterator.map(_._2).min - math.log(10.0)
 
+  /** Per-group fertility / compression for the unigram tokenizer — the
+    * row-146 report on [[Bpe.fertilityFromEncode]]'s shared arithmetic,
+    * so BPE and unigram vocabularies are compared like for like (the
+    * decision the two trainers exist to inform). */
+  def fertilityReport(docs: DataFrame, model: Model,
+                      groupCol: String = "lang", idCol: String = "doc_id",
+                      textCol: String = "text", maxPieceLen: Int = 6): DataFrame =
+    Bpe.fertilityFromEncode(docs, encode(docs, model, idCol, textCol, maxPieceLen),
+      groupCol, idCol, textCol)
+
   /** Zero-shuffle corpus encode with the broadcast model ([[Bpe.encode]]'s
     * shape: per-partition word memo, (idCol, word, pos, token) rows). */
   def encode(docs: DataFrame, model: Model, idCol: String = "doc_id",

@@ -127,6 +127,22 @@ class SpmSpec extends AnyFunSuite with SparkFixture {
     assert(out.exists(t => t._2 == "zq"), "unknown word missing from encode")
   }
 
+  test("fertilityReport: hand-computable per-group metrics on a fixed model") {
+    import spark.implicits._
+    val model: Spm.Model = Seq(
+      ("ab", math.log(0.5)), ("a", math.log(0.25)), ("b", math.log(0.25)))
+    val docs = Seq(
+      (1L, "en", "ab ab"),   // 2 words -> 2 tokens ("ab"), 5 chars
+      (2L, "en", "aab"),     // 1 word  -> 2 tokens ("a","ab"), 3 chars
+      (3L, "fr", "b")        // 1 word  -> 1 token, 1 char
+    ).toDF("doc_id", "lang", "text")
+    val out = Spm.fertilityReport(docs, model).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("en") == ((3L, 4L, 8L, 1.333333, 2.0)), s"$out")
+    assert(out("fr") == ((1L, 1L, 1L, 1.0, 1.0)), s"$out")
+  }
+
   test("training is deterministic: same histogram, same model") {
     val hist = Seq(("spark", 7L), ("sparse", 3L), ("park", 5L))
     val a = Spm.trainFromHistogram(hist, vocabSize = 12, emIters = 2)
