@@ -7,12 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Sub-linearity assertion over the measured THREE-point scale
   * trajectory (round 9; VERDICT r8 task #7; re-measured each round the
-  * plans change — last in round 16 after rows 139–146 entered the
-  * headline (CM heavy hitters, priority sampling, blocklist, PMI,
-  * prototypes pruning) and the BPE encode went rank-indexed;
+  * plans change — last in round 17 after rows 152–167 entered the
+  * headline (the LM tier, DoReMi, soft dedup, SPM encode, D4,
+  * keep-first substring dedup) and the incremental probe went one-action;
   * regenerate with tools/trajectory.py). No sf1 dataset exists in this
   * container, so the scale claim is pinned on the two 10x steps that do:
-  * docs/scale_trajectory_r16.json holds the full headline suite measured
+  * docs/scale_trajectory_r17.json holds the full headline suite measured
   * at sf0.001, sf0.01 AND sf0.1 with the same code, box, and methodology
   * for both engines (Spark best-of-N cold-cache after JIT warmup; DuckDB
   * best-of-3). Two independent decades make the fit a trajectory, not a
@@ -31,7 +31,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r16.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r17.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
