@@ -65,7 +65,13 @@ object ClusterSmoke {
     // encode all cross executor JVM boundaries here
     "q_heavy_hitters", "q_url_blocklist", "q_sample_priority", "q_pmi",
     // the threshold MAP literal is its own serialization surface
-    "q_heavy_hitters_grouped")
+    "q_heavy_hitters_grouped",
+    // r17: the KN count-table joins, the soft-dedup shingle-df window,
+    // the SPM model-in-closure Viterbi encode, the MojibakeRepairExpr
+    // kernel, and the SQ8 broadcast stats row all cross executor JVM
+    // boundaries here
+    "q_lm_kn", "q_dedup_soft", "q_spm_encode", "q_fix_mojibake",
+    "q_ann_sq8")
 
   /** Canonical result hash: columns sorted by name, every value rendered
     * deterministically (binary → hex — Array.toString would be an object
