@@ -2611,6 +2611,21 @@ object SparkEntry {
     Multimodal.imageNearDups(base.unionByName(near), maxHamming = 4)
   }
 
+  /** Audio-fingerprint near-dedup ([[Multimodal.audioNearDups]]): real
+    * WAV decode → 64-bit energy-envelope fingerprint → the SAME banded
+    * Hamming machinery as [[qMultimodalPhash]], on the audio modality.
+    * Gate plants one-window-edited copies of every 5th clip (ids offset
+    * by 1e6); rows-only (WAV bytes not SQL-replicable), semantics
+    * spec-pinned on crafted clips. */
+  private def qMultimodalAfp(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val base = Multimodal.attachWavMedia(docs)
+    val near = Multimodal.attachWavMedia(
+      docs.filter(F.col("doc_id") % 5 === 0), idOffset = 1000000L,
+      jitterWindow = 7)
+    Multimodal.audioNearDups(base.unionByName(near), maxHamming = 4)
+  }
+
   /** End-to-end LLM-data cleaning pipeline in one dataflow: exact-dedup
     * survivors → quality gate → language ID → per-language corpus stats.
     * The composition every operator above exists to serve. */
@@ -2790,6 +2805,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_multimodal_phash" -> (qMultimodalPhash _),
+    "q_multimodal_afp" -> (qMultimodalAfp _),
     "q_fix_mojibake" -> (qFixMojibake _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),

@@ -202,6 +202,112 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
+  /** Attach REAL WAV payloads (the [[attachPngMedia]] counterpart for the
+    * audio modality): each doc renders to ~0.2 s of 16-bit mono PCM — a
+    * sine carrier whose per-window amplitude ENVELOPE is a deterministic
+    * per-doc integer mix (a pure tone's flat envelope would carry no
+    * fingerprint signal), written through the JDK's actual WAV encoder.
+    * `jitterWindow >= 0` perturbs ONE envelope window (a lightly-edited
+    * copy — the planted near-duplicate for the fingerprint gate);
+    * `idOffset` offsets the emitted ids. */
+  def attachWavMedia(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     idOffset: Long = 0L, jitterWindow: Int = -1): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rate = 8000f
+    val nWin = 65
+    val perWin = 24 // samples per envelope window (~0.195 s total)
+    docs
+      .filter(F.col(idCol).isNotNull && F.col(textCol).isNotNull)
+      .select(F.col(idCol).cast("long"), F.length(F.col(textCol)).cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, len0) =>
+          val len = math.max(len0, 0)
+          val n = nWin * perWin
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val w = i / perWin
+            var m = id * 0x9E3779B97F4A7C15L + w * 0xC2B2AE3D27D4EB4FL +
+              len * 0x165667B19E3779F9L
+            m ^= m >>> 33; m *= 0xFF51AFD7ED558CCDL; m ^= m >>> 33
+            // envelope in [0.1, 0.85], one perturbed window for the copy
+            var env = 0.1 + (m & 0xFF).toInt / 340.0
+            if (w == jitterWindow) env = math.min(0.9, env + 0.08)
+            val hz = 200.0 + (id % 40) * 20.0
+            val s = (env * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt.toShort
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          MediaRecord(id + idOffset, out.toByteArray, "audio/wav", 0, 0)
+        }
+      }.toDF()
+  }
+
+  /** 64-bit energy-difference audio fingerprint — the Haitsma–Kalker
+    * fingerprint shape reduced to the time-energy envelope (the
+    * band-split FFT stage needs codec/DSP libs this container lacks; the
+    * gradient-bit construction, the part that makes it a robust HASH, is
+    * faithful): decode real PCM through the JDK reader, split the
+    * normalized sample stream into 65 equal windows, mean |amplitude|
+    * per window, one bit per adjacent-window energy gradient. Loudness
+    * scaling shifts all windows together so bits survive; localized
+    * edits flip only nearby bits — Hamming distance ranks the match.
+    * Payloads that fail to decode, carry an unsupported encoding, or are
+    * shorter than 65 windows drop (the package contract). */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val nWin = 65
+    media
+      .filter(F.col("media").isNotNull)
+      .select(F.col("doc_id").cast("long"), F.col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          WavDecoder.normalizedSamples(bytes) match {
+            case Some(v) if v.length >= nWin =>
+              val e = new Array[Double](nWin)
+              var w = 0
+              while (w < nWin) {
+                val s = w * v.length / nWin
+                val t = (w + 1) * v.length / nWin
+                var acc = 0.0
+                var i = s
+                while (i < t) { acc += math.abs(v(i)); i += 1 }
+                e(w) = if (t > s) acc / (t - s) else 0.0
+                w += 1
+              }
+              var hash = 0L
+              var b = 0
+              while (b < 64) {
+                if (e(b) < e(b + 1)) hash |= (1L << b)
+                b += 1
+              }
+              Iterator.single((id, hash))
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs by energy fingerprint — the image
+    * [[imageNearDups]] machinery on the audio modality (the SAME shared
+    * banded Hamming bucket join): re-encoded or lightly-edited copies
+    * share a fingerprint within a few bits while byte hashes differ. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 6,
+                    bands: Int = 8): DataFrame =
+    graft.dedup.Dedup.hashBandCandidates(
+      audioFingerprint(media), "doc_id", "afp", maxHamming, bands)
+
   /** Image near-duplicate pairs by perceptual hash: [[dHash]] each image,
     * then the banded Hamming bucket join
     * ([[graft.dedup.Dedup.hashBandCandidates]] — the simhash machinery on

@@ -58,6 +58,36 @@ class WavDecoder extends MediaDecoder {
 
 object WavDecoder {
 
+  /** Decode a WAV/AIFF/AU payload to the normalized [-1, 1] sample stream
+    * (interleaved channels) — the [[graft.multimodal.Multimodal
+    * .audioFingerprint]] input. None for undecodable payloads or
+    * unsupported encodings (the same support matrix as [[rms]]). */
+  private[multimodal] def normalizedSamples(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        if (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16) {
+          val n = pcm.length / 2
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val b0 = pcm(2 * i) & 0xff
+            val b1 = pcm(2 * i + 1) & 0xff
+            val s = (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+            out(i) = s / 32768.0
+            i += 1
+          }
+          Some(out)
+        } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8) {
+          Some(pcm.map(b => ((b & 0xff) - 128) / 128.0))
+        } else None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** RMS of the PCM sample stream normalized to [-1, 1]. Supports the two
     * encodings the JDK WAV reader actually emits: 16-bit signed and
     * 8-bit unsigned PCM (any channel count — RMS over the interleaved

@@ -270,6 +270,55 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.dHash(dirty).count() == 0L)
   }
 
+  test("audioFingerprint/audioNearDups: copies, edits, loudness invariance, drops") {
+    import java.io.ByteArrayOutputStream
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // amplitude-modulated clip: per-window envelope from a seeded RNG
+    // (a pure tone's flat envelope carries no gradient signal)
+    def clip(seed: Int, scale: Double = 1.0, editWindow: Int = -1): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val nWin = 65; val perWin = 24; val n = nWin * perWin
+      val env = Array.fill(nWin)(0.1 + rnd.nextDouble() * 0.7)
+      if (editWindow >= 0) env(editWindow) = math.min(0.9, env(editWindow) + 0.1)
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = scale * env(i / perWin) * math.sin(2 * math.Pi * 300 * i / 8000.0)
+        val s = (v * 32767).toInt.toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, clip(100)), (2L, clip(100)),                 // exact copies
+      (3L, clip(200)), (4L, clip(200, editWindow = 10)), // one-window edit
+      (5L, clip(200, scale = 0.5)),                     // loudness-scaled copy
+      (6L, clip(300)), (7L, clip(400)),                 // unrelated
+      (9L, "definitely not audio".getBytes("UTF-8"))    // undecodable
+    ).toDF("doc_id", "media")
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fp.contains(9L), "undecodable payload must drop")
+    assert(fp(1L) == fp(2L), "exact copies must fingerprint identically")
+    // loudness invariance: scaling every sample scales every window
+    // energy together — the gradient bits are unchanged
+    assert(fp(5L) == fp(3L), "loudness-scaled copy must fingerprint identically")
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact pair missed: $pairs")
+    assert(pairs.contains((3L, 4L)), s"edited near-pair missed: $pairs")
+    assert(pairs.contains((3L, 5L)), s"scaled copy must pair with its original: $pairs")
+    assert(!pairs.exists(p => Set(6L, 7L).contains(p._1) && Set(6L, 7L).contains(p._2)),
+      s"unrelated clips paired: $pairs")
+  }
+
   test("attachPngMedia encodes real PNGs that the real decoder round-trips (gate-query path)") {
     import graft.multimodal.{ImageIoDecoder, Multimodal}
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
