@@ -1735,6 +1735,22 @@ object OracleSql {
         |FROM sh s JOIN df USING (shingle)
         |GROUP BY 1""".stripMargin,
 
+    // LSH S-curve planner: divisor splits of the 128-hash budget, curve
+    // threshold (1/b)^(1/r) and collision prob 1-(1-s^r)^b at the grid —
+    // pows under the round-6 libm rule.
+    "q_lsh_plan" ->
+      """WITH sp AS (
+        |  SELECT b, 128 // b AS r FROM (SELECT unnest(generate_series(1, 128)) AS b)
+        |  WHERE 128 % b = 0)
+        |SELECT b, r,
+        |  round(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)), 6) AS s_threshold,
+        |  round(1.0 - pow(1.0 - pow(0.3, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p30,
+        |  round(1.0 - pow(1.0 - pow(0.5, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p50,
+        |  round(1.0 - pow(1.0 - pow(0.7, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p70,
+        |  round(1.0 - pow(1.0 - pow(0.8, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p80,
+        |  round(1.0 - pow(1.0 - pow(0.9, CAST(r AS DOUBLE)), CAST(b AS DOUBLE)), 6) AS p90
+        |FROM sp""".stripMargin,
+
     // Soft deduplication: mean excess shingle document-frequency and the
     // 1/(1 + mean_excess) sampling weight — two IEEE divisions and one
     // multiply-add from exact integer counts, bit-identical in any engine.

@@ -1869,6 +1869,13 @@ object SparkEntry {
   private def qDupNgrams(s: SparkSession, dir: String): DataFrame =
     Dedup.dupNgramFraction(T(s, dir, "documents"), shingleN = 5)
 
+  /** LSH (b, r) S-curve planner ([[Dedup.lshPlan]]): the tuning table a
+    * MinHash banding config is read off of — per divisor split of a
+    * 128-hash budget, the curve threshold and collision probabilities at
+    * a similarity grid. */
+  private def qLshPlan(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlan(s, totalHashes = 128)
+
   /** Soft deduplication ([[Dedup.softDedupWeights]]) — reweight instead
     * of remove: per-doc mean excess shingle document-frequency and the
     * `1/(1 + mean_excess)` sampling weight (a unique doc keeps weight 1;
@@ -2750,6 +2757,7 @@ object SparkEntry {
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_substring_keepfirst" -> (qDedupSubstringKeepFirst _),
     "q_dup_ngrams" -> (qDupNgrams _),
+    "q_lsh_plan" -> (qLshPlan _),
     "q_dedup_soft" -> (qDedupSoft _),
     "q_sample_soft" -> (qSampleSoft _),
     "q_pipeline_d4" -> (qPipelineD4 _),

@@ -1250,6 +1250,34 @@ object Dedup {
     hashBandCandidates(shTable, idCol, "simhash", maxHamming, bands)
   }
 
+  /** MinHash-LSH parameter planner — the standard S-curve table (Leskovec/
+    * Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3) a banding
+    * config is read off of: for every (bands b, rows r) split of the
+    * signature budget, the candidate probability at similarity s is
+    * 1 − (1 − s^r)^b, the curve's threshold ≈ (1/b)^(1/r). Emits one row
+    * per divisor split with the threshold and the collision probability
+    * at a fixed similarity grid — pick the split whose threshold brackets
+    * the dedup target and read the false-positive/negative mass straight
+    * from the grid columns. Pure math from the budget (a planning table,
+    * not a scan); the two pows ride the shared-expression-text +
+    * round(·,6) rule. */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+              totalHashes: Int = 128): DataFrame = {
+    require(totalHashes >= 1, s"need totalHashes >= 1, got $totalHashes")
+    import spark.implicits._
+    val splits = (1 to totalHashes).filter(totalHashes % _ == 0)
+      .map(b => (b, totalHashes / b))
+    def pAt(s: Double) = F.round(
+      F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.lit(s), F.col("r").cast("double")),
+        F.col("b").cast("double")), 6)
+    splits.toDF("b", "r").select(
+      F.col("b"), F.col("r"),
+      F.round(F.pow(F.lit(1.0) / F.col("b").cast("double"),
+        F.lit(1.0) / F.col("r").cast("double")), 6).as("s_threshold"),
+      pAt(0.3).as("p30"), pAt(0.5).as("p50"), pAt(0.7).as("p70"),
+      pAt(0.8).as("p80"), pAt(0.9).as("p90"))
+  }
+
   /** Banded Hamming-candidate pairs over ANY (id, 64-bit hash) table —
     * the generic tail [[simhashCandidates]] (text) and the multimodal
     * perceptual-hash dedup (images) share: split the hash into `bands`

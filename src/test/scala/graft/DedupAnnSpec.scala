@@ -69,6 +69,25 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(w == Seq(0.5, 0.5))
   }
 
+  test("lshPlan: hand-computed S-curve rows, threshold monotone in r") {
+    val out = graft.dedup.Dedup.lshPlan(spark, totalHashes = 128).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(6))).toSeq
+    assert(out.length == 8) // divisors of 128
+    val by = out.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // b=32, r=4: threshold (1/32)^(1/4), p80 = 1-(1-0.8^4)^32
+    val t32 = math.pow(1.0 / 32, 1.0 / 4)
+    val p80 = 1.0 - math.pow(1.0 - math.pow(0.8, 4), 32)
+    assert(math.abs(by((32, 4))._1 - t32) < 1e-6)
+    assert(math.abs(by((32, 4))._2 - p80) < 1e-6)
+    // more rows per band -> higher threshold (the S-curve moves right)
+    val sorted = out.sortBy(_._2).map(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      s"threshold not monotone in r: $out")
+    // the shipped detector default (bands=8 over 128 hashes -> r=16)
+    // sits in the table
+    assert(by.contains((8, 16)))
+  }
+
   test("soft weights compose with the priority sampler: family mass splits") {
     import spark.implicits._
     import graft.operators.Sampling
