@@ -125,6 +125,24 @@ object OracleSql {
        |FROM tok LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
+  /** The latest-wins upsert oracle, shared verbatim by q_upsert (batch)
+    * and q_stream_upsert (micro-batched CDC log, served merge-on-read):
+    * the streamed log ∪ base must equal the batch merge. */
+  private lazy val upsertSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, source, 0 AS version, 0 AS side FROM documents),
+      |upd AS (
+      |  SELECT doc_id, text || ' v2' AS text, source, 1 AS version, 1 AS side
+      |  FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text, source, 1 AS version, 1 AS side
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |  PARTITION BY doc_id ORDER BY version DESC, side DESC) AS rn FROM u)
+      |SELECT doc_id, version, CAST(length(text) AS BIGINT) AS n_len, source
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** The priority-sample oracle, shared verbatim by q_sample_priority
     * (batch) and q_stream_sample_priority (the fMGWS-maintained top-(k+1)
     * candidate set): streamed sample ≡ batch sample because top-m under a
@@ -2013,20 +2031,12 @@ object OracleSql {
 
     // Latest-wins upsert: row_number over the union — an independent
     // formulation of Corpus.upsert's max-over-(version, side) struct.
-    "q_upsert" ->
-      """WITH base AS (
-        |  SELECT doc_id, text, source, 0 AS version, 0 AS side FROM documents),
-        |upd AS (
-        |  SELECT doc_id, text || ' v2' AS text, source, 1 AS version, 1 AS side
-        |  FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000, text, source, 1 AS version, 1 AS side
-        |  FROM documents WHERE doc_id % 5 = 0),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
-        |r AS (SELECT *, ROW_NUMBER() OVER (
-        |  PARTITION BY doc_id ORDER BY version DESC, side DESC) AS rn FROM u)
-        |SELECT doc_id, version, CAST(length(text) AS BIGINT) AS n_len, source
-        |FROM r WHERE rn = 1""".stripMargin,
+    "q_upsert" -> upsertSql,
+
+    // STREAMING CDC apply: the same updates delivered as micro-batches
+    // into the marker-gated append-only log, served merge-on-read —
+    // streamed log ∪ base ≡ batch upsert, so the oracle IS the batch SQL.
+    "q_stream_upsert" -> upsertSql,
 
     // Snapshot diff: full outer join on the id, only non-unchanged rows.
     "q_corpus_diff" ->

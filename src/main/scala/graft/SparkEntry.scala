@@ -1407,6 +1407,69 @@ object SparkEntry {
         F.length(F.col("text")).cast("long").as("n_len"), F.col("source"))
   }
 
+  /** Streaming CDC apply ([[graft.streaming.StreamingOps
+    * .cdcApplyStream]]): the SAME refetch/discover updates as
+    * [[qUpsert]], delivered as two real micro-batches through the
+    * marker-gated append-only log, then served merge-on-read — the
+    * streamed log ∪ base must equal the batch upsert, so the oracle is
+    * q_upsert's SQL verbatim. Log and checkpoint are scratch, rebuilt
+    * per call (a correctness gate, the q_stream_dedup_incremental
+    * shape). */
+  private def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val base = docs.withColumn("version", F.lit(0))
+    val refetched = docs.filter(F.col("doc_id") % 2 === 1)
+      .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+      .withColumn("version", F.lit(1))
+    val discovered = docs.filter(F.col("doc_id") % 5 === 0)
+      .withColumn("doc_id", F.col("doc_id") + F.lit(1000000000L))
+      .withColumn("version", F.lit(1))
+    val updates = refetched.unionByName(discovered)
+    // two-file staging (one file per micro-batch), keyed on the source
+    // stamp so regeneration invalidates it
+    val key = stageKey(dir, "documents.parquet")
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_upsert_src_$key")
+    if (!java.nio.file.Files.exists(srcDir.resolve("b2").resolve("_SUCCESS"))) {
+      rmTree(srcDir.toString)
+      updates.filter(F.col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+      updates.filter(F.col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b2").toString)
+    }
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, version INT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+    val logDir = scratchCheckpoint("stream_upsert_log")
+    val ckpt = scratchCheckpoint("stream_upsert")
+    try {
+      graft.streaming.StreamingOps.cdcApplyStream(stream, logDir, ckpt)
+        .awaitTermination()
+      val batchDirs = new java.io.File(logDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getAbsolutePath).sorted
+      val log = s.read.parquet(batchDirs.toSeq: _*)
+      // merge-on-read serving view; materialize to the driver before the
+      // finally deletes the scratch log segments the plan reads
+      val rows = graft.operators.Corpus.upsert(base, log)
+        .select(F.col("doc_id"), F.col("version"),
+          F.length(F.col("text")).cast("long").as("n_len"), F.col("source"))
+        .collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.IntegerType, nullable = true),
+          org.apache.spark.sql.types.StructField("n_len",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+    } finally { rmTree(ckpt); rmTree(logDir) }
+  }
+
   /** Snapshot diff (Corpus.diff): the new snapshot drops every 7th id,
     * modifies the odd ids' text, and adds the +1e9 batch — the diff emits
     * exactly the changed set (added / removed / changed), never the
@@ -2730,6 +2793,7 @@ object SparkEntry {
     "q_mix_sample" -> (qMixSample _),
     "q_cap_per_source" -> (qCapPerSource _),
     "q_upsert" -> (qUpsert _),
+    "q_stream_upsert" -> (qStreamUpsert _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_folds" -> (qFolds _),
     "q_split_leakage_safe" -> (qSplitLeakageSafe _),

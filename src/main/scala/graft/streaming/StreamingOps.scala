@@ -147,6 +147,26 @@ object StreamingOps {
       })
       .start()
 
+  /** Streaming CDC APPLY — the living-corpus WRITE path ([[graft.operators
+    * .Corpus]]'s missing streaming half): each micro-batch of
+    * version-stamped update rows lands as ONE append-only log segment,
+    * marker-gated so a replayed batch is a no-op; the SERVING view is
+    * merge-on-read (latest-wins [[graft.operators.Corpus.upsert]] /
+    * time-travel [[graft.operators.Corpus.asOf]] over base ∪ log). No
+    * table rewrite per batch — at 100 TB the corpus never moves, only
+    * the log grows (and a periodic compaction materializes asOf +
+    * [[graft.operators.Corpus.optimizeLayout]], the lakehouse shape). */
+  def cdcApplyStream(updates: DataFrame, outDir: String,
+                     checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch(markerGated(outDir) { (batch, target) =>
+        batch.write.mode(SaveMode.Overwrite).parquet(target)
+      })
+      .start()
+
   /** Streaming IVF index ingest — the vector analogue of
     * [[incrementalDedupStream]]: each micro-batch of new embeddings is
     * appended to the persisted cell-partitioned index with the quantizer

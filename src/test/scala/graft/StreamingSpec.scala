@@ -281,6 +281,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamedFinal == whole, s"streamed=$streamedFinal batch=$whole")
   }
 
+  test("cdcApplyStream: micro-batched log serves the batch upsert; full replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Corpus
+    val base = Seq((1L, "one", 0), (2L, "two", 0), (3L, "three", 0))
+      .toDF("doc_id", "text", "version")
+    val upd1 = Seq((2L, "two-v1", 1))
+    val upd2 = Seq((3L, "three-v1", 1), (9L, "nine-v1", 1))
+    val logDir = Files.createTempDirectory("graft_cdc_log_").toString
+    val ckpt1 = Files.createTempDirectory("graft_cdc_ck1_").toString
+    def runStream(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, String, Int)]
+      // ProcessingTime(0): the memory-stream driver feeds batches one at
+      // a time (the gate's file source uses AvailableNow +
+      // maxFilesPerTrigger for the same one-segment-per-batch effect)
+      val q = graft.streaming.StreamingOps.cdcApplyStream(
+        input.toDS().toDF("doc_id", "text", "version"), logDir, ckpt,
+        trigger = Trigger.ProcessingTime(0))
+      input.addData(upd1: _*); q.processAllAvailable()
+      input.addData(upd2: _*); q.processAllAvailable()
+      q.stop()
+    }
+    runStream(ckpt1)
+    def segs() = new java.io.File(logDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).sorted
+    assert(segs().length == 2, "one log segment per micro-batch")
+    def serve(): Map[Long, (String, Int)] = {
+      val log = spark.read.parquet(segs().map(_.getAbsolutePath).toSeq: _*)
+      Corpus.upsert(base, log).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    }
+    val got = serve()
+    val expect = Corpus.upsert(base, (upd1 ++ upd2).toDF("doc_id", "text", "version"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == expect, s"merge-on-read diverged: $got vs $expect")
+    assert(got(2L) == (("two-v1", 1)) && got(9L) == (("nine-v1", 1)) &&
+      got(1L) == (("one", 0)))
+    // redelivery: the WHOLE stream replays against a fresh checkpoint
+    // (same batch ids) — the committed markers make every append a no-op
+    val ckpt2 = Files.createTempDirectory("graft_cdc_ck2_").toString
+    runStream(ckpt2)
+    assert(segs().length == 2, "replayed batches must not duplicate segments")
+    assert(serve() == expect, "replay changed the served corpus")
+  }
+
   test("c4Rules runs unchanged on a stream (scan-only native pass)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
