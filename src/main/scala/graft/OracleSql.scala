@@ -1139,6 +1139,21 @@ object OracleSql {
         |  FROM vlog WHERE version <= 2)
         |SELECT doc_id, version, text FROM w WHERE rn = 1 AND op <> 'd'""".stripMargin,
 
+    // Log compaction: the gate reads the range-clustered COMPACTED
+    // snapshot; a compaction must be content-invisible, so the oracle is
+    // the as-of view over the uncompacted log (same SQL text).
+    "q_corpus_compact" ->
+      """WITH vlog AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS version, 'u' AS op, text FROM documents
+        |  UNION ALL SELECT doc_id, 1, 'u', text || ' v1' FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, 2, 'd', CAST(NULL AS VARCHAR) FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, 3, 'u', text || ' v3' FROM documents WHERE doc_id % 7 = 0),
+        |w AS (
+        |  SELECT doc_id, version, op, text,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+        |  FROM vlog WHERE version <= 2)
+        |SELECT doc_id, version, text FROM w WHERE rn = 1 AND op <> 'd'""".stripMargin,
+
     // Padding efficiency: same smallest-boundary CASE chain, truncation
     // to the last boundary, one aggregation.
     "q_padding_efficiency" ->

@@ -1825,18 +1825,37 @@ object SparkEntry {
     * tombstones must suppress their ids, everyone else serves their
     * newest ≤2 content. The version filter reaches the scan as a
     * pushed predicate. */
-  private def qCorpusAsof(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
+  /** The synthetic CDC log both time-travel gates read: updates at v0/v1,
+    * tombstones at v2, post-cut updates at v3. */
+  private def cdcLog(docs: DataFrame): DataFrame = {
     def slice(mod: Int, v: Int, op: String, suffix: String) =
       docs.filter(F.col("doc_id") % mod === 0).select(
         F.col("doc_id"), F.lit(v.toLong).as("version"), F.lit(op).as("op"),
         (if (op == "d") F.lit(null).cast("string")
          else F.concat(F.col("text"), F.lit(suffix))).as("text"))
-    val log = slice(1, 0, "u", "")
+    slice(1, 0, "u", "")
       .unionByName(slice(3, 1, "u", " v1"))
       .unionByName(slice(5, 2, "d", ""))
       .unionByName(slice(7, 3, "u", " v3"))
-    graft.operators.Corpus.asOf(log, version = 2L)
+  }
+
+  private def qCorpusAsof(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.asOf(cdcLog(T(s, dir, "documents")), version = 2L)
+
+  /** Log compaction ([[graft.operators.Corpus.compact]]): materialize the
+    * same as-of view through the range-clustered writer to a staged path
+    * (once per source stamp), then READ THE COMPACTED TABLE — a
+    * compaction must be content-invisible, so the oracle is
+    * q_corpus_asof's SQL over the uncompacted log, verbatim. */
+  private def qCorpusCompact(s: SparkSession, dir: String): DataFrame = {
+    val key = stageKey(dir, "documents.parquet")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_compact_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS")))
+      graft.operators.Corpus.compact(
+        cdcLog(T(s, dir, "documents")), version = 2L, out.toString,
+        clusterCols = Seq("doc_id"), ranges = 4)
+    s.read.parquet(out.toString)
   }
 
   /** Padding-efficiency report
@@ -2794,6 +2813,7 @@ object SparkEntry {
     "q_cap_per_source" -> (qCapPerSource _),
     "q_upsert" -> (qUpsert _),
     "q_stream_upsert" -> (qStreamUpsert _),
+    "q_corpus_compact" -> (qCorpusCompact _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_folds" -> (qFolds _),
     "q_split_leakage_safe" -> (qSplitLeakageSafe _),

@@ -162,4 +162,20 @@ object Corpus {
       .sortWithinPartitions(clusterCols.map(F.col): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
+
+  /** CDC-log COMPACTION — the periodic maintenance step the
+    * [[graft.streaming.StreamingOps.cdcApplyStream]] merge-on-read story
+    * requires: materialize [[asOf]] at `version` through
+    * [[optimizeLayout]]'s range-clustered writer to a NEW path
+    * (single-writer build-verify-swap, the ivfRequantize lifecycle).
+    * After the swap, serving reads the compacted snapshot and the log
+    * restarts from `version` — reads stop paying the merge, and the
+    * rewrite is content-invisible by contract (the gate reads the
+    * compacted table against the UNCOMPACTED asOf oracle). */
+  def compact(log: DataFrame, version: Long, outPath: String,
+              clusterCols: Seq[String], ranges: Int = 8,
+              idCol: String = "doc_id", versionCol: String = "version",
+              opCol: String = "op"): Unit =
+    optimizeLayout(asOf(log, version, idCol, versionCol, opCol),
+      outPath, clusterCols, ranges)
 }

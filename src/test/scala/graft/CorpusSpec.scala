@@ -100,6 +100,33 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       Corpus.asOf(log, 2L).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("compact: the clustered snapshot is content-equal to the as-of view") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 0L, "u", "a-v0"), (2L, 0L, "u", "b-v0"), (3L, 0L, "u", "c-v0"),
+      (2L, 1L, "u", "b-v1"),
+      (3L, 2L, "d", null.asInstanceOf[String]),
+      (4L, 2L, "u", "d-v2"),
+      (3L, 3L, "u", "c-v3") // beyond the compaction cut: must be absent
+    ).toDF("doc_id", "version", "op", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_spec_")
+    try {
+      Corpus.compact(log, version = 2L, out.toString,
+        clusterCols = Seq("doc_id"), ranges = 2)
+      val read = spark.read.parquet(out.toString).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      val view = Corpus.asOf(log, 2L).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(read == view, s"compaction not content-invisible: $read vs $view")
+      assert(!read.contains(3L), "tombstoned id must be absent from the snapshot")
+    } finally {
+      val st = java.nio.file.Files.walk(out)
+      try st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally st.close()
+    }
+  }
+
   test("optimizeLayout clusters files stats-tight and preserves content exactly") {
     import org.apache.spark.sql.{functions => F}
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
