@@ -193,6 +193,23 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // prototypes pruning: broadcast-centroid scoring scan (Spread is one
     // exchange) + the per-cluster rank/count window exchange; no joins
     Audit("q_prune_prototypes", maxExchange = 2, maxBhj = 0),
+    // r17 LM tier: the STATIC plans re-print the count-table subtrees
+    // under each join branch (the q_lm_score print-total caveat — AQE
+    // ReuseExchange collapses identical subtrees at runtime); one-row
+    // totals ride broadcast BNLJs. KN adds the ctx/bwd keyed joins;
+    // DoReMi runs the positionScores subtree plus the domains-sized
+    // softmax totals.
+    Audit("q_lm_bigram", maxExchange = 12, minBhj = 2, allowedBnlj = 2),
+    Audit("q_lm_kn", maxExchange = 17, minBhj = 2, allowedBnlj = 4),
+    Audit("q_mix_doremi", maxExchange = 25, minBhj = 2, allowedBnlj = 6),
+    // keep-first substring dedup: the remove-all plan + the rank ride on
+    // the same h-keyed window exchange (printed per consumer branch)
+    Audit("q_dedup_substring_keepfirst", maxExchange = 9),
+    // SQ8: one 64-key stats aggregation folded to a broadcast row (the
+    // BNLJ pair), coding scan exchange-free
+    Audit("q_ann_sq8", maxExchange = 4, allowedBnlj = 2),
+    // the planner is a pure driver-built table: NOTHING may shuffle
+    Audit("q_lsh_plan", maxExchange = 0),
     // r17 one-action steady-state probe (cache-free fast path — no
     // CacheScope frame, so this audits as a TERMINAL plan): the shard's
     // signature subtree (Spread + the shared (band, sig) repartition)
@@ -303,6 +320,14 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // r17 soft dedup: the q_dup_ngrams plan shape exactly (shingle-hash
     // exchange + window df + doc agg), one scoped frame
     InternalAudit("q_dedup_soft", maxExchangeTotal = 3, minFrames = 1),
+    // soft weights consumed: the scoped soft-dedup frame + the join to
+    // chars + the k+1 sampler tail (tau broadcast BNLJ)
+    InternalAudit("q_sample_soft", maxExchangeTotal = 6,
+      allowedBnljPerFrame = 2, minFrames = 1),
+    // data-constrained plan: the per-source tokenize materialize + the
+    // sources-sized tail with the one-row n_sources broadcast
+    InternalAudit("q_mix_constrained", maxExchangeTotal = 7,
+      allowedBnljPerFrame = 2, minFrames = 2),
     // q_lm_score left this list in r14: the one-scan/one-tok-exchange
     // rework removed every CacheScope hop, so it audits as a plain
     // terminal plan (see `audits`).
