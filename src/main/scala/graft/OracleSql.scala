@@ -2298,6 +2298,23 @@ object OracleSql {
          |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell FROM cells c
          |WHERE c.vec_id NOT IN (SELECT id FROM closers)""".stripMargin,
 
+    // JL projection: one md5-sign dot per output coordinate (the
+    // lshBitSql weight rule reduced to its sign bit), divided by the
+    // IEEE-exact sqrt(16.0), rounded 6.
+    "q_ann_jl" -> {
+      def comp(p: Int): String = {
+        def nib(expr: String) = s"ascii(substr(md5('${p}_' || CAST($expr AS VARCHAR)), 1, 1))"
+        val d = "s[2]"
+        val nibVal = s"CASE WHEN ${nib(d)} >= 97 THEN ${nib(d)} - 87 ELSE ${nib(d)} - 48 END"
+        s"round(list_sum(list_transform(list_zip(embedding, generate_series(0, len(embedding)-1)), " +
+          s"s -> CAST(s[1] AS DOUBLE) * (CASE WHEN $nibVal >= 8 THEN 1.0 ELSE -1.0 END))) / sqrt(16.0), 6)"
+      }
+      s"""SELECT vec_id, [
+         |  ${(0 until 16).map(comp).mkString(",\n  ")}
+         |] AS jl16
+         |FROM embeddings""".stripMargin
+    },
+
     // Scalar int8 quantization: per-dim min/max + floor((v-mn)/(mx-mn)*255
     // + 0.5) coding (floor, not round — half-even vs half-up diverges
     // across engines), max reconstruction error per vector.

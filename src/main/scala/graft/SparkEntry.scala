@@ -2585,6 +2585,19 @@ object SparkEntry {
   private def qOrderIncontext(s: SparkSession, dir: String): DataFrame =
     Ann.orderInContext(T(s, dir, "embeddings"))
 
+  /** Johnson–Lindenstrauss projection
+    * ([[graft.functions.VectorFunctions.jlProject]]): 64-dim embeddings
+    * to 16 via deterministic md5-sign planes — matrix-free,
+    * engine-replicable, scan-only. The cheap first stage before exact
+    * rerank when full vectors are too wide to shuffle. */
+  private def qAnnJl(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    emb.select(F.col("vec_id"),
+      F.transform(
+        graft.functions.VectorFunctions.jlProject(F.col("embedding"), k = 16, dim = 64),
+        v => F.round(v, 6)).as("jl16"))
+  }
+
   /** Scalar int8 embedding quantization ([[Ann.sq8Quantize]]): per-dim
     * corpus min/max stats + floor-based coding (engine-agnostic rounding)
     * with the per-vector reconstruction-error report. The 4x storage
@@ -2848,6 +2861,7 @@ object SparkEntry {
     "q_mix_constrained" -> (qMixConstrained _),
     "q_order_incontext" -> (qOrderIncontext _),
     "q_ann_sq8" -> (qAnnSq8 _),
+    "q_ann_jl" -> (qAnnJl _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

@@ -103,4 +103,29 @@ object VectorFunctions {
     * its signature equals the query's in ANY table. */
   def lshTableSignatures(emb: Column, bits: Int, tables: Int, dim: Int): Column =
     F.array((0 until tables).map(t => lshSignature(emb, bits, dim, t * bits)): _*)
+
+  /** Deterministic ±1 sign for (plane, dim): the [[planeWeightValue]]
+    * nibble's high bit — a fair coin under md5 uniformity, replicable in
+    * SQL by the same CASE. */
+  def planeSignValue(plane: Int, dim: Int): Double =
+    if (planeWeightValue(plane, dim) >= 0.0625) 1.0 else -1.0
+
+  /** Johnson–Lindenstrauss random projection to `k` dimensions (the
+    * Achlioptas ±1 construction: y_p = (emb · s_p) / √k with s_p a
+    * deterministic md5-derived sign vector — the same plane family as
+    * [[lshSignature]], so the projection needs NO stored matrix and any
+    * engine reproduces it). Preserves pairwise distances within the JL
+    * distortion bound in expectation; the cheap first stage before an
+    * exact rerank when even SQ8 vectors are too wide to shuffle. Each
+    * output coordinate is one codegen'd [[dotF]] over a plan-time
+    * constant array — zero shuffle, scan-only. √k via the IEEE
+    * correctly-rounded sqrt (identical in any engine — unlike exp/ln,
+    * no round-6 hedge needed on the divisor itself). */
+  def jlProject(emb: Column, k: Int, dim: Int, offset: Int = 0): Column = {
+    require(k >= 1 && dim >= 1, s"need k, dim >= 1, got k=$k dim=$dim")
+    F.array((0 until k).map { p =>
+      val s = (0 until dim).map(d => planeSignValue(p + offset, d))
+      dotF(emb, F.typedlit(s)) / F.sqrt(F.lit(k.toDouble))
+    }: _*)
+  }
 }

@@ -508,6 +508,39 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("jlProject: distances preserved in expectation, deterministic, matrix-free") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(60)
+    val out = emb.select(F.col("vec_id"),
+        VectorFunctions.jlProject(F.col("embedding"), k = 16, dim = 64).as("y"),
+        F.col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray,
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // pairwise squared-distance distortion: individual ratios land in a
+    // loose band at k=16; their MEAN is near 1 (the JL expectation)
+    val pairs = for (i <- out.indices; j <- (i + 1) until math.min(i + 4, out.length))
+      yield (out(i), out(j))
+    val ratios = pairs.flatMap { case ((_, ya, xa), (_, yb, xb)) =>
+      val dx = d2(xa, xb)
+      if (dx < 1e-12) None else Some(d2(ya, yb) / dx)
+    }
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"distortion out of band: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.5, s"mean distortion off: $mean")
+    // deterministic: a second projection is bit-identical
+    val again = emb.select(
+        VectorFunctions.jlProject(F.col("embedding"), k = 16, dim = 64).as("y"),
+        F.col("vec_id"))
+      .collect().map(r => r.getLong(1) -> r.getSeq[Double](0)).toMap
+    out.foreach { case (id, y, _) => assert(again(id).toArray.sameElements(y)) }
+  }
+
   test("sq8Quantize: codes in range, error within half a step, constant dims exact") {
     import spark.implicits._
     val emb = Seq(
