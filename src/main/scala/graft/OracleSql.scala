@@ -2315,6 +2315,42 @@ object OracleSql {
          |FROM embeddings""".stripMargin
     },
 
+    // JL shortlist + exact rerank: the unrounded projections drive the
+    // coarse top-`rerank` (bit-replayed — the shortlist itself is part of
+    // the contract), then the q_ann_brute cosine tail on the cut.
+    "q_ann_jl_rerank" -> {
+      def comp(p: Int): String = {
+        def nib(expr: String) = s"ascii(substr(md5('${p}_' || CAST($expr AS VARCHAR)), 1, 1))"
+        val d = "s[2]"
+        val nibVal = s"CASE WHEN ${nib(d)} >= 97 THEN ${nib(d)} - 87 ELSE ${nib(d)} - 48 END"
+        s"list_sum(list_transform(list_zip(embedding, generate_series(0, len(embedding)-1)), " +
+          s"s -> CAST(s[1] AS DOUBLE) * (CASE WHEN $nibVal >= 8 THEN 1.0 ELSE -1.0 END))) / sqrt(32.0)"
+      }
+      val selfDot =
+        "list_sum(list_transform(list_zip(embedding, embedding), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+      // cosine truth needs the unit sphere: each raw JL coordinate is
+      // scaled by 1/||e|| in the SAME operand order as the Spark side
+      val y = "[" + (0 until 32).map(p => s"(${comp(p)}) / sqrt($selfDot)")
+        .mkString(",\n    ") + "]"
+      s"""WITH cj AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+         |  $y AS cy FROM embeddings),
+         |qj AS (SELECT vec_id AS query_id, embedding AS qe,
+         |  $y AS qy FROM embeddings WHERE vec_id < 20),
+         |d AS (
+         |  SELECT query_id, neighbor_id, qe, ce,
+         |    list_sum(list_transform(list_zip(qy, cy), s -> (s[1]-s[2])*(s[1]-s[2]))) AS jd
+         |  FROM cj, qj WHERE neighbor_id <> query_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, qe, ce,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jd ASC, neighbor_id ASC) AS jr
+         |  FROM d),
+         |p AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosine
+         |  FROM rr WHERE jr <= 400),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+    },
+
     // Scalar int8 quantization: per-dim min/max + floor((v-mn)/(mx-mn)*255
     // + 0.5) coding (floor, not round — half-even vs half-up diverges
     // across engines), max reconstruction error per vector.

@@ -2598,6 +2598,17 @@ object SparkEntry {
         v => F.round(v, 6)).as("jl16"))
   }
 
+  /** JL shortlist + exact rerank ([[Ann.jlTopK]]): the projection
+    * consumed — coarse top-100 by 16-dim JL distance, exact cosine top-5
+    * on the cut; shortlist AND rerank oracle-replayed bit-for-bit. */
+  private def qAnnJlRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    // jlK = 32 / rerank = 400: recall@10 0.79 on this corpus (near-random
+    // embeddings are JL's adversarial case; AnnRecallSpec gates >= 0.7)
+    Ann.jlTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, rerank = 400,
+      jlK = 32)
+  }
+
   /** Scalar int8 embedding quantization ([[Ann.sq8Quantize]]): per-dim
     * corpus min/max stats + floor-based coding (engine-agnostic rounding)
     * with the per-vector reconstruction-error report. The 4x storage
@@ -2862,6 +2873,7 @@ object SparkEntry {
     "q_order_incontext" -> (qOrderIncontext _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_jl" -> (qAnnJl _),
+    "q_ann_jl_rerank" -> (qAnnJlRerank _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

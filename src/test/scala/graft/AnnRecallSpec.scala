@@ -54,6 +54,31 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       f"IVF recall@10 dropped to $recall%.3f — probe selection or cell assignment regressed")
   }
 
+  test("JL shortlist + rerank recall@10 vs brute force stays above the gate") {
+    VectorFunctions.registerAll(spark)
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    val truth = truthAt(10)
+    val jl = Ann.jlTopK(emb, q, k = 10, rerank = 400, jlK = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val recall = recallOf(jl, truth, 10)
+    info(f"JL recall@10 (k'=32, rerank=400): $recall%.3f")
+    // Measured 0.790 on the current generator — near-random embeddings
+    // are JL's adversarial case (real text embeddings cluster far more);
+    // a broken projection collapses toward rerank/N = 0.08.
+    assert(recall >= 0.7,
+      f"JL shortlist recall@10 dropped to $recall%.3f — projection or coarse ranking regressed")
+    // reranked scores are EXACT: every returned cosine equals brute
+    // force's for the same (query, neighbor)
+    val bruteCos = Ann.bruteTopK(emb, q, k = 10, native = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Ann.jlTopK(emb, q, k = 10, rerank = 400, jlK = 32).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteCos.get(key).foreach(c => assert(c == r.getDouble(3),
+        s"rerank cosine diverged from exact at $key"))
+    }
+  }
+
   test("quantizer drift: report flags a shifted append; requantize restores recall") {
     import spark.implicits._
     // Controlled geometry (the published drift failure in miniature): the
