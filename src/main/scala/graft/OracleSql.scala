@@ -1768,6 +1768,27 @@ object OracleSql {
         |FROM sh s JOIN df USING (shingle)
         |GROUP BY 1""".stripMargin,
 
+    // Exact prefix-filtered similarity join: the oracle is the ALL-PAIRS
+    // brute force — completeness of the prefix candidacy is exactly what
+    // the hash gate checks (a missed pair hash-mismatches).
+    "q_jaccard_join" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([list_aggregate(w[i:i+2], 'string_agg', ' ') for i in generate_series(1, len(w)-2)]) AS shingle
+        |  FROM tok WHERE len(w) >= 3),
+        |nn AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ii AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+        |FROM ii JOIN nn na ON na.doc_id = doc_a JOIN nn nb ON nb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.1""".stripMargin,
+
     // LSH S-curve planner: divisor splits of the 128-hash budget, curve
     // threshold (1/b)^(1/r) and collision prob 1-(1-s^r)^b at the grid —
     // pows under the round-6 libm rule.

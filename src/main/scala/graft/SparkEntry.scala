@@ -2373,6 +2373,15 @@ object SparkEntry {
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(T(s, dir, "documents"), minJaccard = 0.2)
 
+  /** Exact prefix-filtered similarity self-join ([[Dedup
+    * .jaccardJoinExact]], AllPairs/PPJoin): every pair with Jaccard ≥
+    * 0.1 over 3-gram shingles, recall PROVEN by the prefix lemma (the
+    * exact counterpart of [[qNgramJaccard]]'s LSH candidacy; the oracle
+    * is the all-pairs brute force, so completeness itself is what the
+    * hash gate checks). */
+  private def qJaccardJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoinExact(T(s, dir, "documents"), minJaccard = 0.1)
+
   private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
@@ -2866,6 +2875,7 @@ object SparkEntry {
     "q_dedup_substring_keepfirst" -> (qDedupSubstringKeepFirst _),
     "q_dup_ngrams" -> (qDupNgrams _),
     "q_lsh_plan" -> (qLshPlan _),
+    "q_jaccard_join" -> (qJaccardJoin _),
     "q_dedup_soft" -> (qDedupSoft _),
     "q_sample_soft" -> (qSampleSoft _),
     "q_pipeline_d4" -> (qPipelineD4 _),

@@ -1250,6 +1250,79 @@ object Dedup {
     hashBandCandidates(shTable, idCol, "simhash", maxHamming, bands)
   }
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (the AllPairs /
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every
+    * pair with Jaccard ≥ t, with PROVEN recall (unlike the LSH candidacy
+    * of [[ngramJaccard]], which trades a small miss probability for a
+    * cheaper scan — the two ends of the published exact-vs-probabilistic
+    * spectrum, both ending in the same exact verify).
+    *
+    * The prefix principle: order every doc's distinct shingle hashes by a
+    * GLOBAL total order (document frequency ASC, hash ASC — rarest
+    * first, the candidate-minimizing choice); if J(A,B) ≥ t then
+    * |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so A and B MUST share a token whose
+    * position in BOTH lies within the first |x| − ⌈t·|x|⌉ + 1 tokens
+    * (the standard prefix lemma) — the equi-join touches only those
+    * short prefixes, and rare tokens make tiny buckets.
+    *
+    * Scale shape: one df aggregation over the hashed-shingle stream, one
+    * doc-keyed regroup into the df-ordered array, the prefix equi-join
+    * (bucket-bounded by construction), then the sorted-merge exact
+    * verify ([[graft.functions.expressions.SortedIntersectCountExpr]]
+    * over the cached sorted hash arrays). Never all-pairs; no minhash,
+    * no probability. Output: (doc_a, doc_b, jaccard) for pairs ≥ t. */
+  def jaccardJoinExact(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleN: Int = 3,
+                       minJaccard: Double = 0.5): DataFrame = graft.CacheScope.scoped {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"prefix filtering needs minJaccard in (0, 1], got $minJaccard")
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+    val hashedRaw = ColumnBridge.column(
+      graft.functions.expressions.XxHash64ArrayExpr(ColumnBridge.expression(
+        F.array_distinct(shingleArr))))
+    val base = materialize(graft.Spread(docs)
+      .select(F.col(idCol), hashedRaw.as("arr"))
+      .filter(F.size(F.col("arr")) > 0)
+      .select(F.col(idCol), F.col("arr"), F.size(F.col("arr")).cast("long").as("n")))
+    // global document frequency per hash — the one vocabulary aggregation
+    val dfTab = base.select(F.explode(F.col("arr")).as("h"))
+      .groupBy(F.col("h")).agg(F.count(F.lit(1)).as("df"))
+    // per-doc tokens in (df ASC, h ASC) order, prefix sliced to
+    // n − ceil(t·n) + 1 (ints exact; ceil on the IEEE product)
+    val prefLen = (F.col("n") -
+      F.ceil(F.lit(minJaccard) * F.col("n").cast("double")) + 1L).cast("int")
+    val pref = base.select(F.col(idCol), F.col("n"), F.explode(F.col("arr")).as("h"))
+      .join(dfTab.hint("shuffle_hash"), Seq("h"))
+      .groupBy(F.col(idCol))
+      .agg(F.any_value(F.col("n")).as("n"),
+        F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("h")))).as("byDf"))
+      .select(F.col(idCol), F.explode(F.slice(
+        F.transform(F.col("byDf"), s => s.getField("h")), F.lit(1), prefLen)).as("h"))
+    val a = pref.select(F.col("h"), F.col(idCol).as("doc_a"))
+    val b = pref.select(F.col("h"), F.col(idCol).as("doc_b"))
+    val cand = a.join(b, Seq("h"))
+      .filter(F.col("doc_a") < F.col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = ColumnBridge.column(
+      graft.functions.expressions.SortedIntersectCountExpr(
+        ColumnBridge.expression(F.col("arr_a")),
+        ColumnBridge.expression(F.col("arr_b"))))
+    cand
+      .join(base.select(F.col(idCol).as("doc_a"), F.col("arr").as("arr_a"),
+        F.col("n").as("n_a")), Seq("doc_a"))
+      .join(base.select(F.col(idCol).as("doc_b"), F.col("arr").as("arr_b"),
+        F.col("n").as("n_b")), Seq("doc_b"))
+      .select(F.col("doc_a"), F.col("doc_b"), inter.cast("long").as("i"),
+        F.col("n_a"), F.col("n_b"))
+      .filter(F.col("i").cast("double") /
+        (F.col("n_a") + F.col("n_b") - F.col("i")).cast("double") >= minJaccard)
+      .select(F.col("doc_a"), F.col("doc_b"),
+        F.round(F.col("i").cast("double") /
+          (F.col("n_a") + F.col("n_b") - F.col("i")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** MinHash-LSH parameter planner — the standard S-curve table (Leskovec/
     * Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3) a banding
     * config is read off of: for every (bands b, rows r) split of the

@@ -69,6 +69,40 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(w == Seq(0.5, 0.5))
   }
 
+  test("jaccardJoinExact: complete vs brute force on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = (1 to 30).map(i => s"w$i")
+    // planted similar pairs + random docs
+    val docs = (1L to 40L).map { id =>
+      val base = (1 to 8 + rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length)))
+      (id, base.mkString(" "))
+    } ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon eta")) // high-overlap pair
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.jaccardJoinExact(df, shingleN = 3, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // Scala brute force over distinct 3-gram shingles (lowercased \s+)
+    def sh(t: String): Set[Seq[String]] = {
+      val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.toSeq).toSet
+    }
+    val m = docs.map { case (id, t) => id -> sh(t) }.toMap
+    val brute = (for {
+      (a, sa) <- m.toSeq; (b, sb) <- m.toSeq if a < b && sa.nonEmpty && sb.nonEmpty
+      i = (sa & sb).size
+      j = i.toDouble / (sa.size + sb.size - i)
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == brute.keySet,
+      s"completeness broke: missing=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
+    brute.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-6, s"jaccard off at $k: ${got(k)} vs $j")
+    }
+    assert(got.contains((100L, 101L)), "planted high-overlap pair missed")
+  }
+
   test("lshPlan: hand-computed S-curve rows, threshold monotone in r") {
     val out = graft.dedup.Dedup.lshPlan(spark, totalHashes = 128).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(6))).toSeq
