@@ -2096,6 +2096,28 @@ object OracleSql {
 
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
+
+    // One-permutation hashing mirrored bit-for-bit: bin = hi mod 16
+    // (unsigned), bin value = MIN(lo), empty bins take the nearest
+    // non-empty bin rightward (circular) plus the distance, mod 2^64 —
+    // the rotation-densification rule of OphSigsExpr.
+    "q_dedup_minhash_oph" ->
+      (minhashCtes +
+        """, bm AS (
+          |  SELECT doc_id, CAST(hi % 16 AS INT) AS bin, MIN(lo) AS mn
+          |  FROM hl GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT d.doc_id, CAST(j AS INT) AS bin
+          |  FROM (SELECT DISTINCT doc_id FROM bm) d,
+          |       (SELECT unnest(generate_series(0, 15)) AS j) js),
+          |near AS (
+          |  SELECT g.doc_id, g.bin, m.mn, ((m.bin - g.bin + 16) % 16) AS d,
+          |    ROW_NUMBER() OVER (PARTITION BY g.doc_id, g.bin
+          |                       ORDER BY ((m.bin - g.bin + 16) % 16)) AS rn
+          |  FROM grid g JOIN bm m ON m.doc_id = g.doc_id)
+          |SELECT doc_id, bin,
+          |  lower(lpad(to_hex(((mn + d) % 18446744073709551616::HUGEINT)::UBIGINT), 16, '0')) AS sig
+          |FROM near WHERE rn = 1""".stripMargin),
     // Incremental = batch-over-union restricted to pairs touching the new
     // (odd-id) shard; old-old pairs were already known at index-build time.
     "q_dedup_incremental" ->

@@ -2094,6 +2094,51 @@ object SparkEntry {
     graft.functions.Spm.fertilityReport(docs, model)
   }
 
+  /** WordPiece tokenizer TRAINING ([[graft.functions.Wordpiece.train]],
+    * Schuster & Nakajima 2012 / BERT) — the THIRD subword family: BPE's
+    * merge loop under the likelihood-gain selection rule
+    * count(ab)/(count(a)·count(b)), exact-rational compares. Rows-only by
+    * the tokenizer contract; WordpieceSpec pins the argmax, the tie rule
+    * and bit-exact retrain. Output = the trained vocabulary in rank
+    * order. */
+  private def qWordpieceTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Wordpiece.train(T(s, dir, "documents"), numMerges = 16)
+      .zipWithIndex
+      .map { case (p, i) =>
+        (i.toLong, p, p.startsWith(graft.functions.Wordpiece.Cont),
+          p.stripPrefix(graft.functions.Wordpiece.Cont).codePointCount(
+            0, p.stripPrefix(graft.functions.Wordpiece.Cont).length).toLong)
+      }
+      .toDF("rank", "piece", "is_continuation", "n_cp")
+  }
+
+  /** WordPiece ENCODE ([[graft.functions.Wordpiece.encode]], greedy
+    * longest-match-first): per-doc token counts + losslessness checksum
+    * inputs + UNK tally — the [[qBpeEncode]] shape. Rows-only. */
+  private def qWordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val vocab = graft.functions.Wordpiece.train(docs, numMerges = 16)
+    graft.functions.Wordpiece.encode(docs, vocab)
+      .groupBy(F.col("doc_id"))
+      .agg(
+        F.count(F.lit(1)).as("n_wp_tokens"),
+        F.countDistinct(F.col("token")).as("n_distinct_tokens"),
+        F.sum(F.length(F.col("token")).cast("long")).as("n_token_chars"),
+        F.sum(F.when(F.col("token") === graft.functions.Wordpiece.Unk, 1L)
+          .otherwise(0L)).as("n_unk"))
+  }
+
+  /** WordPiece fertility report ([[graft.functions.Wordpiece
+    * .fertilityReport]]) — the rows-146/167 per-language table for the
+    * third family, on the shared arithmetic, so all three tokenizers are
+    * compared like for like. Rows-only. */
+  private def qWordpieceFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val vocab = graft.functions.Wordpiece.train(docs, numMerges = 16)
+    graft.functions.Wordpiece.fertilityReport(docs, vocab)
+  }
+
   /** Classifier CALIBRATION ([[graft.functions.Classifier.trainScore]]
     * output bucketed into score deciles): per decile, count, observed
     * positive rate, and decimal-exact mean predicted score — the
@@ -2213,6 +2258,15 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(T(s, dir, "documents"),
       knownDocCount = docCount(s, dir))
+
+  /** One-permutation MinHash signatures with rotation densification
+    * ([[Dedup.ophSignatures]]) — the O(1)-per-shingle signature build
+    * (each shingle touches ONE bin; empty bins borrow rightward with a
+    * +distance offset). The (bin, sig) table is bucket-joinable exactly
+    * like the KM signature table; the gate hashes the signatures
+    * themselves, densified values included. */
+  private def qDedupMinhashOph(s: SparkSession, dir: String): DataFrame =
+    Dedup.ophSignatures(T(s, dir, "documents"), k = 16)
 
   /** The heavy-hitter prune branch of the LSH bucket join, forced to
     * execute at test scale (VERDICT r10 next-round #1): maxBucket = 3 is
@@ -2900,6 +2954,9 @@ object SparkEntry {
     "q_spm_train" -> (qSpmTrain _),
     "q_spm_encode" -> (qSpmEncode _),
     "q_spm_fertility" -> (qSpmFertility _),
+    "q_wordpiece_train" -> (qWordpieceTrain _),
+    "q_wordpiece_encode" -> (qWordpieceEncode _),
+    "q_wordpiece_fertility" -> (qWordpieceFertility _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_fertility" -> (qBpeFertility _),
     "q_langid_eval" -> (qLangIdEval _),
@@ -2926,6 +2983,7 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_minhash_oph" -> (qDedupMinhashOph _),
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
     "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
     "q_dedup_incremental" -> (qDedupIncremental _),

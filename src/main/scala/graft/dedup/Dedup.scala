@@ -127,6 +127,32 @@ object Dedup {
       .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("band", "sig")))
   }
 
+  /** One-permutation MinHash signatures with rotation densification
+    * (Li/Owen/Zhang 2012 + Shrivastava/Li 2014, via
+    * [[graft.functions.expressions.OphSigsExpr]]): the published answer
+    * to the signature build being the dedup tier's dominant CPU — each
+    * shingle updates exactly ONE of the k bins (O(1) per shingle in the
+    * signature width, vs O(bands) Kirsch–Mitzenmacher mixes in
+    * [[minhashSignaturesFromDocs]]), empty bins borrow rightward with a
+    * +distance offset. Same zero-shuffle pure-scan shape as the KM
+    * build: docs in, docs × k (bin, sig) rows out, directly joinable by
+    * the same (bin, sig) bucket rule as [[minhashCandidates]]. Unsigned
+    * 64-bit arithmetic mirrored hex-exactly by the DuckDB oracle. */
+  def ophSignatures(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", shingleN: Int = 3,
+                    k: Int = 16): DataFrame = {
+    val shingleArr = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(F.col(textCol)), shingleN))
+    val sigArr = ColumnBridge.column(
+      graft.functions.expressions.OphSigsExpr(
+        ColumnBridge.expression(shingleArr), k))
+    // Same no-explicit-filter contract as minhashSignaturesFromDocs:
+    // posexplode drops the null (shingle-less) docs.
+    graft.Spread(docs)
+      .select(F.col(idCol), sigArr.as("sigs"))
+      .select(F.col(idCol), F.posexplode(F.col("sigs")).as(Seq("bin", "sig")))
+  }
+
   /** MinHash-LSH candidate duplicate pairs: docs sharing any band signature.
     * The join key is (band, sig) — a bucket join, never all-pairs. Bucket
     * sizes are bounded by construction (a band signature is a 128-bit hash;

@@ -218,6 +218,42 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(viaExpr.count() > 0)
   }
 
+  test("ophSignatures: densification matches the hand-computed rotation rule") {
+    import spark.implicits._
+    // One shingle ("a b c") fills exactly one bin; every other bin must
+    // densify from it with value = lo + circular-distance-rightward.
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.ophSignatures(docs, k = 16).collect()
+      .map(r => r.getInt(1) -> r.getString(2)).toMap
+    assert(out.size == 16, "every bin must be emitted after densification")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest("a b c".getBytes("UTF-8"))
+    var hi = 0L; var lo = 0L
+    (0 until 8).foreach(i => hi = (hi << 8) | (h(i) & 0xffL))
+    (8 until 16).foreach(i => lo = (lo << 8) | (h(i) & 0xffL))
+    val b0 = java.lang.Long.remainderUnsigned(hi, 16L).toInt
+    (0 until 16).foreach { j =>
+      val d = (b0 - j + 16) % 16
+      val expect = f"${lo + d}%016x"
+      assert(out(j) == expect, s"bin $j: got ${out(j)}, want $expect (d=$d)")
+    }
+  }
+
+  test("ophSignatures: exact copies collide in all bins, shingle-less docs drop") {
+    import spark.implicits._
+    val docs = planted.union(Seq((6L, "xy")).toDF("doc_id", "text"))
+    val sigs = Dedup.ophSignatures(docs, k = 16).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => r.getInt(1) -> r.getString(2)).toMap }
+    assert(!sigs.contains(6L), "a doc with < 3 tokens has no shingles and must drop")
+    assert(sigs(1L) == sigs(2L), "verbatim copies must share the full signature")
+    assert(sigs(1L) != sigs(4L), "unrelated docs must not share the full signature")
+    // Near dup (doc 3, one word changed) collides with doc 1 in at least
+    // one bin — the (bin, sig) bucket join would surface the pair.
+    assert((0 until 16).exists(b => sigs(1L)(b) == sigs(3L)(b)),
+      "near-dup shares no bin — the OPH detector would miss it")
+  }
+
   test("minhashEval: counts consistent, planted dups give full recall") {
     // planted: (1,2) exact dup + (1,3)/(2,3) near dups are the only pairs
     // with jaccard >= 0.5; the LSH detector should surface all of them
