@@ -60,6 +60,40 @@ object OracleSql {
        |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.95, "n_sample")}] AS p95_est
        |FROM qg""".stripMargin
 
+  /** One theta/KMV set-operation report at sketch size `k` (mirrors
+    * Sketches.kmvSetOps over the same A/B snapshot slices): bottom-k
+    * distinct md5 sketches, KMV-merged union sketch, rho (union-sample
+    * hashes present in both inputs), and the shared estimator arithmetic
+    * — only the hex-to-uint64 spelling is DuckDB's. */
+  private def kmvOverlapSql(k: Int): String = {
+    def est(nCol: String, kthCol: String): String =
+      s"""CASE WHEN $nCol < $k THEN CAST($nCol AS DOUBLE)
+         |ELSE round((CAST($k AS DOUBLE) - 1.0) * 18446744073709551616.0 /
+         |  CAST(('0x' || substr($kthCol, 1, 16))::UBIGINT AS DOUBLE), 6) END""".stripMargin
+    s"""SELECT * FROM (WITH ad AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+       |bd AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 <> 0),
+       |sa AS (SELECT h FROM ad ORDER BY h LIMIT $k),
+       |sb AS (SELECT h FROM bd ORDER BY h LIMIT $k),
+       |mk AS (
+       |  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+       |    SELECT h, 1 AS in_a, 0 AS in_b FROM sa
+       |    UNION ALL SELECT h, 0, 1 FROM sb) u GROUP BY h),
+       |uk AS (SELECT * FROM mk ORDER BY h LIMIT $k),
+       |agga AS (SELECT COUNT(*) AS n_a, MAX(h) AS kth_a FROM sa),
+       |aggb AS (SELECT COUNT(*) AS n_b, MAX(h) AS kth_b FROM sb),
+       |aggu AS (SELECT COUNT(*) AS n_u, MAX(h) AS kth_u,
+       |         CAST(SUM(in_a * in_b) AS BIGINT) AS rho FROM uk)
+       |SELECT $k AS k, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_u AS BIGINT) AS n_u, rho,
+       |  ${est("n_a", "kth_a")} AS est_distinct_a,
+       |  ${est("n_b", "kth_b")} AS est_distinct_b,
+       |  ${est("n_u", "kth_u")} AS est_union,
+       |  round(CAST(rho AS DOUBLE) / CAST(n_u AS DOUBLE), 6) AS jaccard_est,
+       |  round(CAST(rho AS DOUBLE) / CAST(n_u AS DOUBLE) *
+       |        ${est("n_u", "kth_u")}, 6) AS est_intersection
+       |FROM aggu, agga, aggb)""".stripMargin
+  }
+
   /** Variable-length exact substring dedup (Lee et al. 2022) — the shared
     * skeleton; only the dup CTE differs: remove-all (every occurrence of
     * a repeated gram) vs keep-first (the corpus-wide (doc_id, pos)-first
@@ -906,6 +940,13 @@ object OracleSql {
     // (union + re-bottom-k); the final snapshot equals the batch sample
     // (bottom-k is a function of the set), so the oracle IS the batch SQL.
     "q_stream_percentile_sketch" -> kmvSketchSql,
+
+    // Theta/KMV set operations (Sketches.kmvSetOps): the same bottom-k
+    // distinct-hash sketches, union sketch, rho and estimators — the one
+    // engine-specific spelling is hex-to-uint64 (DuckDB 0x-cast vs Spark
+    // conv), values identical. Both k branches, UNION ALL like the gate.
+    "q_corpus_overlap" ->
+      (kmvOverlapSql(64) + "\nUNION ALL\n" + kmvOverlapSql(4096)),
 
     // Sketch-pruned exact heavy hitters: the engine's Count-Min pass is
     // internal pruning with deterministically one-sided error, so the

@@ -2094,6 +2094,21 @@ object SparkEntry {
     graft.functions.Spm.fertilityReport(docs, model)
   }
 
+  /** Corpus overlap estimation ([[graft.functions.Sketches.kmvSetOps]],
+    * the theta/KMV set-operation tier): distinct/union/intersection/
+    * Jaccard estimates between two snapshot slices from two bounded
+    * bottom-k sketches — never joining the key spaces. Two k settings so
+    * BOTH estimator branches execute every run: k = 64 (estimation path)
+    * and k = 4096 (population fits → exact path). Hash-exact including
+    * the estimator doubles. */
+  private def qCorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val a = docs.filter(F.col("doc_id") % 3 =!= 0)
+    val b = docs.filter(F.col("doc_id") % 2 =!= 0)
+    graft.functions.Sketches.kmvSetOps(a, b, "text", k = 64)
+      .unionAll(graft.functions.Sketches.kmvSetOps(a, b, "text", k = 4096))
+  }
+
   /** WordPiece tokenizer TRAINING ([[graft.functions.Wordpiece.train]],
     * Schuster & Nakajima 2012 / BERT) — the THIRD subword family: BPE's
     * merge loop under the likelihood-gain selection rule
@@ -2954,6 +2969,7 @@ object SparkEntry {
     "q_spm_train" -> (qSpmTrain _),
     "q_spm_encode" -> (qSpmEncode _),
     "q_spm_fertility" -> (qSpmFertility _),
+    "q_corpus_overlap" -> (qCorpusOverlap _),
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_wordpiece_fertility" -> (qWordpieceFertility _),

@@ -201,6 +201,91 @@ object Sketches {
                      qs: Seq[(String, Double)] = Seq("p50_est" -> 0.5, "p95_est" -> 0.95)): DataFrame =
     sampleQuantiles(bottomKSample(df, keys, valueCol, idCol, k), keys, valueCol, qs)
 
+  // --------------------------------------- theta / KMV set-operation tier
+
+  /** Bottom-k distinct-hash sketch of one column — the KMV synopsis
+    * (Beyer et al. SIGMOD 2007), the mergeable state the theta-sketch
+    * set operations (Dasgupta et al. 2016 / Apache DataSketches) run on.
+    * Hash = md5 hex of the value (deterministic, engine-neutral); the
+    * sketch is the k lexicographically smallest DISTINCT hashes —
+    * fixed-width hex, so string order = unsigned 128-bit order.
+    *
+    * Scale shape: each input partition folds to a capped TreeSet (local
+    * dedup + local bottom-k, ≤ k survivors per task — the sketch never
+    * shuffles the key space, unlike a distinct()), then ≤ tasks × k rows
+    * reduce to the global bottom-k. Merge rule across shards = union +
+    * re-bottom-k (associative, commutative, idempotent). */
+  def kmvDistinctSketch(df: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df.filter(F.col(valueCol).isNotNull)
+      .select(F.md5(F.col(valueCol).cast("string")).as("h"))
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    hashed.as[String].mapPartitions { it =>
+      val ts = new java.util.TreeSet[String]()
+      it.foreach { h => ts.add(h); if (ts.size > k) ts.pollLast() }
+      import scala.jdk.CollectionConverters._
+      ts.iterator().asScala
+    }.toDF("h").distinct().orderBy(F.col("h").asc).limit(k)
+  }
+
+  /** The shared KMV estimator text: exact when the sketch holds the whole
+    * set (n < k), else the Beyer et al. unbiased (k−1)/U(k) with U(k) =
+    * the k-th smallest hash's top-64-bits as a fraction of 2^64. Both
+    * engines parse the same 16 hex chars to the same integer, cast it
+    * through the same correctly-rounded double, and do the same two
+    * IEEE ops — hash-exact under the hllEstSql precedent. */
+  def kmvEstSql(k: Int, nCol: String, kthHexCol: String): String =
+    s"""CASE WHEN $nCol < $k THEN CAST($nCol AS DOUBLE)
+       |ELSE round((CAST($k AS DOUBLE) - 1.0) * 18446744073709551616.0 /
+       |  CAST(${hex16ToDecSql(kthHexCol)} AS DOUBLE), 6) END""".stripMargin
+
+  /** Engine-portable "first 16 hex chars as unsigned 64-bit integer":
+    * Spark parses via conv(…,16,10) (returns a decimal-safe string),
+    * DuckDB via the 0x-prefix UBIGINT cast — the oracle substitutes its
+    * own spelling, values identical. */
+  private def hex16ToDecSql(hexCol: String): String =
+    s"CAST(conv(substring($hexCol, 1, 16), 16, 10) AS DECIMAL(20,0))"
+
+  /** Theta-sketch set operations over two corpora: distinct-count
+    * estimates for A, B, A∪B, A∩B and the Jaccard estimate, from two
+    * bounded [[kmvDistinctSketch]]es — how two 100 TB crawl snapshots are
+    * compared without ever joining their key spaces. The union sketch is
+    * the bottom-k of the two sketches' union (the KMV merge rule); θ =
+    * its k-th smallest hash; ρ = how many of the union sample's hashes
+    * appear in BOTH input sketches; |A∩B| ≈ (ρ/n)·|A∪B| and J ≈ ρ/n
+    * (the theta-framework estimators). Every estimate degrades to EXACT
+    * when the population fits the sketch (n < k). One tiny row out;
+    * deterministic md5 arithmetic end to end, so the report — estimator
+    * doubles included — is hash-exact against the oracle. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String,
+                k: Int = 256): DataFrame = {
+    val sa = kmvDistinctSketch(a, valueCol, k)
+    val sb = kmvDistinctSketch(b, valueCol, k)
+    val marked = sa.select(F.col("h"), F.lit(1L).as("in_a"), F.lit(0L).as("in_b"))
+      .unionAll(sb.select(F.col("h"), F.lit(0L).as("in_a"), F.lit(1L).as("in_b")))
+      .groupBy("h")
+      .agg(F.max("in_a").as("in_a"), F.max("in_b").as("in_b"))
+    val uk = marked.orderBy(F.col("h").asc).limit(k)
+    val aggA = sa.agg(F.count(F.lit(1)).as("n_a"), F.max("h").as("kth_a"))
+    val aggB = sb.agg(F.count(F.lit(1)).as("n_b"), F.max("h").as("kth_b"))
+    val aggU = uk.agg(F.count(F.lit(1)).as("n_u"), F.max("h").as("kth_u"),
+      F.sum(F.col("in_a") * F.col("in_b")).as("rho"))
+    aggU.crossJoin(aggA).crossJoin(aggB)
+      .select(
+        F.lit(k).as("k"), F.col("n_a"), F.col("n_b"), F.col("n_u"), F.col("rho"),
+        F.expr(kmvEstSql(k, "n_a", "kth_a")).as("est_distinct_a"),
+        F.expr(kmvEstSql(k, "n_b", "kth_b")).as("est_distinct_b"),
+        F.expr(kmvEstSql(k, "n_u", "kth_u")).as("est_union"))
+      .select(F.col("*"),
+        F.expr("round(CAST(rho AS DOUBLE) / CAST(n_u AS DOUBLE), 6)")
+          .as("jaccard_est"),
+        // Composed on the ROUNDED union estimate on purpose: both engines
+        // then share every intermediate bit (the hllEstSql rule).
+        F.expr("round(CAST(rho AS DOUBLE) / CAST(n_u AS DOUBLE) * est_union, 6)")
+          .as("est_intersection"))
+  }
+
   // ------------------------------------------- count-min frequency sketch
 
   /** Deterministic Count-Min sketch (Cormode & Muthukrishnan 2005): `d`

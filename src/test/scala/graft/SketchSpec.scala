@@ -88,6 +88,48 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("KMV set sketch: shard sketches merge to the whole-set sketch") {
+    import graft.functions.Sketches
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = docs.filter(F.col("doc_id") % 2 === 0)
+    val b = docs.filter(F.col("doc_id") % 2 =!= 0)
+    val whole = Sketches.kmvDistinctSketch(docs, "text", k = 64)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // KMV merge rule: union the shard sketches, re-take the bottom k.
+    val merged = Sketches.kmvDistinctSketch(a, "text", k = 64)
+      .unionAll(Sketches.kmvDistinctSketch(b, "text", k = 64))
+      .distinct().orderBy("h").limit(64)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(whole == merged, "union + re-bottom-k must equal the whole-set sketch")
+  }
+
+  test("kmvSetOps: exact when the population fits, unbiased-estimator branch close when not") {
+    import graft.functions.Sketches
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = docs.filter(F.col("doc_id") % 3 =!= 0)
+    val b = docs.filter(F.col("doc_id") % 2 =!= 0)
+    val trueA = a.select("text").distinct().count()
+    val trueB = b.select("text").distinct().count()
+    val trueI = a.select("text").intersect(b.select("text")).count()
+    val trueU = a.select("text").union(b.select("text")).distinct().count()
+    // Exact branch: a sketch bigger than the population IS the population.
+    val ex = Sketches.kmvSetOps(a, b, "text", k = 4096).head()
+    assert(ex.getAs[Double]("est_distinct_a") == trueA.toDouble)
+    assert(ex.getAs[Double]("est_distinct_b") == trueB.toDouble)
+    assert(ex.getAs[Double]("est_union") == trueU.toDouble)
+    assert(ex.getAs[Double]("est_intersection") == trueI.toDouble)
+    assert(math.abs(ex.getAs[Double]("jaccard_est") - trueI.toDouble / trueU.toDouble) < 1e-6)
+    // Estimator branch (k = 64 << population): KMV's relative std is
+    // ~1/sqrt(k-2) ≈ 0.13; this is a fixed dataset, so the bound is a
+    // deterministic regression pin, not a flaky probabilistic one.
+    val est = Sketches.kmvSetOps(a, b, "text", k = 64).head()
+    def rel(got: Double, want: Long) = math.abs(got - want) / want.toDouble
+    assert(rel(est.getAs[Double]("est_union"), trueU) < 0.35,
+      s"union est ${est.getAs[Double]("est_union")} vs $trueU")
+    assert(rel(est.getAs[Double]("est_intersection"), trueI) < 0.5,
+      s"intersection est ${est.getAs[Double]("est_intersection")} vs $trueI")
+  }
+
   test("count-min: shard registers sum-merge to the whole-corpus sketch") {
     import graft.functions.Sketches
     val ev = Tables.events(spark, sf001).select(
