@@ -1251,6 +1251,26 @@ object OracleSql {
     // (exact-join adjudicated), so the oracle is the plain suffix-match
     // rule: blocked iff any >=2-label dot-suffix of the host is listed,
     // most specific (longest) entry reported.
+    // Aho–Corasick phrase blocklist: the automaton is internal machinery;
+    // the semantics are literal per-phrase substring containment on the
+    // lowercased text, so the oracle is the contains() join.
+    "q_phrase_blocklist" ->
+      """WITH pats AS (
+        |  SELECT unnest(['batch batch batch', 'hash scan join', 'merge sort',
+        |                 'slow join', 'sort merge', 'spark', 'spark join group',
+        |                 'vector window', 'window window']) AS p),
+        |m AS (
+        |  SELECT d.doc_id, p.p FROM documents d
+        |  JOIN pats p ON contains(lower(d.text), p.p)),
+        |g AS (
+        |  SELECT doc_id, list_sort(list(p)) AS matched, COUNT(*) AS nm
+        |  FROM m GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(g.matched, []) AS matched,
+        |  CAST(COALESCE(g.nm, 0) AS BIGINT) AS n_matched,
+        |  COALESCE(g.nm, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
+
     "q_url_blocklist" ->
       """WITH u AS (
         |  SELECT doc_id, lower('WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||

@@ -1647,6 +1647,18 @@ object SparkEntry {
       T(s, dir, "documents").select(F.col("doc_id"), url.as("url")), "url", blocklist)
   }
 
+  /** Phrase-blocklist filtering ([[graft.functions.TextFunctions
+    * .phraseBlocklist]], Aho–Corasick): the C4 bad-words policy step over
+    * a 9-phrase list exercising nesting ("spark" inside "spark join
+    * group") and shared prefixes — one automaton pass per document,
+    * O(len + hits) regardless of blocklist size. */
+  private def qPhraseBlocklist(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.phraseBlocklist(
+      T(s, dir, "documents"),
+      Seq("batch batch batch", "hash scan join", "merge sort", "slow join",
+        "sort merge", "spark", "spark join group", "vector window",
+        "window window"))
+
   /** Unicode NFC normalization
     * ([[graft.functions.TextFunctions.nfcNormalize]]): the corpus text is
     * salted with DECOMPOSED combining sequences (e + U+0301 etc. —
@@ -2933,6 +2945,7 @@ object SparkEntry {
     "q_padding_efficiency" -> (qPaddingEfficiency _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_url_blocklist" -> (qUrlBlocklist _),
+    "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),
     "q_bigrams" -> (qBigrams _),

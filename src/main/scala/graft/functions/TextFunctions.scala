@@ -421,4 +421,28 @@ object TextFunctions {
         (F.col("st.n_kept") >= minKeptLines &&
           !F.col("st.has_lorem") && !F.col("st.has_brace")).as("c4_keep"))
   }
+
+  /** Phrase-blocklist filtering ([[graft.functions.expressions
+    * .PhraseHitsExpr]], Aho–Corasick 1975) — the C4 "bad words" policy
+    * step (Raffel et al. 2020): per document, the distinct blocklist
+    * phrases contained in the lowercased text (sorted), their count, and
+    * the blocked verdict. ONE automaton pass per document — O(len +
+    * hits) regardless of blocklist size, vs P contains() scans; the
+    * automaton ships with the plan and builds once per executor, and the
+    * scan stays inside whole-stage codegen (codegen-parity-pinned).
+    * Case-insensitivity = lower(text) vs lowercase phrases, so the
+    * oracle is the literal per-phrase contains(). */
+  def phraseBlocklist(docs: org.apache.spark.sql.DataFrame, phrases: Seq[String],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val matched = ColumnBridge.column(
+      graft.functions.expressions.PhraseHitsExpr(
+        ColumnBridge.expression(F.lower(F.col(textCol))),
+        phrases.map(_.toLowerCase(java.util.Locale.ROOT)).toArray))
+    docs.select(F.col(idCol), matched.as("matched"))
+      .select(F.col(idCol), F.col("matched"),
+        F.size(F.col("matched")).cast("long").as("n_matched"),
+        (F.size(F.col("matched")) > 0).as("blocked"))
+  }
 }

@@ -35,7 +35,8 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_c4_rules", // C4StatsExpr (r15; struct-valued line-filter pass)
     "q_url_blocklist", // HostSuffixesExpr (r16; array-valued suffix fan)
     "q_fix_mojibake", // MojibakeRepairExpr (r17; zero-alloc clean path)
-    "q_dedup_minhash_oph" // OphSigsExpr (r17; densified-bin null path)
+    "q_dedup_minhash_oph", // OphSigsExpr (r17; densified-bin null path)
+    "q_phrase_blocklist" // PhraseHitsExpr (r17; addReferenceObj automaton)
   )
 
   private def rows(df: DataFrame): Seq[String] =

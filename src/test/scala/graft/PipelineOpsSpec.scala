@@ -1096,6 +1096,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("phraseBlocklist: overlapping/nested/suffix matches all found, clean docs pass") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "abcde"),        // nested + overlapping single-word patterns
+      (2L, "ushers walk"),  // the classic he/she/hers suffix-chain corpus
+      (3L, "SPARK Join oK"),// case-insensitive policy
+      (4L, "clean words")   // no hits
+    ).toDF("doc_id", "text")
+    val phrases = Seq("abc", "bc", "bcd", "cde", "he", "hers", "she", "spark join", "zz")
+    val out = TextFunctions.phraseBlocklist(docs, phrases).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((Seq("abc", "bc", "bcd", "cde"), 4L, true)), s"got ${out(1L)}")
+    // "ushers": she at 1, he at 2 (suffix-output chain of she), hers at 2.
+    assert(out(2L) == ((Seq("he", "hers", "she"), 3L, true)), s"got ${out(2L)}")
+    assert(out(3L) == ((Seq("spark join"), 1L, true)), s"got ${out(3L)}")
+    assert(out(4L) == ((Seq(), 0L, false)), s"got ${out(4L)}")
+  }
+
   test("pmi: bound pairs score high, independent pairs near zero, count floor binds") {
     import graft.functions.Collocations
     import spark.implicits._
