@@ -2333,6 +2333,36 @@ object OracleSql {
          |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
     },
 
+    // Margin-based mining (Ann.marginMine): ratio margin over k-NN
+    // averages; DECIMAL sums make the averages order-free, every double
+    // op shares its expression shape with the Spark side.
+    "q_ann_margin" -> {
+      def knnAvg(src: String, key: String, out: String) =
+        s"""SELECT $key, round(CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE) /
+           |  CAST(COUNT(*) AS DOUBLE), 6) AS $out FROM $src GROUP BY 1""".stripMargin
+      s"""WITH aq AS (SELECT vec_id AS src_id, embedding AS qe FROM embeddings WHERE vec_id < 40),
+         |bt AS (SELECT vec_id AS tgt_id, embedding AS ce FROM embeddings WHERE vec_id >= 40),
+         |p AS (SELECT src_id, tgt_id, ${cosSql("qe", "ce")} AS cosine FROM bt, aq),
+         |xk AS (SELECT * FROM (
+         |  SELECT src_id, tgt_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rx
+         |  FROM p) WHERE rx <= 8),
+         |yk AS (SELECT * FROM (
+         |  SELECT src_id, tgt_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS ry
+         |  FROM p) WHERE ry <= 8),
+         |ax AS (${knnAvg("xk", "src_id", "avg_src")}),
+         |ay AS (${knnAvg("yk", "tgt_id", "avg_tgt")}),
+         |m AS (
+         |  SELECT x.src_id, x.tgt_id, x.cosine,
+         |    round(x.cosine / ((ax.avg_src + ay.avg_tgt) / 2.0), 6) AS margin_score
+         |  FROM xk x JOIN ax USING (src_id) JOIN ay USING (tgt_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |        ORDER BY margin_score DESC, tgt_id) AS rm FROM m)
+         |SELECT src_id, tgt_id, cosine, margin_score
+         |FROM r WHERE rm = 1 AND margin_score >= 1.45""".stripMargin
+    },
+
     "q_ann_lsh" -> lshBucketSql,
 
     // Densification: dense id = rank of the original id in ascending

@@ -2463,6 +2463,16 @@ object SparkEntry {
   private def qJaccardJoin(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardJoinExact(T(s, dir, "documents"), minJaccard = 0.1)
 
+  /** Margin-based parallel-pair mining ([[Ann.marginMine]], Artetxe &
+    * Schwenk 2019): the 40-vector source batch mined against the rest of
+    * the corpus under the ratio margin (k = 8 averages, threshold 1.45 — binding at gate scale)
+    * — mined pairs and margin doubles hash-exact. */
+  private def qAnnMargin(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.marginMine(emb.filter(F.col("vec_id") < 40),
+      emb.filter(F.col("vec_id") >= 40), k = 8, threshold = 1.45)
+  }
+
   private def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
@@ -3025,6 +3035,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute" -> (qAnnBrute _),
+    "q_ann_margin" -> (qAnnMargin _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_densify" -> (qDensify _),

@@ -86,6 +86,56 @@ object Ann {
         F.col("neighbor_id"), F.col("cosine"))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk ACL 2019, the
+    * LASER/CCMatrix bitext-mining scorer): for each source vector, its
+    * best target by the RATIO margin — cos(x,y) divided by the mean of
+    * the two sides' average-kNN cosines — kept above `threshold`. The
+    * margin is the published fix for cosine's hubness failure: a "hub"
+    * target that is everyone's near-neighbor has a high kNN average,
+    * which cancels its raw cosine; an exclusive match keeps its full
+    * ratio (spec pins a hub geometry).
+    *
+    * Shape: the source batch broadcasts against the target corpus (the
+    * [[bruteTopK]] scan), margins are evaluated on each source's k-NN
+    * candidate list, and the target-side averages are computed within
+    * the batch's score table — the batch-local approximation mining
+    * always runs under (at 100 TB the candidate lists come from the IVF
+    * /JL tiers instead of the brute scan; the scorer is unchanged).
+    * Averages sum in DECIMAL (order-free) and every double op shares
+    * its expression text with the oracle — mined pairs AND margin
+    * doubles are hash-exact. */
+  def marginMine(a: DataFrame, b: DataFrame, idCol: String = "vec_id",
+                 embCol: String = "embedding", k: Int = 8,
+                 threshold: Double = 1.05, native: Boolean = true): DataFrame = {
+    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
+    val q = a.select(F.col(idCol).as("src_id"), F.col(embCol).as("q_emb"),
+      nrm(F.col(embCol)).as("q_norm"))
+    val scored = b
+      .select(F.col(idCol).as("tgt_id"), F.col(embCol).as("c_emb"),
+        nrm(F.col(embCol)).as("c_norm"))
+      .join(F.broadcast(q))
+      .select(F.col("src_id"), F.col("tgt_id"),
+        F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
+          (F.col("q_norm") * F.col("c_norm")), 6).as("cosine"))
+    val wX = Window.partitionBy("src_id").orderBy(F.col("cosine").desc, F.col("tgt_id").asc)
+    val wY = Window.partitionBy("tgt_id").orderBy(F.col("cosine").desc, F.col("src_id").asc)
+    val xk = scored.withColumn("rx", F.row_number().over(wX)).filter(F.col("rx") <= k)
+    val yk = scored.withColumn("ry", F.row_number().over(wY)).filter(F.col("ry") <= k)
+    def knnAvg(df: DataFrame, key: String, out: String) =
+      df.groupBy(key).agg(F.round(
+        F.sum(F.col("cosine").cast("decimal(38,18)")).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6).as(out))
+    val wM = Window.partitionBy("src_id").orderBy(F.col("margin_score").desc, F.col("tgt_id").asc)
+    xk.select("src_id", "tgt_id", "cosine")
+      .join(knnAvg(xk, "src_id", "avg_src"), Seq("src_id"))
+      .join(knnAvg(yk, "tgt_id", "avg_tgt"), Seq("tgt_id"))
+      .withColumn("margin_score", F.round(F.col("cosine") /
+        ((F.col("avg_src") + F.col("avg_tgt")) / F.lit(2.0)), 6))
+      .withColumn("rm", F.row_number().over(wM))
+      .filter(F.col("rm") === 1 && F.col("margin_score") >= threshold)
+      .select("src_id", "tgt_id", "cosine", "margin_score")
+  }
+
   /** Exact top-k via map-side partial aggregation — only k candidates per
     * partition per query reach the shuffle. Identical output to
     * [[bruteTopK]] (same deterministic sort key). */

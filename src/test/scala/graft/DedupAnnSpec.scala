@@ -578,6 +578,34 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("marginMine: ratio margin suppresses hub targets, keeps exclusive matches") {
+    import spark.implicits._
+    // Source x1 has an exclusive near-copy y1; sources x2/x3 both point
+    // at the HUB yh — raw cosine can't tell the two situations apart
+    // (both ~0.99), the kNN-average denominator can: yh's average is
+    // itself ~0.99, cancelling its cosine.
+    val a = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(0f, 0.95f, 0.3f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (101L, Array(0.99f, 0.14f, 0f)),   // exclusive match of x1
+      (102L, Array(0f, 1f, 0.1f)),       // hub: near both x2 and x3
+      (103L, Array(0.5f, 0.5f, 0.2f))).toDF("vec_id", "embedding") // background
+    val all = graft.ann.Ann.marginMine(a, b, k = 2, threshold = 0.0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(all(1L)._1 == 101L, s"x1 must mine its exclusive match: ${all(1L)}")
+    assert(all(2L)._1 == 102L && all(3L)._1 == 102L, s"hub is still the argmax: $all")
+    assert(all(2L)._2 > 0.97, "raw cosine to the hub is near-perfect")
+    assert(all(1L)._3 >= 1.3, s"exclusive-match margin must stay high: ${all(1L)}")
+    assert(all(2L)._3 <= 1.15 && all(3L)._3 <= 1.15,
+      s"hub margins must be suppressed toward 1: $all")
+    // At a mining threshold between the two regimes only the true pair
+    // survives — the published use.
+    val mined = graft.ann.Ann.marginMine(a, b, k = 2, threshold = 1.3).collect()
+    assert(mined.map(_.getLong(0)).toSeq == Seq(1L), s"got ${mined.toSeq}")
+  }
+
   test("jlProject: distances preserved in expectation, deterministic, matrix-free") {
     import graft.functions.VectorFunctions
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(60)
