@@ -1271,6 +1271,38 @@ object OracleSql {
         |  COALESCE(g.nm, 0) > 0 AS blocked
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
 
+    // Reciprocal Rank Fusion: the distributed range-partition indexes are
+    // plain ROW_NUMBERs here (total order via the id tie-break); ratios
+    // are exact-integer divisions through double; terms sum in signal
+    // order (len, div, stop).
+    "q_rank_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars AS DOUBLE) AS s_len,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS s_div,
+        |    CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE) /
+        |      CAST(len(w) AS DOUBLE) AS s_stop
+        |  FROM tok WHERE len(w) > 0),
+        |rk AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY s_len DESC, doc_id) AS rank_len,
+        |    ROW_NUMBER() OVER (ORDER BY s_div DESC, doc_id) AS rank_div,
+        |    ROW_NUMBER() OVER (ORDER BY s_stop DESC, doc_id) AS rank_stop
+        |  FROM sig),
+        |sc AS (
+        |  SELECT doc_id, rank_len, rank_div, rank_stop,
+        |    round(1.0 / (60.0 + CAST(rank_len AS DOUBLE)) +
+        |          1.0 / (60.0 + CAST(rank_div AS DOUBLE)) +
+        |          1.0 / (60.0 + CAST(rank_stop AS DOUBLE)), 6) AS rrf_score
+        |  FROM rk)
+        |SELECT doc_id, rank_len, rank_div, rank_stop, rrf_score,
+        |  ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+        |FROM sc""".stripMargin,
+
     "q_url_blocklist" ->
       """WITH u AS (
         |  SELECT doc_id, lower('WWW.Site' || CAST(doc_id % 50 AS VARCHAR) ||

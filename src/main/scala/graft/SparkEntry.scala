@@ -1659,6 +1659,32 @@ object SparkEntry {
         "sort merge", "spark", "spark join group", "vector window",
         "window window"))
 
+  /** Reciprocal Rank Fusion ([[graft.operators.RankFusion.rrf]]): three
+    * incommensurable quality signals — length, distinct-token ratio,
+    * stopword fraction — fused into one selection order by 1/(60+rank)
+    * sums; every global rank is a distributed range-partition index,
+    * never a single-partition window. Ratios are exact-integer divisions
+    * cast through double, so ranks, fused doubles and the fused order
+    * are all hash-exact. */
+  private def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = ColumnBridge.column(
+      graft.functions.expressions.ShingleExpr(
+        ColumnBridge.expression(F.col("text")), 1))
+    val base = T(s, dir, "documents")
+      .select(F.col("doc_id"), F.col("n_chars"), toks.as("w"))
+      .filter(F.size(F.col("w")) > 0)
+      .select(F.col("doc_id"),
+        F.col("n_chars").cast("double").as("s_len"),
+        (F.size(F.array_distinct(F.col("w"))).cast("double") /
+          F.size(F.col("w")).cast("double")).as("s_div"),
+        (F.expr("size(filter(w, t -> t = 'the' or t = 'a'))").cast("double") /
+          F.size(F.col("w")).cast("double")).as("s_stop"))
+    graft.operators.RankFusion.rrf(base, "doc_id",
+      Seq("len" -> F.col("s_len"), "div" -> F.col("s_div"),
+        "stop" -> F.col("s_stop")))
+  }
+
   /** Unicode NFC normalization
     * ([[graft.functions.TextFunctions.nfcNormalize]]): the corpus text is
     * salted with DECOMPOSED combining sequences (e + U+0301 etc. —
@@ -2956,6 +2982,7 @@ object SparkEntry {
     "q_url_canonical" -> (qUrlCanonical _),
     "q_url_blocklist" -> (qUrlBlocklist _),
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
+    "q_rank_fusion" -> (qRankFusion _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),
     "q_bigrams" -> (qBigrams _),

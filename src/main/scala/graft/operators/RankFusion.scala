@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher SIGIR 2009) — the
+  * standard way a pipeline combines INCOMMENSURABLE quality signals
+  * (length, lexical diversity, LM score, classifier score, ...) into one
+  * selection order without calibrating any of them: each signal
+  * contributes 1/(k + rank), so only ORDER matters, outliers can't
+  * dominate, and a document strong under several signals beats one
+  * extreme under one. k = 60 is the published constant.
+  *
+  * Scale shape: every global rank — the per-signal ranks AND the fused
+  * one — is a [[GlobalIndex.appendIndex]] distributed index (range
+  * partition + in-partition sort + zipWithIndex), NEVER a
+  * single-partition window; the per-signal rank tables then join back on
+  * the id (bucketed corpora make those exchanges cheap). Rank ties are
+  * impossible by construction (id tie-break), so the fusion is a pure
+  * function of the data and the whole report — ranks, fused score
+  * doubles, fused order — is oracle-replicable. */
+object RankFusion {
+
+  /** Fuse `signals` (name → column, each ranked DESCENDING with `idCol`
+    * ascending as tie-break) into `rank_<name>` columns (1-based),
+    * `rrf_score` (round 6; terms summed in the given signal order) and
+    * the 1-based `fused_rank`. */
+  def rrf(df: DataFrame, idCol: String, signals: Seq[(String, Column)],
+          kRrf: Int = 60): DataFrame = {
+    require(signals.nonEmpty, "at least one signal")
+    val id = F.col(idCol)
+    val base = df.select(id +: signals.map { case (n, c) => c.as(s"_sig_$n") }: _*)
+    val ranked = signals.foldLeft(base.select(id)) { case (acc, (n, _)) =>
+      val r = GlobalIndex.appendIndex(
+        base.select(id, F.col(s"_sig_$n")),
+        Seq(F.col(s"_sig_$n").desc, id.asc), s"_idx_$n")
+        .select(id, (F.col(s"_idx_$n") + 1L).as(s"rank_$n"))
+      acc.join(r, Seq(idCol))
+    }
+    val terms = signals.map { case (n, _) =>
+      F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col(s"rank_$n").cast("double"))
+    }
+    val scored = ranked.withColumn("rrf_score",
+      F.round(terms.reduceLeft(_ + _), 6))
+    GlobalIndex.appendIndex(scored,
+      Seq(F.col("rrf_score").desc, id.asc), "_idx_fused")
+      .withColumn("fused_rank", F.col("_idx_fused") + 1L)
+      .drop("_idx_fused")
+  }
+}

@@ -1096,6 +1096,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("RankFusion.rrf: hand-computed ranks, scores and fused order; consensus wins") {
+    import spark.implicits._
+    import graft.operators.RankFusion
+    // signal a ranks 1,2,3 for ids 1,2,3; signal b ranks 3,1,2 — doc 2
+    // (good under BOTH) must out-fuse doc 1 (extreme under one).
+    val df = Seq((1L, 3.0, 1.0), (2L, 2.0, 3.0), (3L, 1.0, 2.0))
+      .toDF("doc_id", "a", "b")
+    val out = RankFusion.rrf(df, "doc_id",
+      Seq("a" -> F.col("a"), "b" -> F.col("b"))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"),
+          r.getAs[Double]("rrf_score"), r.getAs[Long]("fused_rank")))).toMap
+    def rrf(ra: Int, rb: Int) =
+      BigDecimal(1.0 / (60.0 + ra) + 1.0 / (60.0 + rb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, 3L, rrf(1, 3), 2L)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, rrf(2, 1), 1L)), s"got ${out(2L)}")
+    assert(out(3L) == ((3L, 2L, rrf(3, 2), 3L)), s"got ${out(3L)}")
+  }
+
   test("phraseBlocklist: overlapping/nested/suffix matches all found, clean docs pass") {
     import spark.implicits._
     import graft.functions.TextFunctions
