@@ -1647,6 +1647,30 @@ object OracleSql {
          |FROM cal""".stripMargin
     },
 
+    // ROC-AUC: same GD chain + scored CTE; tie-aware rank-sum with the
+    // numerator doubled to stay an exact integer — one shared division.
+    "q_clf_auc" -> {
+      s"""WITH ${clfCtes(64, 4, 0.5)},
+         |scored AS (
+         |  SELECT f.doc_id, f.y,
+         |    ROUND(1.0/(1.0 + exp(-(CAST(SUM(CAST(w.w AS DECIMAL(38,18))) AS DOUBLE) + b.bv))), 6) AS clf_score
+         |  FROM feats f JOIN w4 w USING (bkt) CROSS JOIN b4 b
+         |  GROUP BY f.doc_id, f.y, b.bv),
+         |g AS (
+         |  SELECT clf_score AS s, COUNT(*) AS n, SUM(CAST(y AS BIGINT)) AS np
+         |  FROM scored GROUP BY 1),
+         |c AS (
+         |  SELECT n, np,
+         |    SUM(n - np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) - (n - np) AS negb
+         |  FROM g)
+         |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         |  CAST(SUM(n - np) AS BIGINT) AS n_neg,
+         |  round(CAST(SUM(np * 2 * negb + np * (n - np)) AS DOUBLE) /
+         |    (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(n - np) AS DOUBLE)), 6) AS auc
+         |FROM c""".stripMargin
+    },
+
     // CCNet perplexity buckets: the q_lm_score CTEs (rounded 6-dp score)
     // joined with the langId CASE chain, ranked per language on
     // (lm_score DESC, doc_id), then EXPLICIT ntile arithmetic on
@@ -2189,6 +2213,26 @@ object OracleSql {
 
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
+
+    // b-bit minwise hashing: lowest 4 bits = the last hex char of the
+    // band signature; agreement over the shared candidate pairs; the
+    // estimate is the same two IEEE ops from exact longs.
+    "q_dedup_minhash_bbit" ->
+      (minhashCtes +
+        """, bbv AS (
+          |  SELECT doc_id, b, CAST(('0x' || substr(sig, 16, 1))::UBIGINT AS INT) AS v
+          |  FROM mh),
+          |ag AS (
+          |  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_bands,
+          |    SUM(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS n_agree
+          |  FROM pairs p
+          |  JOIN bbv x ON x.doc_id = p.doc_a
+          |  JOIN bbv y ON y.doc_id = p.doc_b AND y.b = x.b
+          |  GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, CAST(n_bands AS BIGINT) AS n_bands,
+          |  CAST(n_agree AS BIGINT) AS n_agree,
+          |  round((CAST(n_agree AS DOUBLE) / 8.0 - 0.0625) / 0.9375, 6) AS j_bbit_est
+          |FROM ag""".stripMargin),
 
     // One-permutation hashing mirrored bit-for-bit: bin = hi mod 16
     // (unsigned), bin value = MIN(lo), empty bins take the nearest

@@ -2217,6 +2217,17 @@ object SparkEntry {
           .as("mean_score"))
   }
 
+  /** ROC-AUC of the trained quality classifier ([[graft.functions
+    * .Classifier.aucReport]]): the tie-aware rank-sum identity over the
+    * round-6 score groups — the threshold-free metric completing the
+    * eval-harness family (confusion matrix, near-dup P/R, calibration).
+    * One exact division; hash-exact. */
+  private def qClfAuc(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Classifier.aucReport(
+      graft.functions.Classifier.trainScore(
+        T(s, dir, "documents"),
+        F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0))))
+
   /** CCNet perplexity buckets
     * ([[graft.functions.UnigramLm.perplexityBuckets]]): head/middle/tail
     * thirds per language by unigram-LM score. The memoized corpus count
@@ -2310,6 +2321,15 @@ object SparkEntry {
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(T(s, dir, "documents"),
+      knownDocCount = docCount(s, dir))
+
+  /** b-bit minwise hashing ([[Dedup.bbitJaccardEstimates]], Li & König
+    * 2010): per LSH candidate pair, bands agreeing on the lowest 4
+    * signature bits and the chance-corrected Jaccard estimate — the 16×
+    * smaller signature tier, hash-exact including the estimate
+    * doubles. */
+  private def qDedupMinhashBbit(s: SparkSession, dir: String): DataFrame =
+    Dedup.bbitJaccardEstimates(T(s, dir, "documents"),
       knownDocCount = docCount(s, dir))
 
   /** One-permutation MinHash signatures with rotation densification
@@ -3015,6 +3035,7 @@ object SparkEntry {
     "q_dsir_select" -> (qDsirSelect _),
     "q_clf_quality" -> (qClfQuality _),
     "q_clf_calibration" -> (qClfCalibration _),
+    "q_clf_auc" -> (qClfAuc _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_spm_train" -> (qSpmTrain _),
     "q_spm_encode" -> (qSpmEncode _),
@@ -3050,6 +3071,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_minhash_oph" -> (qDedupMinhashOph _),
+    "q_dedup_minhash_bbit" -> (qDedupMinhashBbit _),
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
     "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
     "q_dedup_incremental" -> (qDedupIncremental _),

@@ -190,6 +190,42 @@ object Dedup {
     candidatesFromSigs(sigs, idCol, maxBucket = maxBucket, knownBucketBound = knownDocCount)
   }
 
+  /** b-bit minwise hashing (Li & König WWW 2010): keep only the lowest
+    * `b` bits of each band's minhash value and estimate Jaccard from the
+    * b-bit agreement rate — the published storage/bandwidth answer for
+    * signature tables at 100 TB (64→4 bits is a 16× smaller sketch; the
+    * paper's variance analysis prices the extra bands). Per candidate
+    * pair (the row-32 LSH candidacy — never all-pairs): bands agreeing
+    * on the b-bit value, and Ĵ = (A − C)/(1 − C) with A the agreement
+    * rate and C = 2^−b the large-universe chance-collision rate (the
+    * paper's r→0 limit). b is hex-aligned (4/8/12/16) so both engines
+    * slice the same hex suffix of the signature; the estimate is two
+    * IEEE ops from exact longs — hash-exact. */
+  def bbitJaccardEstimates(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", shingleN: Int = 3,
+                           bands: Int = DefaultBands, b: Int = 4,
+                           knownDocCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
+    require(b % 4 == 0 && b > 0 && b <= 16, s"b must be 4, 8, 12 or 16 (hex-aligned), got $b")
+    val chars = b / 4
+    // One signature build feeds the candidate join AND both compare
+    // sides; materialize so the shingle+minhash fold runs once.
+    val sigs = materialize(
+      minhashSignaturesFromDocs(docs, idCol, textCol, shingleN, bands)
+        .withColumn("bbit",
+          F.conv(F.substring(F.col("sig"), 17 - chars, chars), 16, 10).cast("int")))
+    val pairs = candidatesFromSigs(sigs.select(F.col(idCol), F.col("band"), F.col("sig")),
+      idCol, maxBucket = 100000, knownBucketBound = knownDocCount)
+    val sa = sigs.select(F.col(idCol).as("doc_a"), F.col("band"), F.col("bbit").as("ba"))
+    val sb = sigs.select(F.col(idCol).as("doc_b"), F.col("band"), F.col("bbit").as("bb"))
+    val c = 1.0 / (1 << b)
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "band"))
+      .groupBy(F.col("doc_a"), F.col("doc_b"))
+      .agg(F.count(F.lit(1)).as("n_bands"),
+        F.sum(F.when(F.col("ba") === F.col("bb"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("j_bbit_est", F.expr(
+        s"round((CAST(n_agree AS DOUBLE) / ${bands.toDouble} - $c) / ${1.0 - c}, 6)"))
+  }
+
   /** Persist + eagerly materialize an index table, scope-tracked so the
     * enclosing [[graft.CacheScope.scoped]] releases it once the (small)
     * result is pinned. Without the eager action, the branches of a

@@ -125,4 +125,40 @@ object Classifier {
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("s") + F.lit(bias)))) >= 0.5)
           .as("pred"))
   }
+
+  /** ROC-AUC of a scored table — the threshold-free eval metric the
+    * trained classifier (and any quality score) is judged by before a
+    * corpus is thresholded on it, computed by the tie-aware rank-sum
+    * identity (Mann–Whitney U): AUC = P(score⁺ > score⁻) + ½P(tie),
+    * accumulated per DISTINCT score as pos·(negatives strictly below) +
+    * ½·pos·(negatives tied). The numerator is doubled to stay an exact
+    * integer, so the whole statistic is one IEEE division from exact
+    * DECIMAL sums — hash-exact.
+    *
+    * Scale shape: one groupBy(score) aggregation (bounded by
+    * construction: [[trainScore]] scores are round-6 in [0,1], ≤ 10⁶+1
+    * groups — the caller contract), a running negative count over that
+    * bounded frame (partitioned on a derived constant, the
+    * prioritySample audit rule), and a one-row fold. No per-pair work:
+    * the O(P·N) pair space collapses into the rank-sum. */
+  def aucReport(scored: DataFrame, scoreCol: String = "clf_score",
+                labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = scored.groupBy(F.col(scoreCol).as("s"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col(labelCol).cast("long")).as("np"))
+    val w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1)))
+      .orderBy(F.col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("negb",
+        F.sum(F.col("n") - F.col("np")).over(w) - (F.col("n") - F.col("np")))
+      .agg(
+        F.sum(F.col("np")).as("n_pos"),
+        F.sum(F.col("n") - F.col("np")).as("n_neg"),
+        F.sum((F.col("np") * 2 * F.col("negb") +
+          F.col("np") * (F.col("n") - F.col("np"))).cast("decimal(38,0)")).as("num2"))
+      .select(F.col("n_pos"), F.col("n_neg"),
+        F.expr("round(CAST(num2 AS DOUBLE) / " +
+          "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)").as("auc"))
+  }
 }

@@ -254,6 +254,20 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
       "near-dup shares no bin — the OPH detector would miss it")
   }
 
+  test("bbitJaccardEstimates: exact copies read 1.0, near dups strictly less, never above 1") {
+    val out = Dedup.bbitJaccardEstimates(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (nb, na, est) = out((1L, 2L))
+    assert(nb == 8L && na == 8L && est == 1.0,
+      s"verbatim copies must agree in every band: ${out((1L, 2L))}")
+    for (((a, b), (bands, agree, e)) <- out) {
+      assert(bands == 8L, s"($a,$b) bands=$bands")
+      assert(agree <= bands && e <= 1.0, s"($a,$b) agree=$agree est=$e")
+      if ((a, b) != ((1L, 2L))) assert(e < 1.0, s"near dup ($a,$b) must not read 1.0: $e")
+    }
+  }
+
   test("minhashEval: counts consistent, planted dups give full recall") {
     // planted: (1,2) exact dup + (1,3)/(2,3) near dups are the only pairs
     // with jaccard >= 0.5; the LSH detector should surface all of them

@@ -1096,6 +1096,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("aucReport: tie-aware rank-sum matches the hand-computed pair count") {
+    import spark.implicits._
+    import graft.functions.Classifier
+    // P=3, N=3. Pair wins: 0.9 beats all 3 negs; 0.8⁺ ties 0.8⁻ (½) and
+    // beats the two 0.5s; 0.3 loses to all → (3 + 2.5 + 0) / 9.
+    val scored = Seq((0.9, 1), (0.8, 0), (0.8, 1), (0.5, 0), (0.5, 0), (0.3, 1))
+      .toDF("clf_score", "label")
+    val r = Classifier.aucReport(scored).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == BigDecimal(5.5 / 9.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"got $r")
+    // Degenerate sanity: perfect separation and perfect inversion.
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("clf_score", "label")
+    assert(Classifier.aucReport(perfect).head().getDouble(2) == 1.0)
+    val inverted = Seq((0.9, 0), (0.8, 0), (0.2, 1)).toDF("clf_score", "label")
+    assert(Classifier.aucReport(inverted).head().getDouble(2) == 0.0)
+  }
+
   test("RankFusion.rrf: hand-computed ranks, scores and fused order; consensus wins") {
     import spark.implicits._
     import graft.operators.RankFusion
