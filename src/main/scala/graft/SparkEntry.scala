@@ -2078,6 +2078,36 @@ object SparkEntry {
         F.sum(F.length(F.col("token")).cast("long")).as("n_token_chars"))
   }
 
+  /** Byte-level BPE TRAINING ([[graft.functions.ByteBpe.train]], the
+    * GPT-2 construction): the row-130 trainer over byte-mapped words —
+    * base alphabet = the 256 UTF-8 bytes, so anything tokenizes with
+    * zero unknowns. Rows-only by the tokenizer contract; ByteBpeSpec
+    * pins the byte↔unicode bijection, losslessness on emoji/CJK, and
+    * bit-exact retrain. Output = the merge table in mapped byte space. */
+  private def qBpeBytesTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ByteBpe.train(T(s, dir, "documents"), numMerges = 16)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r, l + r) }
+      .toDF("merge_rank", "left", "right", "merged")
+  }
+
+  /** Byte-level BPE ENCODE ([[graft.functions.ByteBpe.encode]]): per-doc
+    * token counts + the BYTE checksum — token chars in mapped space are
+    * byte counts, so n_token_chars equals the corpus words' UTF-8 byte
+    * total (the structural-losslessness invariant the spec proves).
+    * Rows-only. */
+  private def qBpeBytesEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val merges = graft.functions.ByteBpe.train(docs, numMerges = 16)
+    graft.functions.ByteBpe.encode(docs, merges)
+      .groupBy(F.col("doc_id"))
+      .agg(
+        F.count(F.lit(1)).as("n_bbpe_tokens"),
+        F.countDistinct(F.col("token")).as("n_distinct_tokens"),
+        F.sum(F.length(F.col("token")).cast("long")).as("n_token_bytes"))
+  }
+
   /** Unigram-LM tokenizer TRAINING ([[graft.functions.Spm.train]], the
     * SentencePiece algorithm — Kudo 2018): one corpus scan to the word
     * histogram, then seed/EM/prune driver-side over vocabulary-scale
@@ -3045,6 +3075,8 @@ object SparkEntry {
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_wordpiece_fertility" -> (qWordpieceFertility _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_bytes_train" -> (qBpeBytesTrain _),
+    "q_bpe_bytes_encode" -> (qBpeBytesEncode _),
     "q_bpe_fertility" -> (qBpeFertility _),
     "q_langid_eval" -> (qLangIdEval _),
     "q_ann_ivf_indexed" -> (qAnnIvfIndexed _),

@@ -190,7 +190,17 @@ object Bpe {
         .orderBy(F.col("n").desc, F.col("word").asc)
         .limit(maxVocab)
         .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainFromHistogram(vocab, numMerges, applyParallelism, parallelThreshold)
+  }
 
+  /** The vocabulary-scale merge loop on an explicit word histogram —
+    * extracted so [[ByteBpe]] can run the SAME trainer over byte-mapped
+    * words (its "code points" are the mapped single chars). Order of
+    * `vocab` is part of the determinism contract (callers sort). */
+  private[functions] def trainFromHistogram(
+      vocab: Array[(String, Long)], numMerges: Int,
+      applyParallelism: Int = Runtime.getRuntime.availableProcessors(),
+      parallelThreshold: Int = 256): Seq[(String, String)] = {
     // The vocabulary-scale part: the classic incremental merge loop, on
     // INTERNED symbol ids. Strings would make every pair-count update
     // re-hash two growing substrings; int ids make a pair a single long
