@@ -1271,6 +1271,81 @@ object OracleSql {
         |  COALESCE(g.nm, 0) > 0 AS blocked
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
 
+    // T5 span corruption: per-token decisions mirrored (block, md5
+    // offset, complete-block rule), strings assembled by ordered
+    // string_agg — values equal to Spark's sort+join assembly.
+    "q_span_corrupt" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, len(w) AS n, u['pos'] AS pos, u['tok'] AS tok FROM (
+        |    SELECT doc_id, w,
+        |      unnest([{'pos': i - 1, 'tok': w[i]} for i in generate_series(1, len(w))]) AS u
+        |    FROM tok WHERE len(w) > 0)),
+        |f AS (
+        |  SELECT doc_id, n, pos, tok, CAST(floor(pos / 20.0) AS BIGINT) AS blk
+        |  FROM e),
+        |f2 AS (
+        |  SELECT *,
+        |    blk * 20 + CAST(('0x' || substr(md5(doc_id || '|' || blk), 1, 8))::UBIGINT AS BIGINT) % 18 AS st,
+        |    (blk + 1) * 20 <= n AS complete
+        |  FROM f),
+        |f3 AS (
+        |  SELECT *, complete AND pos >= st AND pos < st + 3 AS noised FROM f2),
+        |f4 AS (
+        |  SELECT doc_id, n, pos,
+        |    CASE WHEN NOT noised THEN tok
+        |         WHEN pos = st THEN '<extra_id_' || blk || '>' END AS ie,
+        |    CASE WHEN noised AND pos = st THEN '<extra_id_' || blk || '> ' || tok
+        |         WHEN noised THEN tok END AS te
+        |  FROM f3),
+        |g AS (
+        |  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+        |    CAST(floor(MAX(n) / 20.0) AS BIGINT) AS n_spans,
+        |    string_agg(ie, ' ' ORDER BY pos) FILTER (ie IS NOT NULL) AS input_text,
+        |    string_agg(te, ' ' ORDER BY pos) FILTER (te IS NOT NULL) AS tgt
+        |  FROM f4 GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_spans, input_text,
+        |  CASE WHEN n_spans = 0 THEN '<extra_id_0>'
+        |       ELSE tgt || ' <extra_id_' || n_spans || '>' END AS target_text
+        |FROM g""".stripMargin,
+
+    // Fill-in-the-middle: md5 parity selects, md5-uniform split points,
+    // PSM assembly via concat_ws (skips the NULL of an empty segment —
+    // Spark nullif('') matches).
+    "q_fim" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, len(w) AS n, u['pos'] AS pos, u['tok'] AS tok FROM (
+        |    SELECT doc_id, w,
+        |      unnest([{'pos': i - 1, 'tok': w[i]} for i in generate_series(1, len(w))]) AS u
+        |    FROM tok WHERE len(w) > 0)),
+        |f AS (
+        |  SELECT doc_id, n, pos, tok,
+        |    CAST(('0x' || substr(md5('fim|' || doc_id), 1, 8))::UBIGINT AS BIGINT) % 2 = 0 AS ap,
+        |    CAST(('0x' || substr(md5('fim|' || doc_id), 9, 8))::UBIGINT AS BIGINT) % (n + 1) AS p1
+        |  FROM e),
+        |f2 AS (
+        |  SELECT *, p1 + CAST(('0x' || substr(md5('fim|' || doc_id), 17, 8))::UBIGINT AS BIGINT) % (n - p1 + 1) AS p2
+        |  FROM f),
+        |g AS (
+        |  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens, bool_or(ap) AS fim_applied,
+        |    string_agg(CASE WHEN pos < p1 THEN tok END, ' ' ORDER BY pos)
+        |      FILTER (pos < p1) AS pre,
+        |    string_agg(CASE WHEN pos >= p1 AND pos < p2 THEN tok END, ' ' ORDER BY pos)
+        |      FILTER (pos >= p1 AND pos < p2) AS mid,
+        |    string_agg(CASE WHEN pos >= p2 THEN tok END, ' ' ORDER BY pos)
+        |      FILTER (pos >= p2) AS suf,
+        |    string_agg(tok, ' ' ORDER BY pos) AS plain
+        |  FROM f2 GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, fim_applied,
+        |  CASE WHEN NOT fim_applied THEN plain
+        |       ELSE concat_ws(' ', '<PRE>', pre, '<SUF>', suf, '<MID>', mid) END AS text_out
+        |FROM g""".stripMargin,
+
     // Reciprocal Rank Fusion: the distributed range-partition indexes are
     // plain ROW_NUMBERs here (total order via the id tie-break); ratios
     // are exact-integer divisions through double; terms sum in signal

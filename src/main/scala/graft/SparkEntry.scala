@@ -1659,6 +1659,20 @@ object SparkEntry {
         "sort merge", "spark", "spark join group", "vector window",
         "window window"))
 
+  /** T5 span corruption ([[graft.operators.ExamplePrep.spanCorrupt]]):
+    * deterministic block-scheme adaptation of the published 15% /
+    * mean-3 span noise — emitted (input, target) example strings
+    * hash-exact against the oracle. */
+  private def qSpanCorrupt(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExamplePrep.spanCorrupt(T(s, dir, "documents"))
+
+  /** Fill-in-the-middle transformation ([[graft.operators.ExamplePrep
+    * .fimTransform]]): md5-selected half of the corpus re-ordered PSM
+    * with md5-uniform split points — the published 50/50 infilling mix,
+    * hash-exact example strings. */
+  private def qFim(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExamplePrep.fimTransform(T(s, dir, "documents"))
+
   /** Reciprocal Rank Fusion ([[graft.operators.RankFusion.rrf]]): three
     * incommensurable quality signals — length, distinct-token ratio,
     * stopword fraction — fused into one selection order by 1/(60+rank)
@@ -3033,6 +3047,8 @@ object SparkEntry {
     "q_url_blocklist" -> (qUrlBlocklist _),
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_rank_fusion" -> (qRankFusion _),
+    "q_span_corrupt" -> (qSpanCorrupt _),
+    "q_fim" -> (qFim _),
     "q_normalize_unicode" -> (qNormalizeUnicode _),
     "q_pipeline_web" -> (qPipelineWeb _),
     "q_bigrams" -> (qBigrams _),

@@ -1096,6 +1096,55 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("spanCorrupt: one span per complete block at the md5 offset, partial tail clean") {
+    import spark.implicits._
+    import graft.operators.ExamplePrep
+    // 25 tokens: block 0 (t0..t19) is complete -> exactly one 3-token
+    // span at the md5 offset; the 5-token tail block is never corrupted.
+    val toks = (0 until 25).map(i => s"t$i")
+    val docs = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val r = ExamplePrep.spanCorrupt(docs).head()
+    assert(r.getLong(1) == 25L && r.getLong(2) == 1L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("7|0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val off = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 18L).toInt
+    val dropped = (off until off + 3).map(i => s"t$i")
+    val expectIn = (toks.take(off) :+ "<extra_id_0>") ++ toks.slice(off + 3, 25)
+    assert(r.getString(3) == expectIn.mkString(" "), s"off=$off got ${r.getString(3)}")
+    assert(r.getString(4) == s"<extra_id_0> ${dropped.mkString(" ")} <extra_id_1>",
+      s"off=$off got ${r.getString(4)}")
+    // A doc shorter than one block: input untouched, empty target.
+    val short = Seq((3L, "a b c")).toDF("doc_id", "text")
+    val rs = ExamplePrep.spanCorrupt(short).head()
+    assert(rs.getLong(2) == 0L && rs.getString(3) == "a b c" &&
+      rs.getString(4) == "<extra_id_0>")
+  }
+
+  test("fimTransform: PSM reassembly at the md5 split points, pass-through otherwise") {
+    import spark.implicits._
+    import graft.operators.ExamplePrep
+    val toks = (0 until 12).map(i => s"w$i")
+    // Find one selected and one unselected id deterministically.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long, at: Int, m: Long): Long = {
+      val hex = md.digest(s"fim|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(at - 1, at - 1 + 8), 16) % m
+    }
+    val selId = (1L to 50L).find(h(_, 1, 2) == 0L).get
+    val unselId = (1L to 50L).find(h(_, 1, 2) == 1L).get
+    val docs = Seq((selId, toks.mkString(" ")), (unselId, toks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = ExamplePrep.fimTransform(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+    assert(out(unselId) == ((false, toks.mkString(" "))))
+    val p1 = h(selId, 9, 13L)
+    val p2 = p1 + h(selId, 17, 12L - p1 + 1L)
+    val segs = Seq("<PRE>") ++ toks.take(p1.toInt) ++ Seq("<SUF>") ++
+      toks.drop(p2.toInt) ++ Seq("<MID>") ++ toks.slice(p1.toInt, p2.toInt)
+    assert(out(selId) == ((true, segs.mkString(" "))),
+      s"p1=$p1 p2=$p2 got ${out(selId)}")
+  }
+
   test("aucReport: tie-aware rank-sum matches the hand-computed pair count") {
     import spark.implicits._
     import graft.functions.Classifier
