@@ -2416,6 +2416,24 @@ object OracleSql {
         """SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
           |FROM reach GROUP BY id""".stripMargin),
 
+    // Duplication report: the same closure folded to the one-row summary.
+    "q_dedup_report" ->
+      (minhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ") + componentsClosureCtes +
+        """, cl AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+          |szs AS (SELECT lbl, COUNT(*) AS sz FROM cl GROUP BY lbl),
+          |st AS (
+          |  SELECT CAST(SUM(sz) AS BIGINT) AS n_clustered_docs,
+          |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          |    CAST(MAX(sz) AS BIGINT) AS max_cluster_size
+          |  FROM szs),
+          |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+          |SELECT n_docs, n_clustered_docs, n_clusters,
+          |  n_clustered_docs - n_clusters AS n_duplicate_docs,
+          |  round(CAST(n_clustered_docs - n_clusters AS DOUBLE) /
+          |        CAST(n_docs AS DOUBLE), 6) AS dup_fraction,
+          |  max_cluster_size
+          |FROM st, nd""".stripMargin),
+
     // Same oracle as q_dedup_components: the distributed
     // large-star/small-star path must produce the identical clustering.
     "q_dedup_components_dist" ->
@@ -2477,6 +2495,18 @@ object OracleSql {
     "q_ann_brute" -> {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |p AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosine
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    // Matryoshka cut: the q_ann_brute query over the first 16 list
+    // elements — cosine over the prefix IS truncate+renormalize.
+    "q_ann_mrl" -> {
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qe FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS ce FROM embeddings),
          |p AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosine
          |  FROM c, q WHERE neighbor_id <> query_id),
          |r AS (SELECT query_id, neighbor_id, cosine,

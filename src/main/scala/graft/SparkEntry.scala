@@ -1298,6 +1298,17 @@ object SparkEntry {
     graft.dedup.Components.connectedComponents(edges)
   }
 
+  /** Corpus duplication report ([[graft.dedup.Components
+    * .duplicationReport]]): the one-row dedup summary — clustered docs,
+    * clusters, keep-one removals, duplicate fraction, largest cluster —
+    * over the row-59 clustering. */
+  private def qDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val edges = Dedup.ngramJaccard(docs, minJaccard = 0.5).select("doc_a", "doc_b")
+    graft.dedup.Components.duplicationReport(
+      graft.dedup.Components.connectedComponents(edges), docs)
+  }
+
   /** The SAME clustering over the SAME verified edges, forced down the
     * DISTRIBUTED large-star/small-star path
     * (Components.connectedComponentsStars — a function with NO driver
@@ -2568,6 +2579,14 @@ object SparkEntry {
     Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
   }
 
+  /** Matryoshka-truncated retrieval ([[Ann.mrlTopK]]): the same exact
+    * top-k over the first 16 of 64 coordinates — the MRL serving cut;
+    * hash-exact including the truncated cosines. */
+  private def qAnnMrl(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.mrlTopK(emb, emb.filter(F.col("vec_id") < 20), dims = 16, k = 5)
+  }
+
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Ann.ivfTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, cells = 16, probes = 6)
@@ -3018,6 +3037,7 @@ object SparkEntry {
     "q_dedup_components" -> (qDedupComponents _),
     "q_dedup_components_dist" -> (qDedupComponentsDist _),
     "q_dedup_components_incremental" -> (qDedupComponentsIncremental _),
+    "q_dedup_report" -> (qDedupReport _),
     "q_tfidf" -> (qTfidf _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_priority" -> (qSamplePriority _),
@@ -3133,6 +3153,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_margin" -> (qAnnMargin _),
+    "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_densify" -> (qDensify _),

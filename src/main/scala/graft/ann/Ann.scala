@@ -86,6 +86,23 @@ object Ann {
         F.col("neighbor_id"), F.col("cosine"))
   }
 
+  /** Matryoshka-truncated retrieval (Kusupati et al. NeurIPS 2022, MRL):
+    * score with only the FIRST `dims` coordinates — cosine over the
+    * prefix IS truncate+renormalize, so nothing is materialized — the
+    * published read-less/shuffle-less serving mode for
+    * matryoshka-trained embeddings (a 64→16 cut reads a quarter of the
+    * vector bytes; with MRL-trained vectors recall stays near full —
+    * AnnRecallSpec measures the floor on these untrained gate vectors).
+    * Same exact window top-k as [[bruteTopK]]; `dims` = full width is
+    * bit-identical to it. */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, dims: Int,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              k: Int = 5): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def cut(df: DataFrame) = df.withColumn(embCol, F.slice(F.col(embCol), 1, dims))
+    bruteTopK(cut(corpus), cut(queries), idCol, embCol, k)
+  }
+
   /** Margin-based parallel-pair mining (Artetxe & Schwenk ACL 2019, the
     * LASER/CCMatrix bitext-mining scorer): for each source vector, its
     * best target by the RATIO margin — cos(x,y) divided by the mean of

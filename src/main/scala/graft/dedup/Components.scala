@@ -286,4 +286,32 @@ object Components {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(F.col("id").as("doc_id"), F.col("lbl").as("cluster_id"))
   }
+
+  /** Corpus duplication report — the one-row summary every dedup run is
+    * judged by before survivors are materialized: how many documents sit
+    * in near-duplicate clusters, how many would be removed under
+    * keep-one-per-cluster, the duplicate fraction of the corpus, and the
+    * largest cluster (the boilerplate red flag). `clusters` is any
+    * (doc_id, cluster_id) labeling (rows 59/82/150); singletons are
+    * implicitly the unclustered remainder of `total`.
+    *
+    * Scale shape: one count per cluster (clusters-sized exchange), a
+    * one-row fold, and a metadata-count cross join — nothing
+    * corpus-sized moves. */
+  def duplicationReport(clusters: DataFrame, total: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val sizes = clusters.groupBy(F.col("cluster_id"))
+      .agg(F.count(F.lit(1)).as("sz"))
+    val s = sizes.agg(
+      F.sum("sz").as("n_clustered_docs"),
+      F.count(F.lit(1)).as("n_clusters"),
+      F.max("sz").as("max_cluster_size"))
+    val n = total.agg(F.count(F.lit(1)).as("n_docs"))
+    s.crossJoin(n).select(
+      F.col("n_docs"), F.col("n_clustered_docs"), F.col("n_clusters"),
+      (F.col("n_clustered_docs") - F.col("n_clusters")).as("n_duplicate_docs"),
+      F.round((F.col("n_clustered_docs") - F.col("n_clusters")).cast("double") /
+        F.col("n_docs").cast("double"), 6).as("dup_fraction"),
+      F.col("max_cluster_size"))
+  }
 }

@@ -1096,6 +1096,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("duplicationReport: hand-computed cluster summary") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val total = (1L to 10L).toDF("doc_id")
+    val r = Components.duplicationReport(clusters, total).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getLong(5)) == ((10L, 5L, 2L, 3L, 0.3, 3L)), s"got $r")
+  }
+
   test("spanCorrupt: one span per complete block at the md5 offset, partial tail clean") {
     import spark.implicits._
     import graft.operators.ExamplePrep
