@@ -2579,6 +2579,26 @@ object SparkEntry {
     Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
   }
 
+  /** PCA whitening ([[graft.ann.Whitening]]): fit on the corpus (one
+    * DECIMAL moment aggregation + driver Jacobi), project, and report
+    * per-dim mean/variance of the whitened cloud — all ~0/1 by
+    * construction, the self-evidencing output. Rows-only by design (a
+    * 64×64 eigendecomposition has no SQL oracle); WhiteningSpec pins the
+    * covariance-identity property and bit-exact refit. */
+  private def qAnnWhiten(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val model = graft.ann.Whitening.fit(emb)
+    graft.ann.Whitening.transform(emb, model)
+      .select(F.posexplode(F.col("white")).as(Seq("dim", "y")))
+      .groupBy("dim")
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.round(F.sum(F.col("y").cast("decimal(38,18)")).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6).as("mean_white"),
+        F.round(F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)")).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6).as("var_white"))
+  }
+
   /** Matryoshka-truncated retrieval ([[Ann.mrlTopK]]): the same exact
     * top-k over the first 16 of 64 coordinates — the MRL serving cut;
     * hash-exact including the truncated cosines. */
@@ -3154,6 +3174,7 @@ object SparkEntry {
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_margin" -> (qAnnMargin _),
     "q_ann_mrl" -> (qAnnMrl _),
+    "q_ann_whiten" -> (qAnnWhiten _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_densify" -> (qDensify _),
