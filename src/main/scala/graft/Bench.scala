@@ -75,7 +75,21 @@ object Bench {
     "q_spm_encode",
     // D4: SemDeDup + survivor-retrained prototypes pruning (two Lloyd
     // trainings + the within-cell pairing — embedding-corpus-proportional)
-    "q_pipeline_d4")
+    "q_pipeline_d4",
+    // r17 session-3 corpus-proportional rows: OPH signatures (pure scan),
+    // b-bit agreement (sig build + candidate compare), the AC blocklist
+    // scan, the two-k KMV overlap sketches, three-signal rank fusion
+    // (3 GlobalIndex passes + id joins), margin mining's broadcast
+    // probe, the two example-construction passes, and the MRL cut.
+    // q_clf_auc re-runs q_clf_quality's GD chain (already priced) and
+    // q_dedup_report re-runs q_dedup_components' closure — both
+    // correctness-gated only to keep the headline from double-billing.
+    "q_dedup_minhash_oph", "q_dedup_minhash_bbit", "q_phrase_blocklist",
+    "q_corpus_overlap", "q_rank_fusion", "q_ann_margin",
+    "q_span_corrupt", "q_fim", "q_ann_mrl",
+    // rows-only walls, tracked so their perf cannot rot: the other two
+    // tokenizer-family corpus encodes and the whitening fit+project.
+    "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

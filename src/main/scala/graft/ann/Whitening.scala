@@ -37,8 +37,13 @@ object Whitening {
       .filter(F.col("x").isNotNull)
     val pairs = x
       .select(F.col("x"), F.posexplode(F.col("x")).as(Seq("i", "xi")))
-      .select(F.col("i"), F.col("xi"), F.posexplode(F.col("x")).as(Seq("j", "xj")))
-      .filter(F.col("j") >= F.col("i")) // symmetric: upper triangle only
+      // symmetric: GENERATE only the upper triangle (slice from i) —
+      // half the exploded rows and decimal casts of a full j-explode.
+      .select(F.col("i"), F.col("xi"),
+        F.posexplode(F.slice(F.col("x"), F.col("i") + 1,
+          F.size(F.col("x")) - F.col("i"))).as(Seq("dj", "xj")))
+      .select(F.col("i"), (F.col("i") + F.col("dj")).as("j"),
+        F.col("xi"), F.col("xj"))
       .groupBy("i", "j")
       .agg(F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,18)")).as("sxx"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue()))

@@ -241,6 +241,34 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // the Spread); maxBhj pins the broadcast (a shuffled metadata join
     // would double the corpus exchanges)
     Audit("q_bpe_fertility", maxExchange = 3, minBhj = 1),
+    // r17 session 3 additions:
+    // OPH signatures: the Spread repartition only — the signature build
+    // is a pure scan (docs in, docs x k out), zero aggregation/join.
+    Audit("q_dedup_minhash_oph", maxExchange = 1),
+    // Aho-Corasick blocklist: pure scan, no exchange at all.
+    Audit("q_phrase_blocklist", maxExchange = 0),
+    // KMV set ops x2 k-settings: per sketch one distinct over the
+    // partition-pruned TreeSet survivors (<= tasks x k rows) + the
+    // marked-union groupBy + tiny one-row aggs; the 4 BNLJs are the
+    // designed one-row-aggregate cross joins (2 per k setting — the
+    // q_tfidf scalar-broadcast class, build side = exactly one row).
+    Audit("q_corpus_overlap", maxExchange = 14, allowedBnlj = 4),
+    // margin mining: the broadcast QUERY-BATCH probe (bounded build side
+    // by construction, the q_ann_brute class) appears in each of the
+    // three scored-table consumers (xk, yk, cand) = 3 BNLJs; the two kNN
+    // rank windows + avg aggs + final rank window run on candidate-sized
+    // tables.
+    Audit("q_ann_margin", maxExchange = 8, allowedBnlj = 3),
+    // rank fusion: three GlobalIndex range-partition passes + id joins +
+    // the fused index pass — rank tables are slim (id, rank).
+    Audit("q_rank_fusion", maxExchange = 14),
+    // span corruption / FIM: Spread + the per-doc count window exchange;
+    // the string-assembly groupBy reuses the window's id partitioning.
+    Audit("q_span_corrupt", maxExchange = 2),
+    Audit("q_fim", maxExchange = 2),
+    // MRL cut: the q_ann_brute shape over sliced vectors.
+    Audit("q_ann_mrl", maxExchange = 1, minWgl = 2, allowedBnlj = 1,
+      requirePushdown = true),
     )
 
   private val nodeRe =
@@ -375,6 +403,17 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // frame + the terminal join; the RDD hop hides the range exchange
     // from the printed plans, so the total counts the lm/langId side
     InternalAudit("q_ccnet_buckets_dist", maxExchangeTotal = 9, minFrames = 2,
+      allowedBnljPerFrame = 1),
+    // r17 s3: b-bit minhash — the materialized signature build (Spread
+    // only) + the candidate-pair frame + the band-compare agg; the
+    // cached sig build re-prints under its three consumers
+    InternalAudit("q_dedup_minhash_bbit", maxExchangeTotal = 10, minFrames = 1),
+    // r17 s3: AUC = the q_clf_quality GD chain + the bounded
+    // score-group window + one-row fold on top
+    InternalAudit("q_clf_auc", maxExchangeTotal = 15, minFrames = 6),
+    // r17 s3: duplication report = the q_dedup_components frames + the
+    // clusters-sized summary fold (one-row cross join rides a BNLJ)
+    InternalAudit("q_dedup_report", maxExchangeTotal = 8, minFrames = 2,
       allowedBnljPerFrame = 1))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
