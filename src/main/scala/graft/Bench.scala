@@ -85,6 +85,7 @@ object Bench {
     // q_dedup_report re-runs q_dedup_components' closure — both
     // correctness-gated only to keep the headline from double-billing.
     "q_dedup_minhash_oph", "q_dedup_minhash_bbit", "q_phrase_blocklist",
+    "q_script_profile",
     "q_corpus_overlap", "q_rank_fusion", "q_ann_margin",
     "q_span_corrupt", "q_fim", "q_ann_mrl",
     // rows-only walls, tracked so their perf cannot rot: the other two

@@ -1251,6 +1251,39 @@ object OracleSql {
     // (exact-join adjudicated), so the oracle is the plain suffix-match
     // rule: blocked iff any >=2-label dot-suffix of the host is listed,
     // most specific (longest) entry reported.
+    // Script profile: the same salt, explicit-range regexes (one per
+    // class — the engine's single native pass is internal), other =
+    // total minus the disjoint classes, identical CASE chain.
+    "q_script_profile" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 3 = 0 THEN ' 你好世界123'
+        |    WHEN doc_id % 3 = 1 THEN ' привет мир'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(length(t) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t, '[ \t\n\f\r]')) AS BIGINT) AS n_space
+        |  FROM salted)
+        |SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_cyrillic, n_space,
+        |  n_chars - n_latin - n_digit - n_cjk - n_cyrillic - n_space AS n_other,
+        |  round(CAST(n_latin AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS latin_frac,
+        |  round(CAST(n_cjk AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS cjk_frac,
+        |  round(CAST(n_cyrillic AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS cyrillic_frac,
+        |  CASE
+        |    WHEN n_cjk >= n_cyrillic AND n_cjk >= n_latin
+        |      AND n_cjk >= n_chars - n_latin - n_digit - n_cjk - n_cyrillic - n_space THEN 'cjk'
+        |    WHEN n_cyrillic >= n_latin
+        |      AND n_cyrillic >= n_chars - n_latin - n_digit - n_cjk - n_cyrillic - n_space THEN 'cyrillic'
+        |    WHEN n_latin >= n_chars - n_latin - n_digit - n_cjk - n_cyrillic - n_space THEN 'latin'
+        |    ELSE 'other' END AS main_script
+        |FROM c""".stripMargin,
+
     // Aho–Corasick phrase blocklist: the automaton is internal machinery;
     // the semantics are literal per-phrase substring containment on the
     // lowercased text, so the oracle is the contains() join.

@@ -1658,6 +1658,21 @@ object SparkEntry {
       T(s, dir, "documents").select(F.col("doc_id"), url.as("url")), "url", blocklist)
   }
 
+  /** Unicode-script profile ([[graft.functions.TextFunctions
+    * .scriptProfile]]): the corpus is salted with deterministic CJK /
+    * Cyrillic / digit suffixes by doc_id so every script class and the
+    * majority-vote tie rule execute; counts, fractions and main_script
+    * hash-exact. */
+  private def qScriptProfile(s: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val salted = T(s, dir, "documents").select(id,
+      F.concat(F.col("text"),
+        F.when(id % 3 === 0, F.lit(" 你好世界123"))
+          .when(id % 3 === 1, F.lit(" привет мир"))
+          .otherwise(F.lit(""))).as("text"))
+    graft.functions.TextFunctions.scriptProfile(salted)
+  }
+
   /** Phrase-blocklist filtering ([[graft.functions.TextFunctions
     * .phraseBlocklist]], Aho–Corasick): the C4 bad-words policy step over
     * a 9-phrase list exercising nesting ("spark" inside "spark join
@@ -3086,6 +3101,7 @@ object SparkEntry {
     "q_url_canonical" -> (qUrlCanonical _),
     "q_url_blocklist" -> (qUrlBlocklist _),
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
+    "q_script_profile" -> (qScriptProfile _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_fim" -> (qFim _),

@@ -422,6 +422,39 @@ object TextFunctions {
           !F.col("st.has_lorem") && !F.col("st.has_brace")).as("c4_keep"))
   }
 
+  /** Unicode-script mix profile ([[graft.functions.expressions
+    * .ScriptStatsExpr]]): per document, explicit-range character counts
+    * (latin/digit/CJK/cyrillic/space/other), round-6 script fractions,
+    * and the majority script (ties to the lexicographically smallest
+    * name) — the mC4/CCNet script-routing signal (a lang=zh page with a
+    * 2% CJK ratio is misrouted boilerplate). ONE pass per document in
+    * whole-stage codegen vs six regex scans; the oracle runs the
+    * equivalent explicit-range regexes. */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val st = ColumnBridge.column(
+      graft.functions.expressions.ScriptStatsExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    def frac(c: String) = F.expr(
+      s"round(CAST($c AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6)")
+    df.select(F.col(idCol), st.as("sc"))
+      .select(F.col(idCol),
+        F.col("sc.n_chars").as("n_chars"), F.col("sc.n_latin").as("n_latin"),
+        F.col("sc.n_digit").as("n_digit"), F.col("sc.n_cjk").as("n_cjk"),
+        F.col("sc.n_cyrillic").as("n_cyrillic"), F.col("sc.n_space").as("n_space"),
+        F.col("sc.n_other").as("n_other"))
+      .select(F.col("*"),
+        frac("n_latin").as("latin_frac"), frac("n_cjk").as("cjk_frac"),
+        frac("n_cyrillic").as("cyrillic_frac"),
+        F.expr("""CASE
+          WHEN n_cjk >= n_cyrillic AND n_cjk >= n_latin AND n_cjk >= n_other THEN 'cjk'
+          WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_other THEN 'cyrillic'
+          WHEN n_latin >= n_other THEN 'latin'
+          ELSE 'other' END""").as("main_script"))
+  }
+
   /** Phrase-blocklist filtering ([[graft.functions.expressions
     * .PhraseHitsExpr]], Aho–Corasick 1975) — the C4 "bad words" policy
     * step (Raffel et al. 2020): per document, the distinct blocklist

@@ -36,7 +36,8 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_url_blocklist", // HostSuffixesExpr (r16; array-valued suffix fan)
     "q_fix_mojibake", // MojibakeRepairExpr (r17; zero-alloc clean path)
     "q_dedup_minhash_oph", // OphSigsExpr (r17; densified-bin null path)
-    "q_phrase_blocklist" // PhraseHitsExpr (r17; addReferenceObj automaton)
+    "q_phrase_blocklist", // PhraseHitsExpr (r17; addReferenceObj automaton)
+    "q_script_profile" // ScriptStatsExpr (r17; struct-valued census)
   )
 
   private def rows(df: DataFrame): Seq[String] =

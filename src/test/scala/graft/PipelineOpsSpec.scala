@@ -1096,6 +1096,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("scriptProfile: hand-computed census and majority-vote tie rule") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "Ab1 你 д ."),   // 2 latin, 1 digit, 1 cjk, 1 cyr, 3 space, 1 other
+      (2L, "你好 hi"),       // cjk==latin tie -> 'cjk' (lexicographic rule)
+      (3L, "привет"),        // pure cyrillic
+      (4L, "....")           // pure other
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.scriptProfile(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getString(11)))).toMap
+    assert(out(1L) == ((9L, 2L, 1L, 1L, 1L, 3L, 1L, "latin")), s"got ${out(1L)}")
+    assert(out(2L) == ((5L, 2L, 0L, 2L, 0L, 1L, 0L, "cjk")), s"got ${out(2L)}")
+    assert(out(3L)._8 == "cyrillic" && out(3L)._5 == 6L, s"got ${out(3L)}")
+    assert(out(4L)._8 == "other" && out(4L)._7 == 4L, s"got ${out(4L)}")
+  }
+
   test("duplicationReport: hand-computed cluster summary") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))

@@ -41,7 +41,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_lm_bigram", "q_lm_kn", "q_mix_doremi", "q_dedup_soft",
             "q_spm_encode", "q_pipeline_d4",
             "q_dedup_minhash_oph", "q_dedup_minhash_bbit",
-            "q_phrase_blocklist", "q_corpus_overlap", "q_rank_fusion",
+            "q_phrase_blocklist", "q_script_profile",
+            "q_corpus_overlap", "q_rank_fusion",
             "q_ann_margin", "q_span_corrupt", "q_fim", "q_ann_mrl",
             "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten"]
 
