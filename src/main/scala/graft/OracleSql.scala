@@ -2535,6 +2535,24 @@ object OracleSql {
          |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
     },
 
+    // Contrastive pair mining: positives >= 0.4, top-4 hard negatives
+    // below, per anchor (the q_ann_brute score table + a rank window).
+    "q_mine_pairs" -> {
+      s"""WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe FROM embeddings WHERE vec_id < 40),
+         |c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+         |p AS (SELECT anchor_id, cand_id, ${cosSql("qe", "ce")} AS cosine
+         |  FROM c, q WHERE cand_id <> anchor_id),
+         |pos AS (
+         |  SELECT anchor_id, cand_id, cosine, 'positive' AS pair_type
+         |  FROM p WHERE cosine >= 0.4),
+         |neg AS (
+         |  SELECT anchor_id, cand_id, cosine, 'hard_negative' AS pair_type FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+         |      ORDER BY cosine DESC, cand_id) AS rn
+         |    FROM p WHERE cosine < 0.4) WHERE rn <= 4)
+         |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin
+    },
+
     // Matryoshka cut: the q_ann_brute query over the first 16 list
     // elements — cosine over the prefix IS truncate+renormalize.
     "q_ann_mrl" -> {

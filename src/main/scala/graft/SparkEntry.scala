@@ -2614,6 +2614,14 @@ object SparkEntry {
           F.count(F.lit(1)).cast("double"), 6).as("var_white"))
   }
 
+  /** Contrastive pair mining ([[Ann.minePairs]]): positives at cosine ≥
+    * 0.4 (the near-dup band) + the 4 hardest negatives below it per
+    * anchor — mined pairs hash-exact. */
+  private def qMinePairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.minePairs(emb, emb.filter(F.col("vec_id") < 40))
+  }
+
   /** Matryoshka-truncated retrieval ([[Ann.mrlTopK]]): the same exact
     * top-k over the first 16 of 64 coordinates — the MRL serving cut;
     * hash-exact including the truncated cosines. */
@@ -3191,6 +3199,7 @@ object SparkEntry {
     "q_ann_margin" -> (qAnnMargin _),
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_whiten" -> (qAnnWhiten _),
+    "q_mine_pairs" -> (qMinePairs _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_densify" -> (qDensify _),

@@ -86,6 +86,40 @@ object Ann {
         F.col("neighbor_id"), F.col("cosine"))
   }
 
+  /** Contrastive training-pair mining — the DPR/E5 data-prep recipe
+    * (Karpukhin et al. EMNLP 2020 mined hard negatives from a retriever;
+    * Wang et al. 2022 made the in-batch-plus-hard-negative mix the
+    * standard): per anchor, POSITIVES are neighbors at cosine ≥ `tPos`
+    * (the near-duplicate band row 52 dedups on — here kept as training
+    * signal) and HARD NEGATIVES the `nNeg` highest-cosine neighbors
+    * BELOW it — similar enough to be informative, dissimilar enough to
+    * be wrong, the pairs a contrastive embedding run actually learns
+    * from (random negatives are trivially separable).
+    *
+    * Shape: the [[bruteTopK]] broadcast-anchor-batch scan (at 100 TB the
+    * candidate lists come from the IVF/JL tiers; the labeling rule is
+    * unchanged), one anchor-partitioned rank window for the negative
+    * cut. Deterministic: round-6 cosines, (cosine DESC, id ASC) order —
+    * mined pairs hash-exact. */
+  def minePairs(corpus: DataFrame, anchors: DataFrame, idCol: String = "vec_id",
+                embCol: String = "embedding", tPos: Double = 0.4,
+                nNeg: Int = 4, native: Boolean = true): DataFrame = {
+    val p = pairs(corpus, anchors, idCol, embCol, native)
+    val pos = p.filter(F.col("cosine") >= tPos)
+      .select(F.col("query_id").as("anchor_id"),
+        F.col("neighbor_id").as("cand_id"), F.col("cosine"),
+        F.lit("positive").as("pair_type"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    val neg = p.filter(F.col("cosine") < tPos)
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= nNeg)
+      .select(F.col("query_id").as("anchor_id"),
+        F.col("neighbor_id").as("cand_id"), F.col("cosine"),
+        F.lit("hard_negative").as("pair_type"))
+    pos.unionAll(neg)
+  }
+
   /** Matryoshka-truncated retrieval (Kusupati et al. NeurIPS 2022, MRL):
     * score with only the FIRST `dims` coordinates — cosine over the
     * prefix IS truncate+renormalize, so nothing is materialized — the

@@ -592,6 +592,28 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("minePairs: positives above the band, exactly the hardest negatives below") {
+    import spark.implicits._
+    // Anchor (1,0,0): y1 is a near-copy (positive); y2/y3/y4 descend in
+    // similarity below the band — with nNeg = 2 only the two hardest
+    // (y2, y3) may be mined as negatives.
+    val anchors = Seq((1L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (101L, Array(0.95f, 0.1f, 0f)),   // cos ~0.994: positive
+      (102L, Array(0.3f, 1f, 0f)),      // cos ~0.287: hardest negative
+      (103L, Array(0.1f, 1f, 0f)),      // cos ~0.100: second negative
+      (104L, Array(0f, 1f, 0f)))        // cos 0: must NOT be mined
+      .toDF("vec_id", "embedding")
+    val out = graft.ann.Ann.minePairs(corpus, anchors, tPos = 0.4, nNeg = 2)
+      .collect().map(r => (r.getLong(1), r.getString(3), r.getDouble(2)))
+    val byType = out.groupBy(_._2)
+    assert(byType("positive").map(_._1).toSeq == Seq(101L), s"got ${out.toSeq}")
+    assert(byType("hard_negative").map(_._1).sorted.toSeq == Seq(102L, 103L),
+      s"got ${out.toSeq}")
+    assert(byType("positive").forall(_._3 >= 0.4) &&
+      byType("hard_negative").forall(_._3 < 0.4))
+  }
+
   test("marginMine: ratio margin suppresses hub targets, keeps exclusive matches") {
     import spark.implicits._
     // Source x1 has an exclusive near-copy y1; sources x2/x3 both point

@@ -271,6 +271,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // MRL cut: the q_ann_brute shape over sliced vectors.
     Audit("q_ann_mrl", maxExchange = 1, minWgl = 2, allowedBnlj = 1,
       requirePushdown = true),
+    // pair mining: the broadcast anchor-batch probe appears under both
+    // the positive filter and the negative rank window (2 BNLJs); one
+    // anchor-partitioned exchange for the negative cut.
+    Audit("q_mine_pairs", maxExchange = 2, allowedBnlj = 2,
+      requirePushdown = true),
     )
 
   private val nodeRe =
