@@ -2133,6 +2133,25 @@ object OracleSql {
 
     // TF-IDF: same tokenizer as the dedup oracles; tf * ln(N/df) with the
     // exact operand order of TfIdf.score, rounded to 6 decimals both sides.
+    // Per-source keyword labeling: group-as-super-document tf·ln(G/df),
+    // top-5 per source, identical ln expression text (round 6).
+    "q_source_keywords" ->
+      """WITH tok AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |e AS (SELECT source, unnest(w) AS tok FROM tok),
+        |g AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf_g FROM e GROUP BY 1, 2),
+        |d AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_g FROM g GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups FROM g),
+        |s AS (
+        |  SELECT g.source, g.tok, g.tf_g, d.df_g,
+        |    round(CAST(g.tf_g AS DOUBLE) * ln(CAST(n.n_groups AS DOUBLE) / CAST(d.df_g AS DOUBLE)), 6) AS tfidf_r
+        |  FROM g JOIN d USING (tok), n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY tfidf_r DESC, tok) AS rnk FROM s)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, tok, tf_g, df_g, tfidf_r
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok

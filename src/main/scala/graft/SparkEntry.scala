@@ -1352,6 +1352,13 @@ object SparkEntry {
     * WindowGroupLimit, token tie-break). N rides as a literal from the
     * memoized count — no scalar-subquery branch in the plan
     * (TfIdf.score scaladoc). */
+  /** Per-source distinctive keywords ([[graft.functions.TfIdf
+    * .groupKeywords]]): each source labeled by its top-5 tf·ln(G/df)
+    * terms — the slice-labeling report before mixing decisions;
+    * hash-exact including the ln scores. */
+  private def qSourceKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TfIdf.groupKeywords(T(s, dir, "documents"), k = 5)
+
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.functions.TfIdf.topKeywords(T(s, dir, "documents"), k = 3,
       knownDocCount = Some(docCount(s, dir)))
@@ -3082,6 +3089,7 @@ object SparkEntry {
     "q_dedup_components_incremental" -> (qDedupComponentsIncremental _),
     "q_dedup_report" -> (qDedupReport _),
     "q_tfidf" -> (qTfidf _),
+    "q_source_keywords" -> (qSourceKeywords _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_priority" -> (qSamplePriority _),
     "q_mix_weights" -> (qMixWeights _),

@@ -131,4 +131,48 @@ object TfIdf {
       .select(F.col(idCol), F.col("rnk"), F.col("tok"), F.col("tf"),
         F.col("tfidf_r"))
   }
+
+  /** Per-GROUP distinctive keywords — source/domain/cluster LABELING:
+    * each group (a source, a language, a k-means cluster) is treated as
+    * one super-document, scored tf_g · ln(n_groups / df_g), top-k per
+    * group — how a curation run summarizes "what is in this slice"
+    * before mixing decisions (the cluster-labeling counterpart of the
+    * per-document [[topKeywords]]). A token present in EVERY group
+    * scores exactly 0 (ln 1) — the stopword null by construction.
+    *
+    * Scale shape: one tokenize pass folded map-side to (group, token)
+    * occurrence partials — the exchange carries ≤ groups × vocabulary
+    * rows; df_g and n_groups fold FROM that table (no second corpus
+    * scan, n_groups rides a one-row broadcast); the rank window
+    * partitions on the group. The ln shares its expression text with the
+    * oracle (round-6, the hllEst rule). */
+  def groupKeywords(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text", k: Int = 5): DataFrame = graft.CacheScope.scoped {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tfArr = ColumnBridge.column(
+      graft.functions.expressions.TokenTfExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    // The (group, token) table feeds THREE consumers (score join, df_g,
+    // n_groups) — materialize it (≤ groups × vocabulary rows) so the
+    // corpus tokenize pass runs exactly once, not once per consumer.
+    val gtok = graft.CacheScope.materialize(graft.Spread(docs)
+      .select(F.col(groupCol), F.explode_outer(tfArr).as("tt"))
+      .select(F.col(groupCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+      .filter(F.col("tok").isNotNull)
+      .groupBy(F.col(groupCol), F.col("tok"))
+      .agg(F.sum(F.col("tf").cast("long")).as("tf_g")))
+    val dfg = gtok.groupBy("tok").agg(F.count(F.lit(1)).as("df_g"))
+    val ng = gtok.select(groupCol).distinct()
+      .agg(F.count(F.lit(1)).as("n_groups"))
+    val w = Window.partitionBy(F.col(groupCol))
+      .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
+    gtok.join(dfg, Seq("tok"))
+      .crossJoin(F.broadcast(ng))
+      .withColumn("tfidf_r", F.expr(
+        "round(CAST(tf_g AS DOUBLE) * ln(CAST(n_groups AS DOUBLE) / CAST(df_g AS DOUBLE)), 6)"))
+      .withColumn("rnk", F.row_number().over(w).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select(F.col(groupCol), F.col("rnk"), F.col("tok"), F.col("tf_g"),
+        F.col("df_g"), F.col("tfidf_r"))
+  }
 }

@@ -421,6 +421,12 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // r17 s3: duplication report = the q_dedup_components frames + the
     // clusters-sized summary fold (one-row cross join rides a BNLJ)
     InternalAudit("q_dedup_report", maxExchangeTotal = 8, minFrames = 2,
+      allowedBnljPerFrame = 1),
+    // r17 s3: source labeling = the (group, token) materialize (tokenize
+    // pass + agg) + the scoped score/rank frame (df agg, join, window;
+    // n_groups rides the one-row broadcast BNLJ); the cached build
+    // re-prints under its consumers (the q_mix_weights caveat)
+    InternalAudit("q_source_keywords", maxExchangeTotal = 10, minFrames = 2,
       allowedBnljPerFrame = 1))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {

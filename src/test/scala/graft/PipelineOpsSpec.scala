@@ -1096,6 +1096,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("groupKeywords: distinctive terms rank first, all-group stopwords score exactly 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "apple apple common"),
+      (2L, "B", "banana common"),
+      (3L, "C", "cherry common")).toDF("doc_id", "source", "text")
+    val out = TfIdf.groupKeywords(docs, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    def sc(tf: Long, df: Long) = BigDecimal(tf * math.log(3.0 / df))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(("A", 1L)) == (("apple", 2L, 1L, sc(2, 1))), s"got ${out(("A", 1L))}")
+    assert(out(("B", 1L))._1 == "banana" && out(("C", 1L))._1 == "cherry")
+    // "common" is in every group: ln(3/3) = 0 exactly, ranked last.
+    assert(out(("A", 2L)) == (("common", 1L, 3L, 0.0)), s"got ${out(("A", 2L))}")
+  }
+
   test("scriptProfile: hand-computed census and majority-vote tie rule") {
     import spark.implicits._
     import graft.functions.TextFunctions
