@@ -90,7 +90,8 @@ object Bench {
     "q_span_corrupt", "q_fim", "q_ann_mrl", "q_mine_pairs", "q_source_keywords",
     // rows-only walls, tracked so their perf cannot rot: the other two
     // tokenizer-family corpus encodes and the whitening fit+project.
-    "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten")
+    "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten",
+    "q_compression_ratio")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

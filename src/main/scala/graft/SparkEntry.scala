@@ -1665,6 +1665,13 @@ object SparkEntry {
       T(s, dir, "documents").select(F.col("doc_id"), url.as("url")), "url", blocklist)
   }
 
+  /** Compression-ratio quality signal ([[graft.functions.TextFunctions
+    * .compressionRatio]], the Dolma gzip-ratio filter). Rows-only by
+    * design (deflate byte counts are JDK-internal); the spec pins the
+    * boilerplate-vs-prose ordering the filter uses. */
+  private def qCompressionRatio(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.compressionRatio(T(s, dir, "documents"))
+
   /** Unicode-script profile ([[graft.functions.TextFunctions
     * .scriptProfile]]): the corpus is salted with deterministic CJK /
     * Cyrillic / digit suffixes by doc_id so every script class and the
@@ -3118,6 +3125,7 @@ object SparkEntry {
     "q_url_blocklist" -> (qUrlBlocklist _),
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_script_profile" -> (qScriptProfile _),
+    "q_compression_ratio" -> (qCompressionRatio _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_fim" -> (qFim _),

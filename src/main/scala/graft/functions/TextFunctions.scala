@@ -422,6 +422,31 @@ object TextFunctions {
           !F.col("st.has_lorem") && !F.col("st.has_brace")).as("c4_keep"))
   }
 
+  /** Compression-ratio quality signal ([[graft.functions.expressions
+    * .DeflateSizeExpr]]) — the Dolma gzip-ratio filter: ratio =
+    * utf8_bytes / deflate_bytes, round 6; boilerplate compresses far
+    * better than prose (high ratio), noise worse (low). `keep` brackets
+    * the ratio in [lo, hi]. Zero-shuffle scan; engine-internal byte
+    * counts (JDK zlib), so the gate is rows-only and the spec pins the
+    * ordering property the filter actually uses. */
+  def compressionRatio(df: org.apache.spark.sql.DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       lo: Double = 1.2, hi: Double = 6.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val comp = ColumnBridge.column(
+      graft.functions.expressions.DeflateSizeExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    df.select(F.col(idCol),
+        F.length(F.col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        comp.as("n_deflate"))
+      .select(F.col(idCol), F.col("n_bytes"), F.col("n_deflate"),
+        F.round(F.col("n_bytes").cast("double") /
+          F.greatest(F.col("n_deflate").cast("double"), F.lit(1.0)), 6)
+          .as("compression_ratio"))
+      .withColumn("keep",
+        F.col("compression_ratio") >= lo && F.col("compression_ratio") <= hi)
+  }
+
   /** Unicode-script mix profile ([[graft.functions.expressions
     * .ScriptStatsExpr]]): per document, explicit-range character counts
     * (latin/digit/CJK/cyrillic/space/other), round-6 script fractions,

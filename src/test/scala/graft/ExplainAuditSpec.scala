@@ -249,6 +249,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_phrase_blocklist", maxExchange = 0),
     // script census: pure scan, one native pass.
     Audit("q_script_profile", maxExchange = 0),
+    // deflate ratio: pure scan, one native pass.
+    Audit("q_compression_ratio", maxExchange = 0),
     // KMV set ops x2 k-settings: per sketch one distinct over the
     // partition-pruned TreeSet survivors (<= tasks x k rows) + the
     // marked-union groupBy + tiny one-row aggs; the 4 BNLJs are the

@@ -1096,6 +1096,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("compressionRatio: boilerplate compresses better than prose, deterministic") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rep = ("the same line of boilerplate again " * 40).trim
+    val prose = "a quick brown fox inspects seventeen oddly mismatched baskets while " +
+      "debating whether prague rainfall exceeds lisbon humidity during autumn festivals"
+    val docs = Seq((1L, rep), (2L, prose)).toDF("doc_id", "text")
+    val out = TextFunctions.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L)._1 == rep.getBytes("UTF-8").length.toLong)
+    assert(out(1L)._3 > out(2L)._3, s"repetition must compress better: $out")
+    assert(out(1L)._3 > 6.0 && !out(1L)._4, "40x-repeated boilerplate must trip the hi bound")
+    assert(out(2L)._3 >= 1.0 && out(2L)._4, s"prose must sit inside the keep band: ${out(2L)}")
+    // Deterministic re-run.
+    val again = TextFunctions.compressionRatio(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again(1L) == out(1L)._3 && again(2L) == out(2L)._3)
+  }
+
   test("groupKeywords: distinctive terms rank first, all-group stopwords score exactly 0") {
     import spark.implicits._
     val docs = Seq(
