@@ -71,7 +71,17 @@ object ClusterSmoke {
     // kernel, and the SQ8 broadcast stats row all cross executor JVM
     // boundaries here
     "q_lm_kn", "q_dedup_soft", "q_spm_encode", "q_fix_mojibake",
-    "q_ann_sq8")
+    "q_ann_sq8",
+    // r17 session-3 representatives: OphSigsExpr (one-pass binned fold),
+    // PhraseHitsExpr (Aho-Corasick automaton as a codegen ref-obj —
+    // must build once per executor after deserialization),
+    // ScriptStatsExpr (struct census), DeflateSizeExpr (thread-local
+    // Deflater on executors), the WordPiece closure-vocabulary encode,
+    // the whitening model riding a typed-map closure, and rank fusion's
+    // chained GlobalIndex zipWithIndex passes.
+    "q_dedup_minhash_oph", "q_phrase_blocklist", "q_script_profile",
+    "q_compression_ratio", "q_wordpiece_encode", "q_ann_whiten",
+    "q_rank_fusion")
 
   /** Canonical result hash: columns sorted by name, every value rendered
     * deterministically (binary → hex — Array.toString would be an object
