@@ -1251,6 +1251,40 @@ object OracleSql {
     // (exact-join adjudicated), so the oracle is the plain suffix-match
     // rule: blocked iff any >=2-label dot-suffix of the host is listed,
     // most specific (longest) entry reported.
+    // Zipf fit: identical top-1000 cut, round-6 logs, DECIMAL normal-
+    // equation sums, the same slope/intercept expressions.
+    "q_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |e AS (SELECT unnest(w) AS tok FROM tok),
+        |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n_tokens_total,
+        |        CAST(COUNT(*) AS BIGINT) AS vocab_size FROM freq),
+        |top AS (
+        |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rnk
+        |  FROM freq QUALIFY rnk <= 1000),
+        |xy AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 6) AS x,
+        |              round(ln(CAST(f AS DOUBLE)), 6) AS y FROM top),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+        |    SUM(CAST(x AS DECIMAL(38,18))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(38,18))) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx
+        |  FROM xy)
+        |SELECT n_tokens_total, vocab_size, n_fit,
+        |  round((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) - ((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) /
+        |    CAST(n_fit AS DOUBLE), 6) AS zipf_intercept
+        |FROM s, tot""".stripMargin,
+
     // Script profile: the same salt, explicit-range regexes (one per
     // class — the engine's single native pass is internal), other =
     // total minus the disjoint classes, identical CASE chain.

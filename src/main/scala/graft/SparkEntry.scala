@@ -1665,6 +1665,12 @@ object SparkEntry {
       T(s, dir, "documents").select(F.col("doc_id"), url.as("url")), "url", blocklist)
   }
 
+  /** Zipf rank–frequency fit ([[graft.operators.Profile.zipfReport]]):
+    * the corpus-QA law check — least squares over the top-1000 token
+    * ranks; slope/intercept hash-exact. */
+  private def qZipfFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.zipfReport(T(s, dir, "documents"))
+
   /** Compression-ratio quality signal ([[graft.functions.TextFunctions
     * .compressionRatio]], the Dolma gzip-ratio filter). Rows-only by
     * design (deflate byte counts are JDK-internal); the spec pins the
@@ -3126,6 +3132,7 @@ object SparkEntry {
     "q_phrase_blocklist" -> (qPhraseBlocklist _),
     "q_script_profile" -> (qScriptProfile _),
     "q_compression_ratio" -> (qCompressionRatio _),
+    "q_zipf_fit" -> (qZipfFit _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_span_corrupt" -> (qSpanCorrupt _),
     "q_fim" -> (qFim _),

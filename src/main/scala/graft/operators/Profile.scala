@@ -68,4 +68,61 @@ object Profile {
     }
     one.select(F.explode(F.array(structs: _*)).as("p")).select("p.*")
   }
+
+  /** Zipf rank–frequency fit — the corpus-linguistics QA check (Zipf
+    * 1949; Piantadosi 2014 reviews why natural text follows it): natural
+    * language sits near slope −1 on log rank vs log frequency, while
+    * templated/synthetic/degenerate corpora bend away — a one-row
+    * red-flag report a corpus refresh diffs against. Least squares over
+    * the top `fitN` token ranks: slope, intercept, and totals.
+    *
+    * Scale shape: one map-combinable token-count aggregation
+    * (vocabulary-sized exchange), a TakeOrdered top-`fitN` cut (per-
+    * partition heaps, no full sort), a rank window over the ≤ fitN
+    * surviving rows (bounded by construction — derived-constant
+    * partition, the audit rule), and one single-row fold. Logs are
+    * round-6 shared-text (the hllEst rule); the normal-equation sums run
+    * in DECIMAL so the fold is order-free; slope/intercept are exact
+    * divisions of those decimals cast through double. */
+  def zipfReport(docs: DataFrame, textCol: String = "text",
+                 fitN: Int = 1000): DataFrame = graft.CacheScope.scoped {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    require(fitN >= 2, s"fitN must be >= 2, got $fitN")
+    val toks = ColumnBridge.column(
+      graft.functions.expressions.ShingleExpr(
+        ColumnBridge.expression(F.col(textCol)), 1))
+    // The frequency table feeds TWO consumers (totals, the fit cut) —
+    // materialize it (vocabulary-sized) so the corpus tokenize pass runs
+    // exactly once.
+    val freq = graft.CacheScope.materialize(graft.Spread(docs)
+      .select(F.explode(toks).as("tok"))
+      .groupBy("tok").agg(F.count(F.lit(1)).as("f")))
+    val totals = freq.agg(F.sum("f").as("n_tokens_total"),
+      F.count(F.lit(1)).as("vocab_size"))
+    val top = freq.orderBy(F.col("f").desc, F.col("tok").asc).limit(fitN)
+      .withColumn("rnk", F.row_number().over(
+        Window.partitionBy(F.pmod(F.col("f"), F.lit(1)))
+          .orderBy(F.col("f").desc, F.col("tok").asc)))
+      .select(
+        F.expr("round(ln(CAST(rnk AS DOUBLE)), 6)").as("x"),
+        F.expr("round(ln(CAST(f AS DOUBLE)), 6)").as("y"))
+    val s = top.agg(
+      F.count(F.lit(1)).as("n_fit"),
+      F.sum(F.col("x").cast("decimal(38,18)")).as("sx"),
+      F.sum(F.col("y").cast("decimal(38,18)")).as("sy"),
+      F.sum((F.col("x") * F.col("y")).cast("decimal(38,18)")).as("sxy"),
+      F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)")).as("sxx"))
+    s.crossJoin(F.broadcast(totals))
+      .select(F.col("n_tokens_total"), F.col("vocab_size"), F.col("n_fit"),
+        F.expr("""round((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)""").as("zipf_slope"),
+        F.expr("""round((CAST(sy AS DOUBLE) - ((CAST(n_fit AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n_fit AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) /
+          CAST(n_fit AS DOUBLE), 6)""").as("zipf_intercept"))
+  }
 }

@@ -429,6 +429,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // n_groups rides the one-row broadcast BNLJ); the cached build
     // re-prints under its consumers (the q_mix_weights caveat)
     InternalAudit("q_source_keywords", maxExchangeTotal = 10, minFrames = 2,
+      allowedBnljPerFrame = 1),
+    // r17 s3: zipf fit = the token-frequency materialize (tokenize pass +
+    // agg) + the scoped fit frame (top cut, bounded rank window, one-row
+    // totals cross join riding a BNLJ)
+    InternalAudit("q_zipf_fit", maxExchangeTotal = 10, minFrames = 2,
       allowedBnljPerFrame = 1))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {

@@ -1096,6 +1096,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("zipfReport: an exactly-Zipfian corpus fits slope -1") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // f = 12/r exactly: counts 12, 6, 4, 3 over ranks 1..4.
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = Profile.zipfReport(Seq((1L, text)).toDF("doc_id", "text")).head()
+    assert(r.getLong(0) == 25L && r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - (-1.0)) < 1e-4, s"slope ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - math.log(12.0)) < 1e-4,
+      s"intercept ${r.getDouble(4)}")
+  }
+
   test("compressionRatio: boilerplate compresses better than prose, deterministic") {
     import spark.implicits._
     import graft.functions.TextFunctions
