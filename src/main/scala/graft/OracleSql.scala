@@ -2167,6 +2167,39 @@ object OracleSql {
 
     // TF-IDF: same tokenizer as the dedup oracles; tf * ln(N/df) with the
     // exact operand order of TfIdf.score, rounded to 6 decimals both sides.
+    // BM25: identical per-term contribution text (round-6 idf ln, the
+    // same k1/b literals, DECIMAL(38,18) contribution sums) and the
+    // identical top-20 (bm25 DESC, doc_id) cut.
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM tok),
+        |tfq AS (
+        |  SELECT doc_id, dl, t AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM e WHERE t IN ('customer', 'spark', 'vector', 'window')
+        |  GROUP BY 1, 2, 3),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    SUM(CAST(len(w) AS DECIMAL(38,0))) AS tok_total
+        |  FROM tok),
+        |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+        |sc AS (
+        |  SELECT f.doc_id,
+        |    CAST(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+        |        (CAST(d.df AS DOUBLE) + 0.5) + 1.0), 6) *
+        |      (CAST(f.tf AS DOUBLE) * 2.2) /
+        |      (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(f.dl AS DOUBLE) /
+        |        (CAST(s.tok_total AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS DECIMAL(38,18)) AS contrib
+        |  FROM tfq f JOIN dft d USING (tok), stats s),
+        |g AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+        |    round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+        |  FROM sc GROUP BY doc_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM g)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, n_terms_hit, bm25
+        |FROM r WHERE rnk <= 20""".stripMargin,
+
     // Per-source keyword labeling: group-as-super-document tf·ln(G/df),
     // top-5 per source, identical ln expression text (round 6).
     "q_source_keywords" ->

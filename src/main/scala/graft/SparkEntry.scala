@@ -1352,6 +1352,13 @@ object SparkEntry {
     * WindowGroupLimit, token tie-break). N rides as a literal from the
     * memoized count — no scalar-subquery branch in the plan
     * (TfIdf.score scaladoc). */
+  /** Okapi BM25 ranking ([[graft.functions.TfIdf.bm25]]): top-20 docs
+    * for a 4-term query under the Lucene-standard idf + saturation
+    * formula — scores and order hash-exact. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TfIdf.bm25(T(s, dir, "documents"),
+      Seq("spark", "vector", "window", "customer"), k = 20)
+
   /** Per-source distinctive keywords ([[graft.functions.TfIdf
     * .groupKeywords]]): each source labeled by its top-5 tf·ln(G/df)
     * terms — the slice-labeling report before mixing decisions;
@@ -3103,6 +3110,7 @@ object SparkEntry {
     "q_dedup_report" -> (qDedupReport _),
     "q_tfidf" -> (qTfidf _),
     "q_source_keywords" -> (qSourceKeywords _),
+    "q_bm25" -> (qBm25 _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_priority" -> (qSamplePriority _),
     "q_mix_weights" -> (qMixWeights _),

@@ -132,6 +132,69 @@ object TfIdf {
         F.col("tfidf_r"))
   }
 
+  /** Okapi BM25 ranking (Robertson & Walker SIGIR '94; the
+    * probabilistic-IDF + saturation formula every lexical search
+    * baseline runs): score(d, q) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·len/avglen)) with idf = ln((N − df + 0.5)/(df
+    * + 0.5) + 1) (the Lucene-standard non-negative variant). The
+    * retrieval half of the keyword tier: [[score]] describes documents,
+    * this RANKS them for a query — corpus search, relevance-based
+    * curation, and the lexical side of hybrid (BM25 + ANN) retrieval.
+    *
+    * Scale shape: one tokenize pass to per-doc (tok, tf, len) rows
+    * FILTERED to the query terms at the scan (the term list is a plan
+    * literal — a handful of tokens), one vocabulary-sized df aggregation
+    * over just those terms, N/avglen on a one-row broadcast, top-k by
+    * rank window over only docs containing ≥ 1 term. Every double is
+    * shared-text (round-6 ln under the hllEst rule; per-term
+    * contributions summed in DECIMAL so the fold is order-free). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+           idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = graft.CacheScope.scoped {
+    require(queryTerms.nonEmpty, "empty query")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val tfArr = ColumnBridge.column(
+      graft.functions.expressions.TokenTfExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    // Matching-doc term rows (≤ docs × |terms|) feed TWO consumers (df
+    // table + score join) — materialize so the tokenize scan runs once.
+    val tf = graft.CacheScope.materialize(graft.Spread.byKey(docs, idCol)
+      .select(F.col(idCol),
+        graft.functions.TextFunctions.tokenCount(F.col(textCol)).as("dl"),
+        F.explode_outer(tfArr).as("tt"))
+      .select(F.col(idCol), F.col("dl"),
+        F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+      .filter(F.col("tok").isin(terms: _*)))
+    // Corpus totals (N, token total for avglen) — one metadata-cheap pass
+    // over ALL docs (avg length is corpus-wide by definition).
+    val stats = docs.agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))
+        .cast("decimal(38,0)")).as("tok_total"))
+    val dfTab = tf.groupBy("tok").agg(F.count(F.lit(1)).as("df"))
+    val scored = tf.join(F.broadcast(dfTab), Seq("tok"))
+      .crossJoin(F.broadcast(stats))
+      .withColumn("contrib", F.expr(
+        s"""CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+           |  (CAST(df AS DOUBLE) + 0.5) + 1.0), 6) *
+           |(CAST(tf AS DOUBLE) * ${k1 + 1.0}) /
+           |(CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) /
+           |  (CAST(tok_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS DECIMAL(38,18))"""
+          .stripMargin))
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_terms_hit"),
+        F.expr("round(CAST(SUM(contrib) AS DOUBLE), 6)").as("bm25"))
+    // Global top-k: TakeOrdered cut FIRST (per-partition heaps — no
+    // corpus-sized global window), then rank the ≤ k survivors on a
+    // bounded derived-constant frame.
+    scored.orderBy(F.col("bm25").desc, F.col(idCol).asc).limit(k)
+      .withColumn("rnk", F.row_number().over(
+        Window.partitionBy(F.pmod(F.col("n_terms_hit"), F.lit(1)))
+          .orderBy(F.col("bm25").desc, F.col(idCol).asc)).cast("long"))
+      .select(F.col(idCol), F.col("rnk"), F.col("n_terms_hit"), F.col("bm25"))
+  }
+
   /** Per-GROUP distinctive keywords — source/domain/cluster LABELING:
     * each group (a source, a language, a k-means cluster) is treated as
     * one super-document, scored tf_g · ln(n_groups / df_g), top-k per

@@ -434,6 +434,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // agg) + the scoped fit frame (top cut, bounded rank window, one-row
     // totals cross join riding a BNLJ)
     InternalAudit("q_zipf_fit", maxExchangeTotal = 10, minFrames = 2,
+      allowedBnljPerFrame = 1),
+    // r17 s3: bm25 = the matching-term-rows materialize (term-filtered
+    // tokenize) + the scoped rank frame (df broadcast, one-row stats
+    // cross join BNLJ, doc agg, TakeOrdered cut + bounded window)
+    InternalAudit("q_bm25", maxExchangeTotal = 10, minFrames = 2,
       allowedBnljPerFrame = 1))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {

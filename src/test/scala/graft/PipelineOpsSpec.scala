@@ -1096,6 +1096,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("bm25: term saturation beats raw repetition, non-matching docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark"),  // 4x one term
+      (2L, "spark vector"),             // 1x each of two terms
+      (3L, "vector window common"),     // 1x one term
+      (4L, "common words only here")    // no terms
+    ).toDF("doc_id", "text")
+    val out = TfIdf.bm25(docs, Seq("spark", "vector"), k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!out.contains(4L), "a doc with no query terms must not score")
+    // The saturation property BM25 exists for: two distinct matched terms
+    // outrank four copies of one.
+    assert(out(2L)._1 == 1L && out(2L)._2 == 2L, s"got $out")
+    assert(out(1L)._1 == 2L && out(3L)._1 == 3L, s"got $out")
+    // Hand arithmetic for doc 2: idf = ln 2 both terms, dl = 2,
+    // avglen = 13/4 -> contrib = .693147*2.2/1.853846 each.
+    assert(math.abs(out(2L)._3 - 2 * 0.693147 * 2.2 / 1.8538461538461537) < 2e-3,
+      s"got ${out(2L)}")
+  }
+
   test("zipfReport: an exactly-Zipfian corpus fits slope -1") {
     import spark.implicits._
     import graft.operators.Profile
