@@ -73,6 +73,20 @@ object Whitening {
     Model(mean, eig, w)
   }
 
+  /** [[fit]] on a bounded md5-uniform sample — the 100 TB path (the
+    * trainCentroids/ivfReindex sampling rule: ORDER BY md5(id) LIMIT n
+    * is a TakeOrdered cut, sees shifted data, deterministic): covariance
+    * estimation converges at O(dim/√n), so a few thousand vectors pin
+    * the whitening matrix and the full corpus pays only the projection
+    * scan. `sampleN` ≥ corpus degrades to the exact [[fit]]. */
+  def fitSampled(emb: DataFrame, idCol: String = "vec_id",
+                 embCol: String = "embedding", sampleN: Int = 4096,
+                 eps: Double = 1e-9): Model = {
+    require(sampleN >= 2, s"sampleN must be >= 2, got $sampleN")
+    fit(emb.orderBy(F.md5(F.col(idCol).cast("string")).asc).limit(sampleN),
+      embCol, eps)
+  }
+
   /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues,
     * eigenvectors as COLUMNS). Fixed (p,q) sweep order and a fixed
     * convergence threshold — deterministic. */

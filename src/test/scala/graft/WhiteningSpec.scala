@@ -47,6 +47,26 @@ class WhiteningSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("fitSampled: sample >= corpus degrades to the exact fit; bounded sample still whitens") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val full = Whitening.fit(emb)
+    val same = Whitening.fitSampled(emb, sampleN = 1 << 20)
+    assert(same.mean.toSeq == full.mean.toSeq &&
+      same.w.map(_.toSeq).toSeq == full.w.map(_.toSeq).toSeq)
+    // A 1024-vector sample fit (16x the dimension — covariance
+    // estimation needs n >> dim; at n = 2·dim the smallest sample
+    // eigenvalues collapse and their whitened variances explode, measured
+    // 6.4 with 128) still roughly whitens the corpus.
+    val m = Whitening.fitSampled(emb, sampleN = 1024)
+    val y = Whitening.transform(emb, m).collect().map(_.getSeq[Double](1).toArray)
+    val n = y.length.toDouble
+    val worst = (0 until m.mean.length).map { i =>
+      math.abs(y.map(v => v(i) * v(i)).sum / n - 1.0)
+    }.max
+    info(f"worst per-dim |var-1| with a 128-vector sample fit: $worst%.3f")
+    assert(worst < 1.0, s"sample fit failed to whiten: worst |var-1| = $worst")
+  }
+
   test("refit is bit-for-bit identical") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val a = Whitening.fit(emb)
