@@ -91,7 +91,7 @@ object Bench {
     // rows-only walls, tracked so their perf cannot rot: the other two
     // tokenizer-family corpus encodes and the whitening fit+project.
     "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten",
-    "q_compression_ratio", "q_zipf_fit", "q_bm25")
+    "q_compression_ratio", "q_zipf_fit", "q_bm25", "q_hybrid_search")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

@@ -2200,6 +2200,54 @@ object OracleSql {
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, n_terms_hit, bm25
         |FROM r WHERE rnk <= 20""".stripMargin,
 
+    // Hybrid retrieval: the bm25 CTEs cut at 100, the brute-cosine list
+    // for query vector 7 cut at 100, absent-side-zero RRF, top 20.
+    "q_hybrid_search" -> {
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS w
+         |  FROM documents),
+         |e AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM tok),
+         |tfq AS (
+         |  SELECT doc_id, dl, t AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM e WHERE t IN ('customer', 'spark', 'vector', 'window')
+         |  GROUP BY 1, 2, 3),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    SUM(CAST(len(w) AS DECIMAL(38,0))) AS tok_total
+         |  FROM tok),
+         |dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+         |sc AS (
+         |  SELECT f.doc_id,
+         |    CAST(round(ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) /
+         |        (CAST(d.df AS DOUBLE) + 0.5) + 1.0), 6) *
+         |      (CAST(f.tf AS DOUBLE) * 2.2) /
+         |      (CAST(f.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(f.dl AS DOUBLE) /
+         |        (CAST(s.tok_total AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS DECIMAL(38,18)) AS contrib
+         |  FROM tfq f JOIN dft d USING (tok), stats s),
+         |g AS (
+         |  SELECT doc_id, round(CAST(SUM(contrib) AS DOUBLE), 6) AS bm25
+         |  FROM sc GROUP BY doc_id),
+         |lex AS (SELECT doc_id, rnk AS lex_rank FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM g)
+         |  WHERE rnk <= 100),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+         |cv AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings WHERE vec_id <> 7),
+         |p2 AS (SELECT nid, ${cosSql("qe", "ce")} AS cosine FROM cv, qv),
+         |dns AS (SELECT nid AS doc_id, rk AS dense_rank FROM (
+         |  SELECT nid, ROW_NUMBER() OVER (ORDER BY cosine DESC, nid) AS rk FROM p2)
+         |  WHERE rk <= 100),
+         |fz AS (
+         |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |    CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         |    CAST(d.dense_rank AS BIGINT) AS dense_rank,
+         |    round(COALESCE(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 0.0) +
+         |          COALESCE(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 0.0), 6) AS rrf_score
+         |  FROM lex l FULL OUTER JOIN dns d ON l.doc_id = d.doc_id),
+         |t AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk FROM fz)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, lex_rank, dense_rank, rrf_score
+         |FROM t WHERE rnk <= 20""".stripMargin
+    },
+
     // Per-source keyword labeling: group-as-super-document tf·ln(G/df),
     // top-5 per source, identical ln expression text (round 6).
     "q_source_keywords" ->

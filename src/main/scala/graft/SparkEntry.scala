@@ -1352,6 +1352,20 @@ object SparkEntry {
     * WindowGroupLimit, token tie-break). N rides as a literal from the
     * memoized count — no scalar-subquery branch in the plan
     * (TfIdf.score scaladoc). */
+  /** Hybrid retrieval ([[graft.operators.RankFusion.hybridRrf]]): the
+    * BM25 lexical list (top-100 for the 4-term query) fused with the
+    * dense cosine list (top-100 around query vector 7) by
+    * absent-side-zero RRF — the production hybrid-search default; fused
+    * order and scores hash-exact. */
+  private def qHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.functions.TfIdf.bm25(T(s, dir, "documents"),
+      Seq("spark", "vector", "window", "customer"), k = 100)
+    val emb = T(s, dir, "embeddings")
+    val dense = Ann.bruteTopK(emb, emb.filter(F.col("vec_id") === 7), k = 100)
+      .select(F.col("neighbor_id").as("doc_id"), F.col("rnk"))
+    graft.operators.RankFusion.hybridRrf(lex, dense, "doc_id", k = 20)
+  }
+
   /** Okapi BM25 ranking ([[graft.functions.TfIdf.bm25]]): top-20 docs
     * for a 4-term query under the Lucene-standard idf + saturation
     * formula — scores and order hash-exact. */
@@ -3111,6 +3125,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_source_keywords" -> (qSourceKeywords _),
     "q_bm25" -> (qBm25 _),
+    "q_hybrid_search" -> (qHybridSearch _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_priority" -> (qSamplePriority _),
     "q_mix_weights" -> (qMixWeights _),

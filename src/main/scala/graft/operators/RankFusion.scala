@@ -20,6 +20,37 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * doubles, fused order — is oracle-replicable. */
 object RankFusion {
 
+  /** Hybrid two-list fusion — the BM25 + dense-retrieval combination
+    * every production search stack runs (RRF was built for exactly this:
+    * Cormack et al. fused incomparable retrieval runs; Microsoft/Elastic
+    * ship it as the hybrid default): two pre-ranked candidate lists
+    * (`rankCol` 1-based) full-outer-join on the id, each side
+    * contributing 1/(k + rank) and ABSENT sides contributing 0 (the
+    * standard convention — a doc found by only one retriever still
+    * scores), top-`k` by fused score. The cut is a TakeOrdered (never a
+    * corpus-sized global window); the final rank runs on the ≤ k
+    * survivors. */
+  def hybridRrf(lex: DataFrame, dense: DataFrame, idCol: String,
+                rankCol: String = "rnk", k: Int = 20,
+                kRrf: Int = 60): DataFrame = {
+    val id = F.col(idCol)
+    val l = lex.select(id, F.col(rankCol).cast("long").as("lex_rank"))
+    val d = dense.select(id, F.col(rankCol).cast("long").as("dense_rank"))
+    val fused = l.join(d, Seq(idCol), "full_outer")
+      .withColumn("rrf_score", F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col("lex_rank").cast("double")), F.lit(0.0)) +
+        F.coalesce(F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col("dense_rank").cast("double")), F.lit(0.0)), 6))
+    fused.orderBy(F.col("rrf_score").desc, id.asc).limit(k)
+      .withColumn("rnk", F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          // bounded <= k rows; derived-constant partition (pmod of a
+          // non-null long is 0 for every row but not constant-folded)
+          .partitionBy(F.pmod(F.col("rrf_score").cast("long"), F.lit(1L)))
+          .orderBy(F.col("rrf_score").desc, id.asc)).cast("long"))
+      .select(id, F.col("rnk"), F.col("lex_rank"), F.col("dense_rank"),
+        F.col("rrf_score"))
+  }
+
   /** Fuse `signals` (name → column, each ranked DESCENDING with `idCol`
     * ascending as tie-break) into `rank_<name>` columns (1-based),
     * `rrf_score` (round 6; terms summed in the given signal order) and

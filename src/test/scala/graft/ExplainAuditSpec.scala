@@ -439,7 +439,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // tokenize) + the scoped rank frame (df broadcast, one-row stats
     // cross join BNLJ, doc agg, TakeOrdered cut + bounded window)
     InternalAudit("q_bm25", maxExchangeTotal = 10, minFrames = 2,
-      allowedBnljPerFrame = 1))
+      allowedBnljPerFrame = 1),
+    // r17 s3: hybrid = the bm25 frames + the fusion tail (the dense
+    // brute list joins OUTSIDE CacheScope; the scoped frames are bm25's)
+    InternalAudit("q_hybrid_search", maxExchangeTotal = 12, minFrames = 2,
+      allowedBnljPerFrame = 2))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
     // same canonical-plan discipline as the terminal audits above

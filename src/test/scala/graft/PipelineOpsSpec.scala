@@ -1096,6 +1096,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(host("https://example.com./x") == "example.com")
   }
 
+  test("hybridRrf: both-list docs outrank single-list, absent side contributes zero") {
+    import spark.implicits._
+    import graft.operators.RankFusion
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rnk")
+    val dense = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rnk")
+    val out = RankFusion.hybridRrf(lex, dense, "doc_id", k = 10).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getDouble(4)))).toMap
+    // doc 3 is in BOTH lists (lex rank 3 + dense rank 1) and must win;
+    // then doc 1 (1/61); docs 2 and 4 tie at 1/62 -> id order breaks it.
+    assert(out(1L)._1 == 3L && out(1L)._2 == Some(3L) && out(1L)._3 == Some(1L))
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._4 == r6(1.0 / 63 + 1.0 / 61), s"got ${out(1L)}")
+    assert(out(2L)._1 == 1L && out(2L)._3.isEmpty && out(2L)._4 == r6(1.0 / 61))
+    assert(out(3L)._1 == 2L && out(3L)._3.isEmpty && out(3L)._4 == r6(1.0 / 62))
+    assert(out(4L)._1 == 4L && out(4L)._2.isEmpty && out(4L)._4 == r6(1.0 / 62))
+  }
+
   test("bm25: term saturation beats raw repetition, non-matching docs absent") {
     import spark.implicits._
     val docs = Seq(
