@@ -1333,7 +1333,7 @@ object OracleSql {
         |  SELECT doc_id, list_sort(list(p)) AS matched, COUNT(*) AS nm
         |  FROM m GROUP BY doc_id)
         |SELECT d.doc_id,
-        |  COALESCE(g.matched, []) AS matched,
+        |  COALESCE(array_to_string(g.matched, '|'), '') AS matched,
         |  CAST(COALESCE(g.nm, 0) AS BIGINT) AS n_matched,
         |  COALESCE(g.nm, 0) > 0 AS blocked
         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin,
@@ -2809,10 +2809,12 @@ object OracleSql {
         s"round(list_sum(list_transform(list_zip(embedding, generate_series(0, len(embedding)-1)), " +
           s"s -> CAST(s[1] AS DOUBLE) * (CASE WHEN $nibVal >= 8 THEN 1.0 ELSE -1.0 END))) / sqrt(16.0), 6)"
       }
-      s"""SELECT vec_id, [
+      s"""WITH a AS (SELECT vec_id, [
          |  ${(0 until 16).map(comp).mkString(",\n  ")}
          |] AS jl16
-         |FROM embeddings""".stripMargin
+         |FROM embeddings)
+         |SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim, jl16[t.i] AS jl
+         |FROM a CROSS JOIN generate_series(1, 16) AS t(i)""".stripMargin
     },
 
     // JL shortlist + exact rerank: the unrounded projections drive the
@@ -2867,12 +2869,16 @@ object OracleSql {
         |          ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - sa.mns[i])
         |            / (sa.mxs[i] - sa.mns[i]) * 255.0 + 0.5) AS INTEGER) END
         |     for i in generate_series(1, len(e.embedding))] AS sq8_codes
-        |  FROM embeddings e, sa)
-        |SELECT vec_id, sq8_codes,
-        |  ROUND(list_max([abs((mns[i] + CAST(sq8_codes[i] AS DOUBLE) / 255.0
-        |      * (mxs[i] - mns[i])) - CAST(embedding[i] AS DOUBLE))
-        |    for i in generate_series(1, len(embedding))]), 6) AS max_abs_err
-        |FROM q""".stripMargin,
+        |  FROM embeddings e, sa),
+        |e2 AS (
+        |  SELECT vec_id, sq8_codes,
+        |    ROUND(list_max([abs((mns[i] + CAST(sq8_codes[i] AS DOUBLE) / 255.0
+        |        * (mxs[i] - mns[i])) - CAST(embedding[i] AS DOUBLE))
+        |      for i in generate_series(1, len(embedding))]), 6) AS max_abs_err
+        |  FROM q)
+        |SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim,
+        |  CAST(sq8_codes[t.i] AS BIGINT) AS code, max_abs_err
+        |FROM e2 CROSS JOIN generate_series(1, 64) AS t(i)""".stripMargin,
 
     // In-context pretraining order: the shared Lloyd cells, then a global
     // (cell ASC, affinity DESC, id ASC) dense rank — mirrors the

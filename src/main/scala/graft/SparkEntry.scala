@@ -1720,11 +1720,16 @@ object SparkEntry {
     * group") and shared prefixes — one automaton pass per document,
     * O(len + hits) regardless of blocklist size. */
   private def qPhraseBlocklist(s: SparkSession, dir: String): DataFrame =
+    // `matched` serialized '|'-joined (expression output is sorted) so the
+    // driver's pandas oracle can hash it — raw array<string> cells crash
+    // its factorize step (r17).
     graft.functions.TextFunctions.phraseBlocklist(
-      T(s, dir, "documents"),
-      Seq("batch batch batch", "hash scan join", "merge sort", "slow join",
-        "sort merge", "spark", "spark join group", "vector window",
-        "window window"))
+        T(s, dir, "documents"),
+        Seq("batch batch batch", "hash scan join", "merge sort", "slow join",
+          "sort merge", "spark", "spark join group", "vector window",
+          "window window"))
+      .select(F.col("doc_id"), F.concat_ws("|", F.col("matched")).as("matched"),
+        F.col("n_matched"), F.col("blocked"))
 
   /** T5 span corruption ([[graft.operators.ExamplePrep.spanCorrupt]]):
     * deterministic block-scheme adaptation of the published 15% /
@@ -2635,15 +2640,19 @@ object SparkEntry {
     Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
   }
 
-  /** PCA whitening ([[graft.ann.Whitening]]): fit on the corpus (one
-    * DECIMAL moment aggregation + driver Jacobi), project, and report
-    * per-dim mean/variance of the whitened cloud — all ~0/1 by
-    * construction, the self-evidencing output. Rows-only by design (a
+  /** PCA whitening ([[graft.ann.Whitening]]): fit on a bounded
+    * md5-uniform sample ([[graft.ann.Whitening.fitSampled]] — the 100 TB
+    * path: covariance converges at O(dim/√n), so the full corpus pays
+    * only the projection scan; r17 benched the full-corpus fit, the
+    * slowest line in the suite, for a model the sample pins), project,
+    * and report per-dim mean/variance of the whitened cloud — all ~0/1
+    * by construction, the self-evidencing output. Rows-only by design (a
     * 64×64 eigendecomposition has no SQL oracle); WhiteningSpec pins the
-    * covariance-identity property and bit-exact refit. */
+    * covariance-identity property and bit-exact refit on BOTH the full
+    * and sampled fits. */
   private def qAnnWhiten(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    val model = graft.ann.Whitening.fit(emb)
+    val model = graft.ann.Whitening.fitSampled(emb, sampleN = 4096)
     graft.ann.Whitening.transform(emb, model)
       .select(F.posexplode(F.col("white")).as(Seq("dim", "y")))
       .groupBy("dim")
@@ -2885,10 +2894,15 @@ object SparkEntry {
     * rerank when full vectors are too wide to shuffle. */
   private def qAnnJl(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
+    // One scalar row per (vector, output-dim): the driver's oracle hashes
+    // scalar columns only, so the 16-dim projection is exploded rather
+    // than returned as array<double> (r17: pandas factorize dies on
+    // ndarray cells before grading).
     emb.select(F.col("vec_id"),
-      F.transform(
-        graft.functions.VectorFunctions.jlProject(F.col("embedding"), k = 16, dim = 64),
-        v => F.round(v, 6)).as("jl16"))
+        F.posexplode(
+          graft.functions.VectorFunctions.jlProject(F.col("embedding"), k = 16, dim = 64)))
+      .select(F.col("vec_id"), F.col("pos").cast("long").as("dim"),
+        F.round(F.col("col"), 6).as("jl"))
   }
 
   /** JL shortlist + exact rerank ([[Ann.jlTopK]]): the projection
@@ -2907,7 +2921,13 @@ object SparkEntry {
     * with the per-vector reconstruction-error report. The 4x storage
     * tier between raw float32 and PQ's 16x. */
   private def qAnnSq8(s: SparkSession, dir: String): DataFrame =
+    // Exploded to one scalar row per (vector, dim) — same driver-oracle
+    // contract as qAnnJl; max_abs_err rides along (constant per vec_id).
     Ann.sq8Quantize(T(s, dir, "embeddings"))
+      .select(F.col("vec_id"), F.col("max_abs_err"),
+        F.posexplode(F.col("sq8_codes")))
+      .select(F.col("vec_id"), F.col("pos").cast("long").as("dim"),
+        F.col("col").cast("long").as("code"), F.col("max_abs_err"))
 
   /** PQ ANN: 16x-compressed code scan + ADC + exact rerank (graft.ann.Pq). */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {

@@ -4,6 +4,20 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Columns the driver's pandas oracle cannot hash: its factorize step
+    * dies on array/map/struct cells (r17 silently un-graded three
+    * queries that way). Returns the offending column names — empty means
+    * the schema honors the harness contract. Applies to ORACLE-able
+    * queries only; rows-only gates may return any shape. */
+  def nonScalarColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType] ||
+        f.dataType.isInstanceOf[StructType] => f.name
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated query names (local iteration aid;
@@ -22,8 +36,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Harness contract: an oracle-graded query returning a complex
+        // column would crash the driver's compare AFTER this dump and
+        // grade as silently-untested (r17: q_ann_jl/q_ann_sq8/
+        // q_phrase_blocklist). Fail it HERE, visibly, instead.
+        val bad = nonScalarColumns(df.schema)
+        if (SparkEntry.oracleSql.contains(name) && bad.nonEmpty)
+          throw new IllegalStateException(
+            s"oracle-graded query emits non-scalar columns ${bad.mkString(",")}" +
+              " — serialize or explode them (driver oracle hashes scalars only)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // A failed query must leave NO output: in a reused outDir the

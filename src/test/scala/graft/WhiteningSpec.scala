@@ -75,4 +75,13 @@ class WhiteningSpec extends AnyFunSuite with SparkFixture {
     assert(a.eigvals.toSeq == b.eigvals.toSeq)
     assert(a.w.map(_.toSeq).toSeq == b.w.map(_.toSeq).toSeq)
   }
+
+  test("sampled refit is bit-for-bit identical (the registered gate's path)") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val a = Whitening.fitSampled(emb, sampleN = 4096)
+    val b = Whitening.fitSampled(emb, sampleN = 4096)
+    assert(a.mean.toSeq == b.mean.toSeq)
+    assert(a.eigvals.toSeq == b.eigvals.toSeq)
+    assert(a.w.map(_.toSeq).toSeq == b.w.map(_.toSeq).toSeq)
+  }
 }
