@@ -30,37 +30,80 @@ object Whitening {
                          w: Array[Array[Double]]) extends Serializable
 
   /** Fit on an `embCol` of array<float|double>. `eps` regularizes
-    * near-zero eigenvalues (the standard whitening guard). */
+    * near-zero eigenvalues (the standard whitening guard).
+    *
+    * Moment accumulation is ONE mapPartitions fold into per-partition
+    * BigDecimal partials (each x_i·x_j product rounded to scale 18
+    * half-up — the decimal(38,18) cast rule — then summed exactly), so
+    * the result is order-free across any partitioning while the job
+    * shuffles exactly numPartitions partial rows. The r17 shape
+    * posexploded the upper triangle through a decimal hash-agg —
+    * n·d·(d+1)/2 exchange-side rows (8.5M at sf0.1) for the same ≤ 2144
+    * cells, 5 of the bench's 6 whitening seconds. */
   def fit(emb: DataFrame, embCol: String = "embedding",
           eps: Double = 1e-9): Model = {
-    val x = emb.select(F.col(embCol).cast("array<double>").as("x"))
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val xs = emb.select(F.col(embCol).cast("array<double>").as("x"))
       .filter(F.col("x").isNotNull)
-    val pairs = x
-      .select(F.col("x"), F.posexplode(F.col("x")).as(Seq("i", "xi")))
-      // symmetric: GENERATE only the upper triangle (slice from i) —
-      // half the exploded rows and decimal casts of a full j-explode.
-      .select(F.col("i"), F.col("xi"),
-        F.posexplode(F.slice(F.col("x"), F.col("i") + 1,
-          F.size(F.col("x")) - F.col("i"))).as(Seq("dj", "xj")))
-      .select(F.col("i"), (F.col("i") + F.col("dj")).as("j"),
-        F.col("xi"), F.col("xj"))
-      .groupBy("i", "j")
-      .agg(F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,18)")).as("sxx"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue()))
-    val m1 = x.select(F.posexplode(F.col("x")).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg(F.sum(F.col("xi").cast("decimal(38,18)")).as("sx"),
-        F.count(F.lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getDecimal(1).doubleValue(), r.getLong(2)))
-    require(m1.nonEmpty, "empty embedding corpus")
-    val dim = m1.map(_._1).max + 1
-    val n = m1.head._3.toDouble
-    val mean = new Array[Double](dim)
-    m1.foreach { case (i, sx, _) => mean(i) = sx / n }
+      .as[Array[Double]]
+    // (n, sum_x per dim, sum_xx upper triangle row-major) — BigDecimal
+    // addition is exact, so the cross-partition combine order is free.
+    val partials = xs.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val d = first.length
+        val s1 = Array.fill(d)(JBD.ZERO)
+        val s2 = Array.fill(d * (d + 1) / 2)(JBD.ZERO)
+        var n = 0L
+        def add(x: Array[Double]): Unit = {
+          require(x.length == d, s"vector has ${x.length} dims, expected $d")
+          var i = 0
+          var t = 0
+          while (i < d) {
+            s1(i) = s1(i).add(JBD.valueOf(x(i)).setScale(18, RoundingMode.HALF_UP))
+            var j = i
+            while (j < d) {
+              s2(t) = s2(t).add(
+                JBD.valueOf(x(i) * x(j)).setScale(18, RoundingMode.HALF_UP))
+              t += 1; j += 1
+            }
+            i += 1
+          }
+          n += 1
+        }
+        add(first)
+        it.foreach(add)
+        Iterator.single((n, s1, s2))
+      }
+    }.collect()
+    require(partials.nonEmpty, "empty embedding corpus")
+    val dim = partials.head._2.length
+    partials.foreach(p => require(p._2.length == dim,
+      s"mixed dims across partitions: ${p._2.length} vs $dim"))
+    val n = partials.map(_._1).sum.toDouble
+    val s1 = Array.fill(dim)(JBD.ZERO)
+    val s2 = Array.fill(dim * (dim + 1) / 2)(JBD.ZERO)
+    partials.foreach { case (_, p1, p2) =>
+      var i = 0
+      while (i < dim) { s1(i) = s1(i).add(p1(i)); i += 1 }
+      var t = 0
+      while (t < s2.length) { s2(t) = s2(t).add(p2(t)); t += 1 }
+    }
+    val mean = Array.tabulate(dim)(i => s1(i).doubleValue() / n)
     val c = Array.ofDim[Double](dim, dim)
-    pairs.foreach { case (i, j, sxx) =>
-      val cov = sxx / n - mean(i) * mean(j)
-      c(i)(j) = cov; c(j)(i) = cov
+    var t = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val cov = s2(t).doubleValue() / n - mean(i) * mean(j)
+        c(i)(j) = cov; c(j)(i) = cov
+        t += 1; j += 1
+      }
+      i += 1
     }
     val (vals, vecs) = jacobiEigen(c)
     // Sort eigenpairs by value DESC (ties: lower original index first).
@@ -83,7 +126,11 @@ object Whitening {
                  embCol: String = "embedding", sampleN: Int = 4096,
                  eps: Double = 1e-9): Model = {
     require(sampleN >= 2, s"sampleN must be >= 2, got $sampleN")
-    fit(emb.orderBy(F.md5(F.col(idCol).cast("string")).asc).limit(sampleN),
+    // GlobalLimit leaves ONE partition; re-spread the bounded sample so
+    // the moment fold parallelizes (the fold is order-free, so the
+    // partitioning is free to change).
+    fit(emb.orderBy(F.md5(F.col(idCol).cast("string")).asc).limit(sampleN)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism),
       embCol, eps)
   }
 

@@ -13,8 +13,10 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   * Scale shape: every global rank — the per-signal ranks AND the fused
   * one — is a [[GlobalIndex.appendIndex]] distributed index (range
   * partition + in-partition sort + zipWithIndex), NEVER a
-  * single-partition window; the per-signal rank tables then join back on
-  * the id (bucketed corpora make those exchanges cheap). Rank ties are
+  * single-partition window; the ranks accumulate on ONE narrow frame
+  * re-sorted per signal, so the only exchanges are the |signals|+1
+  * range partitions that distinct total orders irreducibly cost — no
+  * join-back shuffles, no repeated base scans. Rank ties are
   * impossible by construction (id tie-break), so the fusion is a pure
   * function of the data and the whole report — ranks, fused score
   * doubles, fused order — is oracle-replicable. */
@@ -60,12 +62,19 @@ object RankFusion {
     require(signals.nonEmpty, "at least one signal")
     val id = F.col(idCol)
     val base = df.select(id +: signals.map { case (n, c) => c.as(s"_sig_$n") }: _*)
-    val ranked = signals.foldLeft(base.select(id)) { case (acc, (n, _)) =>
-      val r = GlobalIndex.appendIndex(
-        base.select(id, F.col(s"_sig_$n")),
-        Seq(F.col(s"_sig_$n").desc, id.asc), s"_idx_$n")
-        .select(id, (F.col(s"_idx_$n") + 1L).as(s"rank_$n"))
-      acc.join(r, Seq(idCol))
+    // ONE accumulating frame: each signal's global rank appends onto the
+    // frame already carrying the previous ranks (the per-signal total
+    // order — signal desc, id asc — is unchanged, so every rank is
+    // bit-identical to the former rank-then-join-back plan), and each
+    // signal column drops as soon as its rank exists. The r17 shape
+    // ranked three separate (id, signal) projections and sort-merge-
+    // joined each back on the id: 3 join exchanges + 2 extra scans of
+    // `base` that the chain simply doesn't have — only the |signals|+1
+    // range exchanges that distinct total orders irreducibly cost.
+    val ranked = signals.foldLeft(base) { case (acc, (n, _)) =>
+      GlobalIndex.appendIndex(acc, Seq(F.col(s"_sig_$n").desc, id.asc), s"_idx_$n")
+        .withColumn(s"rank_$n", F.col(s"_idx_$n") + 1L)
+        .drop(s"_idx_$n", s"_sig_$n")
     }
     val terms = signals.map { case (n, _) =>
       F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col(s"rank_$n").cast("double"))

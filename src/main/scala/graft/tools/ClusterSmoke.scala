@@ -51,37 +51,19 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object ClusterSmoke {
 
-  val slice: Seq[String] = Seq(
-    "q_join", "q_agg_salted",
-    "q_contamination_bloom", "q_gopher_rules",
-    "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
-    "q_fingerprint_winnow", "q_trim_spans", "q_tfidf",
-    "q_ann_brute", "q_ann_pq", "q_lm_score", "q_dsir_weights",
-    "q_normalize_unicode", "q_ann_ivf", "q_bpe_encode",
-    "q_c4_rules", "q_dedup_lines", "q_shard_by_tokens", "q_ann_ivf_indexed",
-    "q_multimodal_frames", "q_stateful_map", "q_stream_stateful",
-    // r16: CM register array literals + blocklist bloom bitset + suffix
-    // expression + the parallel-apply BPE trainer's merges-in-closure
-    // encode all cross executor JVM boundaries here
-    "q_heavy_hitters", "q_url_blocklist", "q_sample_priority", "q_pmi",
-    // the threshold MAP literal is its own serialization surface
-    "q_heavy_hitters_grouped",
-    // r17: the KN count-table joins, the soft-dedup shingle-df window,
-    // the SPM model-in-closure Viterbi encode, the MojibakeRepairExpr
-    // kernel, and the SQ8 broadcast stats row all cross executor JVM
-    // boundaries here
-    "q_lm_kn", "q_dedup_soft", "q_spm_encode", "q_fix_mojibake",
-    "q_ann_sq8",
-    // r17 session-3 representatives: OphSigsExpr (one-pass binned fold),
-    // PhraseHitsExpr (Aho-Corasick automaton as a codegen ref-obj —
-    // must build once per executor after deserialization),
-    // ScriptStatsExpr (struct census), DeflateSizeExpr (thread-local
-    // Deflater on executors), the WordPiece closure-vocabulary encode,
-    // the whitening model riding a typed-map closure, and rank fusion's
-    // chained GlobalIndex zipWithIndex passes.
-    "q_dedup_minhash_oph", "q_phrase_blocklist", "q_script_profile",
-    "q_compression_ratio", "q_wordpiece_encode", "q_ann_whiten",
-    "q_rank_fusion")
+  /** The cross-JVM slice is the ENTIRE bench headline (r18: the r17
+    * 41-query hand-picked slice left half the headline's session-3
+    * operators — tokenizers, KMV overlap, example prep — without a
+    * multi-process determinism pin) plus the non-headline queries whose
+    * serialization surfaces nothing else exercises across executor JVM
+    * boundaries: custom-expression ref-objs (Bloom/PQ/Simhash/Winnow/
+    * Mojibake kernels), the MediaDecoder mapPartitions factory, the
+    * flatMapGroups + transformWithState state paths, and the
+    * closure-vocabulary SPM/unigram-LM encodes. */
+  val slice: Seq[String] = (graft.Bench.headline ++ Seq(
+    "q_dedup_simhash", "q_fingerprint_winnow", "q_ann_pq", "q_lm_score",
+    "q_normalize_unicode", "q_multimodal_frames", "q_stateful_map",
+    "q_stream_stateful", "q_fix_mojibake", "q_ann_sq8")).distinct
 
   /** Canonical result hash: columns sorted by name, every value rendered
     * deterministically (binary → hex — Array.toString would be an object

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * passes: a `local-cluster[2,2,1024]` run (real separate executor
   * processes — closures and every custom Catalyst expression
   * round-tripping through JavaSerializer and a fresh classloader) must be
-  * hash-identical to `local[4]` on the 17-query serialization slice.
+  * hash-identical to `local[4]` on the full-headline serialization slice.
   *
   * A subprocess, not an in-JVM session: only one SparkContext can exist
   * per JVM and the suite-wide [[SparkFixture]] session is a lazy val every
@@ -46,7 +46,9 @@ class ClusterSmokeSpec extends AnyFunSuite {
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    val finished = p.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
+    // r18: the slice widened 41 -> full headline + extras (~92 queries,
+    // two passes each) — measured ~2x the r17 wall; 15 min keeps slack.
+    val finished = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) p.destroyForcibly()
     val tail = out.linesIterator.toSeq.takeRight(40).mkString("\n")
     assert(finished, s"cluster smoke timed out; tail:\n$tail")
