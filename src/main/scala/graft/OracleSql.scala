@@ -1590,7 +1590,8 @@ object OracleSql {
          |  FROM bgc WHERE n_ab >= 5)
          |SELECT s.tok_a, s.tok_b, s.n_ab,
          |  a.n_tok AS n_a, b.n_tok AS n_b,
-         |  ${graft.functions.Collocations.pmiSql("s.n_ab", "a.n_tok", "b.n_tok", "n_uni_total", "n_bg_total")} AS pmi
+         |  CAST(n_uni_total AS BIGINT) AS n_uni_total,
+         |  CAST(n_bg_total AS BIGINT) AS n_bg_total
          |FROM sel s
          |JOIN unic a ON a.tok = s.tok_a
          |JOIN unic b ON b.tok = s.tok_b
@@ -3202,5 +3203,62 @@ object OracleSql {
         |  CAST(octet_length(encode(text)) AS DOUBLE)
         |    + CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / 256.0
         |    + CAST(ascii(substr(text, length(text), 1)) AS DOUBLE) / 65536.0 AS feature
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // ---- Tokenizer-gate oracles over the Verify-staged encode streams.
+    // `__STAGE__/<name>` is substituted by Verify with the per-sf stage
+    // dir; the (doc_id, token) rows there are the engine's own encode
+    // output (train/encode stay engine-only, spec-pinned against
+    // independent references), so what these grade hash-exact is the
+    // ENTIRE SQL-expressible tail r17 could only gate rows-only: the
+    // per-doc count/distinct/checksum folds and the fertility join +
+    // group aggregation + ratio arithmetic.
+    "q_bpe_encode" -> encodeFoldSql("bpe_encode", "n_bpe_tokens", "n_token_chars"),
+    "q_spm_encode" -> encodeFoldSql("spm_encode", "n_spm_tokens", "n_token_chars"),
+    "q_bpe_bytes_encode" -> encodeFoldSql("bytebpe_encode", "n_bbpe_tokens", "n_token_bytes"),
+    "q_wordpiece_encode" ->
+      """SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_wp_tokens,
+        |  CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(SUM(length(token)) AS BIGINT) AS n_token_chars,
+        |  CAST(SUM(CASE WHEN token = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        |FROM read_parquet('__STAGE__/wordpiece_encode/*.parquet')
+        |GROUP BY doc_id""".stripMargin,
+    "q_bpe_fertility" -> fertilitySql("bpe_encode"),
+    "q_spm_fertility" -> fertilitySql("spm_encode"),
+    "q_wordpiece_fertility" -> fertilitySql("wordpiece_encode"))
+
+  /** Per-doc encode fold: count / distinct / summed token length over a
+    * staged (doc_id, token) stream — the q_bpe_encode output shape. */
+  private def encodeFoldSql(stage: String, nCol: String,
+                            lenCol: String): String =
+    s"""SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS $nCol,
+       |  CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+       |  CAST(SUM(length(token)) AS BIGINT) AS $lenCol
+       |FROM read_parquet('__STAGE__/$stage/*.parquet')
+       |GROUP BY doc_id""".stripMargin
+
+  /** The [[graft.functions.Bpe.fertilityFromEncode]] arithmetic as plain
+    * SQL: per-doc token counts from the staged stream, word/char meta
+    * from `documents`, left join (encode-empty docs count 0 tokens), one
+    * per-lang aggregation, round-6 ratio divisions in the same operand
+    * order. */
+  private def fertilitySql(stage: String): String =
+    s"""WITH per AS (
+       |  SELECT doc_id, COUNT(*) AS n_tok
+       |  FROM read_parquet('__STAGE__/$stage/*.parquet') GROUP BY 1),
+       |meta AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS BIGINT) AS nw,
+       |    CAST(length(text) AS BIGINT) AS nc
+       |  FROM documents)
+       |SELECT lang,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(COALESCE(p.n_tok, 0)) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  round(CAST(SUM(COALESCE(p.n_tok, 0)) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(COALESCE(p.n_tok, 0)) AS DOUBLE), 6) AS chars_per_token
+       |FROM meta m LEFT JOIN per p USING (doc_id)
+       |GROUP BY lang""".stripMargin
 }

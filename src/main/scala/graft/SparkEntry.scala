@@ -2413,10 +2413,13 @@ object SparkEntry {
 
   /** PMI collocations ([[graft.functions.Collocations.pmi]]): bigram
     * pointwise mutual information with a count floor — phrase mining over
-    * the corpus vocabulary. Counts exact; the single `ln` rides the
-    * shared-expression-text + round(·,6) rule. */
+    * the corpus vocabulary. The gate hashes the exact integer columns
+    * only — (n_ab, n_a, n_b) plus the corpus totals pin the pre-ln
+    * rational bit-for-bit, closing the r17 libm `ln`-boundary flake; the
+    * rounded pmi double remains the operator output, spec-pinned. */
   private def qPmi(s: SparkSession, dir: String): DataFrame =
     graft.functions.Collocations.pmi(T(s, dir, "documents"), minCount = 5)
+      .drop("pmi")
 
   // ---------------------------------------------------------- LLM pipeline
 
@@ -3286,4 +3289,35 @@ object SparkEntry {
     "q_pipeline" -> (qPipeline _))
 
   def oracleSql: Map[String, String] = OracleSql.all
+
+  /** Encode streams Verify stages to parquet so the DuckDB oracle can
+    * fold the SQL-expressible tail of the tokenizer gates — per-doc token
+    * counts, checksums, fertility arithmetic — over the SAME (doc_id,
+    * token) rows the engine folds. The train/encode steps themselves
+    * remain engine-only (deterministic, spec-pinned: BpeSpec / SpmSpec /
+    * WordpieceSpec / ByteBpeSpec independent references); what the
+    * oracle now grades hash-exact is everything downstream of the token
+    * stream, which r17 could only gate rows-only. Keys are referenced
+    * from oracle SQL as `__STAGE__/<key>`; Verify substitutes the
+    * per-sf stage directory at dump time. */
+  def oracleStages: Map[String, (SparkSession, String) => DataFrame] = {
+    def toks(df: DataFrame) = df.select(F.col("doc_id"), F.col("token"))
+    Map(
+      "bpe_encode" -> ((s, dir) => {
+        val d = T(s, dir, "documents")
+        toks(graft.functions.Bpe.encode(d, graft.functions.Bpe.train(d, numMerges = 16)))
+      }),
+      "spm_encode" -> ((s, dir) => {
+        val d = T(s, dir, "documents")
+        toks(graft.functions.Spm.encode(d, graft.functions.Spm.train(d, vocabSize = 400)))
+      }),
+      "wordpiece_encode" -> ((s, dir) => {
+        val d = T(s, dir, "documents")
+        toks(graft.functions.Wordpiece.encode(d, graft.functions.Wordpiece.train(d, numMerges = 16)))
+      }),
+      "bytebpe_encode" -> ((s, dir) => {
+        val d = T(s, dir, "documents")
+        toks(graft.functions.ByteBpe.encode(d, graft.functions.ByteBpe.train(d, numMerges = 16)))
+      }))
+  }
 }

@@ -33,6 +33,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stage the tokenizer encode streams the oracle SQL folds over
+    // (referenced as __STAGE__/<name>; substituted below). Written
+    // BEFORE the queries run so a stage failure surfaces here, and
+    // keyed by the sf directory name so runs at different scales never
+    // read each other's rows. Skipped when a restricted run selects no
+    // query that reads the stage.
+    val stageBase =
+      s"/tmp/graft_oracle_stage/${new java.io.File(sfDir).getName}"
+    SparkEntry.oracleStages.foreach { case (name, fn) =>
+      val needed = SparkEntry.oracleSql.exists { case (q, sql) =>
+        sql.contains(s"__STAGE__/$name") && only.forall(_.contains(q))
+      }
+      if (needed)
+        try fn(spark, sfDir).write.mode("overwrite")
+          .parquet(s"$stageBase/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] stage $name failed: ${e.getMessage}")
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -80,7 +99,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__STAGE__", stageBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

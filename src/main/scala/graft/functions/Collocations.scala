@@ -29,15 +29,12 @@ object Collocations {
   /** The shared PMI expression text (Spark `expr` and DuckDB alike):
     * ln( (n_ab · N_uni²) / (N_bg · n_a · n_b) ), rounded to 6 dp.
     *
-    * Boundary risk (documented, per review): the two engines evaluate
-    * `ln` with different libm implementations, so when the unrounded
-    * value sits within an ulp of a 6-dp rounding boundary the rounded
-    * outputs could differ — the same data-dependent flake surface the
-    * hllEstSql gate already accepts and documents. The ln ARGUMENT is an
-    * exact integer rational (counts only), so a boundary hit requires
-    * ln(p/q) to land within ~1e-16 of a multiple of 1e-6 — ~1e-10
-    * probability per bigram; with ~1e4 gate bigrams the flake odds are
-    * ~1e-6 per run, accepted under the hllEstSql precedent. */
+    * Not part of the hash gate (r18): the two engines evaluate `ln` with
+    * different libm implementations, so a value within an ulp of a 6-dp
+    * boundary could round apart — the q_pmi gate therefore hashes the
+    * exact integer columns (n_ab, n_a, n_b, n_uni_total, n_bg_total),
+    * which determine the pre-ln rational exactly, and the rounded double
+    * stays a spec-pinned OPERATOR output only. */
   def pmiSql(nAb: String, nA: String, nB: String,
              nUni: String, nBg: String): String =
     s"round(ln((CAST($nAb AS DOUBLE) * CAST($nUni AS DOUBLE) * CAST($nUni AS DOUBLE)) / " +
@@ -77,6 +74,11 @@ object Collocations {
       .crossJoin(F.broadcast(totB))
       .select(F.col("tok_a"), F.col("tok_b"), F.col("n_ab"),
         F.col("n_a"), F.col("n_b"),
-        F.expr(pmiSql("n_ab", "n_a", "n_b", "n_uni_total", "n_bg_total")).as("pmi"))
+        F.expr(pmiSql("n_ab", "n_a", "n_b", "n_uni_total", "n_bg_total")).as("pmi"),
+        // the corpus totals ride along: with (n_ab, n_a, n_b) they pin
+        // the EXACT pre-ln rational n_ab·N_uni² / (N_bg·n_a·n_b), so a
+        // hash gate can grade pure integers and skip the libm `ln`
+        // boundary entirely (the r17 accepted-risk flake surface)
+        F.col("n_uni_total"), F.col("n_bg_total"))
   }
 }

@@ -1337,6 +1337,11 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     // p(new york) = p(new) = p(york) => pmi = ln(N_uni^2 * n_ab / (N_bg * n_a * n_b))
     assert(out(("new", "york")) > out.filterNot(_._1 == ("new", "york")).values.max,
       s"collocation must out-score filler pairs: $out")
+    // exact value pin (the hash gate grades the pre-ln integers only, so
+    // the rounded double is pinned here): N_uni=300, N_bg=240, all three
+    // counts 60 => ln(60*300^2/(240*60*60)) = ln(6.25) -> 1.832581
+    assert(math.abs(out(("new", "york")) - 1.832581) < 1e-12,
+      s"pmi(new,york) = ${out(("new", "york"))}")
     // floor: a pair occurring < minCount never appears
     val rare = Collocations.pmi(docs, minCount = 61)
     assert(rare.count() == 0)
