@@ -3226,7 +3226,63 @@ object OracleSql {
         |GROUP BY doc_id""".stripMargin,
     "q_bpe_fertility" -> fertilitySql("bpe_encode"),
     "q_spm_fertility" -> fertilitySql("spm_encode"),
-    "q_wordpiece_fertility" -> fertilitySql("wordpiece_encode"))
+    "q_wordpiece_fertility" -> fertilitySql("wordpiece_encode"),
+
+    // Winnowing (Schleimer et al. '03) over the staged rolling k-gram
+    // hash stream (k=16): the selection's tie rule only picks WHICH
+    // index supplies a window minimum, never its value, so the selected
+    // set is exactly DISTINCT(min over complete w-row frames) — with the
+    // m <= w degenerate window collapsing to the per-doc global min
+    // (pos >= LEAST(w-1, m-1) keeps exactly the complete frames in both
+    // regimes). The candidate join then replays winnowCandidates'
+    // shared-fingerprint count (w=32, minShared=2) verbatim.
+    "q_fingerprint_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, pos, h
+        |  FROM read_parquet('__STAGE__/winnow_kgrams/*.parquet')),
+        |c AS (SELECT doc_id, COUNT(*) AS m FROM g GROUP BY 1),
+        |wm AS (
+        |  SELECT g.doc_id, g.pos, c.m,
+        |    MIN(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+        |                 ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g JOIN c USING (doc_id)),
+        |sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos >= LEAST(31, m - 1))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2""".stripMargin,
+
+    // Multimodal near-dup detection over the staged 64-bit hash tables
+    // (the real codec decode stays engine-side; the banded-Hamming
+    // candidate join + exact verify replay here). Arithmetic-shift note:
+    // `(h >> s) & mask` equals the unsigned-shift band slice because the
+    // mask strips every sign-extended bit (mask < 2^(64-s) for all 8
+    // bands at width 8).
+    "q_multimodal_phash" -> bandedHammingSql("image_dhash", "dhash", 4),
+    "q_multimodal_afp" -> bandedHammingSql("audio_afp", "afp", 4))
+
+  /** [[graft.dedup.Dedup.hashBandCandidates]] (8 bands × 8 bits over a
+    * 64-bit hash) as DuckDB bit arithmetic over a staged (doc_id, hash)
+    * table: explode band slices, equi-join on (band, slice), distinct
+    * pairs, exact `bit_count(xor)` filter. */
+  private def bandedHammingSql(stage: String, hashCol: String,
+                               maxHamming: Int): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, $hashCol AS h64
+       |  FROM read_parquet('__STAGE__/$stage/*.parquet')
+       |  WHERE $hashCol IS NOT NULL),
+       |b AS (
+       |  SELECT doc_id, h64, band, (h64 >> (band * 8)) & 255 AS bsig
+       |  FROM h, (SELECT unnest(range(8)) AS band)),
+       |p AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    a.h64 AS h_a, c.h64 AS h_b
+       |  FROM b a JOIN b c ON a.band = c.band AND a.bsig = c.bsig
+       |    AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+       |FROM p WHERE bit_count(xor(h_a, h_b)) <= $maxHamming""".stripMargin
 
   /** Per-doc encode fold: count / distinct / summed token length over a
     * staged (doc_id, token) stream — the q_bpe_encode output shape. */

@@ -3031,14 +3031,20 @@ object SparkEntry {
     * cannot see; the detector must surface them at small Hamming
     * distance. Rows-only (PNG bytes are not SQL-replicable); semantics
     * spec-pinned on crafted images. */
-  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame = {
+  /** The phash gate's corpus (base + planted jittered copies) — shared
+    * with the `image_dhash` oracle stage so the staged hash table and the
+    * gate's internal one are the same deterministic rows. */
+  private[graft] def phashCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val base = Multimodal.attachPngMedia(docs, noisy = true)
     val near = Multimodal.attachPngMedia(
       docs.filter(F.col("doc_id") % 5 === 0), idOffset = 1000000L, jitter = 64,
       noisy = true)
-    Multimodal.imageNearDups(base.unionByName(near), maxHamming = 4)
+    base.unionByName(near)
   }
+
+  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDups(phashCorpus(s, dir), maxHamming = 4)
 
   /** Audio-fingerprint near-dedup ([[Multimodal.audioNearDups]]): real
     * WAV decode → 64-bit energy-envelope fingerprint → the SAME banded
@@ -3046,14 +3052,19 @@ object SparkEntry {
     * Gate plants one-window-edited copies of every 5th clip (ids offset
     * by 1e6); rows-only (WAV bytes not SQL-replicable), semantics
     * spec-pinned on crafted clips. */
-  private def qMultimodalAfp(s: SparkSession, dir: String): DataFrame = {
+  /** The afp gate's corpus — shared with the `audio_afp` oracle stage
+    * (same reasoning as [[phashCorpus]]). */
+  private[graft] def afpCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val base = Multimodal.attachWavMedia(docs)
     val near = Multimodal.attachWavMedia(
       docs.filter(F.col("doc_id") % 5 === 0), idOffset = 1000000L,
       jitterWindow = 7)
-    Multimodal.audioNearDups(base.unionByName(near), maxHamming = 4)
+    base.unionByName(near)
   }
+
+  private def qMultimodalAfp(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioNearDups(afpCorpus(s, dir), maxHamming = 4)
 
   /** End-to-end LLM-data cleaning pipeline in one dataflow: exact-dedup
     * survivors → quality gate → language ID → per-language corpus stats.
@@ -3318,6 +3329,22 @@ object SparkEntry {
       "bytebpe_encode" -> ((s, dir) => {
         val d = T(s, dir, "documents")
         toks(graft.functions.ByteBpe.encode(d, graft.functions.ByteBpe.train(d, numMerges = 16)))
-      }))
+      }),
+      // The winnow gate's rolling k-gram hash stream (k = 16, matching
+      // qFingerprintWinnow): the w-window minimum selection, distinct
+      // fold, and shared-fingerprint join all replay as SQL over it —
+      // only the rolling hash itself stays engine-side.
+      "winnow_kgrams" -> ((s, dir) =>
+        T(s, dir, "documents").select(
+          F.col("doc_id"),
+          F.posexplode(TF.kgramHashes(F.col("text"), k = 16)).as(Seq("pos", "h")))),
+      // The multimodal near-dup gates' 64-bit hash tables (real codec
+      // decode → dHash / energy fingerprint), staged so the banded-
+      // Hamming candidate join + exact bit_count(xor) verify replay as
+      // SQL bit arithmetic — only the byte decode stays engine-side.
+      "image_dhash" -> ((s, dir) =>
+        Multimodal.dHash(phashCorpus(s, dir))),
+      "audio_afp" -> ((s, dir) =>
+        Multimodal.audioFingerprint(afpCorpus(s, dir))))
   }
 }

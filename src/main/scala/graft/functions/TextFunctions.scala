@@ -327,6 +327,14 @@ object TextFunctions {
       graft.functions.expressions.WinnowExpr(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k, w))
 
+  /** The positional rolling k-gram hash stream winnowing folds
+    * ([[graft.functions.expressions.KgramHashesExpr]]) — staged for the
+    * oracle so the w-window selection grades as SQL window arithmetic. */
+  def kgramHashes(text: Column, k: Int = 16): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.KgramHashesExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k))
+
   /** The Gopher quality-rule suite (Rae et al. 2021 §A1.1): per-document
     * rule stats plus a pass/fail flag per rule and overall — the standard
     * heuristic pre-filter every web-scale pretraining pipeline runs

@@ -39,17 +39,41 @@ case class WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** The positional rolling k-gram hash stream `WinnowExpr` folds —
+  * array<bigint>, hs(i) over chars [i, i+k). Exposed so the oracle can
+  * stage the stream and replay the winnow selection (w-window minima,
+  * distinct values) as plain SQL window arithmetic: the tie rule only
+  * picks WHICH index supplies a minimum, never its value, so the
+  * selected-value set is exactly `distinct(min over w-row frames)`. */
+case class KgramHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"k-gram hashes need k >= 1, got k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowExpr.kgramHashesData(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.WinnowExpr$$.MODULE$$.kgramHashesData($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): KgramHashesExpr =
+    copy(child = newChild)
+}
+
 object WinnowExpr {
 
   private val B = 1000000007L // polynomial base
 
-  /** The shared fold — called per row from both interpreted eval and
-    * generated code (keeps the stage in whole-stage codegen). */
-  def winnow(input: UTF8String, k: Int, w: Int): GenericArrayData = {
+  /** The rolling k-gram hash stream, positional: hs(i) hashes chars
+    * [i, i+k) of the lowercased text. Shared by the winnow fold and by
+    * [[KgramHashesExpr]] (the oracle-stage view of the same stream). */
+  def kgramHashes(input: UTF8String, k: Int): Array[Long] = {
     val s = input.toString.toLowerCase(Locale.ROOT)
     val n = s.length
-    if (n < k) return new GenericArrayData(Array.empty[Any])
-    // rolling k-gram hashes
+    if (n < k) return Array.emptyLongArray
     val m = n - k + 1
     val hs = new Array[Long](m)
     var h = 0L
@@ -67,6 +91,24 @@ object WinnowExpr {
       hs(i) = h
       i += 1
     }
+    hs
+  }
+
+  /** Boxed view of [[kgramHashes]] for the stage expression. */
+  def kgramHashesData(input: UTF8String, k: Int): GenericArrayData = {
+    val hs = kgramHashes(input, k)
+    val out = new Array[Any](hs.length)
+    var i = 0
+    while (i < hs.length) { out(i) = hs(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The shared fold — called per row from both interpreted eval and
+    * generated code (keeps the stage in whole-stage codegen). */
+  def winnow(input: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val hs = kgramHashes(input, k)
+    val m = hs.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     // winnow: min of each w-window (rightmost min on ties, per the paper),
     // via a monotonic deque — O(m) total, not O(m·w). Popping `>=` on push
     // makes the surviving front the RIGHTMOST minimal index of its window,
