@@ -1118,6 +1118,101 @@ object OracleSql {
         |  COALESCE(string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY idx), '') AS clean_text
         |FROM rk GROUP BY 1""".stripMargin,
 
+    // Boilerplate-line removal over the same synthesized pages: document
+    // frequency per line (distinct docs), drop EVERY occurrence of lines
+    // at df >= 3 (contrast q_dedup_lines' keep-first), rebuild.
+    "q_boilerplate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |page AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_concat(list_concat(list_concat(list_concat(
+        |      [CASE ((doc_id + x['i'] - 1) % 3)
+        |         WHEN 0 THEN x['b'] WHEN 1 THEN x['b'] || '.'
+        |         ELSE x['b'] || '?' END
+        |       for x in [{'i': i, 'b': list_aggregate(
+        |           CASE WHEN ((i - 1) % 5) = 4 THEN w[(i-1)*8+1:(i-1)*8+3]
+        |                ELSE w[(i-1)*8+1:(i-1)*8+8] END, 'string_agg', ' ')}
+        |         for i in generate_series(1, CAST(floor((len(w) + 7) / 8) AS BIGINT))]],
+        |      CASE WHEN doc_id % 7 = 0 THEN ['please enable javascript in your browser.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 11 = 0 THEN ['we use cookies to improve service quality.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 13 = 0 THEN ['notice lorem ipsum text follows here.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      CASE WHEN doc_id % 17 = 0 THEN ['config block { starts after this line.'] ELSE CAST([] AS VARCHAR[]) END),
+        |      'string_agg', chr(10)) AS ptext
+        |  FROM tok),
+        |l AS (
+        |  SELECT doc_id, u['i'] AS idx, u['line'] AS line FROM (
+        |    SELECT doc_id,
+        |      unnest([{'i': i - 1, 'line': string_split(ptext, chr(10))[i]}
+        |              for i in generate_series(1, len(string_split(ptext, chr(10))))]) AS u
+        |    FROM page)),
+        |lf AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS ndocs FROM l GROUP BY 1)
+        |SELECT l.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN lf.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  COALESCE(string_agg(CASE WHEN lf.ndocs < 3 THEN l.line END, chr(10) ORDER BY l.idx), '') AS clean_text
+        |FROM l JOIN lf USING (line) GROUP BY 1""".stripMargin,
+
+    // Robust per-source length outliers: EXPLICIT rank-then-middle
+    // medians (sum/count over the one or two middle ranks — engine
+    // percentile interpolation internals are not bit-pinned
+    // cross-engine, (a+b)/2 as two shared IEEE ops is), then the
+    // Iglewicz–Hoaglin modified z.
+    "q_outliers_mad" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |r1 AS (
+        |  SELECT source, x,
+        |    row_number() OVER (PARTITION BY source ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM base),
+        |med AS (
+        |  SELECT source, SUM(x) / COUNT(*) AS med FROM r1
+        |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1),
+        |wm AS (
+        |  SELECT b.doc_id, b.source, b.x, m.med, abs(b.x - m.med) AS ad
+        |  FROM base b JOIN med m USING (source)),
+        |r2 AS (
+        |  SELECT source, ad,
+        |    row_number() OVER (PARTITION BY source ORDER BY ad) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM wm),
+        |mad AS (
+        |  SELECT source, SUM(ad) / COUNT(*) AS mad FROM r2
+        |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1)
+        |SELECT wm.doc_id, wm.source, wm.x, wm.med, d.mad,
+        |  round(CASE WHEN d.mad = 0.0 THEN 0.0
+        |             ELSE 0.6745 * (wm.x - wm.med) / d.mad END, 6) AS robust_z,
+        |  (abs(CASE WHEN d.mad = 0.0 THEN 0.0
+        |            ELSE 0.6745 * (wm.x - wm.med) / d.mad END) > 3.5) AS is_outlier
+        |FROM wm JOIN mad d USING (source)""".stripMargin,
+
+    // Wilson lower-bound source ranking: the composite quality pass rate
+    // per source shrunk by evidence (z = 1.96), ranked on the ROUNDED
+    // bound (ties broken by source) exactly as the engine ranks.
+    "q_source_rank_wilson" ->
+      s"""WITH q AS (
+         |  SELECT source, $qualityExpr AS quality FROM documents),
+         |agg AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |  FROM q GROUP BY 1),
+         |c AS (
+         |  SELECT source, n, n_pass,
+         |    CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    CAST(n AS DOUBLE) AS nd
+         |  FROM agg),
+         |w AS (
+         |  SELECT source, n, n_pass, round(p, 6) AS pass_rate,
+         |    round((p + (1.96 * 1.96) / (2.0 * nd)
+         |      - 1.96 * sqrt((p * (1.0 - p) + (1.96 * 1.96) / (4.0 * nd)) / nd))
+         |      / (1.0 + (1.96 * 1.96) / nd), 6) AS wilson_lb
+         |  FROM c)
+         |SELECT source, n, n_pass, pass_rate, wilson_lb,
+         |  CAST(row_number() OVER (ORDER BY wilson_lb DESC, source) AS INTEGER) AS rnk
+         |FROM w""".stripMargin,
+
     // Token-balanced sharding: rank by (token count DESC, id) then snake
     // (boustrophedon) assignment — the same arithmetic text as
     // Sampling.shardByTokens.

@@ -1915,6 +1915,36 @@ object SparkEntry {
       T(s, dir, "documents").select(
         F.col("doc_id"), synthPage(F.col("doc_id"), F.col("text")).as("text")))
 
+  /** CCNet-style boilerplate-line removal
+    * ([[graft.dedup.Dedup.stripBoilerplate]]) over the same synthesized
+    * pages: a line in >= 3 DISTINCT documents (the planted cookie/js/
+    * lorem/config cohorts, plus any naturally colliding short lines) is
+    * chrome, and EVERY occurrence drops — contrast q_dedup_lines, which
+    * keeps the first. Hash-exact INCLUDING the rebuilt text. */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripBoilerplate(
+      T(s, dir, "documents").select(
+        F.col("doc_id"), synthPage(F.col("doc_id"), F.col("text")).as("text")))
+
+  /** Robust per-source length-outlier screen
+    * ([[graft.operators.Profile.robustOutliers]]): exact median/MAD
+    * modified z-scores on n_chars — the anomaly filter that survives the
+    * one-giant-page source where mean/stddev would not. */
+  private def qOutliersMad(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.robustOutliers(
+      T(s, dir, "documents"), groupCol = "source", valueCol = "n_chars")
+
+  /** Source ranking by Wilson lower bound
+    * ([[graft.operators.Profile.wilsonRanking]]): sources ordered by the
+    * CONFIDENT high-quality fraction (pass = composite quality score
+    * >= 0.5), not the raw proportion — small sources rank below
+    * well-evidenced ones at equal rates. */
+  private def qSourceRankWilson(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("pass", TF.qualityScore(F.col("text")) >= 0.5)
+    graft.operators.Profile.wilsonRanking(docs, "source", "pass")
+  }
+
   /** Token-budget-balanced sharding
     * ([[graft.operators.Sampling.shardByTokens]]): rank by (token count
     * DESC, id) via the distributed GlobalIndex, deal boustrophedon —
@@ -3180,6 +3210,9 @@ object SparkEntry {
     "q_html_extract" -> (qHtmlExtract _),
     "q_c4_rules" -> (qC4Rules _),
     "q_dedup_lines" -> (qDedupLines _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_outliers_mad" -> (qOutliersMad _),
+    "q_source_rank_wilson" -> (qSourceRankWilson _),
     "q_shard_by_tokens" -> (qShardByTokens _),
     "q_filter_funnel" -> (qFilterFunnel _),
     "q_corpus_asof" -> (qCorpusAsof _),

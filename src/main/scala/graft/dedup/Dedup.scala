@@ -1009,6 +1009,44 @@ object Dedup {
           s => s.getField("line"))).as("clean_text"))
   }
 
+  /** CCNet-style BOILERPLATE line removal (Wenzek et al. 2020 §3 run the
+    * same idea at paragraph level): a line is boilerplate when it occurs
+    * in at least `minDocs` DISTINCT documents — cookie banners, JS
+    * warnings, nav chrome — and then EVERY occurrence is dropped
+    * (contrast [[dedupLines]], which keeps the first). Documents are
+    * rebuilt from their surviving lines in original order.
+    *
+    * Scale shape: ONE corpus scan explodes to (id, idx, line) and is
+    * cached across both consumers; document frequency folds from the
+    * DISTINCT (line, id) pairs to a lines-vocabulary-sized count table
+    * (both steps map-side combinable, line-keyed), which joins back
+    * shuffle-to-shuffle on the same line key — never a per-line id set
+    * in memory (a banner line occurring in 10^9 documents folds to ONE
+    * count row, where a collect_set window would materialize 10^9 ids).
+    *
+    * Output: (idCol, n_lines, n_boiler, clean_text), clean_text the
+    * newline-rejoin of surviving lines. */
+  def stripBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       minDocs: Int = 3): DataFrame = graft.CacheScope.scoped {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = materialize(graft.Spread(docs)
+      .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n")))
+      .toDF(idCol, "idx", "line"))
+    val df = lines.select(F.col("line"), F.col(idCol)).distinct()
+      .groupBy(F.col("line")).agg(F.count(F.lit(1)).as("df"))
+    lines
+      .join(df.hint("shuffle_hash"), Seq("line"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_lines"),
+        F.sum(F.when(F.col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        F.concat_ws("\n", F.transform(
+          F.array_sort(F.collect_list(
+            F.when(F.col("df") < minDocs, F.struct(F.col("idx"), F.col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** Duplicated n-gram fraction per document: of a document's DISTINCT
     * word `shingleN`-grams, the fraction that also occur in at least one
     * OTHER document (corpus df >= 2) — the standard corpus-level

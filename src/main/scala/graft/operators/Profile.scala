@@ -125,4 +125,97 @@ object Profile {
             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) /
           CAST(n_fit AS DOUBLE), 6)""").as("zipf_intercept"))
   }
+
+  /** Robust per-group outlier detection (median/MAD, the Iglewicz–Hoaglin
+    * modified z-score): for each row, z = 0.6745·(x − med)/MAD with med
+    * and MAD the EXACT per-group medians — the length-anomaly /
+    * truncated-document screen a quality pipeline runs where mean/stddev
+    * would let one 100 MB page drag the threshold (the whole point of
+    * the robust statistics). MAD = 0 (half the group at the median)
+    * scores z = 0: a degenerate group flags nothing instead of
+    * everything.
+    *
+    * The median is computed EXPLICITLY (rank the group, average the one
+    * or two middle values as sum/count) rather than through an engine
+    * percentile aggregate: the even-count interpolation `lo + (hi−lo)·f`
+    * is engine-internal and not bit-pinned cross-engine, while
+    * `(a+b)/2` as sum-then-divide is two IEEE ops both engines share.
+    *
+    * Scale shape: two rank-then-middle reductions (group-keyed sort of
+    * (group, x) pairs — the exchange is two fixed-width columns, and the
+    * per-group sort distributes; group count = sources, bounded) + two
+    * broadcastable joins of the sources-sized tables back to the stream.
+    *
+    * Output: one row per input row — (idCol, groupCol, x, med, mad,
+    * robust_z rounded 6, is_outlier = |z| > cutoff). */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String = "doc_id",
+                     cutoff: Double = 3.5): DataFrame = graft.CacheScope.scoped {
+    require(cutoff > 0.0, s"cutoff must be positive, got $cutoff")
+    import org.apache.spark.sql.expressions.Window
+
+    // Exact per-group median of `vCol`: rows ranked 1..n per group, the
+    // middle ranks lo = (n+1) div 2 and hi = n div 2 + 1 averaged as
+    // sum/count (one row when n is odd — sum/1 — two when even).
+    def exactMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(F.col(groupCol)).orderBy(F.col(vCol).asc)
+      val byG = Window.partitionBy(F.col(groupCol))
+      in.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(byG))
+        .filter(F.col("_rn") === F.expr("(_n + 1) div 2") ||
+          F.col("_rn") === F.expr("_n div 2 + 1"))
+        .groupBy(F.col(groupCol))
+        .agg((F.sum(F.col(vCol)) / F.count(F.lit(1))).as(out))
+    }
+
+    val base = df.select(F.col(idCol), F.col(groupCol),
+      F.col(valueCol).cast("double").as("x"))
+    val med = exactMedian(base, "x", "med")
+    val withMed = base.join(F.broadcast(med), Seq(groupCol))
+      .withColumn("ad", F.abs(F.col("x") - F.col("med")))
+    val mad = exactMedian(withMed.select(F.col(groupCol), F.col("ad")), "ad", "mad")
+    val z = F.when(F.col("mad") === 0.0, 0.0)
+      .otherwise(F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad"))
+    withMed.join(F.broadcast(mad), Seq(groupCol))
+      .select(F.col(idCol), F.col(groupCol), F.col("x"),
+        F.col("med"), F.col("mad"),
+        F.round(z, 6).as("robust_z"),
+        (F.abs(z) > cutoff).as("is_outlier"))
+  }
+
+  /** Source ranking by the Wilson score LOWER bound (Wilson 1927; the
+    * "sort by confidence, not by proportion" rule): per group, the
+    * fraction of rows passing `passCol` shrunk toward 0 by how little
+    * evidence the group has — a 3/3 source ranks below a 90/100 one.
+    * The z = 1.96 constant (95%) and every operand are IEEE-exact and
+    * ordered identically in the oracle, so the bound doubles hash.
+    *
+    * Scale shape: one map-side-combinable aggregation to a sources-sized
+    * table; the rank is a window over that tiny table.
+    *
+    * Output: (groupCol, n, n_pass, pass_rate, wilson_lb, rnk) sorted by
+    * the bound descending. */
+  def wilsonRanking(df: DataFrame, groupCol: String,
+                    passCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = 1.96
+    val agg = df.groupBy(F.col(groupCol)).agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(F.col(passCol), 1L).otherwise(0L)).as("n_pass"))
+    val nD = F.col("n").cast("double")
+    val p = F.col("n_pass").cast("double") / nD
+    val z2 = F.lit(z * z)
+    val lb = (p + z2 / (F.lit(2.0) * nD) -
+      F.lit(z) * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nD)) / nD)) /
+      (F.lit(1.0) + z2 / nD)
+    // Derived-constant partition key: global-by-design over the bounded
+    // sources-sized frame (the Sampling.unimaxWeights idiom — keeps
+    // WindowExec's no-partition warning meaningful).
+    val constKey = F.coalesce(F.pmod(F.col("n"), F.lit(1L)), F.lit(0L))
+    agg.select(F.col(groupCol), F.col("n"), F.col("n_pass"),
+        F.round(p, 6).as("pass_rate"), F.round(lb, 6).as("wilson_lb"))
+      .withColumn("rnk", F.row_number().over(
+        Window.partitionBy(constKey)
+          .orderBy(F.col("wilson_lb").desc, F.col(groupCol).asc)))
+  }
 }

@@ -1378,4 +1378,67 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
         s"token $t df=$df nDocs=$nDocs capped=${capped.contains(t)}")
     }
   }
+
+  test("stripBoilerplate: df >= minDocs lines drop EVERYWHERE incl. first; rebuild ordered") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val banner = "we use cookies"
+    val docs = Seq(
+      (1L, s"alpha one\n$banner\nbeta two"),
+      (2L, s"$banner\ngamma three"),
+      (3L, s"delta four\n$banner"),
+      (4L, "repeated twice\nrepeated twice\nunique line") // same doc twice: df = 1
+    ).toDF("doc_id", "text")
+    val r = Dedup.stripBoilerplate(docs, minDocs = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((3L, 1L, "alpha one\nbeta two")))
+    assert(r(2L) == ((2L, 1L, "gamma three")))
+    assert(r(3L) == ((2L, 1L, "delta four")))
+    // within-doc repetition is NOT boilerplate (df counts distinct docs)
+    assert(r(4L) == ((3L, 0L, "repeated twice\nrepeated twice\nunique line")))
+    // a doc that is ALL boilerplate rebuilds to the empty string
+    val all = Dedup.stripBoilerplate(
+      Seq((1L, banner), (2L, banner), (3L, banner)).toDF("doc_id", "text"),
+      minDocs = 3).collect().map(x => x.getString(3)).toSet
+    assert(all == Set(""))
+  }
+
+  test("robustOutliers: planted giant flagged, MAD=0 group flags nothing, exact medians") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // src a: 9 docs near 100 + one 100k page. Median 100, MAD small ->
+    // the giant's |z| blows past any cutoff; the mean/stddev screen this
+    // operator replaces would have been dragged by the giant itself.
+    val a = (1L to 9L).map(i => (i, "a", 95L + i)) :+ ((10L, "a", 100000L))
+    // src b: everyone identical -> MAD = 0 -> z = 0 for all (nothing flagged)
+    val b = (11L to 14L).map(i => (i, "b", 500L))
+    val df = (a ++ b).toDF("doc_id", "source", "n_chars")
+    val r = Profile.robustOutliers(df, "source", "n_chars").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(10L).getBoolean(6), "giant not flagged")
+    assert((1L to 9L).forall(i => !r(i).getBoolean(6)), "inlier flagged")
+    assert((11L to 14L).forall(i => !r(i).getBoolean(6) && r(i).getDouble(5) == 0.0))
+    // exact medians: src a has n=10, middles at ranks 5,6 -> (100+101)/2
+    assert(r(1L).getDouble(3) == 100.5 && r(11L).getDouble(3) == 500.0)
+  }
+
+  test("wilsonRanking: small perfect source ranks below large near-perfect one") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // tiny: 3/3 pass; big: 90/100 pass. Raw rate favors tiny (1.0 > 0.9);
+    // the Wilson lower bound must invert that (3 trials is weak evidence).
+    val rows = (1 to 3).map(i => ("tiny", true)) ++
+      (1 to 90).map(i => ("big", true)) ++ (1 to 10).map(i => ("big", false))
+    val df = rows.toDF("source", "pass")
+    val r = Profile.wilsonRanking(df, "source", "pass").collect()
+      .map(x => x.getString(0) -> ((x.getDouble(3), x.getDouble(4), x.getInt(5)))).toMap
+    assert(r("tiny")._1 == 1.0 && r("big")._1 == 0.9)
+    assert(r("big")._3 == 1 && r("tiny")._3 == 2,
+      s"wilson must rank big first: $r")
+    assert(r("big")._2 > r("tiny")._2)
+    // hand value: n=100, p=0.9, z=1.96 ->
+    // (0.9 + 0.019208 - 1.96*sqrt((0.09 + 0.009604)/100)) / 1.038416
+    // = 0.825633 at round-6
+    assert(r("big")._2 == 0.825633, s"lb ${r("big")._2}")
+  }
 }
