@@ -2054,6 +2054,56 @@ object OracleSql {
         |        / CAST(COUNT(*) AS DOUBLE), 6) AS kn_score
         |FROM scored GROUP BY 1""".stripMargin,
 
+    // Jelinek–Mercer interpolated trigram LM: fixed 0.5/0.3/0.2 weights
+    // over trigram/bigram ML ratios + the add-one unigram floor, the
+    // same op order as the engine ((l3·f3 + l2·f2) + l1·p1).
+    "q_lm_jm" ->
+      """WITH tokt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |uni AS (
+        |  SELECT t AS tok, COUNT(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM tokt) GROUP BY 1),
+        |tot AS (SELECT COALESCE(SUM(c1), 0) AS n_total, COUNT(*) AS v_size FROM uni),
+        |bgc AS (
+        |  SELECT b, COUNT(*) AS c2 FROM (
+        |    SELECT unnest([list_aggregate(w[i:i+1], 'string_agg', ' ')
+        |                   for i in generate_series(1, len(w) - 1)]) AS b
+        |    FROM tokt WHERE len(w) >= 2) GROUP BY 1),
+        |bgr AS (
+        |  SELECT bgc.b, CAST(bgc.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS r2
+        |  FROM bgc JOIN uni u ON u.tok = string_split(bgc.b, ' ')[1]),
+        |tgc AS (
+        |  SELECT t3, COUNT(*) AS c3 FROM (
+        |    SELECT unnest([list_aggregate(w[i:i+2], 'string_agg', ' ')
+        |                   for i in generate_series(1, len(w) - 2)]) AS t3
+        |    FROM tokt WHERE len(w) >= 3) GROUP BY 1),
+        |tgr AS (
+        |  SELECT tgc.t3, CAST(tgc.c3 AS DOUBLE) / CAST(b.c2 AS DOUBLE) AS r3
+        |  FROM tgc JOIN bgc b
+        |    ON b.b = string_split(tgc.t3, ' ')[1] || ' ' || string_split(tgc.t3, ' ')[2]),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |occ AS (
+        |  SELECT doc_id, t3,
+        |    string_split(t3, ' ')[2] || ' ' || string_split(t3, ' ')[3] AS b,
+        |    string_split(t3, ' ')[3] AS tok FROM (
+        |    SELECT doc_id, unnest([list_aggregate(w[i:i+2], 'string_agg', ' ')
+        |                           for i in generate_series(1, len(w) - 2)]) AS t3
+        |    FROM toks WHERE len(w) >= 3))
+        |SELECT occ.doc_id, COUNT(*) AS n_trigrams,
+        |  ROUND(CAST(SUM(CAST(ln(
+        |      0.5 * COALESCE(tgr.r3, 0.0) + 0.3 * COALESCE(bgr.r2, 0.0)
+        |      + 0.2 * ((CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0)
+        |          / (CAST(t.n_total AS DOUBLE) + CAST(t.v_size AS DOUBLE) + 1.0))
+        |    ) AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS lm3_score
+        |FROM occ LEFT JOIN tgr ON occ.t3 = tgr.t3
+        |LEFT JOIN bgr ON occ.b = bgr.b
+        |LEFT JOIN uni u ON occ.tok = u.tok
+        |CROSS JOIN tot t
+        |GROUP BY 1""".stripMargin,
+
     // DoReMi domain reweighting: same count tables / scored positions as
     // q_lm_bigram, per-domain clipped excess ln(S/u) summed DECIMAL-exact,
     // one softmax step from uniform (exp under the round-6 libm rule,
@@ -3322,6 +3372,21 @@ object OracleSql {
     "q_bpe_fertility" -> fertilitySql("bpe_encode"),
     "q_spm_fertility" -> fertilitySql("spm_encode"),
     "q_wordpiece_fertility" -> fertilitySql("wordpiece_encode"),
+
+    // Tokenizer coverage / OOV report: the per-source token volume,
+    // [UNK] volume/rate and distinct-token inventory folded over the
+    // SAME staged encode stream the fertility oracle reads.
+    "q_tokenizer_coverage" ->
+      """SELECT d.source,
+        |  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN e.token = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  round(CAST(SUM(CASE WHEN e.token = '[UNK]' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS unk_rate,
+        |  CAST(COUNT(DISTINCT e.token) AS BIGINT) AS n_token_types
+        |FROM read_parquet('__STAGE__/wordpiece_encode/*.parquet') e
+        |JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     // Winnowing (Schleimer et al. '03) over the staged rolling k-gram
     // hash stream (k=16): the selection's tie rule only picks WHICH

@@ -2074,6 +2074,18 @@ object SparkEntry {
       docs.filter(F.col("doc_id") % 7 === 0))
   }
 
+  /** Jelinek–Mercer interpolated TRIGRAM scoring
+    * ([[graft.functions.BigramLm.scoreJelinekMercer]]) — fixed-weight
+    * linear interpolation of trigram/bigram ML estimates with an add-one
+    * unigram floor; the third n-gram LM tier. Same train/held-out split
+    * as [[qLmBigram]]. */
+  private def qLmJm(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.BigramLm.scoreJelinekMercer(
+      docs.filter(F.col("doc_id") % 7 =!= 0),
+      docs.filter(F.col("doc_id") % 7 === 0))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring
     * ([[graft.functions.BigramLm.scoreKneserNey]]) — the benchmark
     * smoother above stupid backoff: absolute discounting with
@@ -2336,6 +2348,18 @@ object SparkEntry {
     val docs = T(s, dir, "documents")
     val vocab = graft.functions.Wordpiece.train(docs, numMerges = 16)
     graft.functions.Wordpiece.fertilityReport(docs, vocab)
+  }
+
+  /** Tokenizer coverage / OOV report per source
+    * ([[graft.functions.Wordpiece.coverageFromEncode]]): token volume,
+    * `[UNK]` volume and rate, distinct surface-token inventory — the
+    * vocab-decision eval next to fertility. Oracle folds the same
+    * arithmetic over the staged encode stream. */
+  private def qTokenizerCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val vocab = graft.functions.Wordpiece.train(docs, numMerges = 16)
+    graft.functions.Wordpiece.coverageFromEncode(
+      graft.functions.Wordpiece.encode(docs, vocab), docs)
   }
 
   /** Classifier CALIBRATION ([[graft.functions.Classifier.trainScore]]
@@ -3251,6 +3275,7 @@ object SparkEntry {
     "q_lm_bigram" -> (qLmBigram _),
     "q_mix_doremi" -> (qMixDoremi _),
     "q_lm_kn" -> (qLmKn _),
+    "q_lm_jm" -> (qLmJm _),
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
@@ -3267,6 +3292,7 @@ object SparkEntry {
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_wordpiece_fertility" -> (qWordpieceFertility _),
+    "q_tokenizer_coverage" -> (qTokenizerCoverage _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_bytes_train" -> (qBpeBytesTrain _),
     "q_bpe_bytes_encode" -> (qBpeBytesEncode _),

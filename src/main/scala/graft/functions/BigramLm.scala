@@ -135,6 +135,91 @@ object BigramLm {
           .as("kn_score"))
   }
 
+  /** Jelinek–Mercer interpolated TRIGRAM scoring (Jelinek & Mercer 1980;
+    * the fixed-weight linear interpolation every n-gram stack starts
+    * from, and the third LM tier above [[scoreStupidBackoff]] /
+    * [[scoreKneserNey]]):
+    *   P(w|u,v) = λ3·f3 + λ2·f2 + λ1·p1
+    * with f3 = c(uvw)/c(uv), f2 = c(vw)/c(v) (ML estimates, 0 when the
+    * numerator count is unseen), and p1 the add-one unigram
+    * (c(w)+1)/(N+V+1) — λ1 > 0 against a positive p1 keeps every
+    * position finite, the row-78/152 OOV convention. Weights fixed
+    * (0.5/0.3/0.2 default) rather than EM-tuned: deterministic,
+    * SQL-replicable, and the published starting point.
+    *
+    * Scale shape: three count tables (uni/bigram/trigram — each one
+    * map-side-combinable pass over the train stream, vocabulary-sized);
+    * the ratios pre-join INTO the trigram and bigram tables
+    * (vocab-sized joins), so the corpus-sized score stream pays exactly
+    * THREE keyed joins (tg on the trigram key, bg on the (v,w) suffix
+    * bigram, uni on the word) + the one-row totals broadcast. Per-doc
+    * mean ln P over trigram positions, DECIMAL(38,18) sums, round 6.
+    *
+    * Output: (idCol, n_trigrams, lm3_score) per doc with >= 1 trigram
+    * (< 3 tokens → absent, the established n-gram-position convention). */
+  def scoreJelinekMercer(train: DataFrame, docs: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         l3: Double = 0.5, l2: Double = 0.3,
+                         l1: Double = 0.2): DataFrame = {
+    require(l3 > 0.0 && l2 > 0.0 && l1 > 0.0 && math.abs(l3 + l2 + l1 - 1.0) < 1e-9,
+      s"lambdas must be positive and sum to 1, got ($l3, $l2, $l1)")
+    import graft.functions.expressions.ShingleExpr
+    def grams(df: DataFrame, n: Int) = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(df(textCol)), n))
+    val uni = graft.Spread(train)
+      .select(F.explode(grams(train, 1)).as("tok"))
+      .groupBy(F.col("tok")).agg(F.count(F.lit(1)).as("c1"))
+    val totals = uni.agg(
+      F.coalesce(F.sum(F.col("c1")), F.lit(0L)).as("n_total"),
+      F.count(F.lit(1)).as("v_size"))
+    val bgCounts = graft.Spread(train)
+      .select(F.explode(grams(train, 2)).as("bg"))
+      .groupBy(F.col("bg")).agg(F.count(F.lit(1)).as("c2"))
+    // f2 = c(vw)/c(v) rides IN the bigram table (vocab-sized join on v)
+    val bgRatio = bgCounts
+      .select(F.col("bg"), F.split(F.col("bg"), " ").getItem(0).as("tok"), F.col("c2"))
+      .join(uni, Seq("tok"))
+      .select(F.col("bg"),
+        (F.col("c2").cast("double") / F.col("c1").cast("double")).as("r2"))
+    // f3 = c(uvw)/c(uv) rides IN the trigram table (vocab-sized join on uv)
+    val tgRatio = graft.Spread(train)
+      .select(F.explode(grams(train, 3)).as("tg"))
+      .groupBy(F.col("tg")).agg(F.count(F.lit(1)).as("c3"))
+      .select(F.col("tg"), F.col("c3"),
+        F.concat_ws(" ",
+          F.split(F.col("tg"), " ").getItem(0),
+          F.split(F.col("tg"), " ").getItem(1)).as("bg"))
+      .join(bgCounts, Seq("bg"))
+      .select(F.col("tg"),
+        (F.col("c3").cast("double") / F.col("c2").cast("double")).as("r3"))
+    // score stream: trigram occurrences carrying the suffix bigram + word
+    val occ = graft.Spread(docs)
+      .select(docs(idCol), F.explode(grams(docs, 3)).as("tg"))
+      .select(F.col(idCol), F.col("tg"),
+        F.concat_ws(" ",
+          F.split(F.col("tg"), " ").getItem(1),
+          F.split(F.col("tg"), " ").getItem(2)).as("bg"),
+        F.split(F.col("tg"), " ").getItem(2).as("tok"))
+      .repartition(F.col("tg"))
+    val p1 = (F.coalesce(F.col("c1"), F.lit(0L)).cast("double") + F.lit(1.0)) /
+      (F.col("n_total").cast("double") + F.col("v_size").cast("double") + F.lit(1.0))
+    // identical IEEE op order to the oracle: (l3*f3 + l2*f2) + l1*p1
+    val p = F.lit(l3) * F.coalesce(F.col("r3"), F.lit(0.0)) +
+      F.lit(l2) * F.coalesce(F.col("r2"), F.lit(0.0)) +
+      F.lit(l1) * p1
+    occ
+      .join(tgRatio.hint("shuffle_hash"), Seq("tg"), "left")
+      .join(bgRatio.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(uni, Seq("tok"), "left")
+      .crossJoin(F.broadcast(totals))
+      .select(F.col(idCol), F.log(p).cast("decimal(38,18)").as("term"))
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_trigrams"), F.sum(F.col("term")).as("ll"))
+      .select(F.col(idCol), F.col("n_trigrams"),
+        F.round(F.col("ll").cast("double") / F.col("n_trigrams").cast("double"), 6)
+          .as("lm3_score"))
+  }
+
   /** The per-bigram-position scored stream both consumers fold from:
     * (idCol, carry..., ln_s, ln_u) — `ln_s` the stupid-backoff log score,
     * `ln_u` the add-one unigram log prob of the SAME position's word

@@ -250,4 +250,39 @@ object Wordpiece {
                       textCol: String = "text"): DataFrame =
     Bpe.fertilityFromEncode(docs, encode(docs, vocab, idCol, textCol),
       groupCol, idCol, textCol)
+
+  /** Tokenizer COVERAGE / OOV report per group (the fertility report's
+    * sibling every tokenizer eval ships): from an encode stream and the
+    * doc metadata, the per-group token volume, `[UNK]` volume and rate,
+    * and the distinct surface-token inventory — the number a vocab
+    * decision is judged by before a 100 TB encode run is paid for
+    * (an unk_rate spike on one source = its script/domain is outside
+    * the trained alphabet).
+    *
+    * Scale shape: one groupCol join of the (id, token) stream against
+    * the docs metadata (broadcast when docs' projection is small, else
+    * shuffle on the id — Catalyst's call), then ONE map-side-combinable
+    * aggregation to a groups-sized table. distinct-token inventory via
+    * count(distinct token) — Spark plans it through Expand on the one
+    * exchange.
+    *
+    * Output: (groupCol, n_docs, n_tokens, n_unk, unk_rate round-6,
+    * n_token_types). */
+  def coverageFromEncode(encoded: DataFrame, docs: DataFrame,
+                         groupCol: String = "source",
+                         idCol: String = "doc_id",
+                         unk: String = Unk): DataFrame =
+    encoded.select(F.col(idCol), F.col("token"))
+      .join(docs.select(F.col(idCol), F.col(groupCol)), Seq(idCol))
+      .groupBy(F.col(groupCol))
+      .agg(
+        F.countDistinct(F.col(idCol)).as("n_docs"),
+        F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.when(F.col("token") === unk, 1L).otherwise(0L)).as("n_unk"),
+        F.countDistinct(F.col("token")).as("n_token_types"))
+      .select(F.col(groupCol), F.col("n_docs"), F.col("n_tokens"),
+        F.col("n_unk"),
+        F.round(F.col("n_unk").cast("double") / F.col("n_tokens").cast("double"), 6)
+          .as("unk_rate"),
+        F.col("n_token_types"))
 }

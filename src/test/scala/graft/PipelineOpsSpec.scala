@@ -806,6 +806,41 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       s"got ${out(100L)._2}, expected $expected")
   }
 
+  test("BigramLm.scoreJelinekMercer: hand-computed seen/partial/OOV interpolation") {
+    import spark.implicits._
+    import graft.functions.BigramLm
+    // train "a b c a b d": unigrams a:2 b:2 c:1 d:1 (N=6, V=4 →
+    // p1(w) = (c+1)/11); bigrams "a b":2 "b c":1 "c a":1 "a b"… wait —
+    // exact: ["a b","b c","c a","a b","b d"] → "a b":2, "b c":1,
+    // "c a":1, "b d":1; trigrams "a b c":1 "b c a":1 "c a b":1 "a b d":1
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    // "a b c x": pos "a b c" → f3 = c(abc)/c(ab) = 1/2, f2 = c(bc)/c(b)
+    // = 1/2, p1(c) = 2/11; pos "b c x" → f3 = 0, f2 = 0 (cx unseen),
+    // p1(x OOV) = 1/11. A 2-token doc has no trigram → absent.
+    val docs = Seq((100L, "a b c x"), (101L, "a b")).toDF("doc_id", "text")
+    val out = BigramLm.scoreJelinekMercer(train, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(100L), s"trigram-less doc must be absent: $out")
+    val expected = (math.log(0.5 * 0.5 + 0.3 * 0.5 + 0.2 * (2.0 / 11.0)) +
+      math.log(0.5 * 0.0 + 0.3 * 0.0 + 0.2 * (1.0 / 11.0))) / 2.0
+    assert(out(100L)._1 == 2L)
+    assert(math.abs(out(100L)._2 - expected) < 1e-6,
+      s"got ${out(100L)._2}, expected $expected")
+  }
+
+  test("Wordpiece.coverageFromEncode: hand-computed volumes, UNK rate, type inventory") {
+    import spark.implicits._
+    import graft.functions.Wordpiece
+    val encoded = Seq((1L, "foo"), (1L, "[UNK]"), (2L, "bar"),
+      (3L, "foo"), (3L, "foo")).toDF("doc_id", "token")
+    val docs = Seq((1L, "s1"), (2L, "s2"), (3L, "s2")).toDF("doc_id", "source")
+    val r = Wordpiece.coverageFromEncode(encoded, docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4), x.getLong(5)))).toMap
+    assert(r("s1") == ((1L, 2L, 1L, 0.5, 2L)))
+    assert(r("s2") == ((2L, 3L, 0L, 0.0, 2L)))
+  }
+
   test("Doremi.domainWeights: clipped excess tilts weights toward the learnable domain") {
     import spark.implicits._
     import graft.functions.Doremi
