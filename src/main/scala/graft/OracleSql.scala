@@ -948,6 +948,56 @@ object OracleSql {
     "q_corpus_overlap" ->
       (kmvOverlapSql(64) + "\nUNION ALL\n" + kmvOverlapSql(4096)),
 
+    // Pairwise source-overlap matrix: per-source bottom-64 KMV sketches,
+    // then the kmvSetOps estimator arithmetic per unordered source pair.
+    "q_overlap_matrix" -> {
+      val k = 64
+      def est(nCol: String, kthCol: String): String =
+        s"""CASE WHEN $nCol < $k THEN CAST($nCol AS DOUBLE)
+           |ELSE round((CAST($k AS DOUBLE) - 1.0) * 18446744073709551616.0 /
+           |  CAST(('0x' || substr($kthCol, 1, 16))::UBIGINT AS DOUBLE), 6) END""".stripMargin
+      s"""WITH sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT source, md5(text) AS h FROM documents
+         |          WHERE text IS NOT NULL AND source IS NOT NULL))
+         |  WHERE rn <= $k),
+         |g AS (SELECT DISTINCT source FROM sk),
+         |pr AS (SELECT a.source AS group_a, b.source AS group_b
+         |       FROM g a, g b WHERE a.source < b.source),
+         |mk AS (
+         |  SELECT group_a, group_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+         |    SELECT p.group_a, p.group_b, s.h, 1 AS in_a, 0 AS in_b
+         |    FROM pr p JOIN sk s ON s.source = p.group_a
+         |    UNION ALL
+         |    SELECT p.group_a, p.group_b, s.h, 0, 1
+         |    FROM pr p JOIN sk s ON s.source = p.group_b)
+         |  GROUP BY 1, 2, 3),
+         |uk AS (
+         |  SELECT * FROM (
+         |    SELECT mk.*, row_number() OVER (
+         |      PARTITION BY group_a, group_b ORDER BY h) AS rn FROM mk)
+         |  WHERE rn <= $k),
+         |aggu AS (
+         |  SELECT group_a, group_b, COUNT(*) AS n_u, MAX(h) AS kth_u,
+         |    CAST(SUM(in_a * in_b) AS BIGINT) AS rho
+         |  FROM uk GROUP BY 1, 2),
+         |per AS (SELECT source, COUNT(*) AS n, MAX(h) AS kth FROM sk GROUP BY 1)
+         |SELECT u.group_a, u.group_b, $k AS k,
+         |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+         |  CAST(u.n_u AS BIGINT) AS n_u, u.rho,
+         |  ${est("a.n", "a.kth")} AS est_distinct_a,
+         |  ${est("b.n", "b.kth")} AS est_distinct_b,
+         |  ${est("u.n_u", "u.kth_u")} AS est_union,
+         |  round(CAST(u.rho AS DOUBLE) / CAST(u.n_u AS DOUBLE), 6) AS jaccard_est,
+         |  round(CAST(u.rho AS DOUBLE) / CAST(u.n_u AS DOUBLE) *
+         |        ${est("u.n_u", "u.kth_u")}, 6) AS est_intersection
+         |FROM aggu u
+         |JOIN per a ON a.source = u.group_a
+         |JOIN per b ON b.source = u.group_b""".stripMargin
+    },
+
     // Sketch-pruned exact heavy hitters: the engine's Count-Min pass is
     // internal pruning with deterministically one-sided error, so the
     // final answer IS the plain HAVING answer — the oracle needs no
@@ -2813,6 +2863,47 @@ object OracleSql {
          |r AS (SELECT query_id, neighbor_id, cosine,
          |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
          |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    // MMR diverse selection: the greedy λ·rel − (1−λ)·max-sim loop
+    // unrolled as k chained argmax CTEs over the brute pool's pairwise
+    // round-6 cosine table — selection and scores replay exactly. Every
+    // CTE is MATERIALIZED: pick i references its predecessors twice, so
+    // DuckDB's default inlining re-expands the chain exponentially
+    // (measured minutes at k = 8; milliseconds materialized).
+    "q_ann_mmr" -> {
+      val k = 8
+      val pool = 64
+      val picks = (2 to k).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT c.id, c.rel, MAX(ps.sim) AS ms
+           |  FROM pool c
+           |  JOIN ps ON ps.ia = c.id
+           |  JOIN s${i - 1} s ON ps.ib = s.id
+           |  WHERE c.id NOT IN (SELECT id FROM s${i - 1})
+           |  GROUP BY c.id, c.rel
+           |  ORDER BY 0.7 * c.rel - 0.3 * MAX(ps.sim) DESC, c.id LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT id FROM s${i - 1} UNION ALL SELECT id FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rnk, id AS vec_id, rel AS relevance, " +
+          s"round(0.7 * rel - 0.3 * ms, 6) AS mmr_score FROM p$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pool AS MATERIALIZED (
+         |  SELECT id, rel FROM (
+         |    SELECT id, rel, row_number() OVER (ORDER BY rel DESC, id) AS rn FROM (
+         |      SELECT e.vec_id AS id, ${cosSql("qe", "e.embedding")} AS rel
+         |      FROM embeddings e, q WHERE e.vec_id <> 0))
+         |  WHERE rn <= $pool),
+         |pv AS MATERIALIZED (SELECT p.id, e.embedding FROM pool p JOIN embeddings e ON e.vec_id = p.id),
+         |ps AS MATERIALIZED (
+         |  SELECT a.id AS ia, b.id AS ib, ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM pv a, pv b WHERE a.id <> b.id),
+         |p1 AS MATERIALIZED (SELECT id, rel, 0.0 AS ms FROM pool ORDER BY rel DESC, id LIMIT 1),
+         |s1 AS MATERIALIZED (SELECT id FROM p1),
+         |$picks
+         |$out""".stripMargin
     },
 
     // Contrastive pair mining: positives >= 0.4, top-4 hard negatives

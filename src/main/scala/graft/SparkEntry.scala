@@ -2305,6 +2305,15 @@ object SparkEntry {
       .unionAll(graft.functions.Sketches.kmvSetOps(a, b, "text", k = 4096))
   }
 
+  /** Pairwise source-overlap matrix
+    * ([[graft.functions.Sketches.kmvOverlapMatrix]]): every source
+    * pair's distinct/union/intersection estimates and Jaccard from ONE
+    * bounded sketch pass — the redundancy census across snapshots/dumps
+    * a mixture designer reads before setting weights. */
+  private def qOverlapMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketches.kmvOverlapMatrix(
+      T(s, dir, "documents"), groupCol = "source", valueCol = "text", k = 64)
+
   /** WordPiece tokenizer TRAINING ([[graft.functions.Wordpiece.train]],
     * Schuster & Nakajima 2012 / BERT) — the THIRD subword family: BPE's
     * merge loop under the likelihood-gain selection rule
@@ -2696,6 +2705,13 @@ object SparkEntry {
     val emb = T(s, dir, "embeddings")
     Ann.bruteTopK(emb, emb.filter(F.col("vec_id") < 20), k = 5, native = true)
   }
+
+  /** MMR diverse selection ([[graft.ann.Ann.mmrSelect]]): greedy
+    * λ·rel − (1−λ)·max-sim over a brute-retrieved pool — the
+    * diversity-aware example curation plain top-k can't do. */
+  private def qAnnMmr(s: SparkSession, dir: String): DataFrame =
+    Ann.mmrSelect(T(s, dir, "embeddings"), queryId = 0L,
+      poolSize = 64, k = 8, lambda = 0.7, native = true)
 
   /** PCA whitening ([[graft.ann.Whitening]]): fit on a bounded
     * md5-uniform sample ([[graft.ann.Whitening.fitSampled]] — the 100 TB
@@ -3289,6 +3305,7 @@ object SparkEntry {
     "q_spm_encode" -> (qSpmEncode _),
     "q_spm_fertility" -> (qSpmFertility _),
     "q_corpus_overlap" -> (qCorpusOverlap _),
+    "q_overlap_matrix" -> (qOverlapMatrix _),
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_wordpiece_fertility" -> (qWordpieceFertility _),
@@ -3335,6 +3352,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ann_brute" -> (qAnnBrute _),
+    "q_ann_mmr" -> (qAnnMmr _),
     "q_ann_margin" -> (qAnnMargin _),
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_whiten" -> (qAnnWhiten _),

@@ -86,6 +86,66 @@ object Ann {
         F.col("neighbor_id"), F.col("cosine"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` items maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the diversity-aware
+    * selection a few-shot/example-curation pipeline runs where plain
+    * top-k returns k near-duplicates of the best hit.
+    *
+    * Scale shape: relevance and the candidate pool cut are the
+    * distributed [[bruteTopK]] (any retriever output with (id, rel)
+    * works); only the pool's pairwise cosine table (`poolSize²` rounded
+    * doubles, require-capped — the bounded-by-contract driver-state
+    * class) ever reaches the driver, where the O(k·poolSize) greedy loop
+    * is pure argmax bookkeeping. The corpus itself never leaves
+    * executors.
+    *
+    * Determinism: rel and sims are the round-6 cosine rank scores with
+    * id tie-breaks; `λ·rel − (1−λ)·ms` is two IEEE ops on those shared
+    * doubles, so selection AND scores replay exactly in SQL.
+    *
+    * Output: (rnk 1..k, idCol, relevance, mmr_score round-6) in
+    * selection order; the first pick scores against ms = 0. */
+  def mmrSelect(corpus: DataFrame, idCol: String = "vec_id",
+                embCol: String = "embedding", queryId: Long = 0L,
+                poolSize: Int = 64, k: Int = 8, lambda: Double = 0.7,
+                native: Boolean = false): DataFrame = graft.CacheScope.scoped {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    require(poolSize <= 4096, s"poolSize $poolSize exceeds the driver-state cap (4096)")
+    require(lambda > 0.0 && lambda < 1.0, s"lambda in (0, 1), got $lambda")
+    val spark = corpus.sparkSession
+    val query = corpus.filter(F.col(idCol) === queryId)
+    val rel = graft.CacheScope.materialize(
+      bruteTopK(corpus, query, idCol, embCol, k = poolSize, native = native)
+        .select(F.col("neighbor_id").as("id"), F.col("cosine").as("rel")))
+    val poolVecs = corpus.join(F.broadcast(rel.select(F.col("id"))),
+      corpus(idCol) === F.col("id")).drop("id")
+    val sims = pairs(poolVecs, poolVecs, idCol, embCol, native)
+    val relArr = rel.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val simMap = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // greedy loop: first pick = argmax rel (ties: smaller id); then
+    // argmax λ·rel − (1−λ)·max-sim-to-selected over the remainder
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(relArr.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.iterator.map { case (id, r) =>
+        val ms = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => simMap((s._1, id))).max
+        (id, r, ms, lambda * r - (1.0 - lambda) * ms)
+      }.toSeq
+      val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+      selected += ((best._1, best._2, best._3))
+      remaining.remove(best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex.map { case ((id, r, ms), i) =>
+      (i + 1L, id, r,
+        BigDecimal(lambda * r - (1.0 - lambda) * ms)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("rnk", idCol, "relevance", "mmr_score")
+  }
+
   /** Contrastive training-pair mining — the DPR/E5 data-prep recipe
     * (Karpukhin et al. EMNLP 2020 mined hard negatives from a retriever;
     * Wang et al. 2022 made the in-batch-plus-hard-negative mix the

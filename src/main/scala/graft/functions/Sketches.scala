@@ -286,6 +286,107 @@ object Sketches {
           .as("est_intersection"))
   }
 
+  /** Per-group KMV sketch: for every group, the k lexicographically
+    * smallest distinct md5 hashes of `valueCol` — [[kmvDistinctSketch]]
+    * with the fold keyed by group. Each partition folds a
+    * group → capped-TreeSet map (≤ groups-on-partition × k entries;
+    * `maxGroups` guards the contract with the limit-then-require shape),
+    * then ≤ partitions × k candidate rows per group reduce to the global
+    * bottom-k through one group-keyed rank.
+    *
+    * Output: (groupCol, h) — ≤ k rows per group. */
+  def kmvSketchPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Int = 256, maxGroups: Int = 10000): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .filter(F.col(valueCol).isNotNull && F.col(groupCol).isNotNull)
+      .select(F.col(groupCol).cast("string").as("g"),
+        F.md5(F.col(valueCol).cast("string")).as("h"))
+    val gRows = hashed.select(F.col("g")).distinct().limit(maxGroups + 1).collect()
+    require(gRows.length <= maxGroups,
+      s"more than $maxGroups groups; kmvSketchPerGroup folds a per-task map per group")
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    val local = hashed.as[(String, String)].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, java.util.TreeSet[String]]
+      it.foreach { case (g, h) =>
+        val ts = m.getOrElseUpdate(g, new java.util.TreeSet[String]())
+        ts.add(h)
+        if (ts.size > k) ts.pollLast()
+      }
+      import scala.jdk.CollectionConverters._
+      m.iterator.flatMap { case (g, ts) => ts.iterator().asScala.map(g -> _) }
+    }.toDF("g", "h")
+    local.distinct()
+      .withColumn("_rn", F.row_number().over(
+        Window.partitionBy(F.col("g")).orderBy(F.col("h").asc)))
+      .filter(F.col("_rn") <= k)
+      .select(F.col("g").as(groupCol), F.col("h"))
+  }
+
+  /** Pairwise corpus-overlap MATRIX via per-group KMV sketches: every
+    * (group_a < group_b) pair's distinct counts, union/intersection
+    * estimates and Jaccard — [[kmvSetOps]] generalized from two corpora
+    * to all source pairs, the contamination/redundancy census a mixture
+    * designer runs across crawl snapshots before setting weights. The
+    * full pairwise comparison never touches the corpus: one sketch pass
+    * over the data (bounded, group-keyed), then all-pairs arithmetic on
+    * groups × k hash rows.
+    *
+    * Same estimator text as [[kmvSetOps]] ([[kmvEstSql]] — exact below
+    * k, Beyer et al. above), so every estimate double is hash-exact
+    * against the SQL oracle.
+    *
+    * Output: one row per unordered group pair — (group_a, group_b, k,
+    * n_a, n_b, n_u, rho, est_distinct_a, est_distinct_b, est_union,
+    * jaccard_est, est_intersection). */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int = 256): DataFrame = graft.CacheScope.scoped {
+    import org.apache.spark.sql.expressions.Window
+    val sk = graft.CacheScope.materialize(
+      kmvSketchPerGroup(df, groupCol, valueCol, k))
+    val groups = sk.select(F.col(groupCol).as("g")).distinct()
+    val pairs = groups.select(F.col("g").as("group_a"))
+      .crossJoin(groups.select(F.col("g").as("group_b")))
+      .filter(F.col("group_a") < F.col("group_b"))
+    val aRows = pairs.join(F.broadcast(sk.withColumnRenamed(groupCol, "group_a")), Seq("group_a"))
+      .select(F.col("group_a"), F.col("group_b"), F.col("h"),
+        F.lit(1L).as("in_a"), F.lit(0L).as("in_b"))
+    val bRows = pairs.join(F.broadcast(sk.withColumnRenamed(groupCol, "group_b")), Seq("group_b"))
+      .select(F.col("group_a"), F.col("group_b"), F.col("h"),
+        F.lit(0L).as("in_a"), F.lit(1L).as("in_b"))
+    val marked = aRows.unionByName(bRows)
+      .groupBy(F.col("group_a"), F.col("group_b"), F.col("h"))
+      .agg(F.max("in_a").as("in_a"), F.max("in_b").as("in_b"))
+    val uk = marked
+      .withColumn("_rn", F.row_number().over(
+        Window.partitionBy(F.col("group_a"), F.col("group_b"))
+          .orderBy(F.col("h").asc)))
+      .filter(F.col("_rn") <= k)
+    val aggU = uk.groupBy(F.col("group_a"), F.col("group_b"))
+      .agg(F.count(F.lit(1)).as("n_u"), F.max("h").as("kth_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).as("rho"))
+    val per = sk.groupBy(F.col(groupCol))
+      .agg(F.count(F.lit(1)).as("n"), F.max("h").as("kth"))
+    aggU
+      .join(F.broadcast(per.select(F.col(groupCol).as("group_a"),
+        F.col("n").as("n_a"), F.col("kth").as("kth_a"))), Seq("group_a"))
+      .join(F.broadcast(per.select(F.col(groupCol).as("group_b"),
+        F.col("n").as("n_b"), F.col("kth").as("kth_b"))), Seq("group_b"))
+      .select(
+        F.col("group_a"), F.col("group_b"), F.lit(k).as("k"),
+        F.col("n_a"), F.col("n_b"), F.col("n_u"), F.col("rho"),
+        F.expr(kmvEstSql(k, "n_a", "kth_a")).as("est_distinct_a"),
+        F.expr(kmvEstSql(k, "n_b", "kth_b")).as("est_distinct_b"),
+        F.expr(kmvEstSql(k, "n_u", "kth_u")).as("est_union"))
+      .select(F.col("*"),
+        F.expr("round(CAST(rho AS DOUBLE) / CAST(n_u AS DOUBLE), 6)")
+          .as("jaccard_est"),
+        F.expr("round(CAST(rho AS DOUBLE) / CAST(n_u AS DOUBLE) * est_union, 6)")
+          .as("est_intersection"))
+  }
+
   // ------------------------------------------- count-min frequency sketch
 
   /** Deterministic Count-Min sketch (Cormode & Muthukrishnan 2005): `d`

@@ -592,6 +592,28 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mmrSelect: duplicate penalized, diverse-but-equal-relevance candidate wins slot 2") {
+    import spark.implicits._
+    // Query (1,0,0). Three candidates with IDENTICAL relevance 0.9:
+    // a(1) and b(2) are exact duplicates; c(3) is the same rel on an
+    // orthogonal second axis. Plain top-2 = {1, 2} (id tie-break keeps
+    // the dup); MMR must pick 1 then 3: dup scores λ·0.9 − (1−λ)·1.0 =
+    // 0.33, the diverse one λ·0.9 − (1−λ)·0.81 = 0.387.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.43589f, 0f)),
+      (2L, Array(0.9f, 0.43589f, 0f)),
+      (3L, Array(0.9f, 0f, 0.43589f))).toDF("vec_id", "embedding")
+    val top2 = graft.ann.Ann.bruteTopK(emb, emb.filter($"vec_id" === 0L), k = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(top2 == Set(1L, 2L), s"plain top-2 should keep the dup: $top2")
+    val out = graft.ann.Ann.mmrSelect(emb, queryId = 0L, poolSize = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L), s"got ${out.toSeq}")
+    assert(math.abs(out(0)._3 - 0.63) < 1e-3 && math.abs(out(1)._3 - 0.387) < 2e-3,
+      s"scores ${out.toSeq}")
+  }
+
   test("minePairs: positives above the band, exactly the hardest negatives below") {
     import spark.implicits._
     // Anchor (1,0,0): y1 is a near-copy (positive); y2/y3/y4 descend in

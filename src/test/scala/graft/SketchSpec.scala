@@ -130,6 +130,39 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
       s"intersection est ${est.getAs[Double]("est_intersection")} vs $trueI")
   }
 
+  test("kmvOverlapMatrix: pairwise estimates exact below k, equal kmvSetOps on the pair") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    // three tiny sources: a/b share half, c is disjoint — populations
+    // far below k=64, so every estimate must be EXACT.
+    val rows = (1 to 20).map(i => ("a", s"shared-$i")) ++
+      (1 to 20).map(i => ("b", s"shared-$i")) ++
+      (21 to 40).map(i => ("b", s"only-b-$i")) ++
+      (1 to 10).map(i => ("c", s"only-c-$i"))
+    val df = rows.toDF("source", "text")
+    val m = Sketches.kmvOverlapMatrix(df, "source", "text", k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = m(("a", "b"))
+    assert(ab.getAs[Double]("est_distinct_a") == 20.0)
+    assert(ab.getAs[Double]("est_distinct_b") == 40.0)
+    assert(ab.getAs[Double]("est_union") == 40.0)
+    assert(ab.getAs[Double]("est_intersection") == 20.0)
+    assert(ab.getAs[Double]("jaccard_est") == 0.5)
+    val ac = m(("a", "c"))
+    assert(ac.getAs[Double]("est_intersection") == 0.0 &&
+      ac.getAs[Double]("est_union") == 30.0)
+    assert(m.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // the matrix row for a pair must agree with kmvSetOps run on that pair
+    val so = Sketches.kmvSetOps(
+      df.filter($"source" === "a"), df.filter($"source" === "b"),
+      "text", k = 64).head()
+    for (c <- Seq("n_u", "rho"))
+      assert(so.getAs[Long](c) == ab.getAs[Long](c), s"col $c diverges")
+    for (c <- Seq("est_distinct_a", "est_distinct_b", "est_union",
+        "jaccard_est", "est_intersection"))
+      assert(so.getAs[Double](c) == ab.getAs[Double](c), s"col $c diverges")
+  }
+
   test("count-min: shard registers sum-merge to the whole-corpus sketch") {
     import graft.functions.Sketches
     val ev = Tables.events(spark, sf001).select(
