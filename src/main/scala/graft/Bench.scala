@@ -91,7 +91,17 @@ object Bench {
     // rows-only walls, tracked so their perf cannot rot: the other two
     // tokenizer-family corpus encodes and the whitening fit+project.
     "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten",
-    "q_compression_ratio", "q_zipf_fit", "q_bm25", "q_hybrid_search")
+    "q_compression_ratio", "q_zipf_fit", "q_bm25", "q_hybrid_search",
+    // r18 rows, all corpus-proportional: boilerplate df + rebuild (the
+    // q_dedup_lines plan shape plus a line-keyed count join), the two
+    // rank-then-middle median reductions, the JM trigram's three count
+    // passes + three keyed joins, the per-group KMV sketch pass + pairs
+    // arithmetic, the wordpiece corpus encode behind the coverage fold.
+    // q_source_rank_wilson (one combinable agg over the quality scan)
+    // and q_ann_mmr (pool-bounded driver loop over bruteTopK) sit in the
+    // sub-0.4 s fixed-cost class, correctness-gated only.
+    "q_boilerplate", "q_outliers_mad", "q_lm_jm", "q_overlap_matrix",
+    "q_tokenizer_coverage")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

@@ -150,7 +150,7 @@ object Profile {
     * robust_z rounded 6, is_outlier = |z| > cutoff). */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      idCol: String = "doc_id",
-                     cutoff: Double = 3.5): DataFrame = graft.CacheScope.scoped {
+                     cutoff: Double = 3.5): DataFrame = {
     require(cutoff > 0.0, s"cutoff must be positive, got $cutoff")
     import org.apache.spark.sql.expressions.Window
 

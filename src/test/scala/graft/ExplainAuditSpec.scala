@@ -278,6 +278,23 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // anchor-partitioned exchange for the negative cut.
     Audit("q_mine_pairs", maxExchange = 2, allowedBnlj = 2,
       requirePushdown = true),
+    // r18 rows. robust outliers: two rank windows + two median aggs on
+    // the source key, medians broadcast back (2 BHJ). Plan is terminal
+    // (no materialize, no scope) so a plain audit sees it whole.
+    Audit("q_outliers_mad", maxExchange = 6, minBhj = 2),
+    // one combinable agg + the derived-constant rank window
+    Audit("q_source_rank_wilson", maxExchange = 2),
+    // JM trigram: three count aggs, two vocab-sized ratio joins, the
+    // tg-keyed occurrence repartition + three keyed joins and the final
+    // per-doc agg — corpus stream shuffles on tg once; the one-row
+    // totals broadcast is the bounded-BNLJ class.
+    // 17 = the q_lm_kn printed-subtree class: the bigram count subtree
+    // prints under both ratio consumers (ReuseExchange collapses them at
+    // execution — same as KN's four derived tables).
+    Audit("q_lm_jm", maxExchange = 17, allowedBnlj = 1),
+    // coverage fold: encode scan + doc-metadata join + one agg with two
+    // count-distincts (Expand rewrites add their exchanges)
+    Audit("q_tokenizer_coverage", maxExchange = 6),
     )
 
   private val nodeRe =
@@ -378,6 +395,15 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // assigned-cells materialize (broadcast-centroid scan: spread only)
     // + survivors frame (cell self-join, components label agg, anti join)
     InternalAudit("q_dedup_semantic", maxExchangeTotal = 7),
+    // r18 boilerplate: the exploded-lines materialize (1 exchange-free
+    // scan) + the terminal frame's df distinct/count aggs, the line-keyed
+    // count join and the per-doc rebuild agg.
+    InternalAudit("q_boilerplate", maxExchangeTotal = 7),
+    // r18 overlap matrix: the per-group sketch materialize (mapPartitions
+    // fold + distinct + group rank) + the pairs frame (group crossJoin =
+    // the bounded BNLJ class, union/rank/agg, two broadcast joins back).
+    InternalAudit("q_overlap_matrix", maxExchangeTotal = 10,
+      allowedBnljPerFrame = 2),
     // per-source agg materialize (2) + the allocation frame (tempered-
     // total one-row broadcast = the TfIdf N crossJoin shape): the scoped
     // frame PRINTS the cached build plan (2 exchanges) under each of its

@@ -45,7 +45,9 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_corpus_overlap", "q_rank_fusion",
             "q_ann_margin", "q_span_corrupt", "q_fim", "q_ann_mrl", "q_mine_pairs", "q_source_keywords",
             "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten",
-            "q_compression_ratio", "q_zipf_fit", "q_bm25", "q_hybrid_search"]
+            "q_compression_ratio", "q_zipf_fit", "q_bm25", "q_hybrid_search",
+            "q_boilerplate", "q_outliers_mad", "q_lm_jm", "q_overlap_matrix",
+            "q_tokenizer_coverage"]
 
 
 def main():
