@@ -1914,6 +1914,43 @@ object OracleSql {
          |GROUP BY f.doc_id, f.y, b.bv""".stripMargin
     },
 
+    // Active-learning uncertainty sampling: the same GD chain, per-source
+    // 5 closest-to-boundary docs (round-6 |score − 0.5|, id ties).
+    "q_active_learning" -> {
+      s"""WITH ${clfCtes(64, 4, 0.5)},
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    ROUND(1.0/(1.0 + exp(-(CAST(SUM(CAST(w.w AS DECIMAL(38,18))) AS DOUBLE) + b.bv))), 6) AS clf_score
+         |  FROM feats f JOIN w4 w USING (bkt) CROSS JOIN b4 b
+         |  GROUP BY f.doc_id, b.bv),
+         |u AS (
+         |  SELECT d.source, s.doc_id, s.clf_score,
+         |    round(abs(s.clf_score - 0.5), 6) AS uncertainty
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT source, doc_id, clf_score, uncertainty,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY uncertainty, doc_id) AS rnk
+         |  FROM u)
+         |SELECT source, CAST(rnk AS INTEGER) AS rnk, doc_id, clf_score, uncertainty
+         |FROM r WHERE rnk <= 5""".stripMargin
+    },
+
+    // Within-source percentile normalization of the composite quality
+    // score: (rank − 0.5)/n per source, keep = top decile of EACH source.
+    "q_quality_percentile" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, $qualityExpr AS quality FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM q)
+         |SELECT doc_id, source, quality,
+         |  round((CAST(rn AS DOUBLE) - 0.5) / CAST(n AS DOUBLE), 6) AS pct,
+         |  (round((CAST(rn AS DOUBLE) - 0.5) / CAST(n AS DOUBLE), 6) >= 0.9) AS keep
+         |FROM r""".stripMargin,
+
     // Calibration: the same GD chain, scores bucketed into deciles;
     // mean score sums as DECIMAL so the aggregate is order-free, and the
     // only doubles are the single divisions both engines share.

@@ -2177,6 +2177,27 @@ object SparkEntry {
       T(s, dir, "documents"),
       F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0)))
 
+  /** Active-learning uncertainty sampling
+    * ([[graft.functions.Classifier.uncertaintySample]]): per source, the
+    * 5 docs scored closest to the trained classifier's 0.5 boundary —
+    * where the next annotation dollar goes. */
+  private def qActiveLearning(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val scored = graft.functions.Classifier.trainScore(
+      docs, F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    graft.functions.Classifier.uncertaintySample(scored, docs, n = 5)
+  }
+
+  /** Within-source percentile normalization
+    * ([[graft.operators.Profile.quantileNormalize]]): quality scores
+    * replaced by their per-source percentile so "top 10% of every
+    * source" replaces a global cutoff a skewed source would flood. */
+  private def qQualityPercentile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.quantileNormalize(
+      T(s, dir, "documents").select(F.col("doc_id"), F.col("source"),
+        TF.qualityScore(F.col("text")).as("quality")),
+      groupCol = "source", valueCol = "quality")
+
   /** BPE tokenizer TRAINING on the engine ([[graft.functions.Bpe.train]]):
     * one corpus scan to word counts, then K merge iterations over the
     * vocabulary table only. Rows-only by design (greedy within-word
@@ -3298,6 +3319,8 @@ object SparkEntry {
     "q_ccnet_buckets_dist" -> (qCcnetBucketsDist _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_clf_quality" -> (qClfQuality _),
+    "q_active_learning" -> (qActiveLearning _),
+    "q_quality_percentile" -> (qQualityPercentile _),
     "q_clf_calibration" -> (qClfCalibration _),
     "q_clf_auc" -> (qClfAuc _),
     "q_bpe_train" -> (qBpeTrain _),

@@ -161,4 +161,34 @@ object Classifier {
         F.expr("round(CAST(num2 AS DOUBLE) / " +
           "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)").as("auc"))
   }
+
+  /** Active-learning UNCERTAINTY sampling (Lewis & Gale 1994; the
+    * label-budget allocator every classifier-filtered corpus pipeline
+    * runs): per group, the `n` documents whose score sits closest to the
+    * 0.5 decision boundary — the examples whose labels improve the
+    * filter most per annotation dollar. Deterministic: uncertainty =
+    * round-6 |score − 0.5| (scores are already the round-6 sigmoid), id
+    * tie-break.
+    *
+    * Scale shape: one metadata join of the scored stream + a per-group
+    * rank window cut to n (WindowGroupLimit prunes to n per group before
+    * the window sort at scale).
+    *
+    * Output: (groupCol, rnk 1..n, idCol, scoreCol, uncertainty). */
+  def uncertaintySample(scored: DataFrame, meta: DataFrame,
+                        groupCol: String = "source", idCol: String = "doc_id",
+                        scoreCol: String = "clf_score",
+                        n: Int = 5): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(F.col(groupCol))
+      .orderBy(F.col("uncertainty").asc, F.col(idCol).asc)
+    scored
+      .join(meta.select(F.col(idCol), F.col(groupCol)), Seq(idCol))
+      .withColumn("uncertainty", F.round(F.abs(F.col(scoreCol) - F.lit(0.5)), 6))
+      .withColumn("rnk", F.row_number().over(w))
+      .filter(F.col("rnk") <= n)
+      .select(F.col(groupCol), F.col("rnk"), F.col(idCol),
+        F.col(scoreCol), F.col("uncertainty"))
+  }
 }

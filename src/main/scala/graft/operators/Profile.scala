@@ -183,6 +183,36 @@ object Profile {
         (F.abs(z) > cutoff).as("is_outlier"))
   }
 
+  /** Within-group PERCENTILE normalization (the FineWeb-Edu-style
+    * per-dump thresholding trick): raw quality scores are not comparable
+    * across sources (each crawl/dump has its own score distribution), so
+    * replace each value by its within-group percentile
+    * `(rank − 0.5) / n` and threshold THAT — "keep the top 10% of every
+    * source" instead of one global cutoff a skewed source would flood.
+    *
+    * Scale shape: one per-group rank window over fixed-width
+    * (group, value, id) rows; no joins, no second scan.
+    *
+    * Output: one row per input — (idCol, groupCol, valueCol,
+    * pct round-6, keep = pct >= 1 − keepTop), ranks tie-broken by id so
+    * the percentile is deterministic under equal values. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String = "doc_id",
+                        keepTop: Double = 0.1): DataFrame = {
+    require(keepTop > 0.0 && keepTop < 1.0, s"keepTop in (0, 1), got $keepTop")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(F.col(groupCol))
+      .orderBy(F.col(valueCol).asc, F.col(idCol).asc)
+    val byG = Window.partitionBy(F.col(groupCol))
+    df.select(F.col(idCol), F.col(groupCol), F.col(valueCol))
+      .withColumn("_rn", F.row_number().over(w))
+      .withColumn("_n", F.count(F.lit(1)).over(byG))
+      .withColumn("pct", F.round(
+        (F.col("_rn").cast("double") - F.lit(0.5)) / F.col("_n").cast("double"), 6))
+      .select(F.col(idCol), F.col(groupCol), F.col(valueCol),
+        F.col("pct"), (F.col("pct") >= 1.0 - keepTop).as("keep"))
+  }
+
   /** Source ranking by the Wilson score LOWER bound (Wilson 1927; the
     * "sort by confidence, not by proportion" rule): per group, the
     * fraction of rows passing `passCol` shrunk toward 0 by how little

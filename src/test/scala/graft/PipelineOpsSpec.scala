@@ -1457,6 +1457,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r(1L).getDouble(3) == 100.5 && r(11L).getDouble(3) == 500.0)
   }
 
+  test("quantileNormalize: per-group percentiles, top-decile keep flag, id tie-break") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // group g: values 10, 20, 30, 40 -> percentiles 0.125/0.375/0.625/
+    // 0.875; keepTop 0.25 keeps pct >= 0.75 (only the 40). Ties (group h,
+    // both 5.0) order by id: id 11 gets 0.25, id 12 gets 0.75.
+    val df = Seq((1L, "g", 10.0), (2L, "g", 20.0), (3L, "g", 30.0),
+      (4L, "g", 40.0), (11L, "h", 5.0), (12L, "h", 5.0))
+      .toDF("doc_id", "source", "v")
+    val r = Profile.quantileNormalize(df, "source", "v", keepTop = 0.25)
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r(1L) == ((0.125, false)) && r(2L) == ((0.375, false)))
+    assert(r(3L) == ((0.625, false)) && r(4L) == ((0.875, true)))
+    assert(r(11L) == ((0.25, false)) && r(12L) == ((0.75, true)))
+  }
+
+  test("uncertaintySample: closest-to-boundary picked per group, id ties, n respected") {
+    import spark.implicits._
+    import graft.functions.Classifier
+    val scored = Seq((1L, 0.51), (2L, 0.9), (3L, 0.49), (4L, 0.1),
+      (11L, 0.5), (12L, 0.5)).toDF("doc_id", "clf_score")
+    val meta = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (11L, "b"), (12L, "b")).toDF("doc_id", "source")
+    val r = Classifier.uncertaintySample(scored, meta, n = 2).collect()
+      .map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
+    // group a: |0.51-0.5| = |0.49-0.5| = 0.01 -> ids 1 then 3 (id ties
+    // resolve ascending); the confident 0.9/0.1 never picked
+    assert(r(("a", 1)) == 1L && r(("a", 2)) == 3L)
+    // group b: both exactly at the boundary -> id order
+    assert(r(("b", 1)) == 11L && r(("b", 2)) == 12L)
+    assert(r.size == 4)
+  }
+
   test("wilsonRanking: small perfect source ranks below large near-perfect one") {
     import spark.implicits._
     import graft.operators.Profile
