@@ -1232,8 +1232,6 @@ object OracleSql {
         |  SELECT source, SUM(ad) / COUNT(*) AS mad FROM r2
         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1)
         |SELECT wm.doc_id, wm.source, wm.x, wm.med, d.mad,
-        |  round(CASE WHEN d.mad = 0.0 THEN 0.0
-        |             ELSE 0.6745 * (wm.x - wm.med) / d.mad END, 6) AS robust_z,
         |  (abs(CASE WHEN d.mad = 0.0 THEN 0.0
         |            ELSE 0.6745 * (wm.x - wm.med) / d.mad END) > 3.5) AS is_outlier
         |FROM wm JOIN mad d USING (source)""".stripMargin,

@@ -1931,8 +1931,16 @@ object SparkEntry {
     * modified z-scores on n_chars — the anomaly filter that survives the
     * one-giant-page source where mean/stddev would not. */
   private def qOutliersMad(s: SparkSession, dir: String): DataFrame =
+    // The q_pmi precedent: the gate hashes the EXACT columns (x/med/mad
+    // are integer-and-half decimals that pin z = 0.6745·(x−med)/mad
+    // bit-for-bit, and is_outlier compares the unrounded z — identical
+    // IEEE ops both engines) and projects the round-6 display double
+    // out: a z landing on a decimal-exact tie (sf0.1: −0.2529375)
+    // rounds differently under Spark's shortest-repr-decimal round vs
+    // DuckDB's binary round. The operator keeps robust_z.
     graft.operators.Profile.robustOutliers(
       T(s, dir, "documents"), groupCol = "source", valueCol = "n_chars")
+      .drop("robust_z")
 
   /** Source ranking by Wilson lower bound
     * ([[graft.operators.Profile.wilsonRanking]]): sources ordered by the
