@@ -1016,34 +1016,42 @@ object Dedup {
     * (contrast [[dedupLines]], which keeps the first). Documents are
     * rebuilt from their surviving lines in original order.
     *
-    * Scale shape: ONE corpus scan explodes to (id, idx, line) and is
-    * cached across both consumers; document frequency folds from the
-    * DISTINCT (line, id) pairs to a lines-vocabulary-sized count table
-    * (both steps map-side combinable, line-keyed), which joins back
-    * shuffle-to-shuffle on the same line key — never a per-line id set
-    * in memory (a banner line occurring in 10^9 documents folds to ONE
-    * count row, where a collect_set window would materialize 10^9 ids).
+    * Scale shape: document frequency folds from the DISTINCT
+    * (xxhash64(line), id) pairs — an 8-byte key, so neither exchange
+    * ever shuffles line text — to a lines-vocabulary-sized count table
+    * (both steps map-side combinable); a banner line occurring in 10^9
+    * documents folds to ONE count row. Only the BOILERPLATE set (df >=
+    * minDocs — the repeated-line vocabulary, tiny next to the corpus)
+    * joins back against the line stream, so AQE broadcasts it and the
+    * corpus side pays NO join exchange; hash equality stands in for
+    * line equality (the dupNgramFraction injectivity argument). Both
+    * consumers re-run the codegen'd split+explode scan rather than
+    * checkpointing the exploded corpus (measured faster at bench scale).
     *
     * Output: (idCol, n_lines, n_boiler, clean_text), clean_text the
     * newline-rejoin of surviving lines. */
   def stripBoilerplate(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text",
-                       minDocs: Int = 3): DataFrame = graft.CacheScope.scoped {
+                       minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = materialize(graft.Spread(docs)
+    val lines = graft.Spread(docs)
       .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n")))
-      .toDF(idCol, "idx", "line"))
-    val df = lines.select(F.col("line"), F.col(idCol)).distinct()
-      .groupBy(F.col("line")).agg(F.count(F.lit(1)).as("df"))
+      .toDF(idCol, "idx", "line")
+      .withColumn("lh", F.xxhash64(F.col("line")))
+    val boiler = lines.select(F.col("lh"), F.col(idCol)).distinct()
+      .groupBy(F.col("lh")).agg(F.count(F.lit(1)).as("df"))
+      .filter(F.col("df") >= minDocs)
+      .select(F.col("lh"), F.lit(true).as("is_boiler"))
     lines
-      .join(df.hint("shuffle_hash"), Seq("line"))
+      .join(boiler, Seq("lh"), "left")
+      .withColumn("b", F.coalesce(F.col("is_boiler"), F.lit(false)))
       .groupBy(F.col(idCol))
       .agg(
         F.count(F.lit(1)).as("n_lines"),
-        F.sum(F.when(F.col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        F.sum(F.when(F.col("b"), 1L).otherwise(0L)).as("n_boiler"),
         F.concat_ws("\n", F.transform(
           F.array_sort(F.collect_list(
-            F.when(F.col("df") < minDocs, F.struct(F.col("idx"), F.col("line"))))),
+            F.when(!F.col("b"), F.struct(F.col("idx"), F.col("line"))))),
           s => s.getField("line"))).as("clean_text"))
   }
 

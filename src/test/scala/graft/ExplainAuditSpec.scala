@@ -278,6 +278,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // anchor-partitioned exchange for the negative cut.
     Audit("q_mine_pairs", maxExchange = 2, allowedBnlj = 2,
       requirePushdown = true),
+    // r18 boilerplate (terminal after the broadcast-boiler rework): the
+    // hash-keyed df distinct + count aggs, the boiler join back (AQE
+    // broadcasts the tiny repeated-line set at runtime; the static plan
+    // prices the conservative shuffle pair), the per-doc rebuild agg.
+    Audit("q_boilerplate", maxExchange = 6),
     // r18 rows. robust outliers: two rank windows + two median aggs on
     // the source key, medians broadcast back (2 BHJ). Plan is terminal
     // (no materialize, no scope) so a plain audit sees it whole.
@@ -395,10 +400,6 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // assigned-cells materialize (broadcast-centroid scan: spread only)
     // + survivors frame (cell self-join, components label agg, anti join)
     InternalAudit("q_dedup_semantic", maxExchangeTotal = 7),
-    // r18 boilerplate: the exploded-lines materialize (1 exchange-free
-    // scan) + the terminal frame's df distinct/count aggs, the line-keyed
-    // count join and the per-doc rebuild agg.
-    InternalAudit("q_boilerplate", maxExchangeTotal = 7),
     // r18 overlap matrix: the per-group sketch materialize (mapPartitions
     // fold + distinct + group rank) + the pairs frame (group crossJoin =
     // the bounded BNLJ class, union/rank/agg, two broadcast joins back).
