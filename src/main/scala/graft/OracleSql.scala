@@ -1767,6 +1767,28 @@ object OracleSql {
         |    AS BIGINT) AS shard
         |FROM documents""".stripMargin,
 
+    // Curriculum ordering: rank by (token count, id) -> nPhases equal
+    // bands, then the total order (phase, md5 key, id).
+    "q_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT) AS difficulty
+        |  FROM documents),
+        |t AS (SELECT COUNT(*) AS n_total FROM s),
+        |r AS (
+        |  SELECT doc_id, difficulty,
+        |    ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) - 1 AS rnk
+        |  FROM s),
+        |p AS (
+        |  SELECT doc_id, difficulty,
+        |    CAST((rnk * 4) // n_total AS INT) AS phase,
+        |    md5('graft_' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM r, t)
+        |SELECT doc_id, difficulty, phase,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY phase, k, doc_id) - 1 AS BIGINT)
+        |    AS curriculum_pos
+        |FROM p""".stripMargin,
+
     // Repetition: duplicated-trigram fraction per doc, all in-row.
     "q_repetition" ->
       """WITH tok AS (

@@ -1557,6 +1557,13 @@ object SparkEntry {
         T(s, dir, "documents").select("doc_id", "source"), nShards = 8)
       .select(F.col("doc_id"), F.col("shuffle_pos"), F.col("shard"))
 
+  /** Curriculum ordering ([[graft.operators.Sampling.curriculumOrder]]):
+    * equal difficulty bands easy → hard with a deterministic md5 shuffle
+    * inside each phase — the staged training order, emitted per doc. */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.curriculumOrder(
+      T(s, dir, "documents"), nPhases = 4)
+
   /** Hierarchical aggregate: ROLLUP over (returnflag, linestatus) —
     * grand-total and per-flag subtotals in one pass (built-in grouping
     * sets; partial aggregation still map-side). */
@@ -3272,6 +3279,7 @@ object SparkEntry {
     "q_folds" -> (qFolds _),
     "q_split_leakage_safe" -> (qSplitLeakageSafe _),
     "q_shuffle_shard" -> (qShuffleShard _),
+    "q_curriculum" -> (qCurriculum _),
     "q_rollup" -> (qRollup _),
     "q_chunk" -> (qChunk _),
     "q_pack" -> (qPack _),

@@ -428,4 +428,40 @@ object Sampling {
         F.greatest(F.col("weight"), F.coalesce(F.col("_tau"), F.lit(0.0)))
           .as("weight_est"))
   }
+
+  /** Curriculum ordering (Bengio et al. 2009): the corpus partitioned
+    * into `nPhases` equal difficulty bands (easy → hard; difficulty =
+    * token count, the standard length proxy — swap any score in via
+    * `difficultyCol` on a pre-scored frame upstream) and a TOTAL
+    * training order that walks the phases in sequence with a
+    * deterministic md5 shuffle INSIDE each phase — curriculum schedules
+    * need both the staging and the within-stage decorrelation.
+    *
+    * Scale shape: phase = rank·nPhases div N over the distributed
+    * [[GlobalIndex]] (range partition + zipWithIndex — no
+    * single-partition window, no nPhases-way window skew), then a second
+    * GlobalIndex pass over (phase, md5 key) emits the final order. Two
+    * linear passes; nothing corpus-sized on fewer than all partitions.
+    *
+    * Output: (idCol, difficulty, phase, curriculum_pos 0..N−1). */
+  def curriculumOrder(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", nPhases: Int = 4,
+                      seed: String = "graft"): DataFrame = {
+    require(nPhases >= 1, s"need nPhases >= 1, got $nPhases")
+    val scored = graft.Spread(docs).select(F.col(idCol),
+      graft.functions.TextFunctions.tokenCount(F.col(textCol))
+        .cast("long").as("difficulty"))
+    val tot = scored.agg(F.count(F.lit(1)).as("n_total"))
+    val ranked = GlobalIndex.appendIndex(
+      scored, Seq(F.col("difficulty"), F.col(idCol)), "_rnk")
+    val phased = ranked.crossJoin(F.broadcast(tot))
+      .withColumn("phase",
+        F.expr(s"CAST((_rnk * $nPhases) DIV n_total AS INT)"))
+      .withColumn("_k",
+        F.md5(F.concat(F.lit(seed + "_"), F.col(idCol).cast("string"))))
+    GlobalIndex.appendIndex(
+        phased, Seq(F.col("phase"), F.col("_k"), F.col(idCol)), "curriculum_pos")
+      .select(F.col(idCol), F.col("difficulty"), F.col("phase"),
+        F.col("curriculum_pos"))
+  }
 }

@@ -1457,6 +1457,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r(1L).getDouble(3) == 100.5 && r(11L).getDouble(3) == 500.0)
   }
 
+  test("curriculumOrder: equal bands easy-first, phases contiguous in the total order") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // token counts 1..8 over 8 docs, 4 phases -> each phase gets the
+    // next-two-hardest pair; the total order must walk phases 0,1,2,3
+    // with both members of a phase adjacent (any within-phase order).
+    val docs = (1L to 8L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+    val r = Sampling.curriculumOrder(docs, nPhases = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2), x.getLong(3)))
+    assert(r.map(_._2).sorted.toSeq == (1L to 8L).toSeq, s"difficulties: ${r.toSeq}")
+    val phaseOf = r.map(x => x._1 -> x._3).toMap
+    assert((1L to 8L).forall(i => phaseOf(i) == ((i - 1) / 2).toInt),
+      s"phases: $phaseOf")
+    // positions 0..7, and sorted-by-position phases are non-decreasing
+    val byPos = r.sortBy(_._4)
+    assert(byPos.map(_._4).toSeq == (0L to 7L).toSeq)
+    assert(byPos.map(_._3).toSeq == byPos.map(_._3).sorted.toSeq,
+      s"phase order violated: ${byPos.toSeq}")
+    // determinism: a second run reproduces the identical total order
+    val r2 = Sampling.curriculumOrder(docs, nPhases = 4).collect()
+      .map(x => (x.getLong(0), x.getLong(3))).toMap
+    assert(r.forall(x => r2(x._1) == x._4))
+  }
+
   test("quantileNormalize: per-group percentiles, top-decile keep flag, id tie-break") {
     import spark.implicits._
     import graft.operators.Profile
