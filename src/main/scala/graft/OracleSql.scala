@@ -3517,6 +3517,18 @@ object OracleSql {
         |  CAST(SUM(CASE WHEN token = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
         |FROM read_parquet('__STAGE__/wordpiece_encode/*.parquet')
         |GROUP BY doc_id""".stripMargin,
+    // Streaming coverage monitor: the batch fold verbatim minus the
+    // distinct-count columns a streaming aggregation cannot maintain.
+    "q_stream_tokenizer_coverage" ->
+      """SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN e.token = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |  round(CAST(SUM(CASE WHEN e.token = '[UNK]' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS unk_rate
+        |FROM read_parquet('__STAGE__/wordpiece_encode/*.parquet') e
+        |JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
     "q_bpe_fertility" -> fertilitySql("bpe_encode"),
     "q_spm_fertility" -> fertilitySql("spm_encode"),
     "q_wordpiece_fertility" -> fertilitySql("wordpiece_encode"),

@@ -2407,6 +2407,22 @@ object SparkEntry {
       graft.functions.Wordpiece.encode(docs, vocab), docs)
   }
 
+  /** STREAMING tokenizer-coverage monitor
+    * ([[graft.streaming.StreamingOps.coverageStream]]): the row-203 OOV
+    * report maintained under ingest against a frozen vocabulary —
+    * complete-mode groups-sized state, final snapshot ≡ the batch fold,
+    * oracle = the batch SQL minus the distinct-count columns. */
+  private def qStreamTokenizerCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val vocab = graft.functions.Wordpiece.train(docs, numMerges = 16)
+    val srcDir = stageStreamDir(dir, "documents")
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(srcDir.toString)
+    val agg = graft.streaming.StreamingOps.coverageStream(stream, docs, vocab)
+    runMemoryGate(s, agg, "graft_stream_cov", mode = "complete")
+  }
+
   /** Classifier CALIBRATION ([[graft.functions.Classifier.trainScore]]
     * output bucketed into score deciles): per decile, count, observed
     * positive rate, and decimal-exact mean predicted score — the
@@ -3349,6 +3365,7 @@ object SparkEntry {
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_wordpiece_fertility" -> (qWordpieceFertility _),
     "q_tokenizer_coverage" -> (qTokenizerCoverage _),
+    "q_stream_tokenizer_coverage" -> (qStreamTokenizerCoverage _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_bytes_train" -> (qBpeBytesTrain _),
     "q_bpe_bytes_encode" -> (qBpeBytesEncode _),

@@ -355,4 +355,29 @@ object StreamingOps {
       }
       .toDF("ver", "id", "weight")
   }
+
+  /** STREAMING tokenizer-coverage monitor: the row-203 OOV report
+    * maintained under ingest — per-group running token volume, `[UNK]`
+    * volume and rate against a SHIPPED vocabulary (production shape: the
+    * tokenizer is a frozen artifact; the monitor alarms when a source's
+    * script/domain drifts outside its alphabet). The encode runs on the
+    * stream (the per-task memoized segmenter), group metadata arrives by
+    * stream-static join, and the counts live in a complete-mode
+    * aggregation — groups-sized state, arrival-order-free, so the final
+    * snapshot ≡ the batch fold and the batch SQL is the oracle verbatim
+    * (minus the distinct-count columns streaming aggs cannot maintain).
+    *
+    * Output (per snapshot): (groupCol, n_tokens, n_unk, unk_rate). */
+  def coverageStream(stream: DataFrame, meta: DataFrame, vocab: Seq[String],
+                     groupCol: String = "source", idCol: String = "doc_id",
+                     unk: String = graft.functions.Wordpiece.Unk): DataFrame =
+    graft.functions.Wordpiece.encode(stream, vocab, idCol = idCol)
+      .join(F.broadcast(meta.select(F.col(idCol), F.col(groupCol))), Seq(idCol))
+      .groupBy(F.col(groupCol))
+      .agg(
+        F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.when(F.col("token") === unk, 1L).otherwise(0L)).as("n_unk"))
+      .select(F.col(groupCol), F.col("n_tokens"), F.col("n_unk"),
+        F.round(F.col("n_unk").cast("double") / F.col("n_tokens").cast("double"), 6)
+          .as("unk_rate"))
 }

@@ -15,6 +15,7 @@ case class STotal(k: Long, total: Long)
 /** Watermark-carrying event: the watermarked `ts` column must stay in the
   * Dataset for EventTimeTimeout (Spark checks it reaches the stateful op). */
 case class WmEvent(k: Long, v: Long, ts: java.sql.Timestamp)
+case class SDoc(doc_id: Long, text: String)
 
 /** Structured-Streaming execution: keyed state across micro-batches
   * (snapshot/ → checkpointLocation), resume after restart
@@ -1158,5 +1159,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       StateRescale.consumedFiles(dir.resolve("ckpt").toString)
     }
     assert(e.getMessage.contains("missing entries"), e.getMessage)
+  }
+
+  test("coverageStream: two-batch arrival converges to the batch coverage fold") {
+    import spark.implicits._
+    val meta = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val docs = Seq(SDoc(1L, "ab ab"), SDoc(2L, "zq"), SDoc(3L, "ab"))
+    // vocab segments 'ab' into one piece; 'zq' has no base chars -> [UNK]
+    val vocab = Seq("a", "b", "ab")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SDoc]
+    val agg = StreamingOps.coverageStream(input.toDF(), meta, vocab)
+    val q = agg.writeStream.format("memory").queryName("graft_cov_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable(); q.stop()
+    val q2 = agg.writeStream.format("memory").queryName("graft_cov_spec")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    input.addData(docs.drop(1): _*)
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("graft_cov_spec").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // source a: doc1 'ab ab' -> 2 tokens, doc2 'zq' -> 1 UNK; rate 1/3
+    assert(got("a") == ((3L, 1L, 0.333333)), s"got $got")
+    assert(got("b") == ((1L, 0L, 0.0)), s"got $got")
   }
 }
