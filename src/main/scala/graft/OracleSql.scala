@@ -3114,6 +3114,28 @@ object OracleSql {
     // JL shortlist + exact rerank: the unrounded projections drive the
     // coarse top-`rerank` (bit-replayed — the shortlist itself is part of
     // the contract), then the q_ann_brute cosine tail on the cut.
+    // Sign-bit binary ANN: Hamming = count of sign disagreements (the
+    // packed-word XOR-popcount, computed positionally), shortlist 400,
+    // exact-cosine top-5 — the q_ann_jl_rerank skeleton at 1 bit/dim.
+    "q_ann_hamming" -> {
+      s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |d AS (
+         |  SELECT query_id, neighbor_id, qe, ce,
+         |    list_sum(list_transform(list_zip(qe, ce),
+         |      s -> CASE WHEN (s[1] > 0) <> (s[2] > 0) THEN 1 ELSE 0 END)) AS ham
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, qe, ce,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ham ASC, neighbor_id ASC) AS hr
+         |  FROM d),
+         |p AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS cosine
+         |  FROM rr WHERE hr <= 400),
+         |r AS (SELECT query_id, neighbor_id, cosine,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM p)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rnk, neighbor_id, cosine FROM r WHERE rk <= 5""".stripMargin
+    },
+
     "q_ann_jl_rerank" -> {
       def comp(p: Int): String = {
         def nib(expr: String) = s"ascii(substr(md5('${p}_' || CAST($expr AS VARCHAR)), 1, 1))"

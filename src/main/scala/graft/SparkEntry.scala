@@ -3041,6 +3041,15 @@ object SparkEntry {
       jlK = 32)
   }
 
+  /** Sign-bit binary ANN ([[Ann.signHammingTopK]]): sign-Hamming coarse
+    * ranking (the packed-1-bit index tier — 32× smaller than float32)
+    * + exact cosine rerank; shortlist AND rerank oracle-replayed. */
+  private def qAnnHamming(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.signHammingTopK(emb, emb.filter(F.col("vec_id") < 20),
+      k = 5, rerank = 400)
+  }
+
   /** Scalar int8 embedding quantization ([[Ann.sq8Quantize]]): per-dim
     * corpus min/max stats + floor-based coding (engine-agnostic rounding)
     * with the per-vector reconstruction-error report. The 4x storage
@@ -3339,6 +3348,7 @@ object SparkEntry {
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_jl" -> (qAnnJl _),
     "q_ann_jl_rerank" -> (qAnnJlRerank _),
+    "q_ann_hamming" -> (qAnnHamming _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

@@ -324,6 +324,46 @@ object Ann {
         F.col("neighbor_id"), F.col("cosine"))
   }
 
+  /** Sign-bit binary ANN (the 1-bit quantization tier below SQ8/PQ —
+    * Charikar's SimHash bound makes sign-Hamming a cosine proxy): coarse
+    * ranking = the number of coordinates whose SIGNS disagree (exactly
+    * the Hamming distance between the vectors' packed sign words; a
+    * production index stores dim/64 longs — 32× smaller than float32 —
+    * and XOR-popcounts them, which this plan shape serves unchanged),
+    * then exact cosine only on the `rerank` cut. Same
+    * broadcast-queries scan + bounded rank windows as [[jlTopK]];
+    * deterministic, so shortlist AND rerank replay in the oracle. */
+  def signHammingTopK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String = "vec_id", embCol: String = "embedding",
+                      k: Int = 5, rerank: Int = 64,
+                      native: Boolean = true): DataFrame = {
+    require(rerank >= k, s"rerank must be >= k, got $rerank < $k")
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"))
+    val ham = F.aggregate(
+      F.zip_with(F.col("q_emb"), F.col("c_emb"),
+        (a, b) => F.when((a > 0) =!= (b > 0), 1L).otherwise(0L)),
+      F.lit(0L), (acc, v) => acc + v)
+    val wH = Window.partitionBy("query_id")
+      .orderBy(F.col("hamming").asc, F.col("neighbor_id").asc)
+    val cand = c.join(F.broadcast(q), F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.col("q_emb"), F.col("c_emb"), ham.as("hamming"))
+      .withColumn("_hr", F.row_number().over(wH))
+      .filter(F.col("_hr") <= rerank)
+    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cosine").desc, F.col("neighbor_id").asc)
+    cand
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
+          (nrm(F.col("q_emb")) * nrm(F.col("c_emb"))), 6).as("cosine"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col("query_id"), F.col("rank").cast("long").as("rnk"),
+        F.col("neighbor_id"), F.col("cosine"))
+  }
+
   /** Multi-table LSH ANN: `tables` independent `bits`-bit hyperplane
     * signatures per vector; a corpus row is a candidate for a query iff
     * their signatures match in ANY table. The bucket join carries ids only

@@ -54,6 +54,29 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       f"IVF recall@10 dropped to $recall%.3f — probe selection or cell assignment regressed")
   }
 
+  test("sign-Hamming shortlist + rerank recall@10 vs brute force stays above the gate") {
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val q = emb.filter(F.col("vec_id") < 20)
+    val truth = truthAt(10)
+    val bin = Ann.signHammingTopK(emb, q, k = 10, rerank = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val recall = recallOf(bin, truth, 10)
+    info(f"sign-Hamming recall@10 (rerank=400): $recall%.3f")
+    // 64 sign bits on near-random vectors: Charikar's bound puts the
+    // coarse ranking well above chance; a broken sign fold collapses
+    // toward rerank/N = 0.2.
+    assert(recall >= 0.7,
+      f"sign-Hamming recall@10 dropped to $recall%.3f — sign fold or shortlist regressed")
+    // reranked cosines are EXACT (same check as the JL gate)
+    val bruteCos = Ann.bruteTopK(emb, q, k = 10, native = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Ann.signHammingTopK(emb, q, k = 10, rerank = 400).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bruteCos.get(key).foreach(c => assert(c == r.getDouble(3),
+        s"rerank cosine diverged from exact at $key"))
+    }
+  }
+
   test("JL shortlist + rerank recall@10 vs brute force stays above the gate") {
     VectorFunctions.registerAll(spark)
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
