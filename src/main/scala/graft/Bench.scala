@@ -101,7 +101,12 @@ object Bench {
     // and q_ann_mmr (pool-bounded driver loop over bruteTopK) sit in the
     // sub-0.4 s fixed-cost class, correctness-gated only.
     "q_boilerplate", "q_outliers_mad", "q_lm_jm", "q_overlap_matrix",
-    "q_tokenizer_coverage")
+    "q_tokenizer_coverage",
+    // curriculum: two GlobalIndex passes over the corpus (the
+    // shuffleShard cost shape, twice). q_ann_hamming/q_ann_mmr sit in
+    // the jl_rerank/bounded-pool class, correctness-gated only;
+    // q_stream_tokenizer_coverage joins the streaming-gate class.
+    "q_curriculum")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

@@ -12,6 +12,10 @@ The DuckDB side is timed here, best-of-3 per query per sf, using the
 oracle SQL dumped by Verify (oracle_sql.json).
 
 Usage: trajectory.py <round> <sparkJsonDir> <oracleSqlJson>
+`oracleSqlJson` may contain the literal `{sf}`, substituted per scale —
+REQUIRED once oracles read Verify-staged parquet (`__STAGE__` paths are
+per-sf; folding one scale's SQL over another scale's stage rows would
+time the wrong data).
 Writes docs/scale_trajectory_r<round>.json.
 """
 import sys, json, time, glob, os
@@ -51,7 +55,9 @@ def q_covered(q, oracle):
 
 def main():
     rnd, spark_dir, oracle_path = sys.argv[1], sys.argv[2], sys.argv[3]
-    oracle = json.load(open(oracle_path))
+    def oracle_for(sf):
+        return json.load(open(oracle_path.replace("{sf}", sf)))
+    oracle = oracle_for(SFS[-1])
     doc = {"note": "Spark best-of-N cold-cache after JIT warmup (Bench.scala); "
                    "DuckDB best-of-3 on the same box. Same code and "
                    "methodology at every sf; per-shot load recorded in the "
@@ -74,7 +80,7 @@ def main():
                if q_covered(k, oracle)}
         doc["spark"][f"sf{sf}"]["total"] = round(sum(cov.values()), 3)
     for sf in SFS:
-        dt = duck_times(f"/root/testdata/sf{sf}", oracle, names)
+        dt = duck_times(f"/root/testdata/sf{sf}", oracle_for(sf), names)
         covered = [v for v in dt.values() if v is not None]
         doc["duckdb"][f"sf{sf}"] = {"total": round(sum(covered), 3), "queries": dt}
     for eng in ("spark", "duckdb"):
