@@ -9,10 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * trajectory (round 9; VERDICT r8 task #7; re-measured each round the
   * plans change — last in round 17 after rows 152–167 entered the
   * headline (the LM tier, DoReMi, soft dedup, SPM encode, D4,
-  * keep-first substring dedup) and the incremental probe went one-action;
+  * keep-first substring dedup) and the incremental probe went one-action,
+  * then in round 18 after the headline widened to 88 (boilerplate, MAD
+  * outliers, JM trigram, overlap matrix, tokenizer coverage, curriculum)
+  * and the staged-stream oracles landed (trajectory.py now reads a
+  * PER-SCALE oracle dump — __STAGE__ paths differ per sf);
   * regenerate with tools/trajectory.py). No sf1 dataset exists in this
   * container, so the scale claim is pinned on the two 10x steps that do:
-  * docs/scale_trajectory_r17.json holds the full headline suite measured
+  * docs/scale_trajectory_r18.json holds the full headline suite measured
   * at sf0.001, sf0.01 AND sf0.1 with the same code, box, and methodology
   * for both engines (Spark best-of-N cold-cache after JIT warmup; DuckDB
   * best-of-3). Two independent decades make the fit a trajectory, not a
@@ -31,7 +35,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r17.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r18.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
