@@ -2709,6 +2709,31 @@ object OracleSql {
     "q_dedup_minhash" ->
       (minhashCtes + "SELECT doc_a, doc_b FROM pairs"),
 
+    // TF-weighted Jaccard verify over the same candidate pairs: exact
+    // integer min-sums on intersection tokens, Σmax = totA + totB − Σmin,
+    // integer cross-multiplied threshold (5·Σmin >= Σmax for J_w >= 1/5).
+    "q_dedup_jaccard_weighted" ->
+      (minhashCtes +
+        """, tokw AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |tfw AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tokw GROUP BY 1, 2),
+          |totw AS (SELECT doc_id, SUM(tf) AS tot FROM tfw GROUP BY 1),
+          |iv AS (
+          |  SELECT p.doc_a, p.doc_b, SUM(LEAST(a.tf, b.tf)) AS sum_min
+          |  FROM pairs p
+          |  JOIN tfw a ON a.doc_id = p.doc_a
+          |  JOIN tfw b ON b.doc_id = p.doc_b AND b.tok = a.tok
+          |  GROUP BY 1, 2)
+          |SELECT iv.doc_a, iv.doc_b, CAST(iv.sum_min AS BIGINT) AS sum_min,
+          |  CAST(ta.tot AS BIGINT) AS tot_a, CAST(tb.tot AS BIGINT) AS tot_b,
+          |  round(CAST(iv.sum_min AS DOUBLE)
+          |        / CAST(ta.tot + tb.tot - iv.sum_min AS DOUBLE), 6) AS jw
+          |FROM iv
+          |JOIN totw ta ON ta.doc_id = iv.doc_a
+          |JOIN totw tb ON tb.doc_id = iv.doc_b
+          |WHERE iv.sum_min * 5 >= (ta.tot + tb.tot - iv.sum_min) * 1""".stripMargin),
+
     // b-bit minwise hashing: lowest 4 bits = the last hex char of the
     // band signature; agreement over the shared candidate pairs; the
     // estimate is the same two IEEE ops from exact longs.

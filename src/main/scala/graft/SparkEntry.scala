@@ -2557,6 +2557,13 @@ object SparkEntry {
     Dedup.minhashCandidates(T(s, dir, "documents"),
       knownDocCount = docCount(s, dir))
 
+  /** TF-weighted Jaccard verification ([[Dedup.weightedJaccard]]): the
+    * repetition-aware near-dup refinement over the row-32 candidates;
+    * exact integer fold, tie-proof integer-rational threshold. */
+  private def qDedupJaccardWeighted(s: SparkSession, dir: String): DataFrame =
+    Dedup.weightedJaccard(T(s, dir, "documents"),
+      minJwNum = 1L, minJwDen = 5L, knownDocCount = docCount(s, dir))
+
   /** b-bit minwise hashing ([[Dedup.bbitJaccardEstimates]], Li & König
     * 2010): per LSH candidate pair, bands agreeing on the lowest 4
     * signature bits and the chance-corrected Jaccard estimate — the 16×
@@ -3404,6 +3411,7 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_jaccard_weighted" -> (qDedupJaccardWeighted _),
     "q_dedup_minhash_oph" -> (qDedupMinhashOph _),
     "q_dedup_minhash_bbit" -> (qDedupMinhashBbit _),
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),

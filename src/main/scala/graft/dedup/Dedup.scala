@@ -1009,6 +1009,64 @@ object Dedup {
           s => s.getField("line"))).as("clean_text"))
   }
 
+  /** TF-WEIGHTED Jaccard verification over MinHash candidates: the
+    * multiplicity-aware refinement set semantics cannot express —
+    * `J_w(A,B) = Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B)`. A page
+    * that is one banner pasted 50 times has the IDENTICAL token set as
+    * the single banner (set Jaccard = 1.0, a false near-dup); weighted
+    * Jaccard scores it 1/50 and keeps true copies — similar tf
+    * profiles — near 1. Candidates come from the row-32 MinHash-LSH
+    * machinery (never all-pairs); the verify is exact integer
+    * arithmetic: with `Σmax = tot_A + tot_B − Σmin`, the fold needs only
+    * the INTERSECTION tokens, and the threshold compares as an integer
+    * cross-multiplication (`den·Σmin ≥ num·Σmax`) — no double ever
+    * decides membership, so the gate is tie-proof (the q_pmi lesson).
+    *
+    * Scale shape: one tf fold (TokenTfExpr, cached — both join sides
+    * read it), a doc-keyed totals table, and the candidate-bounded
+    * (pair, token) intersection join; every exchange carries ids,
+    * token strings of ONE doc's vocabulary, or counts.
+    *
+    * Output: (doc_a, doc_b, sum_min, tot_a, tot_b, jw round-6) for
+    * candidate pairs with J_w ≥ num/den. */
+  def weightedJaccard(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", shingleN: Int = 3,
+                      minJwNum: Long = 1L, minJwDen: Long = 5L,
+                      knownDocCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
+    require(minJwDen > 0 && minJwNum >= 0 && minJwNum <= minJwDen,
+      s"threshold must be a rational in [0, 1], got $minJwNum/$minJwDen")
+    val cand = minhashCandidates(docs, idCol, textCol, shingleN,
+      knownDocCount = knownDocCount)
+    val tfArr = ColumnBridge.column(
+      graft.functions.expressions.TokenTfExpr(
+        ColumnBridge.expression(F.col(textCol))))
+    val tf = materialize(graft.Spread.byKey(docs, idCol)
+      .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
+      .select(F.col(idCol), F.col("tt.tok").as("tok"),
+        F.col("tt.tf").cast("long").as("tf"))
+      .filter(F.col("tok").isNotNull))
+    val tot = tf.groupBy(F.col(idCol)).agg(F.sum(F.col("tf")).as("tot"))
+    val smin = cand
+      .join(tf.select(F.col(idCol).as("doc_a"), F.col("tok"),
+        F.col("tf").as("tf_a")), Seq("doc_a"))
+      .join(tf.select(F.col(idCol).as("doc_b"), F.col("tok"),
+        F.col("tf").as("tf_b")).hint("shuffle_hash"), Seq("doc_b", "tok"))
+      .groupBy(F.col("doc_a"), F.col("doc_b"))
+      .agg(F.sum(F.least(F.col("tf_a"), F.col("tf_b"))).as("sum_min"))
+    val smax = F.col("tot_a") + F.col("tot_b") - F.col("sum_min")
+    // totals joins stay shuffle-side: `tot` is corpus-sized (one row per
+    // doc), never broadcastable at scale — the pair side is the small one
+    smin
+      .join(tot.select(F.col(idCol).as("doc_a"), F.col("tot").as("tot_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(tot.select(F.col(idCol).as("doc_b"), F.col("tot").as("tot_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .filter(F.col("sum_min") * minJwDen >= smax * minJwNum)
+      .select(F.col("doc_a"), F.col("doc_b"), F.col("sum_min"),
+        F.col("tot_a"), F.col("tot_b"),
+        F.round(F.col("sum_min").cast("double") / smax.cast("double"), 6).as("jw"))
+  }
+
   /** CCNet-style BOILERPLATE line removal (Wenzek et al. 2020 §3 run the
     * same idea at paragraph level): a line is boilerplate when it occurs
     * in at least `minDocs` DISTINCT documents — cookie banners, JS

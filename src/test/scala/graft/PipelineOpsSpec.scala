@@ -1457,6 +1457,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r(1L).getDouble(3) == 100.5 && r(11L).getDouble(3) == 500.0)
   }
 
+  test("weightedJaccard: repetition mismatch penalized where set semantics say 1.0") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val banner = "please enable javascript in your browser now today"
+    val docs = Seq(
+      (1L, banner),                                  // the single banner
+      (2L, ((banner + " ") * 10).trim),              // 10x pasted: same SET
+      (3L, banner),                                  // a true exact copy
+      (4L, "completely different words about cats")  // unrelated
+    ).toDF("doc_id", "text")
+    val r = Dedup.weightedJaccard(docs, minJwNum = 0L, minJwDen = 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(5)).toMap
+    // true copy: identical tf profile -> exactly 1.0
+    assert(r((1L, 3L)) == 1.0, s"got $r")
+    // 10x-pasted vs single: min-sum = 8 tokens, max-sum = 80 -> 0.1
+    assert(r((1L, 2L)) == 0.1 && r((2L, 3L)) == 0.1, s"got $r")
+    // threshold is the integer rational: at >= 1/5 the pasted pair drops
+    val cut = Dedup.weightedJaccard(docs, minJwNum = 1L, minJwDen = 5L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(cut == Set((1L, 3L)), s"got $cut")
+  }
+
   test("curriculumOrder: equal bands easy-first, phases contiguous in the total order") {
     import spark.implicits._
     import graft.operators.Sampling
