@@ -106,7 +106,11 @@ object Bench {
     // shuffleShard cost shape, twice). q_ann_hamming/q_ann_mmr sit in
     // the jl_rerank/bounded-pool class, correctness-gated only;
     // q_stream_tokenizer_coverage joins the streaming-gate class.
-    "q_curriculum")
+    "q_curriculum",
+    // weighted-Jaccard verify: candidates (the q_dedup_minhash cost) +
+    // the pair-bounded intersection join — the most verify-heavy dedup
+    // wall in the suite, tracked so it cannot rot.
+    "q_dedup_jaccard_weighted")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

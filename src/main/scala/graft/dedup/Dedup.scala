@@ -1040,11 +1040,18 @@ object Dedup {
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    val tf = materialize(graft.Spread.byKey(docs, idCol)
+    // both join sides re-run the codegen'd tf fold rather than reading a
+    // checkpointed copy (the stripBoilerplate lesson: recompute beats
+    // writing the exploded corpus to disk)
+    // token strings leave the plan immediately: the intersection joins
+    // run on xxhash64(token) — fixed 8-byte keys on every exchange (the
+    // dupNgramFraction injectivity argument; the oracle joins raw
+    // tokens, equal absent a 64-bit collision in one doc's vocabulary)
+    val tf = graft.Spread.byKey(docs, idCol)
       .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
-      .select(F.col(idCol), F.col("tt.tok").as("tok"),
+      .filter(F.col("tt.tok").isNotNull)
+      .select(F.col(idCol), F.xxhash64(F.col("tt.tok")).as("tok"),
         F.col("tt.tf").cast("long").as("tf"))
-      .filter(F.col("tok").isNotNull))
     val tot = tf.groupBy(F.col(idCol)).agg(F.sum(F.col("tf")).as("tot"))
     val smin = cand
       .join(tf.select(F.col(idCol).as("doc_a"), F.col("tok"),
