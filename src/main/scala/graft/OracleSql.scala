@@ -998,6 +998,26 @@ object OracleSql {
          |JOIN per b ON b.source = u.group_b""".stripMargin
     },
 
+    // Key-skew diagnostics over the heavy-hitter key synthesis: exact
+    // per-key counts, deterministic top-10 cut, mean-relative skew and
+    // the ceil salt recommendation — same doubles, same op order.
+    "q_skew_report" ->
+      """WITH ks AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN CAST(user_id % 10 AS VARCHAR)
+        |              ELSE CAST(event_id AS VARCHAR) END AS key_value
+        |  FROM events),
+        |counts AS (SELECT key_value, COUNT(*) AS n_rows FROM ks GROUP BY 1),
+        |st AS (SELECT CAST(SUM(n_rows) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rows
+        |       FROM counts),
+        |top AS (
+        |  SELECT key_value, n_rows,
+        |    row_number() OVER (ORDER BY n_rows DESC, key_value) AS rnk
+        |  FROM counts)
+        |SELECT 'key' AS key_col, key_value, n_rows, CAST(rnk AS BIGINT) AS rnk,
+        |  round(CAST(n_rows AS DOUBLE) / mean_rows, 2) AS skew_factor,
+        |  greatest(1, CAST(ceil(CAST(n_rows AS DOUBLE) / (2.0 * mean_rows)) AS BIGINT)) AS salt_rec
+        |FROM top, st WHERE rnk <= 10""".stripMargin,
+
     // Sketch-pruned exact heavy hitters: the engine's Count-Min pass is
     // internal pruning with deterministically one-sided error, so the
     // final answer IS the plain HAVING answer — the oracle needs no

@@ -3118,6 +3118,18 @@ object SparkEntry {
   private def qProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profile.profile(T(s, dir, "documents"))
 
+  /** Key-skew diagnostics ([[graft.operators.Profile.skewReport]]) over
+    * the q_heavy_hitters hot/cold key synthesis: the hottest keys, skew
+    * factors, and the salt factor a pre-planned aggregation would
+    * need — what you read BEFORE the 1000-executor shuffle dies. */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.skewReport(
+      Tables.events(s, dir).select(
+        F.when(F.col("event_id") % 2 === 0,
+            (F.col("user_id") % 10).cast("string"))
+          .otherwise(F.col("event_id").cast("string")).as("key")),
+      keyCol = "key")
+
   private def qTokens(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .groupBy(F.col("source"))
@@ -3394,6 +3406,7 @@ object SparkEntry {
     "q_stream_ann_ingest" -> (qStreamAnnIngest _),
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_profile" -> (qProfile _),
+    "q_skew_report" -> (qSkewReport _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "q_stream_distinct_sketch" -> (qStreamDistinctSketch _),

@@ -1032,7 +1032,7 @@ object Dedup {
   def weightedJaccard(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", shingleN: Int = 3,
                       minJwNum: Long = 1L, minJwDen: Long = 5L,
-                      knownDocCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
+                      knownDocCount: Long = -1L): DataFrame = {
     require(minJwDen > 0 && minJwNum >= 0 && minJwNum <= minJwDen,
       s"threshold must be a rational in [0, 1], got $minJwNum/$minJwDen")
     val cand = minhashCandidates(docs, idCol, textCol, shingleN,

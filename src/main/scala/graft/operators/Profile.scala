@@ -213,6 +213,53 @@ object Profile {
         F.col("pct"), (F.col("pct") >= 1.0 - keepTop).as("keep"))
   }
 
+  /** Join/aggregation KEY-SKEW diagnostics: the report a 100 TB pipeline
+    * reads before picking a salt factor — per candidate key column, the
+    * row count of the hottest keys, the max/mean skew factor, and the
+    * salt that would bring the hottest key's per-partition share down to
+    * `targetShare` of the mean (ceil(max / (target·mean)); 1 = no salt
+    * needed). A 1000-executor shuffle dies on exactly the keys this
+    * surfaces; AQE's skew-join handles JOINS at runtime but aggregations
+    * and windows still need the salt chosen up front.
+    *
+    * Scale shape: one map-side-combinable count per key, a distributed
+    * TakeOrdered top-k cut of the keys table (per-partition top-k then a
+    * driver merge of topK·partitions rows — the key table can be
+    * corpus-cardinality, so NO global window touches it), and a rank
+    * window only over the ≤ topK survivors.
+    *
+    * Output: (key_col, key_value as string, n_rows, rnk 1..topK,
+    * skew_factor round-2 = n_rows/mean, salt_rec). */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10,
+                 targetShare: Double = 2.0): DataFrame = {
+    require(topK >= 1 && targetShare >= 1.0,
+      s"need topK >= 1 and targetShare >= 1, got ($topK, $targetShare)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(F.col(keyCol).cast("string").as("key_value"))
+      .agg(F.count(F.lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      (F.sum(F.col("n_rows")).cast("double") / F.count(F.lit(1)).cast("double"))
+        .as("mean_rows"))
+    val top = counts
+      .orderBy(F.col("n_rows").desc, F.col("key_value").asc)
+      .limit(topK)
+    val constKey = F.coalesce(F.pmod(F.col("n_rows"), F.lit(1L)), F.lit(0L))
+    top
+      .withColumn("rnk", F.row_number().over(
+        Window.partitionBy(constKey)
+          .orderBy(F.col("n_rows").desc, F.col("key_value").asc)))
+      .crossJoin(F.broadcast(stats))
+      .select(
+        F.lit(keyCol).as("key_col"), F.col("key_value"), F.col("n_rows"),
+        F.col("rnk").cast("long").as("rnk"),
+        F.round(F.col("n_rows").cast("double") / F.col("mean_rows"), 2)
+          .as("skew_factor"),
+        F.greatest(F.lit(1L),
+          F.ceil(F.col("n_rows").cast("double") /
+            (F.lit(targetShare) * F.col("mean_rows"))).cast("long"))
+          .as("salt_rec"))
+  }
+
   /** Source ranking by the Wilson score LOWER bound (Wilson 1927; the
     * "sort by confidence, not by proportion" rule): per group, the
     * fraction of rows passing `passCol` shrunk toward 0 by how little

@@ -293,6 +293,13 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // tg-keyed occurrence repartition + three keyed joins and the final
     // per-doc agg — corpus stream shuffles on tg once; the one-row
     // totals broadcast is the bounded-BNLJ class.
+    // skew diagnostics: the key-count agg + the TakeOrdered cut (no
+    // global window on the key table) + the bounded rank + one-row BNLJ
+    Audit("q_skew_report", maxExchange = 3, allowedBnlj = 1),
+    // weighted-Jaccard verify (terminal — no scope, no materialize): the
+    // minhash candidate subtree + the tf-fold sides of the intersection
+    // join + the per-pair agg and the two totals joins.
+    Audit("q_dedup_jaccard_weighted", maxExchange = 12, allowedBnlj = 1),
     // 17 = the q_lm_kn printed-subtree class: the bigram count subtree
     // prints under both ratio consumers (ReuseExchange collapses them at
     // execution — same as KN's four derived tables).

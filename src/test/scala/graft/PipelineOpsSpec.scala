@@ -1457,6 +1457,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r(1L).getDouble(3) == 100.5 && r(11L).getDouble(3) == 500.0)
   }
 
+  test("skewReport: planted hot key surfaces with the hand-computed salt factor") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // 90 rows of 'hot' + 10 singleton keys: mean = 100/11, hot skew
+    // = 90/(100/11) = 9.9, salt = ceil(90 / (2 * 100/11)) = ceil(4.95) = 5
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i")).toDF("k")
+    val r = Profile.skewReport(df, "k", topK = 3).collect()
+      .map(x => x.getLong(3) -> ((x.getString(1), x.getLong(2),
+        x.getDouble(4), x.getLong(5)))).toMap
+    assert(r(1L) == (("hot", 90L, 9.9, 5L)), s"got $r")
+    // cold keys: skew 0.11, salt 1 (no salting needed)
+    assert(r(2L)._2 == 1L && r(2L)._4 == 1L && r(2L)._3 == 0.11, s"got $r")
+    assert(r.size == 3)
+  }
+
   test("weightedJaccard: repetition mismatch penalized where set semantics say 1.0") {
     import spark.implicits._
     import graft.dedup.Dedup
