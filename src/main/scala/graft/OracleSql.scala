@@ -2181,6 +2181,41 @@ object OracleSql {
         |        / CAST(COUNT(*) AS DOUBLE), 6) AS kn_score
         |FROM scored GROUP BY 1""".stripMargin,
 
+    // Moore–Lewis cross-entropy difference: add-one unigram LM pair
+    // (in-domain = src0, general = all), per-token ln-diff, decimal sums.
+    "q_select_moore_lewis" ->
+      """WITH tin AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents WHERE source = 'src0'),
+        |uin AS (
+        |  SELECT t AS tok, COUNT(*) AS c_in
+        |  FROM (SELECT unnest(w) AS t FROM tin) GROUP BY 1),
+        |totin AS (SELECT COALESCE(SUM(c_in), 0) AS n_in, COUNT(*) AS v_in FROM uin),
+        |tgen AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |ugen AS (
+        |  SELECT t AS tok, COUNT(*) AS c_gen
+        |  FROM (SELECT unnest(w) AS t FROM tgen) GROUP BY 1),
+        |totgen AS (SELECT COALESCE(SUM(c_gen), 0) AS n_gen, COUNT(*) AS v_gen FROM ugen),
+        |occ AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |sc AS (
+        |  SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(SUM(CAST(
+        |      ln((CAST(COALESCE(i.c_in, 0) AS DOUBLE) + 1.0)
+        |         / (CAST(ti.n_in AS DOUBLE) + CAST(ti.v_in AS DOUBLE) + 1.0))
+        |      - ln((CAST(COALESCE(g.c_gen, 0) AS DOUBLE) + 1.0)
+        |         / (CAST(tg.n_gen AS DOUBLE) + CAST(tg.v_gen AS DOUBLE) + 1.0))
+        |      AS DECIMAL(38,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ml_score
+        |  FROM occ
+        |  LEFT JOIN uin i ON occ.tok = i.tok
+        |  LEFT JOIN ugen g ON occ.tok = g.tok
+        |  CROSS JOIN totin ti CROSS JOIN totgen tg
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, ml_score, (ml_score > 0.0) AS selected FROM sc""".stripMargin,
+
     // Jelinek–Mercer interpolated trigram LM: fixed 0.5/0.3/0.2 weights
     // over trigram/bigram ML ratios + the add-one unigram floor, the
     // same op order as the engine ((l3·f3 + l2·f2) + l1·p1).

@@ -2089,6 +2089,16 @@ object SparkEntry {
       docs.filter(F.col("doc_id") % 7 === 0))
   }
 
+  /** Moore–Lewis cross-entropy difference selection
+    * ([[graft.functions.Dsir.mooreLewis]]): per-token in-domain-minus-
+    * general log-likelihood; keep what the in-domain LM explains better.
+    * In-domain exemplar = source src0; general = the whole corpus. */
+  private def qSelectMooreLewis(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.Dsir.mooreLewis(
+      docs.filter(F.col("source") === "src0"), docs, docs)
+  }
+
   /** Jelinek–Mercer interpolated TRIGRAM scoring
     * ([[graft.functions.BigramLm.scoreJelinekMercer]]) — fixed-weight
     * linear interpolation of trigram/bigram ML estimates with an add-one
@@ -3374,6 +3384,7 @@ object SparkEntry {
     "q_mix_doremi" -> (qMixDoremi _),
     "q_lm_kn" -> (qLmKn _),
     "q_lm_jm" -> (qLmJm _),
+    "q_select_moore_lewis" -> (qSelectMooreLewis _),
     "q_entropy" -> (qEntropy _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),

@@ -185,4 +185,62 @@ object Dsir {
       .orderBy(F.col("gumbel_key").desc, F.col(idCol))
       .limit(k)
   }
+
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis, ACL
+    * 2010 — the intelligent-selection baseline DSIR generalizes): score
+    * each candidate by its per-token log-likelihood under an IN-DOMAIN
+    * LM minus the same under a GENERAL LM, and keep documents the
+    * in-domain model explains better (score > 0). Both LMs are the
+    * row-152 add-one unigram convention — u(w) = (c(w)+1)/(N+V+1), so an
+    * OOV token scores finite under either model and every probability is
+    * rational from integer count tables (one ln per side per position,
+    * the established LM-tier discipline).
+    *
+    * Scale shape: two map-side-combinable count passes to
+    * vocabulary-sized tables + their one-row totals; the candidate token
+    * stream pays two keyed joins (in/general counts on the token) and
+    * two one-row broadcasts; per-doc mean of (ln u_in − ln u_gen) via
+    * order-free DECIMAL(38,18) sums, round 6.
+    *
+    * Output: (idCol, n_tokens, ml_score, selected = ml_score > 0) for
+    * candidates with ≥ 1 token. */
+  def mooreLewis(inDomain: DataFrame, general: DataFrame, docs: DataFrame,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    import graft.functions.expressions.ShingleExpr
+    def toks(df: DataFrame) = ColumnBridge.column(
+      ShingleExpr(ColumnBridge.expression(df(textCol)), 1))
+    def uniTable(train: DataFrame, cntCol: String) =
+      graft.Spread(train)
+        .select(F.explode(toks(train)).as("tok"))
+        .groupBy(F.col("tok")).agg(F.count(F.lit(1)).as(cntCol))
+    val uniIn = uniTable(inDomain, "c_in")
+    val uniGen = uniTable(general, "c_gen")
+    val totIn = uniIn.agg(
+      F.coalesce(F.sum(F.col("c_in")), F.lit(0L)).as("n_in"),
+      F.count(F.lit(1)).as("v_in"))
+    val totGen = uniGen.agg(
+      F.coalesce(F.sum(F.col("c_gen")), F.lit(0L)).as("n_gen"),
+      F.count(F.lit(1)).as("v_gen"))
+    val occ = graft.Spread(docs)
+      .select(docs(idCol), F.explode(toks(docs)).as("tok"))
+      .repartition(F.col("tok"))
+    def u(c: String, n: String, v: String) =
+      (F.coalesce(F.col(c), F.lit(0L)).cast("double") + F.lit(1.0)) /
+        (F.col(n).cast("double") + F.col(v).cast("double") + F.lit(1.0))
+    occ
+      .join(uniIn.hint("shuffle_hash"), Seq("tok"), "left")
+      .join(uniGen.hint("shuffle_hash"), Seq("tok"), "left")
+      .crossJoin(F.broadcast(totIn))
+      .crossJoin(F.broadcast(totGen))
+      .select(F.col(idCol),
+        (F.log(u("c_in", "n_in", "v_in")) - F.log(u("c_gen", "n_gen", "v_gen")))
+          .cast("decimal(38,18)").as("term"))
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_tokens"), F.sum(F.col("term")).as("ll"))
+      .select(F.col(idCol), F.col("n_tokens"),
+        F.round(F.col("ll").cast("double") / F.col("n_tokens").cast("double"), 6)
+          .as("ml_score"))
+      .withColumn("selected", F.col("ml_score") > 0.0)
+  }
 }

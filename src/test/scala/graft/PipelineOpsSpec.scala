@@ -806,6 +806,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
       s"got ${out(100L)._2}, expected $expected")
   }
 
+  test("Dsir.mooreLewis: hand-computed in-domain/general ln-diff and selection") {
+    import spark.implicits._
+    import graft.functions.Dsir
+    val inDom = Seq((1L, "cat cat")).toDF("doc_id", "text")
+    val gen = Seq((1L, "cat cat"), (2L, "cat dog")).toDF("doc_id", "text")
+    // u_in(cat) = 3/4, u_in(dog) = 1/4 (N=2, V=1);
+    // u_gen(cat) = 4/7, u_gen(dog) = 2/7 (N=4, V=2)
+    val cands = Seq((10L, "cat"), (11L, "dog")).toDF("doc_id", "text")
+    val r = Dsir.mooreLewis(inDom, gen, cands).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getBoolean(3)))).toMap
+    val cat = math.log(0.75) - math.log(4.0 / 7.0)   // ln(21/16) > 0
+    val dog = math.log(0.25) - math.log(2.0 / 7.0)   // ln(7/8)  < 0
+    assert(math.abs(r(10L)._1 - cat) < 1e-6 && r(10L)._2, s"got $r")
+    assert(math.abs(r(11L)._1 - dog) < 1e-6 && !r(11L)._2, s"got $r")
+  }
+
   test("BigramLm.scoreJelinekMercer: hand-computed seen/partial/OOV interpolation") {
     import spark.implicits._
     import graft.functions.BigramLm
