@@ -110,7 +110,10 @@ object Bench {
     // weighted-Jaccard verify: candidates (the q_dedup_minhash cost) +
     // the pair-bounded intersection join — the most verify-heavy dedup
     // wall in the suite, tracked so it cannot rot.
-    "q_dedup_jaccard_weighted")
+    "q_dedup_jaccard_weighted",
+    // Moore-Lewis: two unigram count passes + the double-scored token
+    // stream (the q_lm_score cost shape against two models).
+    "q_select_moore_lewis")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

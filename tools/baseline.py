@@ -47,7 +47,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_wordpiece_encode", "q_bpe_bytes_encode", "q_ann_whiten",
             "q_compression_ratio", "q_zipf_fit", "q_bm25", "q_hybrid_search",
             "q_boilerplate", "q_outliers_mad", "q_lm_jm", "q_overlap_matrix",
-            "q_tokenizer_coverage", "q_curriculum", "q_dedup_jaccard_weighted"]
+            "q_tokenizer_coverage", "q_curriculum", "q_dedup_jaccard_weighted",
+            "q_select_moore_lewis"]
 
 
 def main():
