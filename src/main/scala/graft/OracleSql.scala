@@ -3117,6 +3117,50 @@ object OracleSql {
     // K-means corpus clustering: the shared Lloyd CTEs end in `cells`
     // (every vector → nearest final centroid) — exactly the operator's
     // output. Cluster ids are INTs on both sides.
+    // Embedding OOD screen: the kmeans assignment + squared centroid
+    // distance (e2 - sc), then the q_outliers_mad rank-then-middle
+    // median machinery per cell; display z projected out (the
+    // decimal-tie discipline), exact x/med/mad + unrounded-compare flag.
+    "q_outliers_embedding" ->
+      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)},
+         |asn AS (
+         |  SELECT vec_id, cid AS cluster_id, sc FROM (
+         |    SELECT vec_id, cid, sc,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+         |    FROM scores) WHERE rn = 1),
+         |selfd AS (
+         |  SELECT vec_id,
+         |    list_sum(list_transform(list_zip(embedding, embedding),
+         |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS e2
+         |  FROM embeddings),
+         |base AS (
+         |  SELECT a.vec_id, CAST(a.cluster_id AS INTEGER) AS cluster_id,
+         |    s.e2 - a.sc AS x
+         |  FROM asn a JOIN selfd s USING (vec_id)),
+         |r1 AS (
+         |  SELECT cluster_id, x,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY x) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n
+         |  FROM base),
+         |med AS (
+         |  SELECT cluster_id, SUM(x) / COUNT(*) AS med FROM r1
+         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1),
+         |wm AS (
+         |  SELECT b.vec_id, b.cluster_id, b.x, m.med, abs(b.x - m.med) AS ad
+         |  FROM base b JOIN med m USING (cluster_id)),
+         |r2 AS (
+         |  SELECT cluster_id, ad,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY ad) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n
+         |  FROM wm),
+         |mad AS (
+         |  SELECT cluster_id, SUM(ad) / COUNT(*) AS mad FROM r2
+         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1)
+         |SELECT wm.vec_id, wm.cluster_id, wm.x, wm.med, d.mad,
+         |  (abs(CASE WHEN d.mad = 0.0 THEN 0.0
+         |            ELSE 0.6745 * (wm.x - wm.med) / d.mad END) > 3.5) AS is_outlier
+         |FROM wm JOIN mad d USING (cluster_id)""".stripMargin,
+
     "q_cluster_kmeans" ->
       s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64)}
          |SELECT vec_id, CAST(cell AS INTEGER) AS cluster_id FROM cells""".stripMargin,

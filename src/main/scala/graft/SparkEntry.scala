@@ -3058,6 +3058,13 @@ object SparkEntry {
       jlK = 32)
   }
 
+  /** Embedding-space OOD screen ([[Ann.embeddingOutliers]]):
+    * cluster-relative median/MAD outliers on squared centroid distance —
+    * the q_outliers_mad gate discipline (exact components hashed, the
+    * round-6 display z projected out). */
+  private def qOutliersEmbedding(s: SparkSession, dir: String): DataFrame =
+    Ann.embeddingOutliers(T(s, dir, "embeddings")).drop("robust_z")
+
   /** Sign-bit binary ANN ([[Ann.signHammingTopK]]): sign-Hamming coarse
     * ranking (the packed-1-bit index tier — 32× smaller than float32)
     * + exact cosine rerank; shortlist AND rerank oracle-replayed. */
@@ -3378,6 +3385,7 @@ object SparkEntry {
     "q_ann_jl" -> (qAnnJl _),
     "q_ann_jl_rerank" -> (qAnnJlRerank _),
     "q_ann_hamming" -> (qAnnHamming _),
+    "q_outliers_embedding" -> (qOutliersEmbedding _),
     "q_dup_paragraphs" -> (qDupParagraphs _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_bigram" -> (qLmBigram _),

@@ -572,6 +572,39 @@ object Ann {
         nearestCentroid(centroids, F.col(embCol), native).as("cluster_id"): _*)
   }
 
+  /** Embedding-space OOD screen: cluster-relative robust outliers —
+    * assign each vector to its k-means cell, take the squared distance
+    * to the assigned centroid (`‖e‖² − sc`, with `sc = 2·dot − ‖c‖²`
+    * the assignment affinity itself), and flag vectors whose distance
+    * is a median/MAD outlier WITHIN their own cell
+    * ([[graft.operators.Profile.robustOutliers]] — per-cell medians, so
+    * a tight cluster's anomaly is not excused by a loose cluster's
+    * spread). The embedding-corpus screen for mislabeled/corrupted/
+    * off-distribution vectors a global distance threshold misses.
+    *
+    * Scale shape: centroid training is the bounded driver sample; the
+    * assignment+distance is ONE broadcast-centroid scan; the outlier
+    * fold is robustOutliers' two cells-keyed rank reductions.
+    *
+    * Output: robustOutliers' shape over (idCol, cluster_id, d2). */
+  def embeddingOutliers(corpus: DataFrame, idCol: String = "vec_id",
+                        embCol: String = "embedding", clusters: Int = 16,
+                        sampleN: Int = 512, iters: Int = 2,
+                        native: Boolean = true,
+                        cutoff: Double = 3.5): DataFrame = {
+    val centroids: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, idCol, embCol, clusters, sampleN, iters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val sc = centroidScores(centroids, F.col(embCol), native)
+    val assigned = graft.Spread(corpus).select(
+      F.col(idCol),
+      (F.array_position(sc, F.array_max(sc)) - 1L).cast("int").as("cluster_id"),
+      (dotX(F.col(embCol), F.col(embCol), native) - F.array_max(sc)).as("d2"))
+    graft.operators.Profile.robustOutliers(
+      assigned, groupCol = "cluster_id", valueCol = "d2",
+      idCol = idCol, cutoff = cutoff)
+  }
+
   /** Prototypicality-based data PRUNING (Sorscher et al. 2022, "Beyond
     * neural scaling laws" — the SSL-prototypes metric): cluster the
     * embedding corpus with the deterministic Lloyd trainer, score every

@@ -592,6 +592,26 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("embeddingOutliers: planted off-distribution vector flagged within its own cell") {
+    import spark.implicits._
+    // two well-separated cells seeded by ids 0/1; ids 2..11 sit tightly
+    // around (1,0,0) with a small varying spread (so the cell's MAD is
+    // nonzero), ids 20..29 around (0,1,0). id 99 is still NEAREST the
+    // first centroid but far off-distribution — the planted OOD vector.
+    val rows =
+      Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+        (2L, Array(0.98f, 0.01f, 0f)), (3L, Array(0.02f, 0.97f, 0f))) ++
+      (4L to 11L).map(i => (i, Array(1f, 0.01f * (i - 3), 0f))) ++
+      (20L to 29L).map(i => (i, Array(0.01f * ((i - 20) % 3 + 1), 1f, 0f))) :+
+      ((99L, Array(0.62f, 0.38f, 0.4f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.ann.Ann.embeddingOutliers(emb, clusters = 2, sampleN = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out(99L), "planted OOD vector not flagged")
+    assert((4L to 11L).forall(i => !out(i)), s"tight-cluster member flagged: $out")
+    assert((20L to 29L).forall(i => !out(i)), s"other cell polluted: $out")
+  }
+
   test("mmrSelect: duplicate penalized, diverse-but-equal-relevance candidate wins slot 2") {
     import spark.implicits._
     // Query (1,0,0). Three candidates with IDENTICAL relevance 0.9:
