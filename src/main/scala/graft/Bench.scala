@@ -113,7 +113,10 @@ object Bench {
     "q_dedup_jaccard_weighted",
     // Moore-Lewis: two unigram count passes + the double-scored token
     // stream (the q_lm_score cost shape against two models).
-    "q_select_moore_lewis")
+    "q_select_moore_lewis",
+    // planner→executor skew composition (r19): the skew diagnosis pass
+    // + the per-key-salted two-stage aggregate it recommends.
+    "q_agg_salted_auto")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses
@@ -201,6 +204,42 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case scala.util.control.NonFatal(_) => -1.0 }
 
+    /** Instantaneous runnable-thread count (/proc/loadavg field 4).
+      * The PRE-shot contention witness: unlike load_1m, it does not
+      * carry a decaying average of our own previous shot's 32-thread
+      * burst, so "runnable > gate while we idle" means FOREIGN load
+      * right now. -1 when /proc is unavailable. */
+    def runnableNow(): Int =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(3).split("/")(0).toInt
+      catch { case scala.util.control.NonFatal(_) => -1 }
+
+    // Load gate (r18 VERDICT #4): BENCH_r18's six phantom "regressions"
+    // were shots taken at load_1m 5.4 with 15-20 s of scheduler wait on
+    // 1-2 s-CPU queries — the artifact needed manual forensics to trust.
+    // Two gates make contention self-healing instead of self-evident:
+    //  - PRE-shot: while foreign runnables crowd the box, defer in 5 s
+    //    steps (bounded — the suite never stalls on a permanently busy
+    //    host). Stamped per shot as deferred_ms.
+    //  - POST-shot: a shot whose task-side wait exceeds 5× its CPU time
+    //    (and 1 s absolute — sub-second fixed-cost queries have
+    //    legitimate scheduler-delay floors) was preempted, not slow:
+    //    reject it (stamped in bench_stages.jsonl), re-shoot, cap 3
+    //    rejects per query. Rejected shots never enter the diag arrays
+    //    or the best-of-N minimum.
+    val runnableGate = sys.env.getOrElse("SPARK_GRAFT_RUNNABLE_GATE", "6").toInt
+    val maxDeferMs = 30000L
+    def deferWhileLoaded(): Long = {
+      var waited = 0L
+      var r = runnableNow()
+      while (r > runnableGate && waited < maxDeferMs) {
+        Thread.sleep(5000); waited += 5000; r = runnableNow()
+      }
+      waited
+    }
+    def contendedShot(waitMs: Long, cpuMs: Long): Boolean =
+      waitMs > 1000 && waitMs > 5 * cpuMs
+
     // Host-capacity witness (r16): this box is a VM whose EFFECTIVE
     // parallel capacity varies with host contention that neither guest
     // loadavg nor /proc steal shows (measured: identical code benched
@@ -265,6 +304,7 @@ object Bench {
     jitQuiesce(maxWaitMs = 240000)
 
     val diags = scala.collection.mutable.LinkedHashMap[String, Seq[Shot]]()
+    val rejections = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       // Re-warm THIS query immediately before its timed shots (VERDICT
@@ -314,6 +354,7 @@ object Bench {
         // region: a full GC here is ~100-300 ms untimed, where letting it
         // land mid-shot shows up as driver_gc_ms noise on this query.
         System.gc()
+        val deferredMs = deferWhileLoaded()
         val load0 = loadavg1()
         val gc0 = graft.tools.StageMetricsListener.jvmGcMs()
         val (blocks0, bytes0) = graft.tools.StageMetricsListener.storedRddBytes(spark.sparkContext)
@@ -331,7 +372,7 @@ object Bench {
         val waitMs = (runMs - cpuMs).max(0L)
         stagesOut.println(
           s"""{"query":"$name","shot":$shot,"sec":${f"$s%.3f"},"rows":$n,""" +
-            s""""load_1m":${f"$load0%.2f"},"wait_ms":$waitMs,""" +
+            s""""load_1m":${f"$load0%.2f"},"wait_ms":$waitMs,"deferred_ms":$deferredMs,""" +
             s""""driver_gc_ms":$gcDelta,"heap_mb":${graft.tools.StageMetricsListener.heapUsedMb()},""" +
             s""""code_cache_mb":${graft.tools.StageMetricsListener.codeCacheUsedMb()},""" +
             s""""jit_ms":${graft.tools.StageMetricsListener.jitCompileMs()},""" +
@@ -342,14 +383,33 @@ object Bench {
         System.err.println(f"[bench] $name%-20s $s%8.2fs  ($n rows, load $load0%.1f)")
         Shot(s, load0, waitMs, cpuMs, gcDelta)
       }
-      val base = (0 until runs).map(oneShot)
+      // Post-shot wait gate: preempted shots are rejected + re-shot (see
+      // the gate block above). The rejection is stamped to
+      // bench_stages.jsonl so the retry is auditable; the rejected Shot
+      // itself never reaches the diag arrays or the minimum.
+      var nRejected = 0
+      def gatedShot(shot: Int): Shot = {
+        var s = oneShot(shot)
+        while (contendedShot(s.waitMs, s.cpuMs) && nRejected < 3) {
+          nRejected += 1
+          stagesOut.println(
+            s"""{"query":"$name","shot":$shot,"rejected":true,""" +
+              s""""wait_ms":${s.waitMs},"cpu_ms":${s.cpuMs},"sec":${f"${s.sec}%.3f"}}""")
+          stagesOut.flush()
+          System.err.println(f"[bench] $name%-20s shot $shot contended " +
+            f"(wait ${s.waitMs} ms vs cpu ${s.cpuMs} ms) — re-shooting ($nRejected/3)")
+          s = oneShot(shot)
+        }
+        s
+      }
+      val base = (0 until runs).map(gatedShot)
       val shots = scala.collection.mutable.ArrayBuffer(base: _*)
       // Disagreeing shots mean at least one was contended; take up to two
       // extra so the minimum has a fair chance of landing on a quiet one
       // (every shot is recorded in bench_stages.jsonl either way).
       while (shots.length < math.max(4, runs) &&
              shots.map(_.sec).max / shots.map(_.sec).min > varianceBound)
-        shots += oneShot(shots.length)
+        shots += gatedShot(shots.length)
       // Sub-second queries are FIXED-COST-dominated and their shot-to-shot
       // jitter (GC pause, a stray compile, scheduler hiccup) is the same
       // order as the floor itself — two agreeing-but-inflated shots pass
@@ -361,7 +421,8 @@ object Bench {
       // forced extra shots reuse the first shot's JIT output and would
       // silently replace the cold time the flags were set to capture.
       while (warmupOn && shots.length < 4 && shots.map(_.sec).min < 1.0)
-        shots += oneShot(shots.length)
+        shots += gatedShot(shots.length)
+      rejections(name) = nRejected
       diags(name) = shots.toSeq
       name -> shots.map(_.sec).min
     }
@@ -378,6 +439,7 @@ object Bench {
           s""""load_1m":${shots.map(s => f"${s.load}%.2f").mkString("[", ",", "]")},""" +
           s""""wait_ms":${shots.map(_.waitMs).mkString("[", ",", "]")},""" +
           s""""cpu_ms":${shots.map(_.cpuMs).mkString("[", ",", "]")},""" +
+          s""""n_rejected":${rejections.getOrElse(k, 0)},""" +
           s""""best_load_1m":${f"${best.load}%.2f"},"best_wait_over_cpu":${
             if (best.cpuMs > 0) f"${best.waitMs.toDouble / best.cpuMs}%.2f" else "0.0"}}"""
       }

@@ -1018,6 +1018,17 @@ object OracleSql {
         |  greatest(1, CAST(ceil(CAST(n_rows AS DOUBLE) / (2.0 * mean_rows)) AS BIGINT)) AS salt_rec
         |FROM top, st WHERE rnk <= 10""".stripMargin,
 
+    // Planner→executor skew composition: the engine salts the keys the
+    // skew report flagged; the result equals the plain unsalted
+    // aggregate by associativity — which is what grades it.
+    "q_agg_salted_auto" ->
+      s"""WITH ks AS (
+         |  SELECT CASE WHEN event_id % 2 = 0 THEN CAST(user_id % 10 AS VARCHAR)
+         |              ELSE CAST(event_id AS VARCHAR) END AS key, value
+         |  FROM events)
+         |SELECT key, COUNT(*) AS n, $dec4sum AS total, MAX(value) AS max_value
+         |FROM ks GROUP BY key""".stripMargin,
+
     // Sketch-pruned exact heavy hitters: the engine's Count-Min pass is
     // internal pruning with deterministically one-sided error, so the
     // final answer IS the plain HAVING answer — the oracle needs no
@@ -3019,12 +3030,12 @@ object OracleSql {
            |  JOIN s${i - 1} s ON ps.ib = s.id
            |  WHERE c.id NOT IN (SELECT id FROM s${i - 1})
            |  GROUP BY c.id, c.rel
-           |  ORDER BY 0.7 * c.rel - 0.3 * MAX(ps.sim) DESC, c.id LIMIT 1),
+           |  ORDER BY 0.7 * c.rel - (1.0 - 0.7) * MAX(ps.sim) DESC, c.id LIMIT 1),
            |s$i AS MATERIALIZED (SELECT id FROM s${i - 1} UNION ALL SELECT id FROM p$i)""".stripMargin
       }.mkString(",\n")
       val out = (1 to k).map(i =>
         s"SELECT CAST($i AS BIGINT) AS rnk, id AS vec_id, rel AS relevance, " +
-          s"round(0.7 * rel - 0.3 * ms, 6) AS mmr_score FROM p$i")
+          s"round(0.7 * rel - (1.0 - 0.7) * ms, 6) AS mmr_score FROM p$i")
         .mkString("\nUNION ALL\n")
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |pool AS MATERIALIZED (
@@ -3726,7 +3737,60 @@ object OracleSql {
     // mask strips every sign-extended bit (mask < 2^(64-s) for all 8
     // bands at width 8).
     "q_multimodal_phash" -> bandedHammingSql("image_dhash", "dhash", 4),
-    "q_multimodal_afp" -> bandedHammingSql("audio_afp", "afp", 4))
+    "q_multimodal_afp" -> bandedHammingSql("audio_afp", "afp", 4),
+
+    // ---- r19 staged conversions (r18 VERDICT #3): the engine-internal
+    // kernel stages its output; the SQL-expressible tail replays here.
+
+    // Dolma gzip-ratio filter: deflate byte counts are JDK zlib
+    // (staged); the ratio + keep bracket is plain arithmetic.
+    "q_compression_ratio" ->
+      """SELECT doc_id, n_bytes, n_deflate,
+        |  round(CAST(n_bytes AS DOUBLE)
+        |        / GREATEST(CAST(n_deflate AS DOUBLE), 1.0), 6) AS compression_ratio,
+        |  (round(CAST(n_bytes AS DOUBLE)
+        |        / GREATEST(CAST(n_deflate AS DOUBLE), 1.0), 6) >= 1.2
+        |   AND round(CAST(n_bytes AS DOUBLE)
+        |        / GREATEST(CAST(n_deflate AS DOUBLE), 1.0), 6) <= 6.0) AS keep
+        |FROM read_parquet('__STAGE__/deflate_bytes/*.parquet')""".stripMargin,
+
+    // Mojibake repair: the cp1252 corruption synthesis and the repair
+    // both stay engine-side (DuckDB has no cp1252 codec); what replays
+    // is the equality ACCOUNTING — which rows were corrupted, which
+    // restored — over the staged (orig, corrupted, repaired) strings.
+    "q_fix_mojibake" ->
+      """SELECT doc_id, depth,
+        |  (corrupted <> orig) AS was_mojibake,
+        |  (repaired = orig) AS repaired_ok
+        |FROM read_parquet('__STAGE__/mojibake_repair/*.parquet')""".stripMargin,
+
+    // Real-codec decode: PNG bytes stay engine-side; the luma-bucket
+    // retention aggregation replays over the staged decode stream.
+    "q_multimodal_decode" ->
+      """SELECT CAST(FLOOR(feature / 32.0) AS BIGINT) AS luma_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_imgs,
+        |  CAST(SUM(CASE WHEN feature >= 16.0 AND feature <= 240.0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  round(CAST(SUM(CAST(feature AS DECIMAL(38,18))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        |FROM read_parquet('__STAGE__/png_decode/*.parquet')
+        |GROUP BY 1""".stripMargin,
+
+    // PCA whitening: the 64×64 eigensolve stays engine-side; the
+    // per-dim mean/variance fold over the staged projected vectors —
+    // the zero-mean / identity-covariance evidence — replays with the
+    // same DECIMAL(38,18)-exact distributed-sum arithmetic the engine
+    // uses (the q_dsir_weights precedent).
+    "q_ann_whiten" ->
+      """SELECT dim,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS mean_white,
+        |  round(CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS var_white
+        |FROM read_parquet('__STAGE__/whiten_proj/*.parquet')
+        |GROUP BY dim""".stripMargin)
 
   /** [[graft.dedup.Dedup.hashBandCandidates]] (8 bands × 8 bits over a
     * 64-bit hash) as DuckDB bit arithmetic over a staged (doc_id, hash)

@@ -1793,11 +1793,18 @@ object SparkEntry {
     * content) while leaving the clean third untouched. Rows-only (DuckDB
     * has no cp1252 codec); the repair∘corrupt identity and the
     * no-false-positive rule are additionally spec-pinned. */
-  private def qFixMojibake(s: SparkSession, dir: String): DataFrame = {
+  /** The mojibake gate's planted corpus — shared with the
+    * `mojibake_repair` oracle stage so the staged (orig, corrupted,
+    * repaired) strings and the gate's internal ones are the same
+    * deterministic rows. cp1252 corruption synthesis stays engine-only
+    * (DuckDB has no cp1252 codec); the equality ACCOUNTING — which rows
+    * were corrupted, which were restored — replays as SQL string
+    * equality over the staged text. */
+  private[graft] def mojibakeCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = T(s, dir, "documents")
       .select(F.col("doc_id").cast("long"), F.col("text")).as[(Long, String)]
-    val planted = docs.map { case (id, t) =>
+    docs.map { case (id, t) =>
       val orig = (if (t == null) "" else t) + " café — naïve œuvre"
       val depth = (id % 3).toInt
       var c = orig
@@ -1811,12 +1818,14 @@ object SparkEntry {
       }
       (id, depth, orig, c)
     }.toDF("doc_id", "depth", "orig", "corrupted")
-    planted.select(
+  }
+
+  private def qFixMojibake(s: SparkSession, dir: String): DataFrame =
+    mojibakeCorpus(s, dir).select(
       F.col("doc_id"), F.col("depth"),
       (F.col("corrupted") =!= F.col("orig")).as("was_mojibake"),
       (graft.functions.TextFunctions.repairMojibake(F.col("corrupted")) ===
         F.col("orig")).as("repaired_ok"))
-  }
 
   private def qNormalizeUnicode(s: SparkSession, dir: String): DataFrame = {
     val dirty = F.concat(F.col("text"),
@@ -2788,22 +2797,36 @@ object SparkEntry {
     * only the projection scan; r17 benched the full-corpus fit, the
     * slowest line in the suite, for a model the sample pins), project,
     * and report per-dim mean/variance of the whitened cloud — all ~0/1
-    * by construction, the self-evidencing output. Rows-only by design (a
-    * 64×64 eigendecomposition has no SQL oracle); WhiteningSpec pins the
-    * covariance-identity property and bit-exact refit on BOTH the full
-    * and sampled fits. */
-  private def qAnnWhiten(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
-    val model = graft.ann.Whitening.fitSampled(emb, sampleN = 4096)
-    graft.ann.Whitening.transform(emb, model)
-      .select(F.posexplode(F.col("white")).as(Seq("dim", "y")))
+    * by construction, the self-evidencing output. The eigendecomposition
+    * itself stays engine-only (a 64×64 eigensolve has no SQL oracle;
+    * WhiteningSpec pins the covariance-identity property and bit-exact
+    * refit on BOTH the full and sampled fits), but the PROJECTED vectors
+    * are staged scalar-exploded (`whiten_proj`) and the whole mean/var
+    * fold replays hash-exact in DuckDB (r18 staged-stream convention;
+    * r18 VERDICT #3). */
+  private def qAnnWhiten(s: SparkSession, dir: String): DataFrame =
+    whitenProjStream(s, dir)
       .groupBy("dim")
       .agg(
         F.count(F.lit(1)).as("n"),
-        F.round(F.sum(F.col("y").cast("decimal(38,18)")).cast("double") /
-          F.count(F.lit(1)).cast("double"), 6).as("mean_white"),
-        F.round(F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)")).cast("double") /
-          F.count(F.lit(1)).cast("double"), 6).as("var_white"))
+        // + 0.0 folds IEEE -0.0 to 0.0: a mean that rounds to zero keeps
+        // its sign bit per-engine (Spark rounded one dim to 0.0 where
+        // DuckDB kept -0.0) — the sum is the same, only the zero's sign
+        // differs, so normalize it out of the comparison on BOTH sides
+        (F.round(F.sum(F.col("y").cast("decimal(38,18)")).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6) + F.lit(0.0)).as("mean_white"),
+        (F.round(F.sum((F.col("y") * F.col("y")).cast("decimal(38,18)")).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6) + F.lit(0.0)).as("var_white"))
+
+  /** The whitening projection stream — shared with the `whiten_proj`
+    * oracle stage so the staged (vec_id, dim, y) rows and the gate's
+    * internal ones are the same deterministic projection (fitSampled is
+    * md5-sampled, fully deterministic). */
+  private[graft] def whitenProjStream(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val model = graft.ann.Whitening.fitSampled(emb, sampleN = 4096)
+    graft.ann.Whitening.transform(emb, model)
+      .select(F.col("vec_id"), F.posexplode(F.col("white")).as(Seq("dim", "y")))
   }
 
   /** Contrastive pair mining ([[Ann.minePairs]]): positives at cosine ≥
@@ -3140,12 +3163,26 @@ object SparkEntry {
     * factors, and the salt factor a pre-planned aggregation would
     * need — what you read BEFORE the 1000-executor shuffle dies. */
   private def qSkewReport(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Profile.skewReport(
-      Tables.events(s, dir).select(
-        F.when(F.col("event_id") % 2 === 0,
-            (F.col("user_id") % 10).cast("string"))
-          .otherwise(F.col("event_id").cast("string")).as("key")),
-      keyCol = "key")
+    graft.operators.Profile.skewReport(skewCorpus(s, dir), keyCol = "key")
+
+  /** The planted hot/cold key synthesis shared by the skew diagnostics
+    * gate and the planner-consumer gate below: half the rows collapse
+    * onto 10 hot keys, half stay unique-keyed (the cold tail). */
+  private def skewCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      F.when(F.col("event_id") % 2 === 0,
+          (F.col("user_id") % 10).cast("string"))
+        .otherwise(F.col("event_id").cast("string")).as("key"),
+      F.col("value"))
+
+  /** Planner→executor skew composition ([[graft.operators.Sampling
+    * .saltedAggAuto]], r18 VERDICT #6): [[qSkewReport]]'s salt
+    * recommendation is READ and APPLIED — the flagged hot keys
+    * aggregate through the recommended per-key salt fan-out, the cold
+    * tail unsalted. Oracle = the plain unsalted aggregate (equal by
+    * associativity; DECIMAL sum so the merge is order-free). */
+  private def qAggSaltedAuto(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.saltedAggAuto(skewCorpus(s, dir), "key", "value")
 
   private def qTokens(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
@@ -3177,13 +3214,31 @@ object SparkEntry {
       .toDF()
       .select(F.col("doc_id"), F.col("n_bytes"), F.col("width"), F.col("height"), F.col("feature"))
 
-  /** REAL-codec gate (rows-only, like q_fingerprint_winnow): encode an
-    * actual PNG per document, decode it with the actual JDK codec
-    * ([[graft.multimodal.ImageIoDecoder]]), with a real bilinear resize in
-    * the decode path. No SQL oracle can replicate PNG bytes — semantics
-    * are spec-proven (SourcesSinksSpec round-trip) — but the driver
-    * harness now executes the real decoder, not just ScalaTest. */
+  /** REAL-codec gate: encode an actual PNG per document, decode it with
+    * the actual JDK codec ([[graft.multimodal.ImageIoDecoder]]), with a
+    * real bilinear resize in the decode path — then a luma-bucket
+    * retention report over the decoded features. PNG bytes are not
+    * SQL-replicable, so the DECODE stays engine-only (spec-proven,
+    * SourcesSinksSpec round-trip) — but the decoded (id, bytes, dims,
+    * luma) stream is staged (`png_decode`) and the entire retention +
+    * aggregation tail replays hash-exact in DuckDB (r18 staged-stream
+    * convention; r18 VERDICT #3). */
   private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame =
+    pngDecodeStream(s, dir)
+      .withColumn("luma_bucket", F.floor(F.col("feature") / 32.0).cast("long"))
+      .groupBy(F.col("luma_bucket"))
+      .agg(
+        F.count(F.lit(1)).as("n_imgs"),
+        F.sum(F.when(F.col("feature") >= 16.0 && F.col("feature") <= 240.0, 1L)
+          .otherwise(0L)).as("n_kept"),
+        F.sum(F.col("n_bytes")).as("total_bytes"),
+        F.round(F.sum(F.col("feature").cast("decimal(38,18)")).cast("double") /
+          F.count(F.lit(1)).cast("double"), 6).as("mean_luma"))
+
+  /** The real-codec decode stream — shared with the `png_decode` oracle
+    * stage so the staged rows and the gate's internal ones are the same
+    * deterministic decode output. */
+  private[graft] def pngDecodeStream(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.attachPngMedia(T(s, dir, "documents")),
         decoderFactory = () => new graft.multimodal.ImageIoDecoder(resizeTo = Some((4, 4))))
@@ -3426,6 +3481,7 @@ object SparkEntry {
     "q_stream_dedup_incremental" -> (qStreamDedupIncremental _),
     "q_profile" -> (qProfile _),
     "q_skew_report" -> (qSkewReport _),
+    "q_agg_salted_auto" -> (qAggSaltedAuto _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_heavy_hitters" -> (qStreamHeavyHitters _),
     "q_stream_distinct_sketch" -> (qStreamDistinctSketch _),
@@ -3528,6 +3584,21 @@ object SparkEntry {
       "image_dhash" -> ((s, dir) =>
         Multimodal.dHash(phashCorpus(s, dir))),
       "audio_afp" -> ((s, dir) =>
-        Multimodal.audioFingerprint(afpCorpus(s, dir))))
+        Multimodal.audioFingerprint(afpCorpus(s, dir))),
+      // r19 conversions (r18 VERDICT #3): the four remaining
+      // engine-internal kernels stage their outputs so the SQL-
+      // expressible tails grade hash-exact. Deflate byte counts are JDK
+      // zlib (no SQL), cp1252 corruption synthesis has no DuckDB codec,
+      // PNG decode is the real ImageIO codec, and the whitening model is
+      // a 64×64 eigensolve — but the ratio/bracket, equality accounting,
+      // retention aggregation, and mean/var folds are all SQL.
+      "deflate_bytes" -> ((s, dir) =>
+        graft.functions.TextFunctions.compressionRatio(T(s, dir, "documents"))
+          .select(F.col("doc_id"), F.col("n_bytes"), F.col("n_deflate"))),
+      "mojibake_repair" -> ((s, dir) =>
+        mojibakeCorpus(s, dir).withColumn("repaired",
+          graft.functions.TextFunctions.repairMojibake(F.col("corrupted")))),
+      "png_decode" -> ((s, dir) => pngDecodeStream(s, dir)),
+      "whiten_proj" -> ((s, dir) => whitenProjStream(s, dir)))
   }
 }

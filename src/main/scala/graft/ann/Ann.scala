@@ -102,7 +102,12 @@ object Ann {
     *
     * Determinism: rel and sims are the round-6 cosine rank scores with
     * id tie-breaks; `λ·rel − (1−λ)·ms` is two IEEE ops on those shared
-    * doubles, so selection AND scores replay exactly in SQL.
+    * doubles, so selection AND scores replay exactly in SQL — PROVIDED
+    * the oracle derives the diversity weight from the SAME literal
+    * (`(1.0 - 0.7)`, which constant-folds to this engine's
+    * 0.30000000000000004), not a hand-typed `0.3` one ulp away
+    * (round-18 ADVICE: a near-tie could flip the greedy argmax
+    * between engines otherwise).
     *
     * Output: (rnk 1..k, idCol, relevance, mmr_score round-6) in
     * selection order; the first pick scores against ms = 0. */
@@ -111,7 +116,11 @@ object Ann {
                 poolSize: Int = 64, k: Int = 8, lambda: Double = 0.7,
                 native: Boolean = false): DataFrame = graft.CacheScope.scoped {
     require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
-    require(poolSize <= 4096, s"poolSize $poolSize exceeds the driver-state cap (4096)")
+    // poolSize² sims reach the driver: 1024² = 1M doubles = 8 MB in the
+    // flat array below. The earlier 4096 cap allowed 16.7M TUPLE-KEYED
+    // boxed map entries — multi-GB of driver heap, far outside the
+    // bounded-by-contract class (round-18 ADVICE).
+    require(poolSize <= 1024, s"poolSize $poolSize exceeds the driver-state cap (1024)")
     require(lambda > 0.0 && lambda < 1.0, s"lambda in (0, 1), got $lambda")
     val spark = corpus.sparkSession
     val query = corpus.filter(F.col(idCol) === queryId)
@@ -122,16 +131,26 @@ object Ann {
       corpus(idCol) === F.col("id")).drop("id")
     val sims = pairs(poolVecs, poolVecs, idCol, embCol, native)
     val relArr = rel.collect().map(r => r.getLong(0) -> r.getDouble(1))
-    val simMap = sims.collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sims in a FLAT primitive array indexed by pool-local position
+    // (idxA * n + idxB): no boxing, no tuple keys — 8 bytes per entry,
+    // and the build is the O(poolSize²) scan the collect already paid
+    val n = relArr.length
+    val poolIdx = new java.util.HashMap[Long, Integer](n * 2)
+    relArr.iterator.zipWithIndex.foreach { case ((id, _), i) => poolIdx.put(id, i) }
+    val simArr = new Array[Double](n * n)
+    sims.collect().foreach { r =>
+      val ia = poolIdx.get(r.getLong(0)); val ib = poolIdx.get(r.getLong(1))
+      if (ia != null && ib != null) simArr(ia * n + ib) = r.getDouble(2)
+    }
     // greedy loop: first pick = argmax rel (ties: smaller id); then
     // argmax λ·rel − (1−λ)·max-sim-to-selected over the remainder
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
     val remaining = scala.collection.mutable.LinkedHashMap(relArr.toSeq: _*)
     while (selected.size < k && remaining.nonEmpty) {
       val scored = remaining.iterator.map { case (id, r) =>
+        val ci = poolIdx.get(id).intValue()
         val ms = if (selected.isEmpty) 0.0
-          else selected.iterator.map(s => simMap((s._1, id))).max
+          else selected.iterator.map(s => simArr(poolIdx.get(s._1).intValue() * n + ci)).max
         (id, r, ms, lambda * r - (1.0 - lambda) * ms)
       }.toSeq
       val best = scored.minBy { case (id, _, _, m) => (-m, id) }

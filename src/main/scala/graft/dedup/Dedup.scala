@@ -1022,17 +1022,30 @@ object Dedup {
     * cross-multiplication (`den·Σmin ≥ num·Σmax`) — no double ever
     * decides membership, so the gate is tie-proof (the q_pmi lesson).
     *
-    * Scale shape: one tf fold (TokenTfExpr, cached — both join sides
-    * read it), a doc-keyed totals table, and the candidate-bounded
-    * (pair, token) intersection join; every exchange carries ids,
-    * token strings of ONE doc's vocabulary, or counts.
+    * Scale shape: ONE tf fold into PER-DOC sorted (tok, tf) vectors —
+    * the fixed-width (id, tfs, tot) frame is materialized via
+    * [[graft.CacheScope]] and both pair-join sides read the cached
+    * blocks. The intersection fold is then
+    * [[graft.functions.expressions.SortedPairMinSumExpr]]: one in-row
+    * two-pointer merge per candidate pair, inside whole-stage codegen.
+    * This replaces the exploded shape (pairs ⋈ (doc, tok, tf) twice +
+    * a pair groupBy + two totals joins — r18's only data-bound >2×
+    * headline query): five exchanges and two aggregations collapse to
+    * two plain doc-id joins whose build side is the cached vector
+    * table. Per-row state is bounded by document length — the same
+    * bound the text column itself carries — so the vectors survive
+    * 100 TB exactly as far as the corpus does.
     *
     * Output: (doc_a, doc_b, sum_min, tot_a, tot_b, jw round-6) for
-    * candidate pairs with J_w ≥ num/den. */
+    * candidate pairs with J_w ≥ num/den. With `minJwNum = 0` the
+    * contract includes candidates whose token INTERSECTION is empty:
+    * the vector merge yields sum_min = 0, jw = 0 for them naturally
+    * (round-18 ADVICE contract fix — the old exploded inner join
+    * silently dropped them). */
   def weightedJaccard(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", shingleN: Int = 3,
                       minJwNum: Long = 1L, minJwDen: Long = 5L,
-                      knownDocCount: Long = -1L): DataFrame = {
+                      knownDocCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
     require(minJwDen > 0 && minJwNum >= 0 && minJwNum <= minJwDen,
       s"threshold must be a rational in [0, 1], got $minJwNum/$minJwDen")
     val cand = minhashCandidates(docs, idCol, textCol, shingleN,
@@ -1040,34 +1053,32 @@ object Dedup {
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    // both join sides re-run the codegen'd tf fold rather than reading a
-    // checkpointed copy (the stripBoilerplate lesson: recompute beats
-    // writing the exploded corpus to disk)
-    // token strings leave the plan immediately: the intersection joins
-    // run on xxhash64(token) — fixed 8-byte keys on every exchange (the
-    // dupNgramFraction injectivity argument; the oracle joins raw
-    // tokens, equal absent a 64-bit collision in one doc's vocabulary)
-    val tf = graft.Spread.byKey(docs, idCol)
+    // token strings leave the plan immediately: the vectors carry
+    // xxhash64(token) — fixed 8-byte keys (the dupNgramFraction
+    // injectivity argument; the oracle joins raw tokens, equal absent a
+    // 64-bit collision in one doc's vocabulary)
+    val docTf = materialize(docs
       .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
       .filter(F.col("tt.tok").isNotNull)
       .select(F.col(idCol), F.xxhash64(F.col("tt.tok")).as("tok"),
         F.col("tt.tf").cast("long").as("tf"))
-    val tot = tf.groupBy(F.col(idCol)).agg(F.sum(F.col("tf")).as("tot"))
-    val smin = cand
-      .join(tf.select(F.col(idCol).as("doc_a"), F.col("tok"),
-        F.col("tf").as("tf_a")), Seq("doc_a"))
-      .join(tf.select(F.col(idCol).as("doc_b"), F.col("tok"),
-        F.col("tf").as("tf_b")).hint("shuffle_hash"), Seq("doc_b", "tok"))
-      .groupBy(F.col("doc_a"), F.col("doc_b"))
-      .agg(F.sum(F.least(F.col("tf_a"), F.col("tf_b"))).as("sum_min"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.array_sort(F.collect_list(F.struct(F.col("tok"), F.col("tf")))).as("tfs"),
+        F.sum(F.col("tf")).as("tot")))
+    // vector joins stay shuffle-side: docTf is corpus-sized (one row
+    // per doc), never broadcastable at scale — the pair side streams
+    val joined = cand
+      .join(docTf.select(F.col(idCol).as("doc_a"), F.col("tfs").as("tfs_a"),
+        F.col("tot").as("tot_a")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(docTf.select(F.col(idCol).as("doc_b"), F.col("tfs").as("tfs_b"),
+        F.col("tot").as("tot_b")).hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("sum_min", ColumnBridge.column(
+        graft.functions.expressions.SortedPairMinSumExpr(
+          ColumnBridge.expression(F.col("tfs_a")),
+          ColumnBridge.expression(F.col("tfs_b")))))
     val smax = F.col("tot_a") + F.col("tot_b") - F.col("sum_min")
-    // totals joins stay shuffle-side: `tot` is corpus-sized (one row per
-    // doc), never broadcastable at scale — the pair side is the small one
-    smin
-      .join(tot.select(F.col(idCol).as("doc_a"), F.col("tot").as("tot_a"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(tot.select(F.col(idCol).as("doc_b"), F.col("tot").as("tot_b"))
-        .hint("shuffle_hash"), Seq("doc_b"))
+    joined
       .filter(F.col("sum_min") * minJwDen >= smax * minJwNum)
       .select(F.col("doc_a"), F.col("doc_b"), F.col("sum_min"),
         F.col("tot_a"), F.col("tot_b"),

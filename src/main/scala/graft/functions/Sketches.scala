@@ -294,10 +294,15 @@ object Sketches {
     * then ≤ partitions × k candidate rows per group reduce to the global
     * bottom-k through one group-keyed rank.
     *
-    * Output: (groupCol, h) — ≤ k rows per group. */
+    * Output: (groupCol, h) — ≤ k rows per group. groupCol keeps the
+    * INPUT column's type: the fold keys on a string rendering
+    * internally, but the output casts back so downstream equality
+    * joins against the original typed column need no implicit cast
+    * (round-18 ADVICE). */
   def kmvSketchPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                         k: Int = 256, maxGroups: Int = 10000): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    val groupType = df.schema(groupCol).dataType
     import org.apache.spark.sql.expressions.Window
     val hashed = df
       .filter(F.col(valueCol).isNotNull && F.col(groupCol).isNotNull)
@@ -322,7 +327,7 @@ object Sketches {
       .withColumn("_rn", F.row_number().over(
         Window.partitionBy(F.col("g")).orderBy(F.col("h").asc)))
       .filter(F.col("_rn") <= k)
-      .select(F.col("g").as(groupCol), F.col("h"))
+      .select(F.col("g").cast(groupType).as(groupCol), F.col("h"))
   }
 
   /** Pairwise corpus-overlap MATRIX via per-group KMV sketches: every

@@ -36,8 +36,14 @@ object RankFusion {
                 rankCol: String = "rnk", k: Int = 20,
                 kRrf: Int = 60): DataFrame = {
     val id = F.col(idCol)
-    val l = lex.select(id, F.col(rankCol).cast("long").as("lex_rank"))
-    val d = dense.select(id, F.col(rankCol).cast("long").as("dense_rank"))
+    // Both inputs are k-bounded rank LISTS (≤ a retriever's top-k, never
+    // corpus-sized) by contract: collapse each to one partition, which
+    // satisfies every required distribution, so the full-outer fusion
+    // join and the final cut plan with ZERO exchanges (r18 VERDICT #5 —
+    // the 17-stage hybrid plan spent its wall on exchange barriers
+    // between sub-second stages).
+    val l = lex.select(id, F.col(rankCol).cast("long").as("lex_rank")).coalesce(1)
+    val d = dense.select(id, F.col(rankCol).cast("long").as("dense_rank")).coalesce(1)
     val fused = l.join(d, Seq(idCol), "full_outer")
       .withColumn("rrf_score", F.round(
         F.coalesce(F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col("lex_rank").cast("double")), F.lit(0.0)) +

@@ -464,4 +464,65 @@ object Sampling {
       .select(F.col(idCol), F.col("difficulty"), F.col("phase"),
         F.col("curriculum_pos"))
   }
+
+  /** PLANNER-DRIVEN salted aggregation — closes the skew loop
+    * (r18 VERDICT #6): [[graft.operators.Profile.skewReport]] diagnoses
+    * the hot keys and recommends a per-key salt fan-out; this operator
+    * CONSUMES that recommendation, salting exactly the keys the planner
+    * flagged (everything else aggregates unsalted — no fan-out tax on
+    * the cold long tail, which a fixed global bucket count pays on
+    * every key).
+    *
+    * Composition: the report's top-K rows are bounded driver state
+    * (require-capped); the per-key bucket count becomes a literal CASE
+    * chain in the salt expression. The salt itself is the
+    * [[graft.api.GraftStream.aggSalted]] SPARK-23207 rule — a
+    * deterministic hash of row content, never
+    * monotonically_increasing_id, so a shuffle-retry recompute re-salts
+    * rows into the SAME (key, salt) group.
+    *
+    * Result equals the unsalted `groupBy(key).agg(count, sum, max)` by
+    * associativity — which is exactly what the oracle runs; the sum
+    * folds in DECIMAL(18,4) so the two-stage merge is order-free.
+    *
+    * Output: (keyCol, n, total double, max_value). */
+  def saltedAggAuto(df: DataFrame, keyCol: String, valueCol: String,
+                    topK: Int = 10, targetShare: Double = 2.0): DataFrame = {
+    require(topK <= 1000, s"topK $topK exceeds the driver-state cap (1000)")
+    val rec = graft.operators.Profile
+      .skewReport(df.select(F.col(keyCol)), keyCol, topK, targetShare)
+      .filter(F.col("salt_rec") > 1L)
+      .select(F.col("key_value"), F.col("salt_rec"))
+      .collect()
+    // Hot keys get their recommended fan-out; the long tail stays
+    // unsalted (bucket count 1 → salt 0 → single group per key).
+    val buckets = rec.foldLeft(F.lit(1L)) { case (acc, r) =>
+      F.when(F.col(keyCol).cast("string") <=> r.getString(0),
+        F.lit(r.getLong(1))).otherwise(acc)
+    }
+    def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case st: org.apache.spark.sql.types.StructType =>
+        st.fields.exists(f => hasMapType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+      case _ => false
+    }
+    val hashable = df.schema.fields
+      .filterNot(f => hasMapType(f.dataType))
+      .map(f => F.col(f.name)).toSeq
+    val salt = (if (hashable.isEmpty) F.lit(0L)
+                else F.pmod(F.xxhash64(hashable: _*), buckets)).as("__salt")
+    val partial = df
+      .groupBy(F.col(keyCol), salt)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col(valueCol).cast("decimal(18,4)")).as("total"),
+        F.max(F.col(valueCol)).as("max_value"))
+    partial
+      .groupBy(F.col(keyCol))
+      .agg(
+        F.sum(F.col("n")).as("n"),
+        F.sum(F.col("total")).cast("double").as("total"),
+        F.max(F.col("max_value")).as("max_value"))
+  }
 }

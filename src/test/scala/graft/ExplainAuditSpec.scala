@@ -168,7 +168,9 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // (PipelineOpsSpec additionally pins the no-join property by name)
     Audit("q_contamination_bloom", maxExchange = 1),
     // real-codec decode gate: pure mapPartitions over the scan
-    Audit("q_multimodal_decode", maxExchange = 0),
+    // r19: the gate grew the luma-bucket retention fold (one exchange —
+    // the bucket aggregation; decode itself stays exchange-free).
+    Audit("q_multimodal_decode", maxExchange = 1),
     // r14 one-action lm score: Spread + the shared tok exchange + the
     // single-partition total agg + the per-doc agg; the one-row total
     // rides a broadcast BNLJ (the TfIdf/Sampling scalar shape). The

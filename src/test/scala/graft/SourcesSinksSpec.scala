@@ -334,9 +334,13 @@ class SourcesSinksSpec extends AnyFunSuite with SparkFixture {
     assert(feats.forall(f => gen(f.doc_id) == ((f.width, f.height))),
       "decoded dimensions diverge from the encoded image")
     assert(feats.forall(f => f.feature >= 0.0 && f.feature <= 1.0))
-    // The registered gate query (rows-only at the driver) resizes to 4x4.
-    val q = SparkEntry.queries("q_multimodal_decode")(spark, sf001).collect()
+    // The registered gate's shared decode STREAM (staged for the r19
+    // oracle) resizes to 4x4 and keeps every row; the gate itself is the
+    // luma-bucket retention fold over it (oracle-replayed in DuckDB).
+    val q = SparkEntry.pngDecodeStream(spark, sf001).collect()
     assert(q.length == n && q.forall(r => r.getInt(2) == 4 && r.getInt(3) == 4))
+    val g = SparkEntry.queries("q_multimodal_decode")(spark, sf001).collect()
+    assert(g.map(_.getLong(1)).sum == n, "retention fold must cover every decoded image")
   }
 
   test("WavDecoder really decodes a generated WAV (rate, channels, RMS, duration, drops non-audio)") {
