@@ -102,10 +102,11 @@ object CacheScope {
     * twice, defeating the cache at exactly the scale it targets (results
     * stay correct; block puts are atomic). Callers whose aggregated side
     * is not provably broadcast-sized should use [[materialize]] — one
-    * extra pass is strictly cheaper than a racing double fold. The sole
-    * current caller (UnigramLm.score) qualifies unconditionally: its
-    * first consumer is a driver-BLOCKING `first()` action, which
-    * completes before any other consumer is even planned. */
+    * extra pass is strictly cheaper than a racing double fold. Current
+    * callers qualify unconditionally: UnigramLm.score's first consumer
+    * is a driver-BLOCKING `first()` action, and TfIdf.bm25's is a
+    * broadcast build whose aggregated output is ≤ |queryTerms| rows by
+    * construction — neither can cross the regime boundary. */
   private[graft] def materializeLazy(df: DataFrame): DataFrame = {
     record("materialize_lazy", df)
     val p = df.persist()

@@ -158,8 +158,15 @@ object TfIdf {
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
     // Matching-doc term rows (≤ docs × |terms|) feed TWO consumers (df
-    // table + score join) — materialize so the tokenize scan runs once.
-    val tf = graft.CacheScope.materialize(graft.Spread.byKey(docs, idCol)
+    // table + score join) — cached so the tokenize scan runs once.
+    // LAZY (no eager count job — r18 VERDICT #5 stage-count cut): the
+    // first consumer is the dfTab BROADCAST build below, a driver-
+    // blocking broadcast-exchange job that completes before the probe
+    // side is even scheduled, so it alone populates the cache; and the
+    // materializeLazy regime boundary (aggregated side outgrowing the
+    // broadcast threshold) cannot trigger — dfTab is ≤ |queryTerms|
+    // rows by construction, a handful forever.
+    val tf = graft.CacheScope.materializeLazy(graft.Spread.byKey(docs, idCol)
       .select(F.col(idCol),
         graft.functions.TextFunctions.tokenCount(F.col(textCol)).as("dl"),
         F.explode_outer(tfArr).as("tt"))

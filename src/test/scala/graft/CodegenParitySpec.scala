@@ -37,7 +37,8 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_fix_mojibake", // MojibakeRepairExpr (r17; zero-alloc clean path)
     "q_dedup_minhash_oph", // OphSigsExpr (r17; densified-bin null path)
     "q_phrase_blocklist", // PhraseHitsExpr (r17; addReferenceObj automaton)
-    "q_script_profile" // ScriptStatsExpr (r17; struct-valued census)
+    "q_script_profile", // ScriptStatsExpr (r17; struct-valued census)
+    "q_dedup_jaccard_weighted" // SortedPairMinSumExpr (r19; struct-array merge)
   )
 
   private def rows(df: DataFrame): Seq[String] =

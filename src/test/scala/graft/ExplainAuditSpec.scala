@@ -298,10 +298,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // skew diagnostics: the key-count agg + the TakeOrdered cut (no
     // global window on the key table) + the bounded rank + one-row BNLJ
     Audit("q_skew_report", maxExchange = 3, allowedBnlj = 1),
-    // weighted-Jaccard verify (terminal — no scope, no materialize): the
-    // minhash candidate subtree + the tf-fold sides of the intersection
-    // join + the per-pair agg and the two totals joins.
-    Audit("q_dedup_jaccard_weighted", maxExchange = 12, allowedBnlj = 1),
+    // r19 planner→executor composition: the RETURNED plan is the
+    // two-stage salted aggregate — (key, salt) partial exchange + the
+    // key merge exchange; the skew diagnosis runs at plan-build time
+    // (bounded topK collect, not part of this frame).
+    Audit("q_agg_salted_auto", maxExchange = 2),
     // 17 = the q_lm_kn printed-subtree class: the bigram count subtree
     // prints under both ratio consumers (ReuseExchange collapses them at
     // execution — same as KN's four derived tables).
@@ -382,6 +383,15 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
 
   private val internalAudits = Seq(
     InternalAudit("q_ngram_jaccard", maxExchangeTotal = 5),
+    // r19 weighted-Jaccard verify (scoped since the vector rework): the
+    // minhash candidate frames + the docTf vector materialize (one
+    // skinny groupBy exchange) + the pair frame's two doc-id joins; the
+    // cached docTf build re-prints under both join sides (the
+    // q_mix_weights print-total caveat) — the EXECUTED plan pays its
+    // exchange once. No exploded pair×token exchange, no pair groupBy,
+    // no totals joins (the r18 5-exchange tail is gone).
+    InternalAudit("q_dedup_jaccard_weighted", maxExchangeTotal = 8,
+      allowedBnljPerFrame = 1),
     InternalAudit("q_dedup_components", maxExchangeTotal = 5),
     // cache-free since round 9: ONE scoped frame, no materialize
     InternalAudit("q_dup_ngrams", maxExchangeTotal = 3, minFrames = 1),

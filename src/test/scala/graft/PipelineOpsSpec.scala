@@ -1488,6 +1488,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.size == 3)
   }
 
+  test("saltedAggAuto: consumes skewReport's recommendation, equals the unsalted aggregate") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 90 rows on one hot key (skewReport recommends salt 5 — the
+    // skewReport spec above pins that), 10 cold singleton keys.
+    val df = ((1 to 90).map(i => ("hot", i.toDouble)) ++
+      (1 to 10).map(i => (s"cold$i", i.toDouble))).toDF("k", "value")
+    val got = Sampling.saltedAggAuto(df, "k", "value", topK = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val want = df.groupBy("k").agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").as("total"),
+        F.max("value").as("max_value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == want, s"salted result diverged: $got vs $want")
+    // the hot key really fans out: the partial stage groups (key, salt)
+    // with salt in [0, 5) for the hot key — prove >1 distinct salt value
+    // materializes for it (row-content hash over 90 distinct rows).
+    val salts = df.filter($"k" === "hot")
+      .select(F.pmod(F.xxhash64(F.col("k"), F.col("value")), F.lit(5L)))
+      .distinct().count()
+    assert(salts > 1, s"hot key landed on $salts salt bucket(s) of 5")
+  }
+
   test("weightedJaccard: repetition mismatch penalized where set semantics say 1.0") {
     import spark.implicits._
     import graft.dedup.Dedup

@@ -158,6 +158,27 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SortedPairMinSumExpr equals the brute intersection min-sum on random tf vectors") {
+    import graft.functions.expressions.SortedPairMinSumExpr
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    val vecGen = for {
+      n <- Gen.chooseNum(0, 40)
+      toks <- Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L))
+      tfs <- Gen.listOfN(n, Gen.chooseNum(1L, 50L))
+    } yield toks.distinct.sorted.zip(tfs)
+    def arr(v: Seq[(Long, Long)]): GenericArrayData =
+      new GenericArrayData(v.map { case (t, f) =>
+        InternalRow(t, f): Any
+      }.toArray)
+    forSamples(Gen.zip(vecGen, vecGen), n = 200) { case (a, b) =>
+      val got = SortedPairMinSumExpr.minSum(arr(a), arr(b))
+      val bm = b.toMap
+      val want = a.collect { case (t, f) if bm.contains(t) => math.min(f, bm(t)) }.sum
+      assert(got == want, s"merge min-sum $got != brute $want for $a ∩ $b")
+    }
+  }
+
   test("XxHash64ArrayExpr output is sorted and hash-faithful") {
     import graft.functions.expressions.XxHash64ArrayExpr
     import org.apache.spark.sql.catalyst.util.GenericArrayData
