@@ -13,10 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * then in round 18 after the headline widened to 88 (boilerplate, MAD
   * outliers, JM trigram, overlap matrix, tokenizer coverage, curriculum)
   * and the staged-stream oracles landed (trajectory.py now reads a
-  * PER-SCALE oracle dump — __STAGE__ paths differ per sf);
+  * PER-SCALE oracle dump — __STAGE__ paths differ per sf), then in
+  * round 19 after the weighted-Jaccard vector rework, the bm25/hybrid
+  * stage cut and the planner-driven salted aggregate joined the
+  * headline (91 queries — q_dedup_jaccard_weighted and
+  * q_select_moore_lewis now CI-pinned, r18 VERDICT #1);
   * regenerate with tools/trajectory.py). No sf1 dataset exists in this
   * container, so the scale claim is pinned on the two 10x steps that do:
-  * docs/scale_trajectory_r18.json holds the full headline suite measured
+  * docs/scale_trajectory_r19.json holds the full headline suite measured
   * at sf0.001, sf0.01 AND sf0.1 with the same code, box, and methodology
   * for both engines (Spark best-of-N cold-cache after JIT warmup; DuckDB
   * best-of-3). Two independent decades make the fit a trajectory, not a
@@ -35,7 +39,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r18.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r19.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
