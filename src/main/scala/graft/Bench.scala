@@ -116,7 +116,10 @@ object Bench {
     "q_select_moore_lewis",
     // planner→executor skew composition (r19): the skew diagnosis pass
     // + the per-key-salted two-stage aggregate it recommends.
-    "q_agg_salted_auto")
+    "q_agg_salted_auto",
+    // semantic decontamination (r19): broadcast eval set × one corpus
+    // scan + the per-vector argmax window — the q_ann_brute cost shape.
+    "q_decontaminate_semantic")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

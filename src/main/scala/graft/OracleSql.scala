@@ -3072,6 +3072,21 @@ object OracleSql {
          |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin
     },
 
+    // Embedding-space eval-set decontamination: per corpus vector, the
+    // nearest eval example (cosine desc, eval id asc — the bruteTopK
+    // rank convention) and the tau = 0.2 flag on the shared literal.
+    "q_decontaminate_semantic" -> {
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee FROM embeddings WHERE vec_id < 40),
+         |c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 40),
+         |p AS (SELECT c.vec_id, ev.eid, ${cosSql("ee", "ce")} AS cos FROM c, ev),
+         |r AS (SELECT vec_id, eid, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, eid) AS rn
+         |      FROM p)
+         |SELECT vec_id, eid AS nearest_eval_id, cos AS max_cosine,
+         |  (cos >= 0.2) AS contaminated
+         |FROM r WHERE rn = 1""".stripMargin
+    },
+
     // Matryoshka cut: the q_ann_brute query over the first 16 list
     // elements — cosine over the prefix IS truncate+renormalize.
     "q_ann_mrl" -> {

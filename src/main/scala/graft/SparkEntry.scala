@@ -2837,6 +2837,18 @@ object SparkEntry {
     Ann.minePairs(emb, emb.filter(F.col("vec_id") < 40))
   }
 
+  /** Embedding-space eval-set decontamination
+    * ([[Ann.semanticDecontaminate]]): the first 40 vectors stand in as
+    * the eval benchmark; every remaining corpus vector reports its
+    * nearest eval example and the τ = 0.2 contamination flag —
+    * the semantic complement of rows 70/105, hash-exact including the
+    * argmax tie-break. */
+  private def qDecontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.semanticDecontaminate(
+      emb.filter(F.col("vec_id") >= 40), emb.filter(F.col("vec_id") < 40))
+  }
+
   /** Matryoshka-truncated retrieval ([[Ann.mrlTopK]]): the same exact
     * top-k over the first 16 of 64 coordinates — the MRL serving cut;
     * hash-exact including the truncated cosines. */
@@ -3519,6 +3531,7 @@ object SparkEntry {
     "q_ann_mrl" -> (qAnnMrl _),
     "q_ann_whiten" -> (qAnnWhiten _),
     "q_mine_pairs" -> (qMinePairs _),
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_densify" -> (qDensify _),

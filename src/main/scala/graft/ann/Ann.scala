@@ -199,6 +199,41 @@ object Ann {
     pos.unionAll(neg)
   }
 
+  /** Embedding-space EVAL-SET decontamination — the semantic
+    * complement of the n-gram/Bloom screens (SURVEY rows 70/105): lexical
+    * decontamination misses paraphrased or translated test leakage, so
+    * modern pipelines ALSO flag training documents whose embedding sits
+    * too close to any eval example (the "semantic contamination" screen;
+    * the SemDeDup machinery pointed across corpora instead of within
+    * one). Per corpus vector: the nearest eval example by cosine and a
+    * `contaminated` flag at threshold `tau`.
+    *
+    * Scale shape: the eval set is BOUNDED BY CONTRACT (an eval benchmark
+    * — thousands of rows, not a corpus) and broadcasts exactly like
+    * [[bruteTopK]]'s query side; the corpus pays ONE scan; the per-vector
+    * argmax is a rank window partitioned on the corpus id (WindowGroupLimit
+    * cuts to 1 map-side; the exchange carries corpus × |eval| SKINNY
+    * (id, eid, cosine) rows, never embeddings). Deterministic: round-6
+    * cosines, (cosine DESC, eval id ASC) tie-break, threshold compared on
+    * the same literal the oracle uses.
+    *
+    * Output: (idCol, nearest_eval_id, max_cosine, contaminated). */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding",
+                            tau: Double = 0.2,
+                            native: Boolean = true): DataFrame = {
+    val p = pairs(corpus, evalSet, idCol, embCol, native)
+    val w = Window.partitionBy("neighbor_id")
+      .orderBy(F.col("cosine").desc, F.col("query_id").asc)
+    p.withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") === 1)
+      .select(F.col("neighbor_id").as(idCol),
+        F.col("query_id").as("nearest_eval_id"),
+        F.col("cosine").as("max_cosine"),
+        (F.col("cosine") >= tau).as("contaminated"))
+  }
+
   /** Matryoshka-truncated retrieval (Kusupati et al. NeurIPS 2022, MRL):
     * score with only the FIRST `dims` coordinates — cosine over the
     * prefix IS truncate+renormalize, so nothing is materialized — the

@@ -612,6 +612,25 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert((20L to 29L).forall(i => !out(i)), s"other cell polluted: $out")
   }
 
+  test("semanticDecontaminate: planted paraphrase-class leak flagged, clean docs pass") {
+    import spark.implicits._
+    // eval set = two orthogonal benchmark vectors; corpus id 10 is an
+    // exact copy of eval 0 (cosine 1.0 — leaked test example), id 11
+    // sits close to eval 1 (cos ≈ 0.98 — the paraphrase class a lexical
+    // screen misses), id 12 is orthogonal to both (clean).
+    val evalSet = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f)),
+      (11L, Array(0.2f, 0.98f, 0f)),
+      (12L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = graft.ann.Ann.semanticDecontaminate(corpus, evalSet, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(10L)._1 == 0L && out(10L)._2 == 1.0 && out(10L)._3, s"exact leak: $out")
+    assert(out(11L)._1 == 1L && out(11L)._3, s"paraphrase-class leak: $out")
+    assert(!out(12L)._3 && out(12L)._2 == 0.0, s"clean doc flagged: $out")
+  }
+
   test("mmrSelect: duplicate penalized, diverse-but-equal-relevance candidate wins slot 2") {
     import spark.implicits._
     // Query (1,0,0). Three candidates with IDENTICAL relevance 0.9:

@@ -67,6 +67,12 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
       requirePushdown = true),
     Audit("q_ann_brute", maxExchange = 1, minWgl = 2, allowedBnlj = 1,
       requirePushdown = true),
+    // r19 semantic decontamination: the q_ann_brute shape with roles
+    // swapped — bounded eval set broadcasts (the allowed BNLJ), corpus
+    // pays one pushed-down scan, the per-vector argmax rank window is
+    // the single exchange with WindowGroupLimit cutting to 1 map-side.
+    Audit("q_decontaminate_semantic", maxExchange = 1, minWgl = 2,
+      allowedBnlj = 1, requirePushdown = true),
     Audit("q_ann_lsh", maxExchange = 1),
     // one scan, ZERO joins (r13 rework): conditional spread + the
     // window-min dedup's hash exchange + the final language agg — maxBhj

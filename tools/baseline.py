@@ -48,7 +48,8 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_compression_ratio", "q_zipf_fit", "q_bm25", "q_hybrid_search",
             "q_boilerplate", "q_outliers_mad", "q_lm_jm", "q_overlap_matrix",
             "q_tokenizer_coverage", "q_curriculum", "q_dedup_jaccard_weighted",
-            "q_select_moore_lewis", "q_agg_salted_auto"]
+            "q_select_moore_lewis", "q_agg_salted_auto",
+            "q_decontaminate_semantic"]
 
 
 def main():

@@ -53,8 +53,27 @@ def q_covered(q, oracle):
     return bool(oracle.get(q))
 
 
+def merge_min(doc, prev):
+    """Per-query per-sf per-engine minimum against a previous assembly —
+    the r16 'prefer per-query minima across runs' discipline, automated:
+    each assembly runs in whatever host-capacity window it gets (this VM
+    swings 17-30 effective cores), and the minimum across windows is the
+    quiet-box floor both engines deserve. Totals are recomputed from the
+    merged per-query values by the caller."""
+    for eng in ("spark", "duckdb"):
+        for sf, blk in prev.get(eng, {}).items():
+            cur = doc[eng].setdefault(sf, {"total": 0.0, "queries": {}})
+            for q, v in blk.get("queries", {}).items():
+                if v is None:
+                    continue
+                old = cur["queries"].get(q)
+                if old is None or v < old:
+                    cur["queries"][q] = v
+
+
 def main():
     rnd, spark_dir, oracle_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    merge_path = sys.argv[4] if len(sys.argv) > 4 else None
     def oracle_for(sf):
         return json.load(open(oracle_path.replace("{sf}", sf)))
     oracle = oracle_for(SFS[-1])
@@ -83,6 +102,18 @@ def main():
         dt = duck_times(f"/root/testdata/sf{sf}", oracle_for(sf), names)
         covered = [v for v in dt.values() if v is not None]
         doc["duckdb"][f"sf{sf}"] = {"total": round(sum(covered), 3), "queries": dt}
+    if merge_path and os.path.exists(merge_path):
+        merge_min(doc, json.load(open(merge_path)))
+        doc["note"] += (" Per-query minimum across assemblies (quiet-window"
+                        " floors accumulate; see merge_min).")
+        # recompute totals from the merged per-query floors
+        for sf in SFS:
+            cov = {k: v for k, v in doc["spark"][f"sf{sf}"]["queries"].items()
+                   if q_covered(k, oracle)}
+            doc["spark"][f"sf{sf}"]["total"] = round(sum(cov.values()), 3)
+            dq = doc["duckdb"][f"sf{sf}"]["queries"]
+            doc["duckdb"][f"sf{sf}"]["total"] = round(
+                sum(v for v in dq.values() if v is not None), 3)
     for eng in ("spark", "duckdb"):
         doc[f"{eng}_growth_10x"] = round(
             doc[eng]["sf0.1"]["total"] / doc[eng]["sf0.01"]["total"], 2)
