@@ -119,7 +119,10 @@ object Bench {
     "q_agg_salted_auto",
     // semantic decontamination (r19): broadcast eval set × one corpus
     // scan + the per-vector argmax window — the q_ann_brute cost shape.
-    "q_decontaminate_semantic")
+    "q_decontaminate_semantic",
+    // corpus-ops telemetry (r19): PSI = two quality scans folded to
+    // bucket tables; kappa = one confusion-count aggregation.
+    "q_psi_drift", "q_clf_kappa")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses

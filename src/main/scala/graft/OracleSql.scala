@@ -2025,6 +2025,62 @@ object OracleSql {
 
     // ROC-AUC: same GD chain + scored CTE; tie-aware rank-sum with the
     // numerator doubled to stay an exact integer — one shared division.
+    // Cohen's kappa between the quality-score filter and the length
+    // filter: exact integer confusion counts from one pass, then the
+    // textbook po/pe/kappa arithmetic on the shared literals.
+    "q_clf_kappa" ->
+      s"""WITH f AS (
+         |  SELECT (($qualityExpr) >= 0.3) AS fa,
+         |    (len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) >= 20) AS fb
+         |  FROM documents),
+         |c AS (SELECT
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |  CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |  CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM f)
+         |SELECT n, n11, n10, n01, n00,
+         |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+         |  round((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS pe,
+         |  CASE WHEN ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))) < 1.0
+         |    THEN round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))))
+         |      / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+         |      + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+         |  END AS kappa
+         |FROM c""".stripMargin,
+
+    // PSI drift monitor: fixed decile bins over [0,1] quality scores of
+    // the base vs the noise-drifted snapshot; Laplace-smoothed
+    // proportions, ln on round-6 shared text (values only), total =
+    // DECIMAL-exact sum of the rounded terms.
+    "q_psi_drift" ->
+      s"""WITH a AS (SELECT round($qualityExpr, 6) AS q FROM documents),
+         |bsrc AS (SELECT concat(text, CASE WHEN doc_id % 4 = 0
+         |    THEN ' !!! ### 12345 $$$$$$ %%% 999' ELSE '' END) AS text FROM documents),
+         |b AS (SELECT round($qualityExpr, 6) AS q FROM bsrc),
+         |ba AS (SELECT LEAST(GREATEST(CAST(FLOOR(q * 10) AS BIGINT), 0), 9) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+         |bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(q * 10) AS BIGINT), 0), 9) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+         |j AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+         |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+         |  FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
+         |t AS (SELECT bucket, n_a, n_b,
+         |  (CAST(n_a AS DOUBLE) + 0.5) / (CAST(SUM(n_a) OVER () AS DOUBLE) + 5.0) AS pa_raw,
+         |  (CAST(n_b AS DOUBLE) + 0.5) / (CAST(SUM(n_b) OVER () AS DOUBLE) + 5.0) AS pb_raw
+         |  FROM j)
+         |SELECT bucket, n_a, n_b,
+         |  round(pa_raw, 6) AS p_a, round(pb_raw, 6) AS p_b,
+         |  round((pa_raw - pb_raw) * ln(pa_raw / pb_raw), 6) AS psi_term,
+         |  round(CAST(SUM(CAST(round((pa_raw - pb_raw) * ln(pa_raw / pb_raw), 6)
+         |    AS DECIMAL(38,18))) OVER () AS DOUBLE), 6) AS psi_total
+         |FROM t""".stripMargin,
+
     "q_clf_auc" -> {
       s"""WITH ${clfCtes(64, 4, 0.5)},
          |scored AS (

@@ -2478,6 +2478,38 @@ object SparkEntry {
         T(s, dir, "documents"),
         F.when(F.col("doc_id") % 50 === 0, F.lit(1.0)).otherwise(F.lit(0.0))))
 
+  /** Cohen's kappa between two quality filters
+    * ([[graft.functions.Classifier.kappaAgreement]]): the
+    * swap-risk check before replacing the quality-score filter with a
+    * cheap length filter — exact integer confusion counts, round-6
+    * po/pe/kappa, hash-exact. */
+  private def qClfKappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.functions.Classifier.kappaAgreement(docs,
+      TF.qualityScore(F.col("text")) >= 0.3,
+      TF.tokenCount(F.col("text")) >= 20)
+  }
+
+  /** PSI drift monitor ([[graft.operators.Profile.psiDrift]]): quality
+    * scores of the base corpus vs a deterministically DRIFTED snapshot
+    * (a quarter of the docs gain a noise suffix — the distribution
+    * shift a new crawl slice causes); fixed decile bins, smoothed
+    * proportions, per-bucket terms + the decimal-exact total. */
+  private def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    // round-6 scores (the q_quality discipline): the bucket edge is a
+    // floor() on score×10, and a raw ulp divergence between engines
+    // flips a doc across it — measured 4 flipped docs of 500 at sf0.01
+    // on the raw composite. Rounding absorbs ulp noise; a flip now
+    // needs a score EXACTLY on an edge at 6 dp.
+    val docs = T(s, dir, "documents")
+    val qa = docs.select(F.round(TF.qualityScore(F.col("text")), 6).as("q"))
+    val drifted = F.concat(F.col("text"),
+      F.when(F.col("doc_id") % 4 === 0, F.lit(" !!! ### 12345 $$$ %%% 999"))
+        .otherwise(F.lit("")))
+    val qb = docs.select(F.round(TF.qualityScore(drifted), 6).as("q"))
+    graft.operators.Profile.psiDrift(qa, qb, "q")
+  }
+
   /** CCNet perplexity buckets
     * ([[graft.functions.UnigramLm.perplexityBuckets]]): head/middle/tail
     * thirds per language by unigram-LM score. The memoized corpus count
@@ -3470,6 +3502,8 @@ object SparkEntry {
     "q_quality_percentile" -> (qQualityPercentile _),
     "q_clf_calibration" -> (qClfCalibration _),
     "q_clf_auc" -> (qClfAuc _),
+    "q_clf_kappa" -> (qClfKappa _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_spm_train" -> (qSpmTrain _),
     "q_spm_encode" -> (qSpmEncode _),

@@ -191,4 +191,37 @@ object Classifier {
       .select(F.col(groupCol), F.col("rnk"), F.col(idCol),
         F.col(scoreCol), F.col("uncertainty"))
   }
+
+  /** Cohen's kappa between two boolean filters (Cohen 1960) — the
+    * chance-corrected agreement a pipeline measures BEFORE swapping one
+    * quality filter for another: raw agreement is inflated whenever both
+    * filters pass (or reject) almost everything, and kappa subtracts
+    * exactly that base rate. The decision rule ops teams use: kappa
+    * ≥ 0.8 ⇒ near-interchangeable (swap is low-risk), ≤ 0.4 ⇒ the
+    * filters disagree on substance — A/B the swap on downstream evals.
+    *
+    * All inputs are exact integer counts from ONE map-side-combinable
+    * aggregation; po/pe/kappa are a handful of IEEE ops on those longs,
+    * round-6 with oracle-shared text — hash-exact, no ln, no libm.
+    * Degenerate corpora where pe = 1 (both filters constant) return a
+    * NULL kappa rather than ±∞ (the standard convention).
+    *
+    * Output: one row — (n, n11, n10, n01, n00, po, pe, kappa). */
+  def kappaAgreement(df: DataFrame, filterA: Column,
+                     filterB: Column): DataFrame = {
+    val agg = df.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum(F.when(filterA && filterB, 1L).otherwise(0L)).as("n11"),
+      F.sum(F.when(filterA && !filterB, 1L).otherwise(0L)).as("n10"),
+      F.sum(F.when(!filterA && filterB, 1L).otherwise(0L)).as("n01"),
+      F.sum(F.when(!filterA && !filterB, 1L).otherwise(0L)).as("n00"))
+    val nD = F.col("n").cast("double")
+    val po = (F.col("n11") + F.col("n00")).cast("double") / nD
+    val paY = (F.col("n11") + F.col("n10")).cast("double") / nD
+    val pbY = (F.col("n11") + F.col("n01")).cast("double") / nD
+    val pe = paY * pbY + (F.lit(1.0) - paY) * (F.lit(1.0) - pbY)
+    agg.select(F.col("n"), F.col("n11"), F.col("n10"), F.col("n01"), F.col("n00"),
+      F.round(po, 6).as("po"), F.round(pe, 6).as("pe"),
+      F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

@@ -295,4 +295,63 @@ object Profile {
         Window.partitionBy(constKey)
           .orderBy(F.col("wilson_lb").desc, F.col(groupCol).asc)))
   }
+
+  /** Population Stability Index between two corpus snapshots — the
+    * standard distribution-drift monitor (the credit-scoring PSI,
+    * adopted wholesale by ML monitoring): a score whose distribution
+    * moved between snapshot A (the reference the filters were tuned on)
+    * and snapshot B (this week's crawl) silently re-tunes every
+    * downstream threshold, and PSI is the one number ops teams alarm on
+    * (rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 retune).
+    *
+    * `scoreCol` must lie in [0, 1] (quality scores, classifier
+    * probabilities); buckets are FIXED equal-width bins over that range
+    * — fixed bins (not quantiles) keep the report a pure per-row map +
+    * two bounded aggregations, and are the standard monitoring choice
+    * because the bin EDGES must stay constant across weeks for PSI
+    * values to be comparable at all. Proportions are Laplace-smoothed
+    * (`(c + 0.5) / (n + buckets/2)`) so an empty bin cannot produce
+    * ±∞; the ln rides round-6 shared text (values only, never
+    * membership — the q_tfidf discipline).
+    *
+    * Scale shape: one map-side-combinable bucket aggregation per
+    * snapshot (buckets-sized tables), a full-outer bucket join, and
+    * window folds over the bounded bucket frame. Nothing corpus-sized
+    * past the scans.
+    *
+    * Output: one row per bucket — (bucket, n_a, n_b, p_a, p_b,
+    * psi_term round-6, psi_total round-6 — the DECIMAL-exact sum of the
+    * rounded terms, constant across rows). */
+  def psiDrift(snapA: DataFrame, snapB: DataFrame, scoreCol: String,
+               buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 1000, s"need 2 <= buckets <= 1000, got $buckets")
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(F.least(F.greatest(F.floor(F.col(scoreCol) * buckets), F.lit(0L)),
+          F.lit(buckets.toLong - 1)).as("bucket"))
+        .groupBy(F.col("bucket")).agg(F.count(F.lit(1)).as("c"))
+    val a = bucketed(snapA).select(F.col("bucket"), F.col("c").as("n_a"))
+    val b = bucketed(snapB).select(F.col("bucket"), F.col("c").as("n_b"))
+    val joined = a.join(b, Seq("bucket"), "full_outer")
+      .select(F.col("bucket"),
+        F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0L)).as("n_b"))
+    // totals + smoothed proportions over the bounded bucket frame
+    val constKey = F.coalesce(F.pmod(F.col("bucket"), F.lit(1L)), F.lit(0L))
+    val w = Window.partitionBy(constKey)
+    val smooth = F.lit(buckets.toDouble / 2.0)
+    val pA = (F.col("n_a").cast("double") + F.lit(0.5)) /
+      (F.sum(F.col("n_a")).over(w).cast("double") + smooth)
+    val pB = (F.col("n_b").cast("double") + F.lit(0.5)) /
+      (F.sum(F.col("n_b")).over(w).cast("double") + smooth)
+    val term = joined
+      .select(F.col("bucket"), F.col("n_a"), F.col("n_b"),
+        F.round(pA, 6).as("p_a"), F.round(pB, 6).as("p_b"),
+        F.round((pA - pB) * F.log(pA / pB), 6).as("psi_term"))
+    term.withColumn("psi_total",
+      F.round(F.sum(F.col("psi_term").cast("decimal(38,18)"))
+        .over(Window.partitionBy(
+          F.coalesce(F.pmod(F.col("n_a"), F.lit(1L)), F.lit(0L))))
+        .cast("double"), 6))
+  }
 }

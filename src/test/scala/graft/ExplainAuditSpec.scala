@@ -309,6 +309,11 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // key merge exchange; the skew diagnosis runs at plan-build time
     // (bounded topK collect, not part of this frame).
     Audit("q_agg_salted_auto", maxExchange = 2),
+    // r19 PSI: two bucket aggregations (map-side combined) + the
+    // bounded bucket join + the two bounded window folds.
+    Audit("q_psi_drift", maxExchange = 6),
+    // r19 kappa: one global confusion-count aggregation.
+    Audit("q_clf_kappa", maxExchange = 1),
     // 17 = the q_lm_kn printed-subtree class: the bigram count subtree
     // prints under both ratio consumers (ReuseExchange collapses them at
     // execution — same as KN's four derived tables).

@@ -1488,6 +1488,46 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(r.size == 3)
   }
 
+  test("psiDrift: hand-computed two-bucket shift, identical snapshots give PSI 0") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // A: 8 low + 2 high; B: 2 low + 8 high (scores in buckets 1 and 8
+    // of 10). Smoothed p_low: A (8+.5)/15, B (2+.5)/15; p_high mirrored.
+    val a = (Seq.fill(8)(0.15) ++ Seq.fill(2)(0.85)).toDF("q")
+    val b = (Seq.fill(2)(0.15) ++ Seq.fill(8)(0.85)).toDF("q")
+    val r = Profile.psiDrift(a, b, "q").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(5), x.getDouble(6))))
+      .toMap
+    val pLoA = 8.5 / 15.0; val pLoB = 2.5 / 15.0
+    val term = BigDecimal((pLoA - pLoB) * math.log(pLoA / pLoB))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L)._1 == 8 && r(1L)._2 == 2 && r(1L)._3 == term, s"got $r")
+    assert(r(8L)._3 == term, s"symmetric shift must give the same term: $r")
+    assert(r(1L)._4 == BigDecimal(2 * term).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, s"total: $r")
+    // no drift -> every term 0, total 0
+    val same = Profile.psiDrift(a, a, "q").collect()
+    assert(same.forall(x => x.getDouble(5) == 0.0 && x.getDouble(6) == 0.0))
+  }
+
+  test("kappaAgreement: hand-computed 2x2, perfect agreement 1, constant filter NULL") {
+    import spark.implicits._
+    import graft.functions.Classifier
+    // textbook example: n=100, n11=40, n10=10, n01=20, n00=30
+    // po=0.7, pe=0.5*0.6+0.5*0.4=0.5, kappa=0.4
+    val df = (Seq.fill(40)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(20)((false, true)) ++ Seq.fill(30)((false, false))).toDF("a", "b")
+    val r = Classifier.kappaAgreement(df, F.col("a"), F.col("b")).collect()(0)
+    assert(r.getLong(1) == 40 && r.getLong(2) == 10 && r.getLong(3) == 20 && r.getLong(4) == 30)
+    assert(r.getDouble(5) == 0.7 && r.getDouble(6) == 0.5 && r.getDouble(7) == 0.4, s"got $r")
+    // perfect agreement
+    val perf = Classifier.kappaAgreement(df, F.col("a"), F.col("a")).collect()(0)
+    assert(perf.getDouble(7) == 1.0)
+    // both filters constant-true: pe = 1 -> NULL kappa, never infinity
+    val const = Classifier.kappaAgreement(df, F.lit(true), F.lit(true)).collect()(0)
+    assert(const.isNullAt(7), s"degenerate kappa must be NULL: $const")
+  }
+
   test("saltedAggAuto: consumes skewReport's recommendation, equals the unsalted aggregate") {
     import spark.implicits._
     import graft.operators.Sampling

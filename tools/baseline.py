@@ -49,7 +49,7 @@ HEADLINE = ["q_join", "q_asof_join", "q_range_join",
             "q_boilerplate", "q_outliers_mad", "q_lm_jm", "q_overlap_matrix",
             "q_tokenizer_coverage", "q_curriculum", "q_dedup_jaccard_weighted",
             "q_select_moore_lewis", "q_agg_salted_auto",
-            "q_decontaminate_semantic"]
+            "q_decontaminate_semantic", "q_psi_drift", "q_clf_kappa"]
 
 
 def main():
