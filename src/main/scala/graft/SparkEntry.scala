@@ -1888,9 +1888,8 @@ object SparkEntry {
     * cookie-policy line, a "lorem ipsum" line, and a '{'-bearing line —
     * one violator per C4 rule, and (being identical across their
     * cohorts) the corpus-duplicated lines q_dedup_lines removes. */
-  private def synthPage(id: org.apache.spark.sql.Column,
-                        text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = F.split(text, " ")
+  private[graft] def synthPage(id: org.apache.spark.sql.Column,
+                               toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val nl = F.floor((F.size(toks) + 7) / F.lit(8)).cast("int")
     val lines = F.transform(F.sequence(F.lit(0), nl - 1), i => {
       val chunk = F.slice(toks, i * 8 + 1, F.lit(8))
@@ -1910,15 +1909,26 @@ object SparkEntry {
       extra(id % 17 === 0, "config block { starts after this line.")), "\n")
   }
 
+  /** The line-gate input: documents with [[synthPage]] applied. The token
+    * split is HOISTED into its own projection (CollapseProject keeps it:
+    * the page lambda references the array many times and split is not
+    * cheap-to-duplicate) — inlined, the interpreted higher-order-function
+    * lambda re-ran split(text) per LINE element, O(tokens²/8) per doc;
+    * that interpreter tax, not any shuffle, was most of the r19
+    * q_dedup_lines/q_boilerplate wall (MicroLines: lines_explode 443 ms
+    * of an 879 ms query at sf0.1). Values are identical either way. */
+  private[graft] def synthDocs(df: DataFrame): DataFrame =
+    df.withColumn("_toks", F.split(F.col("text"), " "))
+      .select(F.col("doc_id"),
+        synthPage(F.col("doc_id"), F.col("_toks")).as("text"))
+
   /** C4 cleaning rule suite ([[graft.functions.TextFunctions.c4Rules]])
     * over synthesized multi-line pages: line-level terminal-punctuation /
     * min-words / javascript / policy filters + page-level lorem-ipsum,
     * curly-brace and min-kept-lines rules — each rule tripped by a
     * synthesis cohort. Hash-exact INCLUDING the rebuilt cleaned text. */
   private def qC4Rules(s: SparkSession, dir: String): DataFrame =
-    graft.functions.TextFunctions.c4Rules(
-      T(s, dir, "documents").select(
-        F.col("doc_id"), synthPage(F.col("doc_id"), F.col("text")).as("text")))
+    graft.functions.TextFunctions.c4Rules(synthDocs(T(s, dir, "documents")))
 
   /** Corpus duplicate-LINE removal ([[graft.dedup.Dedup.dedupLines]]):
     * keep-first line dedup over the same synthesized pages — the
@@ -1927,9 +1937,7 @@ object SparkEntry {
     * (doc_id, idx) occurrence; every document is rebuilt from its
     * surviving lines. Hash-exact INCLUDING the rebuilt text. */
   private def qDedupLines(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupLines(
-      T(s, dir, "documents").select(
-        F.col("doc_id"), synthPage(F.col("doc_id"), F.col("text")).as("text")))
+    Dedup.dedupLines(synthDocs(T(s, dir, "documents")))
 
   /** CCNet-style boilerplate-line removal
     * ([[graft.dedup.Dedup.stripBoilerplate]]) over the same synthesized
@@ -1938,9 +1946,7 @@ object SparkEntry {
     * chrome, and EVERY occurrence drops — contrast q_dedup_lines, which
     * keeps the first. Hash-exact INCLUDING the rebuilt text. */
   private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
-    Dedup.stripBoilerplate(
-      T(s, dir, "documents").select(
-        F.col("doc_id"), synthPage(F.col("doc_id"), F.col("text")).as("text")))
+    Dedup.stripBoilerplate(synthDocs(T(s, dir, "documents")))
 
   /** Robust per-source length-outlier screen
     * ([[graft.operators.Profile.robustOutliers]]): exact median/MAD

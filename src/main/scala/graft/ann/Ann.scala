@@ -61,14 +61,21 @@ object Ann {
     * ONCE per side (not per pair) — bit-identical to the per-pair
     * formulation (`sqrt(q·q) * sqrt(c·c)` in the same operand order). */
   private def pairs(corpus: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-                    native: Boolean): DataFrame = {
+                    native: Boolean, excludeSelf: Boolean = true): DataFrame = {
     def nrm(e: Column) = F.sqrt(dotX(e, e, native))
     val q = queries.select(F.col(idCol).as("query_id"), F.col(embCol).as("q_emb"),
       nrm(F.col(embCol)).as("q_norm"))
+    // excludeSelf only makes sense when corpus and queries draw ids from
+    // ONE id space (self-retrieval suppression: bruteTopK, minePairs, the
+    // mmrSelect pool). Cross-TABLE comparisons (eval-set decontamination)
+    // must pass false: corpus/eval ids are independent, and an id
+    // collision would silently skip exactly the exact-copy leak the
+    // screen exists to catch (round-19 ADVICE).
+    val cond = if (excludeSelf) F.col("neighbor_id") =!= F.col("query_id") else F.lit(true)
     corpus
       .select(F.col(idCol).as("neighbor_id"), F.col(embCol).as("c_emb"),
         nrm(F.col(embCol)).as("c_norm"))
-      .join(F.broadcast(q), F.col("neighbor_id") =!= F.col("query_id"))
+      .join(F.broadcast(q), cond)
       .select(
         F.col("query_id"), F.col("neighbor_id"),
         F.round(dotX(F.col("q_emb"), F.col("c_emb"), native) /
@@ -223,7 +230,12 @@ object Ann {
                             embCol: String = "embedding",
                             tau: Double = 0.2,
                             native: Boolean = true): DataFrame = {
-    val p = pairs(corpus, evalSet, idCol, embCol, native)
+    // excludeSelf = false: eval ids and corpus ids are DIFFERENT id
+    // spaces — every corpus × eval pair is compared, including id-equal
+    // ones (the likeliest exact-copy leak shares content AND often id
+    // provenance; round-19 ADVICE found the old shared-pairs() path
+    // silently skipped those comparisons).
+    val p = pairs(corpus, evalSet, idCol, embCol, native, excludeSelf = false)
     val w = Window.partitionBy("neighbor_id")
       .orderBy(F.col("cosine").desc, F.col("query_id").asc)
     p.withColumn("rn", F.row_number().over(w))

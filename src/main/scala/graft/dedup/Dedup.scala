@@ -977,13 +977,23 @@ object Dedup {
     * exact duplicated lines, the unit web boilerplate actually repeats
     * at.
     *
-    * Scale shape: positional line explode → ONE line-keyed exchange
-    * whose row_number window marks firsts (the single-pass
-    * corpus-frequency pattern — no self-join, hot lines stream through
-    * the spillable window buffer) → one doc-keyed aggregation rebuilds
-    * the text (array_sort over (idx, line) structs, the
-    * trimDuplicateSpans rebuild). Two key exchanges total, nothing
-    * quadratic, no driver state.
+    * Scale shape: positional line explode → ONE MAP-SIDE-COMBINABLE
+    * `min(struct(id, idx))` groupBy keyed on `xxhash64(line)` (8-byte
+    * exchange key, never the raw text; the dupNgramFraction injectivity
+    * convention — equal absent a 64-bit collision within the corpus's
+    * distinct-line set) → shuffle-hash join-back on the hash marks each
+    * occurrence first-or-not → one doc-keyed aggregation rebuilds the
+    * text (array_sort over (idx, line) structs, the trimDuplicateSpans
+    * rebuild). The r19 shape was a `row_number() OVER (PARTITION BY
+    * line)` window: every occurrence of a hot boilerplate line ("" or a
+    * cookie banner repeated millions of times at 100 TB) landed in ONE
+    * task's SORT buffer. This shape has no such cliff: map-side combine
+    * collapses each input partition's occurrences of a hot line to a
+    * single (hash, min-struct) row before the aggregation exchange, and
+    * the join-back probe STREAMS (one firsts row per distinct line on
+    * the build side, O(1) memory per probe) — and being a shuffle join,
+    * AQE's skew-split can further divide a hot hash partition, which no
+    * window sort allows. Nothing quadratic, no driver state.
     *
     * Output: (idCol, n_lines, n_removed, clean_text) for EVERY input
     * document (a fully-boilerplate doc survives with clean_text = "").
@@ -991,21 +1001,32 @@ object Dedup {
     * the corpus's first are boilerplate by this definition too. */
   def dedupLines(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // NOT cached: the explode subtree runs under both the aggregation
+    // and the join-back probe. MicroLines A/B'd the CacheScope variant —
+    // persist+count+checkpoint cost ~2× the recompute at every SF tried,
+    // and at 100 TB caching the exploded raw-line stream costs a
+    // corpus-sized write where the recompute is a column-pruned scan.
     val lines = graft.Spread(docs)
       .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n")))
       .toDF(idCol, "idx", "line")
-    val first = Window.partitionBy(F.col("line"))
-      .orderBy(F.col(idCol).asc, F.col("idx").asc)
+      .withColumn("lh", F.xxhash64(F.col("line")))
+    // min(struct) replays the window's (idCol asc, idx asc) order —
+    // struct comparison is lexicographic field-by-field — and combines
+    // map-side: hot lines cost one row per input partition, not one
+    // sort-buffer entry per occurrence.
+    val firsts = lines.groupBy(F.col("lh"))
+      .agg(F.min(F.struct(F.col(idCol).as("fid"), F.col("idx").as("fidx"))).as("f"))
     lines
-      .withColumn("rk", F.row_number().over(first))
+      .join(firsts.hint("shuffle_hash"), Seq("lh"))
+      .withColumn("keep",
+        F.col(idCol) === F.col("f.fid") && F.col("idx") === F.col("f.fidx"))
       .groupBy(F.col(idCol))
       .agg(
         F.count(F.lit(1)).as("n_lines"),
-        F.sum(F.when(F.col("rk") > 1, 1L).otherwise(0L)).as("n_removed"),
+        F.sum(F.when(F.col("keep"), 0L).otherwise(1L)).as("n_removed"),
         F.concat_ws("\n", F.transform(
           F.array_sort(F.collect_list(
-            F.when(F.col("rk") === 1, F.struct(F.col("idx"), F.col("line"))))),
+            F.when(F.col("keep"), F.struct(F.col("idx"), F.col("line"))))),
           s => s.getField("line"))).as("clean_text"))
   }
 

@@ -631,6 +631,27 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(!out(12L)._3 && out(12L)._2 == 0.0, s"clean doc flagged: $out")
   }
 
+  test("semanticDecontaminate: corpus/eval id COLLISION still compared (r19 ADVICE)") {
+    import spark.implicits._
+    // Corpus vector id 0 is an exact copy of eval example id 0 — the
+    // likeliest contamination case (same upstream row, same id). The
+    // old shared-pairs() path skipped exactly this comparison via its
+    // within-table self-exclusion predicate; corpus id 1 collides with
+    // EVERY eval id and must still appear in the output (per-corpus-
+    // vector contract).
+    val evalSet = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)),   // id-equal exact copy of eval 0
+      (1L, Array(0f, 1f, 0f)))   // collides with both eval ids; copy of eval 1
+      .toDF("vec_id", "embedding")
+    val out = graft.ann.Ann.semanticDecontaminate(corpus, evalSet, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 2, s"every corpus vector must report: $out")
+    assert(out(0L) == ((0L, 1.0, true)), s"id-equal exact leak missed: $out")
+    assert(out(1L) == ((1L, 1.0, true)), s"all-colliding corpus vector dropped: $out")
+  }
+
   test("mmrSelect: duplicate penalized, diverse-but-equal-relevance candidate wins slot 2") {
     import spark.implicits._
     // Query (1,0,0). Three candidates with IDENTICAL relevance 0.9:

@@ -39,7 +39,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
   private case class Audit(name: String, maxExchange: Int, minBhj: Int = 0,
                            maxBhj: Int = Int.MaxValue,
                            minWgl: Int = 0, allowedBnlj: Int = 0,
-                           requirePushdown: Boolean = false)
+                           requirePushdown: Boolean = false,
+                           maxWindow: Int = Int.MaxValue)
 
   private val audits = Seq(
     // the star join: both dims broadcast, lineitem's single shuffle + agg
@@ -126,7 +127,13 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // class (q_densify/q_shuffle_shard precedent) — its plan prints as
     // an RDD scan, nothing to audit.
     Audit("q_c4_rules", maxExchange = 1),
-    Audit("q_dedup_lines", maxExchange = 3),
+    // r20 line dedup (VERDICT r19 #1): explode → min(struct) groupBy on
+    // xxhash64(line) → shuffle-hash join-back → doc rebuild agg. 5
+    // printed exchanges = the Spread under BOTH unshared explode
+    // subtrees (2) + lh agg + join probe + doc agg. maxWindow = 0 PINS
+    // the rework: no sort-based window keyed on line text (the r19
+    // hot-boilerplate skew cliff) may ever return to this plan.
+    Audit("q_dedup_lines", maxExchange = 5, maxWindow = 0),
     Audit("q_filter_funnel", maxExchange = 3),
     Audit("q_corpus_asof", maxExchange = 2, maxBhj = 0),
     Audit("q_chunk", maxExchange = 0),
@@ -362,6 +369,10 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     assert(wgl >= a.minWgl,
       s"${a.name}: $wgl WindowGroupLimit < required ${a.minWgl} " +
         s"(a top-k cut disappeared):\n$txt")
+    val win = n.getOrElse("Window", 0) + wgl
+    assert(win <= a.maxWindow,
+      s"${a.name}: $win Window nodes > allowed ${a.maxWindow} " +
+        s"(a sort-based window crept back in):\n$txt")
     if (a.requirePushdown)
       assert("PushedFilters: \\[[^\\]]*[A-Za-z]".r.findFirstIn(txt).isDefined,
         s"${a.name}: no non-empty PushedFilters on any scan:\n$txt")
@@ -390,7 +401,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     * boundary are counted exactly once per consumer frame. */
   private case class InternalAudit(name: String, maxExchangeTotal: Int,
                                    allowedBnljPerFrame: Int = 0,
-                                   minFrames: Int = 2)
+                                   minFrames: Int = 2,
+                                   maxWindowTotal: Int = Int.MaxValue)
 
   private val internalAudits = Seq(
     InternalAudit("q_ngram_jaccard", maxExchangeTotal = 5),
@@ -514,6 +526,7 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
       s"${a.name}: only ${frames.length} internal frames captured — " +
         "operator no longer routes through CacheScope?")
     var exchangeTotal = 0
+    var windowTotal = 0
     for ((kind, txt) <- frames) {
       val n = nodeCounts(txt)
       assert(n.getOrElse("CartesianProduct", 0) == 0,
@@ -526,7 +539,12 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
       assert(!txt.contains("windowspecdefinition(specifiedwindowframe"),
         s"${a.name}: unpartitioned global Window in internal frame [$kind]:\n$txt")
       exchangeTotal += n.getOrElse("Exchange", 0)
+      windowTotal += n.getOrElse("Window", 0) + n.getOrElse("WindowGroupLimit", 0)
     }
+    assert(windowTotal <= a.maxWindowTotal,
+      s"${a.name}: $windowTotal Window nodes across internal frames > " +
+        s"allowed ${a.maxWindowTotal} (a sort-based window crept back in)\n" +
+        frames.map { case (k, t) => s"--- [$k]\n$t" }.mkString("\n"))
     assert(exchangeTotal <= a.maxExchangeTotal,
       s"${a.name}: $exchangeTotal shuffle exchanges across ${frames.length} " +
         s"internal frames > allowed ${a.maxExchangeTotal}\n" +
