@@ -40,7 +40,8 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
                            maxBhj: Int = Int.MaxValue,
                            minWgl: Int = 0, allowedBnlj: Int = 0,
                            requirePushdown: Boolean = false,
-                           maxWindow: Int = Int.MaxValue)
+                           maxWindow: Int = Int.MaxValue,
+                           maxSort: Int = Int.MaxValue)
 
   private val audits = Seq(
     // the star join: both dims broadcast, lineitem's single shuffle + agg
@@ -147,6 +148,13 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_window_analytics", maxExchange = 1, requirePushdown = true),
     Audit("q_rollup", maxExchange = 1),
     Audit("q_percentiles", maxExchange = 1),
+    // r20 (VERDICT r19 #3): the bottom-k sample is BottomKByKeyAgg — a
+    // bounded-heap TypedImperativeAggregate. ONE exchange (the key
+    // aggregation, carrying <= tasks x keys x k pre-combined rows),
+    // ZERO Sort and ZERO Window nodes: the old rank-window form's
+    // Partial WindowGroupLimit fully sorted every map partition first.
+    Audit("q_percentile_sketch", maxExchange = 1, requirePushdown = true,
+      maxWindow = 0, maxSort = 0),
     Audit("q_folds", maxExchange = 1),
     Audit("q_pack", maxExchange = 1),
     Audit("q_late_data", maxExchange = 1),
@@ -159,9 +167,6 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     Audit("q_dedup_minhash_pruned", maxExchange = 5),
     // two map-side-combinable aggs (keys x bucket, then keys)
     Audit("q_distinct_sketch", maxExchange = 2),
-    // KMV quantile sketch: map-side + reduce-side bottom-k cuts around
-    // ONE exchange; the sample agg reuses the window's partitioning
-    Audit("q_percentile_sketch", maxExchange = 1, minWgl = 2),
     // mixture execution: checkpointed rate table broadcasts onto one
     // filtered corpus scan — zero shuffles
     Audit("q_mix_sample", maxExchange = 0, minBhj = 1, requirePushdown = true),
@@ -373,6 +378,10 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     assert(win <= a.maxWindow,
       s"${a.name}: $win Window nodes > allowed ${a.maxWindow} " +
         s"(a sort-based window crept back in):\n$txt")
+    val sorts = n.getOrElse("Sort", 0)
+    assert(sorts <= a.maxSort,
+      s"${a.name}: $sorts Sort nodes > allowed ${a.maxSort} " +
+        s"(a sort crept into a streaming-fold plan):\n$txt")
     if (a.requirePushdown)
       assert("PushedFilters: \\[[^\\]]*[A-Za-z]".r.findFirstIn(txt).isDefined,
         s"${a.name}: no non-empty PushedFilters on any scan:\n$txt")

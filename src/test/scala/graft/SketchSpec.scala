@@ -88,6 +88,32 @@ class SketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("BottomKByKeyAgg: bounded-heap aggregate equals the rank-window formulation") {
+    // r20 (VERDICT r19 #3): bottomKSample's cut is a sort-free
+    // TypedImperativeAggregate. This pins it against the independent
+    // row_number() window reference on the same inputs, across a
+    // many-partition layout (forces the partial/serialize/merge paths)
+    // and a group smaller than k (degrades to the whole group).
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Sketches
+    val ev = Tables.events(spark, sf001).repartition(17) // odd fan-out
+    for (k <- Seq(1, 7, 64)) {
+      val agg = Sketches.bottomKSample(ev, Seq("event_type"), "value", "event_id", k = k)
+      val win = ev.filter(F.col("value").isNotNull)
+        .select(F.col("event_type"), F.col("value"),
+          F.md5(F.col("event_id").cast("string")).as("qs_key"))
+        .withColumn("rn", F.row_number().over(
+          Window.partitionBy("event_type").orderBy("qs_key")))
+        .filter(F.col("rn") <= k).drop("rn")
+      assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+        s"k=$k: aggregate bottom-k differs from the window reference")
+    }
+    // group smaller than k: a single-row group survives intact
+    val tiny = Sketches.bottomKSample(
+      ev.limit(1), Seq("event_type"), "value", "event_id", k = 64)
+    assert(tiny.count() == 1)
+  }
+
   test("KMV set sketch: shard sketches merge to the whole-set sketch") {
     import graft.functions.Sketches
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
