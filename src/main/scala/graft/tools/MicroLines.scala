@@ -125,6 +125,36 @@ object MicroLines {
           F.coalesce(F.col("clean_text"), F.lit("")).as("clean_text"))
     }
     time("gate_current")(gate())
+
+    // ---- q_boilerplate A/B (VERDICT r19 #4): double explode scan vs
+    // CacheScope-materializing the hashed line stream once
+    def boilerFrom(l: DataFrame): DataFrame = {
+      val boiler = l.select(F.col("lh"), F.col("doc_id")).distinct()
+        .groupBy(F.col("lh")).agg(F.count(F.lit(1)).as("df"))
+        .filter(F.col("df") >= 3)
+        .select(F.col("lh"), F.lit(true).as("is_boiler"))
+      l.join(boiler, Seq("lh"), "left")
+        .withColumn("b", F.coalesce(F.col("is_boiler"), F.lit(false)))
+        .groupBy(F.col("doc_id"))
+        .agg(F.count(F.lit(1)).as("n_lines"),
+          F.sum(F.when(F.col("b"), 1L).otherwise(0L)).as("n_boiler"),
+          F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(
+              F.when(!F.col("b"), F.struct(F.col("idx"), F.col("line"))))),
+            s => s.getField("line"))).as("clean_text"))
+    }
+    time("boiler_nocache") {
+      boilerFrom(lines(base).withColumn("lh", F.xxhash64(F.col("line"))))
+    }
+    time("boiler_cached") {
+      graft.CacheScope.scoped {
+        boilerFrom(graft.CacheScope.materialize(
+          lines(base).withColumn("lh", F.xxhash64(F.col("line")))))
+      }
+    }
+    time("gate_boilerplate") {
+      graft.SparkEntry.queries("q_boilerplate")(spark, dir)
+    }
     spark.stop()
   }
 }
