@@ -60,6 +60,36 @@ object OracleSql {
        |  qs_vals[${graft.functions.Sketches.quantileIdxSql(0.95, "n_sample")}] AS p95_est
        |FROM qg""".stripMargin
 
+  /** PSI drift oracle — fixed decile bins over [0,1] quality scores of
+    * the base vs the noise-drifted snapshot; Laplace-smoothed
+    * proportions, ln on round-6 shared text (values only), total =
+    * DECIMAL-exact sum of the rounded terms. Shared verbatim by
+    * q_psi_drift (batch) and q_stream_psi (the fMGWS-maintained
+    * histogram): streamed counts ≡ batch counts because a histogram is
+    * a function of the set, not arrival order. */
+  private lazy val psiDriftSql: String =
+    s"""WITH a AS (SELECT round($qualityExpr, 6) AS q FROM documents),
+       |bsrc AS (SELECT concat(text, CASE WHEN doc_id % 4 = 0
+       |    THEN ' !!! ### 12345 $$$$$$ %%% 999' ELSE '' END) AS text FROM documents),
+       |b AS (SELECT round($qualityExpr, 6) AS q FROM bsrc),
+       |ba AS (SELECT LEAST(GREATEST(CAST(FLOOR(q * 10) AS BIGINT), 0), 9) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
+       |bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(q * 10) AS BIGINT), 0), 9) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
+       |j AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+       |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+       |  FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
+       |t AS (SELECT bucket, n_a, n_b,
+       |  (CAST(n_a AS DOUBLE) + 0.5) / (CAST(SUM(n_a) OVER () AS DOUBLE) + 5.0) AS pa_raw,
+       |  (CAST(n_b AS DOUBLE) + 0.5) / (CAST(SUM(n_b) OVER () AS DOUBLE) + 5.0) AS pb_raw
+       |  FROM j)
+       |SELECT bucket, n_a, n_b,
+       |  round(pa_raw, 6) AS p_a, round(pb_raw, 6) AS p_b,
+       |  round((pa_raw - pb_raw) * ln(pa_raw / pb_raw), 6) AS psi_term,
+       |  round(CAST(SUM(CAST(round((pa_raw - pb_raw) * ln(pa_raw / pb_raw), 6)
+       |    AS DECIMAL(38,18))) OVER () AS DOUBLE), 6) AS psi_total
+       |FROM t""".stripMargin
+
   /** One theta/KMV set-operation report at sketch size `k` (mirrors
     * Sketches.kmvSetOps over the same A/B snapshot slices): bottom-k
     * distinct md5 sketches, KMV-merged union sketch, rho (union-sample
@@ -2057,29 +2087,11 @@ object OracleSql {
     // PSI drift monitor: fixed decile bins over [0,1] quality scores of
     // the base vs the noise-drifted snapshot; Laplace-smoothed
     // proportions, ln on round-6 shared text (values only), total =
-    // DECIMAL-exact sum of the rounded terms.
-    "q_psi_drift" ->
-      s"""WITH a AS (SELECT round($qualityExpr, 6) AS q FROM documents),
-         |bsrc AS (SELECT concat(text, CASE WHEN doc_id % 4 = 0
-         |    THEN ' !!! ### 12345 $$$$$$ %%% 999' ELSE '' END) AS text FROM documents),
-         |b AS (SELECT round($qualityExpr, 6) AS q FROM bsrc),
-         |ba AS (SELECT LEAST(GREATEST(CAST(FLOOR(q * 10) AS BIGINT), 0), 9) AS bucket,
-         |  CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY 1),
-         |bb AS (SELECT LEAST(GREATEST(CAST(FLOOR(q * 10) AS BIGINT), 0), 9) AS bucket,
-         |  CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1),
-         |j AS (SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
-         |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-         |  FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket),
-         |t AS (SELECT bucket, n_a, n_b,
-         |  (CAST(n_a AS DOUBLE) + 0.5) / (CAST(SUM(n_a) OVER () AS DOUBLE) + 5.0) AS pa_raw,
-         |  (CAST(n_b AS DOUBLE) + 0.5) / (CAST(SUM(n_b) OVER () AS DOUBLE) + 5.0) AS pb_raw
-         |  FROM j)
-         |SELECT bucket, n_a, n_b,
-         |  round(pa_raw, 6) AS p_a, round(pb_raw, 6) AS p_b,
-         |  round((pa_raw - pb_raw) * ln(pa_raw / pb_raw), 6) AS psi_term,
-         |  round(CAST(SUM(CAST(round((pa_raw - pb_raw) * ln(pa_raw / pb_raw), 6)
-         |    AS DECIMAL(38,18))) OVER () AS DOUBLE), 6) AS psi_total
-         |FROM t""".stripMargin,
+    // DECIMAL-exact sum of the rounded terms. Shared verbatim by the
+    // batch gate and q_stream_psi (the streamed histogram of the whole
+    // table ≡ the batch histogram — counts are order-free).
+    "q_psi_drift" -> psiDriftSql,
+    "q_stream_psi" -> psiDriftSql,
 
     "q_clf_auc" -> {
       s"""WITH ${clfCtes(64, 4, 0.5)},

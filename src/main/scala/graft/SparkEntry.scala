@@ -2516,6 +2516,35 @@ object SparkEntry {
     graft.operators.Profile.psiDrift(qa, qb, "q")
   }
 
+  /** The SAME PSI drift report with the DRIFTED snapshot arriving as a
+    * STREAM ([[graft.streaming.StreamingOps.psiBucketsStream]], r20 /
+    * VERDICT r19 #5): per-bucket counts live as flatMapGroupsWithState
+    * state under the batch operator's own fixed bin edges, the final
+    * histogram is max(cumulative n) per bucket off the append sink, and
+    * the PSI tail ([[graft.operators.Profile.psiFromHistograms]]) runs
+    * against the batch reference histogram. Oracle = q_psi_drift's SQL
+    * verbatim — per-bucket counts are order-free, so the streamed
+    * histogram of the whole table ≡ the batch histogram. */
+  private def qStreamPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val refHist = docs
+      .select(F.round(TF.qualityScore(F.col("text")), 6).as("q"))
+      .select(graft.operators.Profile.psiBucket(F.col("q"), 10).as("bucket"))
+      .groupBy(F.col("bucket")).agg(F.count(F.lit(1)).as("n_a"))
+    val srcDir = stageStreamDir(dir, "documents")
+    val stream = s.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(srcDir.toString)
+    val drifted = F.concat(F.col("text"),
+      F.when(F.col("doc_id") % 4 === 0, F.lit(" !!! ### 12345 $$$ %%% 999"))
+        .otherwise(F.lit("")))
+    val qb = stream.select(F.round(TF.qualityScore(drifted), 6).as("q"))
+    val snaps = graft.streaming.StreamingOps.psiBucketsStream(qb, "q")
+    val collected = runMemoryGate(s, snaps, "graft_stream_psi", mode = "append")
+    val bHist = collected.groupBy(F.col("bucket")).agg(F.max(F.col("n")).as("n_b"))
+    graft.operators.Profile.psiFromHistograms(refHist, bHist)
+  }
+
   /** CCNet perplexity buckets
     * ([[graft.functions.UnigramLm.perplexityBuckets]]): head/middle/tail
     * thirds per language by unigram-LM score. The memoized corpus count
@@ -3510,6 +3539,7 @@ object SparkEntry {
     "q_clf_auc" -> (qClfAuc _),
     "q_clf_kappa" -> (qClfKappa _),
     "q_psi_drift" -> (qPsiDrift _),
+    "q_stream_psi" -> (qStreamPsiDrift _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_spm_train" -> (qSpmTrain _),
     "q_spm_encode" -> (qSpmEncode _),

@@ -324,14 +324,35 @@ object Profile {
     * rounded terms, constant across rows). */
   def psiDrift(snapA: DataFrame, snapB: DataFrame, scoreCol: String,
                buckets: Int = 10): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(psiBucket(F.col(scoreCol), buckets).as("bucket"))
+        .groupBy(F.col("bucket")).agg(F.count(F.lit(1)).as("c"))
+    psiFromHistograms(
+      bucketed(snapA).select(F.col("bucket"), F.col("c").as("n_a")),
+      bucketed(snapB).select(F.col("bucket"), F.col("c").as("n_b")),
+      buckets)
+  }
+
+  /** The fixed equal-width PSI bin — shared by the batch [[psiDrift]]
+    * and the streaming fold ([[graft.streaming.StreamingOps
+    * .psiBucketsStream]]) so both engines and both execution modes bin
+    * IDENTICALLY (constant edges are what make PSI values comparable
+    * across snapshots at all). */
+  def psiBucket(score: org.apache.spark.sql.Column, buckets: Int)
+      : org.apache.spark.sql.Column =
+    F.least(F.greatest(F.floor(score * buckets), F.lit(0L)),
+      F.lit(buckets.toLong - 1))
+
+  /** PSI tail over two pre-folded histograms — `a` as (bucket, n_a),
+    * `b` as (bucket, n_b), one row per non-empty bucket each. Split out
+    * of [[psiDrift]] (r20, VERDICT r19 #5) so a STREAMED histogram (the
+    * per-bucket counts living as streaming state) feeds the identical
+    * smoothing/ln/total math as the batch path — the oracle is the batch
+    * PSI of the same prefix, order-independent because counts are. */
+  def psiFromHistograms(a: DataFrame, b: DataFrame,
+                        buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 2 && buckets <= 1000, s"need 2 <= buckets <= 1000, got $buckets")
-    def bucketed(df: DataFrame): DataFrame =
-      df.select(F.least(F.greatest(F.floor(F.col(scoreCol) * buckets), F.lit(0L)),
-          F.lit(buckets.toLong - 1)).as("bucket"))
-        .groupBy(F.col("bucket")).agg(F.count(F.lit(1)).as("c"))
-    val a = bucketed(snapA).select(F.col("bucket"), F.col("c").as("n_a"))
-    val b = bucketed(snapB).select(F.col("bucket"), F.col("c").as("n_b"))
     val joined = a.join(b, Seq("bucket"), "full_outer")
       .select(F.col("bucket"),
         F.coalesce(F.col("n_a"), F.lit(0L)).as("n_a"),

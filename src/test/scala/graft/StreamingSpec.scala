@@ -238,6 +238,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("psiBucketsStream: fMGWS histogram equals the batch histogram after multiple batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val stream = input.toDS().toDF("q")
+    val snaps = graft.streaming.StreamingOps.psiBucketsStream(stream, "q", buckets = 10)
+    val q = snaps.writeStream.format("memory").queryName("psi_stream")
+      .outputMode("append").start()
+    // out-of-range scores must clamp into the edge bins like the batch op
+    val batch1 = Seq(0.05, 0.15, 0.17, 0.95, 1.0, -0.2)
+    val batch2 = Seq(0.05, 0.83, 2.5, 0.18)
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    val rows = spark.table("psi_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    val streamed = rows.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val batch = (batch1 ++ batch2).toDF("q")
+      .select(graft.operators.Profile.psiBucket(F.col("q"), 10).as("b"))
+      .groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // cumulative versions strictly increase per bucket
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.map(_._2).distinct.length == rs.length,
+        s"bucket $b re-emitted a non-increasing count: ${rs.toSeq}")
+    }
+  }
+
   test("prioritySampleStream: fMGWS top-(k+1) state equals the batch priority sample") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
