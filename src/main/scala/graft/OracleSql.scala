@@ -3310,6 +3310,28 @@ object OracleSql {
          |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell FROM cells c
          |WHERE c.vec_id NOT IN (SELECT id FROM closers)""".stripMargin,
 
+    // Incremental semantic dedup (r20): the same frozen-quantizer cell
+    // assignment as the persisted index (centroids trained on the dense
+    // history window vec_id < 400 — the sampleCte override), every
+    // within-cell pair touching the shard (>= 400 side), exact round-6
+    // cosine gate. Replays Ann.semanticIncremental: batch pair set
+    // restricted to shard-touching pairs (q_dedup_incremental
+    // convention).
+    "q_dedup_semantic_incremental" ->
+      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64,
+             sampleCte = Some(
+               "sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)"))},
+         |cpairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id >= 400 OR b.vec_id >= 400)
+         |SELECT p.va AS vec_a, p.vb AS vec_b, CAST(p.cell AS INTEGER) AS cell,
+         |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+         |FROM cpairs p
+         |JOIN embeddings ea ON ea.vec_id = p.va
+         |JOIN embeddings eb ON eb.vec_id = p.vb
+         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4""".stripMargin,
+
     // JL projection: one md5-sign dot per output coordinate (the
     // lshBitSql weight rule reduced to its sign bit), divided by the
     // IEEE-exact sqrt(16.0), rounded 6.

@@ -2991,6 +2991,34 @@ object SparkEntry {
     Ann.ivfTopKIndexed(s, path, emb.filter(F.col("vec_id") < 20), k = 5, probes = 6)
   }
 
+  /** Last-built key of the staged SEMANTIC-DEDUP history index. */
+  private val semIncStaged =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** INCREMENTAL semantic dedup ([[Ann.semanticIncremental]], r20): the
+    * dense history prefix (vec_id < 400 — dense ids, so the frozen
+    * quantizer trains on exactly that window) lives as a persisted IVF
+    * index; the remaining vectors arrive as the shard, are assigned to
+    * the FROZEN cells, and every near-dup pair touching the shard is
+    * reported — history side read partition-pruned to the shard's
+    * cells. Oracle = the batch SemDeDup pair scan under the same frozen
+    * quantizer, restricted to pairs with a shard side (the
+    * q_dedup_incremental convention). Index build is one-time persisted
+    * state per (dir, stamp) per JVM; best-of-N measures the probe. */
+  private def qDedupSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val key = stageKey(dir, "embeddings.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sem_inc_$key"
+    val reuse = key == semIncStaged.get() &&
+      new java.io.File(path, "_SUCCESS").isFile
+    if (!reuse) {
+      semIncStaged.set(null) // invalidate while the index is in flux
+      Ann.ivfIndexInit(emb.filter(F.col("vec_id") < 400), path, cells = 16)
+      semIncStaged.set(key)
+    }
+    Ann.semanticIncremental(s, path, emb.filter(F.col("vec_id") >= 400))
+  }
+
   /** Last-built key of the staged REQUANTIZED IVF index. */
   private val ivfReqStaged =
     new java.util.concurrent.atomic.AtomicReference[String](null)
@@ -3587,6 +3615,7 @@ object SparkEntry {
     "q_dedup_minhash_pruned" -> (qDedupMinhashPruned _),
     "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_semantic_incremental" -> (qDedupSemanticIncremental _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_simhash" -> (qDedupSimhash _),

@@ -1220,6 +1220,59 @@ object Ann {
     ivfScore(c, q, k, native)
   }
 
+  /** INCREMENTAL semantic dedup — the SemDeDup pair scan composed with
+    * the persisted-index lifecycle (r20, VERDICT r19 #6; rows 88+89):
+    * history lives as an [[ivfIndexInit]] index (FROZEN quantizer +
+    * cell-partitioned vectors, the [[graft.dedup.Dedup.incremental]]
+    * analogue), an arriving shard is assigned to the frozen cells, and
+    * near-dup pairs are computed ONLY within the cells the shard
+    * touches: the history side is the partition-pruned index read (the
+    * shard's cell set broadcasts onto the cell equi-join, arming DPP),
+    * so probe cost scales with the shard's cell footprint — appending a
+    * 1 GB shard against a 100 TB history reads the touched cells, never
+    * the corpus. Within-shard pairs (both sides new) ride the same
+    * cell-keyed join shape.
+    *
+    * Output: (vec_a < vec_b, cell, cosine round-6) for every pair with
+    * cosine ≥ `tau` and AT LEAST ONE side in the shard — the batch
+    * [[graft.dedup.Dedup.semantic]] pair set under the same frozen
+    * quantizer restricted to shard-touching pairs (the
+    * q_dedup_incremental convention: the oracle replays exactly that).
+    * Shard and index id spaces are disjoint by the lifecycle contract
+    * (an id is indexed by [[ivfIndexAppend]] only after its dedup
+    * verdict). */
+  def semanticIncremental(spark: org.apache.spark.sql.SparkSession, path: String,
+                          shard: DataFrame, idCol: String = "vec_id",
+                          embCol: String = "embedding", tau: Double = 0.4,
+                          native: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions
+    val stamp = centroidStamp(path)
+    val centroids = loadCentroids(spark, path, stamp)
+    val sh = graft.Spread(shard).select(
+      F.col(idCol).as("ia"), F.col(embCol).as("e_a"),
+      nearestCentroid(centroids, F.col(embCol), native).as("cell"))
+    val hist = spark.read.schema(indexSchema(spark, path, stamp)).parquet(path)
+      .select(F.col(idCol).as("ib"), F.col(embCol).as("e_b"), F.col("cell"))
+    def nrm(e: Column) = F.sqrt(VectorFunctions.dotF(e, e))
+    def scored(pairs: DataFrame): DataFrame =
+      pairs.select(
+        F.least(F.col("ia"), F.col("ib")).as("vec_a"),
+        F.greatest(F.col("ia"), F.col("ib")).as("vec_b"),
+        F.col("cell"),
+        // dot/norm orientation-safe: per-term products commute and the
+        // accumulation order is the dim order either way, so the pair's
+        // rounded cosine is identical however least/greatest landed
+        F.round(VectorFunctions.dotF(F.col("e_a"), F.col("e_b")) /
+          (nrm(F.col("e_a")) * nrm(F.col("e_b"))), 6).as("cosine"))
+        .filter(F.col("cosine") >= tau)
+    val cross = sh.join(hist, Seq("cell"))
+    val within = sh.join(
+      sh.select(F.col("ia").as("ib"), F.col("e_a").as("e_b"), F.col("cell")),
+      Seq("cell"))
+      .filter(F.col("ia") < F.col("ib"))
+    scored(cross).unionAll(scored(within))
+  }
+
   /** Per-bucket histogram of the LSH partitioning (diagnostics + oracle). */
   def lshBuckets(corpus: DataFrame, idCol: String = "vec_id", embCol: String = "embedding",
                  planes: Int = 8, dim: Int = 64): DataFrame =

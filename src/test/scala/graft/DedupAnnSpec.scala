@@ -631,6 +631,47 @@ class DedupAnnSpec extends AnyFunSuite with SparkFixture {
     assert(!out(12L)._3 && out(12L)._2 == 0.0, s"clean doc flagged: $out")
   }
 
+  test("semanticIncremental: shard-touching pairs only, against the frozen-quantizer index") {
+    import spark.implicits._
+    // History: two tight planted clusters around orthogonal axes, with
+    // ids 0..19 dense (the trainer's seed contract); ids 3 and 4 are
+    // EXACT duplicates of each other — a history-internal pair that must
+    // NOT appear (neither side is shard). Shard: an exact copy of the
+    // axis-a cluster center (near-dup of 3 and 4) and one vector
+    // orthogonal to everything (clean).
+    def around(base: Array[Double], i: Long): (Long, Array[Float]) =
+      (i, base.zipWithIndex.map { case (x, d) =>
+        (x + (if (d == 7) 0.001 * (i % 5) else 0.0)).toFloat })
+    val a = Array(1.0, 0, 0, 0, 0, 0, 0, 0)
+    val b = Array(0, 1.0, 0, 0, 0, 0, 0, 0)
+    // cluster a: ten EXACT copies (they must co-locate in one frozen
+    // cell — within-cell-only candidacy is the SemDeDup contract, so
+    // the planted-dup assertion needs one cell, not a spread cluster)
+    val hist = ((0L until 10L).map(i => (i, a.map(_.toFloat))) ++
+      (10L until 20L).map(i => around(b, i)))
+      .toDF("vec_id", "embedding")
+    val shard = Seq(
+      (100L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),  // exact dup of cluster a
+      (101L, Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))  // orthogonal, clean
+      .toDF("vec_id", "embedding")
+    val path = System.getProperty("java.io.tmpdir") + "/graft_sem_inc_spec"
+    graft.ann.Ann.ivfIndexInit(hist, path, cells = 4, sampleN = 20)
+    val out = graft.ann.Ann.semanticIncremental(spark, path, shard, tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // every reported pair touches the shard
+    assert(out.forall(p => p._1 >= 100L || p._2 >= 100L),
+      s"history-internal pair leaked: ${out.toSeq}")
+    // the planted near-dups are found (shard copy vs the axis-a cluster)
+    val hits = out.filter(p => p._2 == 100L).map(_._1).toSet
+    assert((0L until 10L).forall(hits.contains),
+      s"missed planted near-dups: ${out.toSeq}")
+    // the clean orthogonal shard vector reports nothing
+    assert(!out.exists(p => p._1 == 101L || p._2 == 101L),
+      s"clean shard vector flagged: ${out.toSeq}")
+    // pairs are oriented and scored
+    assert(out.forall(p => p._1 < p._2 && p._3 >= 0.4))
+  }
+
   test("semanticDecontaminate: corpus/eval id COLLISION still compared (r19 ADVICE)") {
     import spark.implicits._
     // Corpus vector id 0 is an exact copy of eval example id 0 — the
