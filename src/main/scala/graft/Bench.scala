@@ -159,9 +159,25 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid) — any
     // registered gate query is benchable, not just the headline set.
-    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+    val onlySelected = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.filter(SparkEntry.queries.contains))
-      .getOrElse(headline)
+    // Bench-order ROTATION (r20, VERDICT r19 #8): the end-of-run
+    // contention cluster hit the same (alphabetically late / recently
+    // added) queries every round, confounding per-query cross-round
+    // deltas with suite position. Each round now times the headline in a
+    // different DETERMINISTIC order: seed = next round index (max
+    // committed BENCH_r*.json + 1 — the same number the driver will
+    // stamp on this run's artifact), shuffle seeded by it, stamped into
+    // the output JSON as order_seed so the order is reproducible from
+    // the artifact alone. SPARK_GRAFT_ONLY runs keep their given order.
+    val orderSeed: Int = {
+      val re = "BENCH_r(\\d+)\\.json".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .foldLeft(0)(math.max) + 1
+    }
+    val selected = onlySelected.getOrElse(
+      new scala.util.Random(orderSeed.toLong).shuffle(headline))
 
     // JIT warmup (untimed): run each selected query once at the SMALLEST
     // scale factor available so HotSpot compiles the hot loops (native
@@ -511,7 +527,7 @@ object Bench {
     // phases, and a start-only probe can misattribute mid-run drift
     val effectiveCoresEnd = probeEffectiveCores()
     val core =
-      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"effective_cores":$effectiveCores,"effective_cores_end":$effectiveCoresEnd,"sf":"$sfDir""""
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"order_seed":$orderSeed,"effective_cores":$effectiveCores,"effective_cores_end":$effectiveCoresEnd,"sf":"$sfDir""""
     println(s"{$core$ratioAgg}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("graft_bench.json"),
       s"""{$core,"diag":$diagJson$ratioAgg$ratioMap}""" + "\n")
