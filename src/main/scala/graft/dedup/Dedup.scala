@@ -1062,7 +1062,13 @@ object Dedup {
     * contract includes candidates whose token INTERSECTION is empty:
     * the vector merge yields sum_min = 0, jw = 0 for them naturally
     * (round-18 ADVICE contract fix — the old exploded inner join
-    * silently dropped them). */
+    * silently dropped them). Scope (round-19 ADVICE): the contract is
+    * over docs with ≥ 1 token — a TOKEN-EMPTY doc has no docTf row, so
+    * the doc-id joins would drop its pairs; no such pair exists, though,
+    * because candidates come from word-shingle MinHash ([[ShingleExpr]]
+    * n-grams over the SAME whitespace tokens [[graft.functions
+    * .expressions.TokenTfExpr]] folds), and zero tokens ⇒ zero shingles
+    * ⇒ no signature ⇒ no candidacy. */
   def weightedJaccard(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", shingleN: Int = 3,
                       minJwNum: Long = 1L, minJwDen: Long = 5L,

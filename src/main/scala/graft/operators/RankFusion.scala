@@ -42,6 +42,15 @@ object RankFusion {
     // join and the final cut plan with ZERO exchanges (r18 VERDICT #5 —
     // the 17-stage hybrid plan spent its wall on exchange barriers
     // between sub-second stages).
+    // CONTRACT, not a check (r19 ADVICE): coalesce(1) propagates up to
+    // the nearest shuffle boundary, so a caller passing an UNBOUNDED
+    // DataFrame here serializes that input's whole final narrow stage
+    // into one task — it does not fail, it silently single-threads.
+    // There is no cheap runtime guard (a count is a job; a limit() is a
+    // silent truncation, strictly worse). Callers must pass the output
+    // of a top-k cut (bm25/bruteTopK/TakeOrdered — everything in this
+    // repo does); a future corpus-sized caller belongs on rrf() below,
+    // whose ranks are distributed GlobalIndex range partitions.
     val l = lex.select(id, F.col(rankCol).cast("long").as("lex_rank")).coalesce(1)
     val d = dense.select(id, F.col(rankCol).cast("long").as("dense_rank")).coalesce(1)
     val fused = l.join(d, Seq(idCol), "full_outer")

@@ -485,7 +485,21 @@ object Sampling {
     * associativity — which is exactly what the oracle runs; the sum
     * folds in DECIMAL(18,4) so the two-stage merge is order-free.
     *
-    * Output: (keyCol, n, total double, max_value). */
+    * KNOWN LIMITATION (r19 ADVICE): the salt is a content hash, so a
+    * hot key dominated by IDENTICAL full rows keeps its skew — every
+    * copy hashes to the same bucket, and the recommended fan-out is
+    * ineffective in that regime (the result stays correct; only the
+    * mitigation degrades). That is the price of retry-stability: any
+    * per-copy disambiguator that splits identical rows —
+    * spark_partition_id() (input partitioning shifts under AQE
+    * coalescing and file-split changes), monotonically_increasing_id,
+    * a per-partition counter (row order within a recomputed shuffle
+    * partition is not deterministic) — re-salts differently on a
+    * shuffle-retry recompute, and a retried map task would then split
+    * one row's count between two (key, salt) groups while the
+    * first-attempt fetch of the other group survives: double count.
+    * Identical-row floods are better collapsed upstream (exact dedup is
+    * row 31) than salted around. */
   def saltedAggAuto(df: DataFrame, keyCol: String, valueCol: String,
                     topK: Int = 10, targetShare: Double = 2.0): DataFrame = {
     require(topK <= 1000, s"topK $topK exceeds the driver-state cap (1000)")

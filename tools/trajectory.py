@@ -53,18 +53,26 @@ def q_covered(q, oracle):
     return bool(oracle.get(q))
 
 
-def merge_min(doc, prev):
+def merge_min(doc, prev, names):
     """Per-query per-sf per-engine minimum against a previous assembly —
     the r16 'prefer per-query minima across runs' discipline, automated:
     each assembly runs in whatever host-capacity window it gets (this VM
     swings 17-30 effective cores), and the minimum across windows is the
     quiet-box floor both engines deserve. Totals are recomputed from the
-    merged per-query values by the caller."""
+    merged per-query values by the caller.
+
+    Restricted to the CURRENT headline `names` and the current sf blocks
+    (r19 ADVICE): a query removed from the suite, or an sf the current
+    assembly didn't run, must not be resurrected from the prior JSON into
+    the recomputed totals."""
+    keep = set(names)
     for eng in ("spark", "duckdb"):
         for sf, blk in prev.get(eng, {}).items():
-            cur = doc[eng].setdefault(sf, {"total": 0.0, "queries": {}})
+            if sf not in doc.get(eng, {}):
+                continue  # prev-only sf block: drop, never seed an empty one
+            cur = doc[eng][sf]
             for q, v in blk.get("queries", {}).items():
-                if v is None:
+                if v is None or q not in keep:
                     continue
                 old = cur["queries"].get(q)
                 if old is None or v < old:
@@ -103,7 +111,7 @@ def main():
         covered = [v for v in dt.values() if v is not None]
         doc["duckdb"][f"sf{sf}"] = {"total": round(sum(covered), 3), "queries": dt}
     if merge_path and os.path.exists(merge_path):
-        merge_min(doc, json.load(open(merge_path)))
+        merge_min(doc, json.load(open(merge_path)), names)
         doc["note"] += (" Per-query minimum across assemblies (quiet-window"
                         " floors accumulate; see merge_min).")
         # recompute totals from the merged per-query floors
