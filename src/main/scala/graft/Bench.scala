@@ -122,7 +122,13 @@ object Bench {
     "q_decontaminate_semantic",
     // corpus-ops telemetry (r19): PSI = two quality scans folded to
     // bucket tables; kappa = one confusion-count aggregation.
-    "q_psi_drift", "q_clf_kappa")
+    "q_psi_drift", "q_clf_kappa",
+    // r20: incremental semantic dedup (frozen-quantizer index probe —
+    // the steady-state shard-vs-history cost, q_dedup_incremental's
+    // vector twin). q_stream_psi stays off the headline like its
+    // streaming siblings (fixed micro-batch machinery cost, tracked by
+    // the streaming gates).
+    "q_dedup_semantic_incremental")
 
   def main(args: Array[String]): Unit = {
     // Every number below is formatted with the f interpolator, which uses
