@@ -17,10 +17,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * round 19 after the weighted-Jaccard vector rework, the bm25/hybrid
   * stage cut and the planner-driven salted aggregate joined the
   * headline (91 queries — q_dedup_jaccard_weighted and
-  * q_select_moore_lewis now CI-pinned, r18 VERDICT #1);
+  * q_select_moore_lewis now CI-pinned, r18 VERDICT #1), then in
+  * round 20 after the line-dedup skew-window kill (min-struct groupBy +
+  * join-back: exponent 0.43 → 0.11), the sort-free bottom-k aggregate
+  * under the percentile sketch (0.32 → 0.03), the single-text-pass bm25
+  * and the incremental semantic dedup joining the headline (95 queries);
   * regenerate with tools/trajectory.py). No sf1 dataset exists in this
   * container, so the scale claim is pinned on the two 10x steps that do:
-  * docs/scale_trajectory_r19.json holds the full headline suite measured
+  * docs/scale_trajectory_r20.json holds the full headline suite measured
   * at sf0.001, sf0.01 AND sf0.1 with the same code, box, and methodology
   * for both engines (Spark best-of-N cold-cache after JIT warmup; DuckDB
   * best-of-3). Two independent decades make the fit a trajectory, not a
@@ -39,7 +43,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r19.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r20.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
