@@ -2507,13 +2507,19 @@ object SparkEntry {
     // flips a doc across it — measured 4 flipped docs of 500 at sf0.01
     // on the raw composite. Rounding absorbs ulp noise; a flip now
     // needs a score EXACTLY on an edge at 6 dp.
-    val docs = T(s, dir, "documents")
-    val qa = docs.select(F.round(TF.qualityScore(F.col("text")), 6).as("q"))
+    // Paired form (r20): both snapshots derive from ONE documents scan,
+    // so the (bucket_a, bucket_b) pair-count fold pays one quality-regex
+    // pass instead of two — the r20 trajectory's worst growth exponent
+    // (0.43) was exactly the doubled scan. Oracle and output unchanged.
+    val docs = graft.Spread(T(s, dir, "documents"))
     val drifted = F.concat(F.col("text"),
       F.when(F.col("doc_id") % 4 === 0, F.lit(" !!! ### 12345 $$$ %%% 999"))
         .otherwise(F.lit("")))
-    val qb = docs.select(F.round(TF.qualityScore(drifted), 6).as("q"))
-    graft.operators.Profile.psiDrift(qa, qb, "q")
+    graft.operators.Profile.psiDriftPaired(
+      docs.select(
+        F.round(TF.qualityScore(F.col("text")), 6).as("qa"),
+        F.round(TF.qualityScore(drifted), 6).as("qb")),
+      "qa", "qb")
   }
 
   /** The SAME PSI drift report with the DRIFTED snapshot arriving as a

@@ -343,6 +343,29 @@ object Profile {
     F.least(F.greatest(F.floor(score * buckets), F.lit(0L)),
       F.lit(buckets.toLong - 1))
 
+  /** PAIRED-SNAPSHOT PSI — [[psiDrift]] for the common case where both
+    * score columns derive from ONE table (base corpus vs a transformed
+    * view of itself: the q_psi_drift gate, any before/after-filter
+    * comparison). The two-frame form scans the input twice — once per
+    * bucketed() branch — and the scan is the expensive part (quality
+    * scores are regex folds over full text; r20 trajectory measured the
+    * double scan as the suite's worst growth exponent, 0.43). This form
+    * pays ONE scan: a single map-side-combinable `(bucket_a, bucket_b)`
+    * pair-count aggregation (≤ buckets² rows), from which both marginal
+    * histograms fold. Same smoothing/ln/total tail, same output,
+    * hash-identical to [[psiDrift]] on the same rows. */
+  def psiDriftPaired(df: DataFrame, scoreColA: String, scoreColB: String,
+                     buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"need 2 <= buckets <= 1000, got $buckets")
+    val pair = df.select(
+      psiBucket(F.col(scoreColA), buckets).as("ba"),
+      psiBucket(F.col(scoreColB), buckets).as("bb"))
+      .groupBy(F.col("ba"), F.col("bb")).agg(F.count(F.lit(1)).as("c"))
+    val a = pair.groupBy(F.col("ba").as("bucket")).agg(F.sum(F.col("c")).as("n_a"))
+    val b = pair.groupBy(F.col("bb").as("bucket")).agg(F.sum(F.col("c")).as("n_b"))
+    psiFromHistograms(a, b, buckets)
+  }
+
   /** PSI tail over two pre-folded histograms — `a` as (bucket, n_a),
     * `b` as (bucket, n_b), one row per non-empty bucket each. Split out
     * of [[psiDrift]] (r20, VERDICT r19 #5) so a STREAMED histogram (the

@@ -321,9 +321,13 @@ class ExplainAuditSpec extends AnyFunSuite with SparkFixture {
     // key merge exchange; the skew diagnosis runs at plan-build time
     // (bounded topK collect, not part of this frame).
     Audit("q_agg_salted_auto", maxExchange = 2),
-    // r19 PSI: two bucket aggregations (map-side combined) + the
-    // bounded bucket join + the two bounded window folds.
-    Audit("q_psi_drift", maxExchange = 6),
+    // r20 paired PSI: ONE quality scan into the (ba, bb) pair-count
+    // aggregation; its exchange PRINTS under both marginal-histogram
+    // consumers (8 printed) but ReuseExchange collapses them at
+    // execution (verified: ReusedExchange=1 in the executed plan) — the
+    // executed cost is the pair exchange + two ≤buckets²-row marginal
+    // exchanges + the bounded bucket join + the window folds.
+    Audit("q_psi_drift", maxExchange = 8),
     // r19 kappa: one global confusion-count aggregation.
     Audit("q_clf_kappa", maxExchange = 1),
     // 17 = the q_lm_kn printed-subtree class: the bigram count subtree

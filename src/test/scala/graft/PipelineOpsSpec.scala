@@ -1510,6 +1510,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkFixture {
     assert(same.forall(x => x.getDouble(5) == 0.0 && x.getDouble(6) == 0.0))
   }
 
+  test("psiDriftPaired: single-scan form equals the two-frame psiDrift row-for-row") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // paired rows (qa, qb) whose marginals reproduce the two-frame
+    // example above — plus an out-of-range score clamping into an edge
+    // bin and an empty-on-one-side bucket (the full-outer path)
+    val paired = (Seq.fill(2)((0.15, 0.15)) ++ Seq.fill(6)((0.15, 0.85)) ++
+      Seq.fill(2)((0.85, 0.85)) ++ Seq((1.7, -0.3))).toDF("qa", "qb")
+    val two = Profile.psiDrift(
+      paired.select(F.col("qa").as("q")), paired.select(F.col("qb").as("q")), "q")
+    val one = Profile.psiDriftPaired(paired, "qa", "qb")
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty,
+      s"paired=${one.collect().toSeq} two-frame=${two.collect().toSeq}")
+  }
+
   test("kappaAgreement: hand-computed 2x2, perfect agreement 1, constant filter NULL") {
     import spark.implicits._
     import graft.functions.Classifier
