@@ -90,6 +90,28 @@ object OracleSql {
        |    AS DECIMAL(38,18))) OVER () AS DOUBLE), 6) AS psi_total
        |FROM t""".stripMargin
 
+  /** Incremental semantic dedup oracle (r20): frozen-quantizer cell
+    * assignment trained on the dense history window (vec_id < 400 via
+    * the sampleCte override), every within-cell pair touching the shard
+    * (>= 400 side), exact round-6 cosine gate. Shared verbatim by
+    * q_dedup_semantic_incremental (batch probe) and
+    * q_stream_dedup_semantic (union of per-batch probe outputs — the
+    * index carry-over produces the cross-batch pairs). */
+  private lazy val semIncSql: String =
+    s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64,
+             sampleCte = Some(
+               "sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)"))},
+       |cpairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id >= 400 OR b.vec_id >= 400)
+       |SELECT p.va AS vec_a, p.vb AS vec_b, CAST(p.cell AS INTEGER) AS cell,
+       |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine
+       |FROM cpairs p
+       |JOIN embeddings ea ON ea.vec_id = p.va
+       |JOIN embeddings eb ON eb.vec_id = p.vb
+       |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4""".stripMargin
+
   /** One theta/KMV set-operation report at sketch size `k` (mirrors
     * Sketches.kmvSetOps over the same A/B snapshot slices): bottom-k
     * distinct md5 sketches, KMV-merged union sketch, rho (union-sample
@@ -3317,20 +3339,12 @@ object OracleSql {
     // cosine gate. Replays Ann.semanticIncremental: batch pair set
     // restricted to shard-touching pairs (q_dedup_incremental
     // convention).
-    "q_dedup_semantic_incremental" ->
-      s"""WITH ${kmeansCtes(cells = 16, sampleN = 512, iters = 2, dim = 64,
-             sampleCte = Some(
-               "sample AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)"))},
-         |cpairs AS (
-         |  SELECT a.vec_id AS va, b.vec_id AS vb, a.cell
-         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE a.vec_id >= 400 OR b.vec_id >= 400)
-         |SELECT p.va AS vec_a, p.vb AS vec_b, CAST(p.cell AS INTEGER) AS cell,
-         |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine
-         |FROM cpairs p
-         |JOIN embeddings ea ON ea.vec_id = p.va
-         |JOIN embeddings eb ON eb.vec_id = p.vb
-         |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4""".stripMargin,
+    "q_dedup_semantic_incremental" -> semIncSql,
+    // streaming twin (q_stream_dedup_semantic): union of per-batch
+    // probe outputs == the batch incremental answer (index carry-over
+    // produces the cross-batch pairs), so the oracle is shared verbatim.
+    "q_stream_dedup_semantic" -> semIncSql,
+
 
     // JL projection: one md5-sign dot per output coordinate (the
     // lshBitSql weight rule reduced to its sign bit), divided by the

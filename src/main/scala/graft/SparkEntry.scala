@@ -3025,6 +3025,68 @@ object SparkEntry {
     Ann.semanticIncremental(s, path, emb.filter(F.col("vec_id") >= 400))
   }
 
+  /** STREAMING incremental semantic dedup gate
+    * ([[graft.streaming.StreamingOps.semanticDedupStream]]): the dense
+    * history prefix (vec_id < 400) seeds the frozen-quantizer index;
+    * the remaining vectors arrive as TWO micro-batches (two staged
+    * files, maxFilesPerTrigger=1) through a real foreachBatch stream
+    * that appends + probes per batch with idempotent per-batch commits.
+    * The union of the batch outputs must equal the BATCH incremental
+    * answer — all semantic pairs touching a shard vector, including the
+    * cross-BATCH pairs only the index carry-over can produce — so the
+    * oracle is q_dedup_semantic_incremental's verbatim. Index and
+    * output are rebuilt fresh per call (a correctness gate, not a
+    * headline timing; the steady-state probe is what
+    * q_dedup_semantic_incremental times). */
+  private def qStreamDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val key = stageKey(dir, "embeddings.parquet")
+    val srcDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_sem_src_$key")
+    // gate on the LAST-written artifact (the qStreamDedupIncremental
+    // crash-consistency pattern)
+    if (!java.nio.file.Files.exists(srcDir.resolve("b2").resolve("_SUCCESS"))) {
+      rmTree(srcDir.toString)
+      emb.filter(F.col("vec_id") >= 400 && F.col("vec_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+      emb.filter(F.col("vec_id") >= 400 && F.col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b2").toString)
+    }
+    // fresh seed index every call: the stream APPENDS to it, so reuse
+    // across shots would pollute the probe
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_sem_inc_stream_$key"
+    rmTree(path); rmTree(path + "_centroids"); rmTree(path + "_stats")
+    Ann.ivfIndexInit(emb.filter(F.col("vec_id") < 400), path, cells = 16)
+    val stream = s.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+    val outDir = scratchCheckpoint("stream_sem_out")
+    val ckpt = scratchCheckpoint("stream_sem")
+    try {
+      graft.streaming.StreamingOps.semanticDedupStream(
+        stream, path, outDir, ckpt).awaitTermination()
+      // pull the union through the driver: batch dirs are scratch
+      // (deleted below), so the returned frame must not re-read them
+      // lazily (the qStreamDedupIncremental convention)
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getAbsolutePath).sorted
+      val rows = s.read.parquet(batchDirs.toSeq: _*).collect().toSeq
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_a",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec_b",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType, nullable = true),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    } finally { rmTree(ckpt); rmTree(outDir) }
+  }
+
   /** Last-built key of the staged REQUANTIZED IVF index. */
   private val ivfReqStaged =
     new java.util.concurrent.atomic.AtomicReference[String](null)
@@ -3622,6 +3684,7 @@ object SparkEntry {
     "q_dedup_minhash_eval" -> (qDedupMinhashEval _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_semantic_incremental" -> (qDedupSemanticIncremental _),
+    "q_stream_dedup_semantic" -> (qStreamDedupSemantic _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_simhash" -> (qDedupSimhash _),

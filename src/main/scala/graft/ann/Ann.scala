@@ -1240,7 +1240,12 @@ object Ann {
     * q_dedup_incremental convention: the oracle replays exactly that).
     * Shard and index id spaces are disjoint by the lifecycle contract
     * (an id is indexed by [[ivfIndexAppend]] only after its dedup
-    * verdict). */
+    * verdict) — and the cross side ENFORCES it with a broadcast
+    * anti-join on the shard's ids: a no-op filter in normal operation,
+    * but it makes the probe idempotent when the shard was ALREADY
+    * appended (the [[graft.streaming.StreamingOps.semanticDedupStream]]
+    * replay window: append commits, crash, probe re-runs — without the
+    * exclusion every within-shard pair would double as a cross pair). */
   def semanticIncremental(spark: org.apache.spark.sql.SparkSession, path: String,
                           shard: DataFrame, idCol: String = "vec_id",
                           embCol: String = "embedding", tau: Double = 0.4,
@@ -1253,6 +1258,8 @@ object Ann {
       nearestCentroid(centroids, F.col(embCol), native).as("cell"))
     val hist = spark.read.schema(indexSchema(spark, path, stamp)).parquet(path)
       .select(F.col(idCol).as("ib"), F.col(embCol).as("e_b"), F.col("cell"))
+      .join(F.broadcast(shard.select(F.col(idCol).as("ib")).distinct()),
+        Seq("ib"), "left_anti")
     def nrm(e: Column) = F.sqrt(VectorFunctions.dotF(e, e))
     def scored(pairs: DataFrame): DataFrame =
       pairs.select(

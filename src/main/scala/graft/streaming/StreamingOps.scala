@@ -215,6 +215,42 @@ object StreamingOps {
       })
       .start()
 
+  /** Streaming INCREMENTAL SEMANTIC dedup — [[incrementalDedupStream]]'s
+    * vector twin over the frozen-quantizer index (r20, row 221's
+    * streaming half): each micro-batch of new embeddings is APPENDED to
+    * the persisted index first ([[graft.ann.Ann.ivfIndexAppend]] with
+    * the prelist reconciliation ledger — exactly-once-effective), then
+    * PROBED ([[graft.ann.Ann.semanticIncremental]], whose cross side
+    * anti-joins the batch's own ids out of the history read — so
+    * probing after the append sees exactly the pre-append history plus
+    * the batch's within pairs, and a replay after a crashed probe is
+    * idempotent), and the pair output commits the batch marker. The
+    * union of batch outputs equals the BATCH semanticIncremental of the
+    * whole stream against the initial history — cross-BATCH pairs come
+    * from the index carry-over, within-batch pairs from the probe's own
+    * within leg — so the oracle is q_dedup_semantic_incremental's. */
+  def semanticDedupStream(vectors: DataFrame, indexPath: String,
+                          outDir: String, checkpointDir: String,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding",
+                          tau: Double = 0.4): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(markerGatedId(outDir) { (batch, target, batchId) =>
+        val prelist = s"$outDir/prelist_batch=$batchId"
+        val b = batch.select(batch(idCol), batch(embCol))
+        graft.ann.Ann.ivfIndexAppend(b, indexPath, idCol, embCol,
+          prelistDir = Some(prelist))
+        graft.ann.Ann.semanticIncremental(
+            batch.sparkSession, indexPath, b, idCol, embCol, tau)
+          .write.mode(SaveMode.Overwrite).parquet(target)
+        // single-use ledger, same rationale as ivfIngestStream
+        val (fs, p) = graft.HadoopFs.get(prelist)
+        fs.delete(p, true); ()
+      })
+      .start()
+
   /** The ONE per-batch replay gate both ingest streams share (review r14:
     * three hand-rolled copies drift): run `action(batch, targetDir)` only
     * when `outDir/batch=<id>/_SUCCESS` is absent — a replayed batch whose

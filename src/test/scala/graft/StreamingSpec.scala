@@ -238,6 +238,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("semanticDedupStream: cross-BATCH pairs come from the index carry-over") {
+    import spark.implicits._
+    // history: ids 0..19 on two orthogonal axes (frozen 4-cell quantizer
+    // trains on them); batch 1 plants id 100 = exact copy of the axis-a
+    // center; batch 2 plants id 200 = the SAME vector. The (100, 200)
+    // pair can only exist if batch 1 was appended to the index before
+    // batch 2 probed — the carry-over path the sf-gate data never
+    // exercises (its shard has no cross-batch near-dups).
+    val a = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val hist = ((0L until 10L).map(i => (i, a)) ++ (10L until 20L).map(i => (i, b)))
+      .toDF("vec_id", "embedding")
+    val tmp = System.getProperty("java.io.tmpdir")
+    val path = s"$tmp/graft_sem_stream_spec_idx"
+    val src = s"$tmp/graft_sem_stream_spec_src"
+    def rm(p: String): Unit = {
+      val (fs, hp) = graft.HadoopFs.get(p); fs.delete(hp, true); ()
+    }
+    Seq(path, path + "_centroids", path + "_stats", src).foreach(rm)
+    graft.ann.Ann.ivfIndexInit(hist, path, cells = 4, sampleN = 20)
+    Seq((100L, a)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$src/b1")
+    Seq((200L, a), (201L, Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$src/b2")
+    val stream = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/b*")
+    val outDir = s"$tmp/graft_sem_stream_spec_out"
+    val ckpt = s"$tmp/graft_sem_stream_spec_ckpt"
+    Seq(outDir, ckpt).foreach(rm)
+    try {
+      graft.streaming.StreamingOps.semanticDedupStream(
+        stream, path, outDir, ckpt).awaitTermination()
+      val pairs = spark.read.parquet(
+          new java.io.File(outDir).listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+            .map(_.getAbsolutePath).toSeq: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch-1 vs history
+      assert((0L until 10L).forall(i => pairs.contains((i, 100L))), s"got $pairs")
+      // batch-2 vs history AND vs batch 1 (the carry-over pair)
+      assert((0L until 10L).forall(i => pairs.contains((i, 200L))), s"got $pairs")
+      assert(pairs.contains((100L, 200L)), s"cross-batch carry-over pair missing: $pairs")
+      // orthogonal batch-2 vector stays clean; no history-internal pairs
+      assert(!pairs.exists(p => p._1 == 201L || p._2 == 201L), s"got $pairs")
+      assert(pairs.forall(p => p._2 >= 100L), s"history-internal pair leaked: $pairs")
+    } finally Seq(outDir, ckpt, src).foreach(rm)
+  }
+
   test("psiBucketsStream: fMGWS histogram equals the batch histogram after multiple batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
