@@ -178,9 +178,17 @@ object Bench {
     // the artifact alone. SPARK_GRAFT_ONLY runs keep their given order.
     val orderSeed: Int = {
       val re = "BENCH_r(\\d+)\\.json".r
-      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      val seed = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
         .foldLeft(0)(math.max) + 1
+      // Run from any directory other than the repo root this resolves to
+      // a constant 1 and the rotation silently never rotates (ADVICE
+      // r20) — warn loudly so an artifact stamped order_seed=1 is
+      // recognizable as a wrong-cwd run, not round 1.
+      if (seed == 1) System.err.println(
+        "[bench] WARNING: no BENCH_r*.json in cwd — order_seed=1; run " +
+          "from the repo root for cross-round order rotation")
+      seed
     }
     val selected = onlySelected.getOrElse(
       new scala.util.Random(orderSeed.toLong).shuffle(headline))

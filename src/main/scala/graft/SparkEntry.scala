@@ -3312,14 +3312,25 @@ object SparkEntry {
           .as("share"))
   }
 
-  private def qQuality(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(
-      F.col("doc_id"),
-      TF.tokenCount(F.col("text")).as("n_tok"),
-      TF.alphaRatio(F.col("text")).as("alpha_ratio"),
-      TF.digitRatio(F.col("text")).as("digit_ratio"),
-      TF.punctRatio(F.col("text")).as("punct_ratio"),
-      TF.qualityScore(F.col("text")).as("quality"))
+  /** One [[graft.functions.expressions.QualityStatsExpr]] pass projects
+    * the struct; every output column derives from it (r21 — the former
+    * form paid a separate regexp_count scan per ratio column on top of
+    * the score's five; values are the struct's defining counts, so the
+    * hash is unchanged). */
+  private def qQuality(s: SparkSession, dir: String): DataFrame = {
+    def ratio(n: org.apache.spark.sql.Column,
+              len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      n.cast("double") / F.greatest(len.cast("double"), F.lit(1.0))
+    T(s, dir, "documents")
+      .select(F.col("doc_id"), TF.qualityStats(F.col("text")).as("st"))
+      .select(
+        F.col("doc_id"),
+        F.col("st.n_tokens").cast("long").as("n_tok"),
+        ratio(F.col("st.n_alpha"), F.col("st.n_len")).as("alpha_ratio"),
+        ratio(F.col("st.n_digits"), F.col("st.n_len")).as("digit_ratio"),
+        ratio(F.col("st.n_punct"), F.col("st.n_len")).as("punct_ratio"),
+        TF.qualityScoreFromStats(F.col("st")).as("quality"))
+  }
 
   /** Gopher quality-rule suite ([[graft.functions.TextFunctions.gopherRules]])
     * — published heuristic pre-filter thresholds, eight counters from one

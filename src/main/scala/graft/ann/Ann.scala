@@ -1260,7 +1260,11 @@ object Ann {
       .select(F.col(idCol).as("ib"), F.col(embCol).as("e_b"), F.col("cell"))
       .join(F.broadcast(shard.select(F.col(idCol).as("ib")).distinct()),
         Seq("ib"), "left_anti")
-    def nrm(e: Column) = F.sqrt(VectorFunctions.dotF(e, e))
+    // dotX, not a hardcoded dotF: every Ann entry point dispatches the
+    // cosine through the native flag (ADVICE r20 — native=false callers
+    // silently got the native path here; both gate callers pass true,
+    // so results are unchanged)
+    def nrm(e: Column) = F.sqrt(dotX(e, e, native))
     def scored(pairs: DataFrame): DataFrame =
       pairs.select(
         F.least(F.col("ia"), F.col("ib")).as("vec_a"),
@@ -1269,7 +1273,7 @@ object Ann {
         // dot/norm orientation-safe: per-term products commute and the
         // accumulation order is the dim order either way, so the pair's
         // rounded cosine is identical however least/greatest landed
-        F.round(VectorFunctions.dotF(F.col("e_a"), F.col("e_b")) /
+        F.round(dotX(F.col("e_a"), F.col("e_b"), native) /
           (nrm(F.col("e_a")) * nrm(F.col("e_b"))), 6).as("cosine"))
         .filter(F.col("cosine") >= tau)
     val cross = sh.join(hist, Seq("cell"))

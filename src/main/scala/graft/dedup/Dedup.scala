@@ -978,46 +978,67 @@ object Dedup {
     * at.
     *
     * Scale shape: positional line explode → ONE MAP-SIDE-COMBINABLE
-    * `min(struct(id, idx))` groupBy keyed on `xxhash64(line)` (8-byte
-    * exchange key, never the raw text; the dupNgramFraction injectivity
-    * convention — equal absent a 64-bit collision within the corpus's
-    * distinct-line set) → shuffle-hash join-back on the hash marks each
-    * occurrence first-or-not → one doc-keyed aggregation rebuilds the
-    * text (array_sort over (idx, line) structs, the trimDuplicateSpans
-    * rebuild). The r19 shape was a `row_number() OVER (PARTITION BY
-    * line)` window: every occurrence of a hot boilerplate line ("" or a
-    * cookie banner repeated millions of times at 100 TB) landed in ONE
-    * task's SORT buffer. This shape has no such cliff: map-side combine
-    * collapses each input partition's occurrences of a hot line to a
-    * single (hash, min-struct) row before the aggregation exchange, and
-    * the join-back probe STREAMS (one firsts row per distinct line on
-    * the build side, O(1) memory per probe) — and being a shuffle join,
-    * AQE's skew-split can further divide a hot hash partition, which no
-    * window sort allows. Nothing quadratic, no driver state.
+    * `min(struct(id, idx))` groupBy keyed on the 128-BIT PAIR
+    * (xxhash64(line), xxhash64(salt, line)) — two independent 8-byte
+    * hashes, never the raw text (r21, VERDICT r20 wrong-#1: a single
+    * 64-bit key makes birthday collisions EXPECTED past ~10⁹ distinct
+    * lines, and each one silently deleted a non-duplicate line; the
+    * 128-bit pair is the md5-width class substring dedup already rides,
+    * with the shuffle row growing 8 bytes) → shuffle-hash join-back on
+    * the pair marks each occurrence first-or-not → one doc-keyed
+    * aggregation rebuilds the text (array_sort over (idx, line) structs,
+    * the trimDuplicateSpans rebuild). The r19 shape was a `row_number()
+    * OVER (PARTITION BY line)` window: every occurrence of a hot
+    * boilerplate line ("" or a cookie banner repeated millions of times
+    * at 100 TB) landed in ONE task's SORT buffer. This shape has no such
+    * cliff: map-side combine collapses each input partition's
+    * occurrences of a hot line to a single (hashes, min-struct) row
+    * before the aggregation exchange, and the join-back probe STREAMS
+    * (one firsts row per distinct line on the build side, O(1) memory
+    * per probe) — and being a shuffle join, AQE's skew-split can further
+    * divide a hot hash partition, which no window sort allows. Nothing
+    * quadratic, no driver state.
     *
     * Output: (idCol, n_lines, n_removed, clean_text) for EVERY input
     * document (a fully-boilerplate doc survives with clean_text = "").
     * Empty lines dedup like any other line text — '\n\n' runs beyond
     * the corpus's first are boilerplate by this definition too. */
   def dedupLines(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    // NOT cached: the explode subtree runs under both the aggregation
-    // and the join-back probe. MicroLines A/B'd the CacheScope variant —
-    // persist+count+checkpoint cost ~2× the recompute at every SF tried,
-    // and at 100 TB caching the exploded raw-line stream costs a
-    // corpus-sized write where the recompute is a column-pruned scan.
-    val lines = graft.Spread(docs)
+                 textCol: String = "text"): DataFrame =
+    dedupLinesHashed(hashedLines(docs, idCol, textCol), idCol)
+
+  /** The exploded per-occurrence line stream with BOTH identity hashes —
+    * shared by [[dedupLines]] and [[stripBoilerplate]]. NOT cached: the
+    * explode subtree runs under both the aggregation and the join-back
+    * probe. MicroLines A/B'd the CacheScope variant — persist+count+
+    * checkpoint cost ~2× the recompute at every SF tried, and at 100 TB
+    * caching the exploded raw-line stream costs a corpus-sized write
+    * where the recompute is a column-pruned scan. */
+  private def hashedLines(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    graft.Spread(docs)
       .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n")))
       .toDF(idCol, "idx", "line")
       .withColumn("lh", F.xxhash64(F.col("line")))
+      // the SECOND independent hash: same function, salted input — a
+      // collision now needs BOTH 64-bit hashes to collide on the same
+      // pair of distinct lines (the md5/128-bit contract class)
+      .withColumn("lh2", F.xxhash64(F.lit("graft_lh2"), F.col("line")))
+
+  /** [[dedupLines]] body over a pre-hashed line stream (idCol, idx, line,
+    * lh, lh2) — split out so the collision spec can plant two DISTINCT
+    * lines with a COLLIDING first hash (mocked — engineering a real
+    * xxhash64 collision is infeasible in a test) and prove the pair key
+    * keeps them apart. */
+  private[graft] def dedupLinesHashed(lines: DataFrame, idCol: String): DataFrame = {
     // min(struct) replays the window's (idCol asc, idx asc) order —
     // struct comparison is lexicographic field-by-field — and combines
     // map-side: hot lines cost one row per input partition, not one
     // sort-buffer entry per occurrence.
-    val firsts = lines.groupBy(F.col("lh"))
+    val firsts = lines.groupBy(F.col("lh"), F.col("lh2"))
       .agg(F.min(F.struct(F.col(idCol).as("fid"), F.col("idx").as("fidx"))).as("f"))
     lines
-      .join(firsts.hint("shuffle_hash"), Seq("lh"))
+      .join(firsts.hint("shuffle_hash"), Seq("lh", "lh2"))
       .withColumn("keep",
         F.col(idCol) === F.col("f.fid") && F.col("idx") === F.col("f.fidx"))
       .groupBy(F.col(idCol))
@@ -1120,14 +1141,17 @@ object Dedup {
     * rebuilt from their surviving lines in original order.
     *
     * Scale shape: document frequency folds from the DISTINCT
-    * (xxhash64(line), id) pairs — an 8-byte key, so neither exchange
-    * ever shuffles line text — to a lines-vocabulary-sized count table
+    * (line hashes, id) tuples — the 128-BIT (xxhash64, salted-xxhash64)
+    * pair key of [[dedupLines]] (r21 collision hardening: a single
+    * 64-bit key silently stripped a NON-boilerplate line per birthday
+    * collision at the 100 TB design point), so neither exchange ever
+    * shuffles line text — to a lines-vocabulary-sized count table
     * (both steps map-side combinable); a banner line occurring in 10^9
     * documents folds to ONE count row. Only the BOILERPLATE set (df >=
     * minDocs — the repeated-line vocabulary, tiny next to the corpus)
     * joins back against the line stream, so AQE broadcasts it and the
-    * corpus side pays NO join exchange; hash equality stands in for
-    * line equality (the dupNgramFraction injectivity argument). Both
+    * corpus side pays NO join exchange; pair-hash equality stands in
+    * for line equality (the md5-width contract class). Both
     * consumers re-run the codegen'd split+explode scan rather than
     * checkpointing the exploded corpus (measured faster at bench scale).
     *
@@ -1137,16 +1161,19 @@ object Dedup {
                        textCol: String = "text",
                        minDocs: Int = 3): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = graft.Spread(docs)
-      .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n")))
-      .toDF(idCol, "idx", "line")
-      .withColumn("lh", F.xxhash64(F.col("line")))
-    val boiler = lines.select(F.col("lh"), F.col(idCol)).distinct()
-      .groupBy(F.col("lh")).agg(F.count(F.lit(1)).as("df"))
+    stripBoilerplateHashed(hashedLines(docs, idCol, textCol), idCol, minDocs)
+  }
+
+  /** [[stripBoilerplate]] body over a pre-hashed line stream — split out
+    * for the planted-collision spec (see [[dedupLinesHashed]]). */
+  private[graft] def stripBoilerplateHashed(lines: DataFrame, idCol: String,
+                                            minDocs: Int): DataFrame = {
+    val boiler = lines.select(F.col("lh"), F.col("lh2"), F.col(idCol)).distinct()
+      .groupBy(F.col("lh"), F.col("lh2")).agg(F.count(F.lit(1)).as("df"))
       .filter(F.col("df") >= minDocs)
-      .select(F.col("lh"), F.lit(true).as("is_boiler"))
+      .select(F.col("lh"), F.col("lh2"), F.lit(true).as("is_boiler"))
     lines
-      .join(boiler, Seq("lh"), "left")
+      .join(boiler, Seq("lh", "lh2"), "left")
       .withColumn("b", F.coalesce(F.col("is_boiler"), F.lit(false)))
       .groupBy(F.col(idCol))
       .agg(

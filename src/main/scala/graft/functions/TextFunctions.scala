@@ -103,6 +103,25 @@ object TextFunctions {
     * mirrors the same order, so reordering the inventory is a
     * result-changing edit); "und" (undetermined) when no hits. */
   def langId(text: Column): Column = {
+    // ONE single-pass native expression for all five inventory counts
+    // ([[graft.functions.expressions.LangIdHitsExpr]], r21 — the former
+    // form paid five separate regex scans over the lowered text per
+    // row); the argmax fold below is the identical Catalyst ops over the
+    // struct fields, so every consumer's hash is unchanged.
+    val st = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.LangIdHitsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+    val scored = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      (lang, st.getField(s"h$i").cast("long")) }
+    val best = scored.map(_._2).reduce((a, b) => F.greatest(a, b))
+    scored.foldRight(F.lit("und"): Column) { case ((lang, hits), els) =>
+      F.when(hits > 0 && hits === best, F.lit(lang)).otherwise(els)
+    }
+  }
+
+  /** The pre-r21 five-regex-pass formulation of [[langId]], kept ONLY as
+    * the equivalence witness for QualityStatsSpec. */
+  private[graft] def langIdLegacy(text: Column): Column = {
     val scored = stopwords.map { case (lang, words) => (lang, stopwordHits(text, words)) }
     val best = scored.map(_._2).reduce((a, b) => F.greatest(a, b))
     scored.foldRight(F.lit("und"): Column) { case ((lang, hits), els) =>
@@ -117,8 +136,53 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: favors mid-length documents with
     * high alphabetic content, some stopwords, low digit/punct noise.
-    * Deterministic per-row double arithmetic (same result in any engine). */
-  def qualityScore(text: Column): Column = {
+    * Deterministic per-row double arithmetic (same result in any engine).
+    *
+    * All five counters come from ONE single-pass native expression
+    * ([[graft.functions.expressions.QualityStatsExpr]], r21 — the former
+    * form paid five separate regexp_count scans over the full text per
+    * row, the CPU inside the suite's worst scale exponent, q_psi_drift);
+    * the score is the IDENTICAL Catalyst double arithmetic over the
+    * struct fields, so every consumer's hash is unchanged (the counters
+    * are defined as the regex counts — see the expression's contract —
+    * and int→long→double casts are value-exact). The struct subtree is
+    * referenced once and shared: whole-stage codegen's subexpression
+    * elimination evaluates the pass once per row. */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromStats(qualityStats(text))
+
+  /** The single-pass counter struct behind [[qualityScore]]
+    * (`struct<n_len, n_tokens, n_alpha, n_digits, n_punct, n_stop>`) —
+    * exposed so a caller that ALSO emits the underlying ratios (the
+    * q_quality gate) can project the struct once and derive every column
+    * from it instead of paying separate regex passes per column. */
+  def qualityStats(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.QualityStatsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** [[qualityScore]]'s arithmetic over an already-projected stats struct
+    * column — bit-identical Catalyst ops to the pre-r21 regex chain. */
+  def qualityScoreFromStats(st: Column): Column = {
+    val len = st.getField("n_len").cast("double")
+    val lenScore = F.least(len / F.lit(500.0), F.lit(1.0))
+    val alpha = st.getField("n_alpha").cast("double") / F.greatest(len, F.lit(1.0))
+    val stop = F.least(
+      (st.getField("n_stop").cast("double") /
+        F.greatest(st.getField("n_tokens").cast("double"), F.lit(1.0))) * 4.0,
+      F.lit(1.0))
+    val noise = st.getField("n_digits").cast("double") / F.greatest(len, F.lit(1.0)) +
+      st.getField("n_punct").cast("double") / F.greatest(len, F.lit(1.0))
+    F.greatest(F.least(
+      lenScore * 0.3 + alpha * 0.4 + stop * 0.3 - noise * 0.5,
+      F.lit(1.0)), F.lit(0.0))
+  }
+
+  /** The pre-r21 five-regex-pass formulation of [[qualityScore]], kept
+    * ONLY as the equivalence witness: QualityStatsSpec asserts the two
+    * forms agree bit-for-bit (raw doubles, no rounding) on the gate
+    * tables and on adversarial unicode. Never used in a query path. */
+  private[graft] def qualityScoreLegacy(text: Column): Column = {
     val lenScore = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
     val alpha = alphaRatio(text)
     val stop = F.least(stopwordRatio(text) * 4.0, F.lit(1.0))

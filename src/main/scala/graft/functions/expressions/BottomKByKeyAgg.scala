@@ -36,6 +36,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * result is hash-exact against the window formulation and the SQL
   * oracle. Ties (duplicate keys) collapse to the LAST-seen row; callers
   * guarantee distinct keys (md5 of distinct ids).
+  *
+  * PRECONDITION (ADVICE r20): the rank key must be NON-NULL. Rows whose
+  * key evaluates to NULL are dropped here, whereas the pinned
+  * `row_number() OVER (ORDER BY key)` window reference sorts NULLs
+  * FIRST ascending — a nullable-key caller would diverge from the
+  * window formulation (and the SQL oracle). Every caller keys on
+  * md5(...) of a non-null column, which cannot be null; a new caller
+  * with a nullable key must coalesce it explicitly first.
   */
 case class BottomKByKeyAgg(
     child: Expression,

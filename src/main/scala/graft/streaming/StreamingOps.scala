@@ -346,7 +346,16 @@ object StreamingOps {
     * `n` the bucket's CUMULATIVE count (strictly increasing), so the
     * final histogram off an append-mode sink is `max(n)` per bucket —
     * feed it to [[graft.operators.Profile.psiFromHistograms]] against
-    * the fixed reference histogram. */
+    * the fixed reference histogram.
+    *
+    * PRECONDITION (ADVICE r20): `scoreCol` must be non-null. This path
+    * filters NULL scores out (a typed Long group key cannot carry them),
+    * while the batch psiBucket map would send a NULL score to a NULL
+    * bucket row — so the prefix-equals-batch contract above holds only
+    * for non-null score streams. Every gate caller derives the score
+    * from qualityScore over non-null text (non-null by construction);
+    * callers with nullable scores must pre-filter or pre-map NULLs
+    * identically on both paths. */
   def psiBucketsStream(df: DataFrame, scoreCol: String,
                        buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000, s"need 2 <= buckets <= 1000, got $buckets")

@@ -38,7 +38,9 @@ class CodegenParitySpec extends AnyFunSuite with SparkFixture {
     "q_dedup_minhash_oph", // OphSigsExpr (r17; densified-bin null path)
     "q_phrase_blocklist", // PhraseHitsExpr (r17; addReferenceObj automaton)
     "q_script_profile", // ScriptStatsExpr (r17; struct-valued census)
-    "q_dedup_jaccard_weighted" // SortedPairMinSumExpr (r19; struct-array merge)
+    "q_dedup_jaccard_weighted", // SortedPairMinSumExpr (r19; struct-array merge)
+    "q_quality", // QualityStatsExpr (r21; struct-valued single pass)
+    "q_lang_id" // LangIdHitsExpr (r21; struct-valued inventory census)
   )
 
   private def rows(df: DataFrame): Seq[String] =
