@@ -21,11 +21,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * round 20 after the line-dedup skew-window kill (min-struct groupBy +
   * join-back: exponent 0.43 → 0.11), the sort-free bottom-k aggregate
   * under the percentile sketch (0.32 → 0.03), the single-text-pass bm25
-  * and the incremental semantic dedup joining the headline (95 queries);
+  * and the incremental semantic dedup joining the headline (95 queries),
+  * then in round 21 after the single-pass quality/langid scans and the
+  * 128-bit line-dedup keys (r21 assemblies ran under heavy host
+  * contention — 11-24 effective cores — so the r21 file min-merges the
+  * r20 floors per the merge_min discipline; the r21-only assembly is
+  * kept at plans/r21/scale_trajectory_r21_assembly1.json and the
+  * changed-query evidence is the A/B set in OPTIMIZATION_r21.md);
   * regenerate with tools/trajectory.py). No sf1 dataset exists in this
   * container, so the scale claim is pinned on the two 10x steps that do:
-  * docs/scale_trajectory_r20.json holds the full headline suite measured
-  * at sf0.001, sf0.01 AND sf0.1 with the same code, box, and methodology
+  * docs/scale_trajectory_r21.json holds the full headline suite measured
+  * at sf0.001, sf0.01 AND sf0.1 with the same box and methodology
   * for both engines (Spark best-of-N cold-cache after JIT warmup; DuckDB
   * best-of-3). Two independent decades make the fit a trajectory, not a
   * slope: a super-linear plan would bend UP somewhere across 100x data,
@@ -43,7 +49,7 @@ class ScaleTrajectorySpec extends AnyFunSuite {
 
   private lazy val root = {
     val m = new ObjectMapper()
-    m.readTree(new java.io.File("docs/scale_trajectory_r20.json"))
+    m.readTree(new java.io.File("docs/scale_trajectory_r21.json"))
   }
 
   private def queries(engine: String, sf: String): Map[String, Double] =
