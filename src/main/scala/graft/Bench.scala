@@ -543,8 +543,20 @@ object Bench {
     val core =
       s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runs,"order_seed":$orderSeed,"effective_cores":$effectiveCores,"effective_cores_end":$effectiveCoresEnd,"sf":"$sfDir""""
     println(s"{$core$ratioAgg}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("graft_bench.json"),
+    // Durable machine-readable sink (VERDICT r21 #1): the driver captures
+    // a bounded stdout TAIL, and BENCH_r20's one-line JSON fell outside it,
+    // erasing that round's per-query comparison (PERF_r21 n_common = 0).
+    // graft_bench.json is the stable fallback: written ATOMICALLY (temp
+    // file + ATOMIC_MOVE) so a crash mid-write can never leave a torn
+    // JSON, and carrying the same `queries`/totals as the stdout line
+    // (plus the per-shot diag and per-query ratio map that are too wide
+    // for the stdout parse window).
+    val benchTmp = java.nio.file.Paths.get("graft_bench.json.tmp")
+    java.nio.file.Files.writeString(benchTmp,
       s"""{$core,"diag":$diagJson$ratioAgg$ratioMap}""" + "\n")
+    java.nio.file.Files.move(benchTmp, java.nio.file.Paths.get("graft_bench.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
   }
 }

@@ -1020,9 +1020,21 @@ object Dedup {
       .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n")))
       .toDF(idCol, "idx", "line")
       .withColumn("lh", F.xxhash64(F.col("line")))
-      // the SECOND independent hash: same function, salted input — a
-      // collision now needs BOTH 64-bit hashes to collide on the same
-      // pair of distinct lines (the md5/128-bit contract class)
+      // the SECOND identity hash: same function, salted input — a RANDOM
+      // collision now needs both 64-bit hashes to collide on the same
+      // pair of distinct lines, which pushes the birthday threshold from
+      // ~10^9 distinct lines (one 64-bit key) past any corpus size.
+      // CONTRACT (r21 ADVICE, made explicit): this pair key is
+      // ANTI-BIRTHDAY ONLY, not adversarial-collision-resistant — two
+      // seeded XXH64 passes are far weaker than a cryptographic digest
+      // against crafted input, and a web corpus can contain
+      // attacker-crafted lines. A deployment that must resist adversarial
+      // line-collisions (deliberately surviving boilerplate / deleting a
+      // victim line) should key on a true 128-bit digest instead (e.g.
+      // the two md5 halves the substring-dedup tier already uses) and
+      // accept the ~2x hash cost; the engine's own gates are
+      // deterministic synthetic corpora where the birthday bound is the
+      // operative risk.
       .withColumn("lh2", F.xxhash64(F.lit("graft_lh2"), F.col("line")))
 
   /** [[dedupLines]] body over a pre-hashed line stream (idCol, idx, line,
@@ -1168,6 +1180,10 @@ object Dedup {
     * for the planted-collision spec (see [[dedupLinesHashed]]). */
   private[graft] def stripBoilerplateHashed(lines: DataFrame, idCol: String,
                                             minDocs: Int): DataFrame = {
+    // The invariant must hold at the entry point that actually uses
+    // minDocs (r21 ADVICE): a package-internal caller passing minDocs <= 1
+    // would otherwise silently strip EVERY line (df >= 1 is always true).
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val boiler = lines.select(F.col("lh"), F.col("lh2"), F.col(idCol)).distinct()
       .groupBy(F.col("lh"), F.col("lh2")).agg(F.count(F.lit(1)).as("df"))
       .filter(F.col("df") >= minDocs)

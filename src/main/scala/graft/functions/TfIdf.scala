@@ -237,12 +237,22 @@ object TfIdf {
       .filter(F.col("tok").isNotNull)
       .groupBy(F.col(groupCol), F.col("tok"))
       .agg(F.sum(F.col("tf").cast("long")).as("tf_g")))
-    val dfg = gtok.groupBy("tok").agg(F.count(F.lit(1)).as("df_g"))
+    // df_g as a WINDOW COUNT over the tok partitions of gtok, not a
+    // separate groupBy(tok) aggregation joined back (r22, VERDICT r21 #3
+    // exchange audit): the former shape read the cached gtok twice —
+    // once into a count aggregation (its own exchange + broadcast build
+    // job), once as the join probe — to reunite a value each tok
+    // partition can count in place. One tok exchange now carries both
+    // jobs; the count over the unbounded partition is the identical
+    // per-token group count. gtok is ≤ groups × vocabulary rows (never
+    // corpus-sized), so the window's per-partition buffering is bounded
+    // by the group count per token.
+    val wTok = Window.partitionBy(F.col("tok"))
     val ng = gtok.select(groupCol).distinct()
       .agg(F.count(F.lit(1)).as("n_groups"))
     val w = Window.partitionBy(F.col(groupCol))
       .orderBy(F.col("tfidf_r").desc, F.col("tok").asc)
-    gtok.join(dfg, Seq("tok"))
+    gtok.withColumn("df_g", F.count(F.lit(1)).over(wTok))
       .crossJoin(F.broadcast(ng))
       .withColumn("tfidf_r", F.expr(
         "round(CAST(tf_g AS DOUBLE) * ln(CAST(n_groups AS DOUBLE) / CAST(df_g AS DOUBLE)), 6)"))

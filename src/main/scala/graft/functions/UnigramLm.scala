@@ -101,12 +101,16 @@ object UnigramLm {
                         textCol: String = "text", k: Int = 3,
                         knownCount: Long = -1L): DataFrame = graft.CacheScope.scoped {
     require(k >= 2, s"need k >= 2 buckets, got $k")
-    val lm = score(docs, idCol, textCol).select(F.col(idCol), F.col("lm_score"))
-    // Spread: the one-file bench corpus otherwise runs langId over every
-    // document in a single task (measured 0.43 s serial wall, r14).
-    val lang = graft.Spread(docs).select(
-      F.col(idCol), TextFunctions.langId(F.col(textCol)).as("pred_lang"))
-    val joined = lm.join(lang, Seq(idCol))
+    // ONE corpus pass (r22, VERDICT r21 #3): langId CARRIES through the
+    // scoring pipeline ([[scoreCarrying]]) instead of riding a second
+    // corpus scan joined back on the id — that branch cost its own Spread
+    // text exchange plus a join of two corpus-sized frames. pred_lang is
+    // a pure function of the row's text, so the carried value is
+    // identical to the joined one; docs with no tokens are absent from
+    // the scored frame either way (the former inner join dropped them).
+    val joined = scoreCarrying(docs, idCol, textCol,
+        Seq("pred_lang" -> TextFunctions.langId(F.col(textCol))))
+      .select(F.col(idCol), F.col("lm_score"), F.col("pred_lang"))
     // non-negative long division: double divide + truncating cast == floor
     // == both engines' integer `//` for these operand ranges (< 2^53)
     def ldiv(a: Column, b: Column): Column = (a / b).cast("long")
@@ -159,7 +163,26 @@ object UnigramLm {
   /** (idCol, n_tokens, lm_score) per document with at least one token;
     * lm_score rounded to 6 decimals. */
   def score(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text"): DataFrame =
+    scoreCarrying(docs, idCol, textCol, Nil)
+
+  /** [[score]] that CARRIES extra per-document columns (name → expression
+    * over the doc row, e.g. a langId) through the scoring pipeline:
+    * evaluated once per document at the first scan, shipped through the
+    * tok exchange, folded back per doc with FIRST (constant within the
+    * doc's group by construction). Output = score's columns ++ the carry
+    * names. With an empty carry this IS score — identical plan.
+    *
+    * Why carry instead of join (r22, VERDICT r21 #3 exchange audit on
+    * q_ccnet_buckets): a separate `docs.select(extra)` branch costs a
+    * SECOND corpus scan, its own Spread text exchange, and an id-keyed
+    * join of two corpus-sized frames (2 exchanges + sorts) just to
+    * reunite columns that were born on the same row. Carrying them costs
+    * only the extra column's bytes (a 2-letter lang code) on the tok
+    * shuffle the pipeline already pays. */
+  private[graft] def scoreCarrying(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   carry: Seq[(String, Column)]): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val tfArr = ColumnBridge.column(
       graft.functions.expressions.TokenTfExpr(
@@ -179,9 +202,12 @@ object UnigramLm {
     // shuffled by tok for the join; fusing the aggregation onto the same
     // exchange DROPS the former separate (map-combined) agg shuffle
     // rather than adding anything.
+    val carryNamed = carry.map { case (n, c) => c.as(n) }
+    val carryCols = carry.map { case (n, _) => F.col(n) }
     val byTok = graft.Spread(docs)
-      .select(F.col(idCol), F.explode_outer(tfArr).as("tt"))
-      .select(F.col(idCol), F.col("tt.tok").as("tok"), F.col("tt.tf").as("tf"))
+      .select(F.col(idCol) +: carryNamed :+ F.explode_outer(tfArr).as("tt"): _*)
+      .select(F.col(idCol) +: carryCols :+ F.col("tt.tok").as("tok")
+        :+ F.col("tt.tf").as("tf"): _*)
       .filter(F.col("tok").isNotNull)
       .repartition(F.col("tok"))
     val tokCounts = byTok.groupBy(F.col("tok")).agg(F.sum(F.col("tf")).as("cnt"))
@@ -195,20 +221,21 @@ object UnigramLm {
     byTok.join(tokCounts.hint("shuffle_hash"), Seq("tok"))
       .crossJoin(F.broadcast(total))
       .select(
-        F.col(idCol), F.col("tf"),
+        F.col(idCol) +: carryCols :+ F.col("tf") :+
         // identical IEEE ops on both engines, then exact decimal; the
         // total's long→double cast sees the same value the former
         // driver-collected literal carried
         (F.col("tf").cast("double") *
           F.log(F.col("cnt").cast("double") / F.col("total").cast("double")))
-          .cast("decimal(38,18)").as("term"))
+          .cast("decimal(38,18)").as("term"): _*)
       .groupBy(F.col(idCol))
       .agg(
         F.sum(F.col("tf")).as("n_tokens"),
-        F.sum(F.col("term")).as("ll"))
+        (F.sum(F.col("term")).as("ll") +:
+          carry.map { case (n, _) => F.first(F.col(n)).as(n) }): _*)
       .select(
-        F.col(idCol), F.col("n_tokens"),
+        F.col(idCol) +: F.col("n_tokens") +:
         F.round(F.col("ll").cast("double") / F.col("n_tokens").cast("double"), 6)
-          .as("lm_score"))
+          .as("lm_score") +: carryCols: _*)
   }
 }
